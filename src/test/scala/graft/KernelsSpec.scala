@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.functions.{Uuid5, VectorKernels}
+import graft.operators.DevEmbed
+
+/** Goldens for the deterministic kernels, generated from the reference
+  * formulas (worker/app/utils/docids.py, worker/app/services/
+  * embed_ollama.py:45-51) via CPython's uuid/hashlib.
+  */
+class KernelsSpec extends AnyFunSuite {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("uuid5 matches RFC-4122 known vector (DNS, python.org)") {
+    assert(Uuid5.compute(u("6ba7b810-9dad-11d1-80b4-00c04fd430c8"), u("python.org")).toString
+      == "886313e1-3b8a-5372-9b90-0c9aee199e5d")
+  }
+
+  test("uuid5 document id matches reference scheme") {
+    assert(Uuid5.compute(u(Uuid5.DefaultNamespace), u("notes/a.md")).toString
+      == "6d64ace0-3d62-5690-995e-4e90e20c9aef")
+  }
+
+  test("uuid5 chunk id = uuid5(document_id, chunk:idx)") {
+    assert(Uuid5.compute(u("6d64ace0-3d62-5690-995e-4e90e20c9aef"), u("chunk:0")).toString
+      == "d964240d-733a-5662-883a-36c95ce7fb9a")
+  }
+
+  test("dev embed reproduces reference dev-mode vectors bit-for-bit") {
+    val v = DevEmbed.compute(u("hello"), 64).toDoubleArray()
+    assert(v.take(6).toSeq ==
+      Seq(0.171875, 0.9453125, 0.30078125, 0.7265625, 0.37109375, 0.6875))
+    assert(v(33) == 0.9453125) // h[i % 32] wrap-around
+    assert(v.forall(x => x >= 0.0 && x < 1.0))
+  }
+
+  test("cosine kernel") {
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    assert(VectorKernels.cosine(arr(1, 0), arr(1, 0)) == 1.0)
+    assert(VectorKernels.cosine(arr(1, 0), arr(0, 1)) == 0.0)
+    assert(VectorKernels.cosine(arr(1, 0), arr(-1, 0)) == -1.0)
+    assert(VectorKernels.cosine(arr(0, 0), arr(1, 1)) == 0.0) // zero-norm guard
+    assert(math.abs(VectorKernels.cosine(arr(1, 2, 3), arr(4, 5, 6)) - 0.9746318461970762) < 1e-12)
+    assert(VectorKernels.dot(arr(1, 2, 3), arr(4, 5, 6)) == 32.0)
+  }
+}
