@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * The reference dedups by sha256 content signature + deterministic ids
+  * (reference: scripts/dev/tools/ingest_dropzone.py:41-42,
+  * worker/app/utils/docids.py:44-49 — re-ingest replaces, never
+  * duplicates). At corpus scale that generalizes to: exact dedup by
+  * content hash, and near-dedup by MinHash+LSH — both implemented here as
+  * shuffle-minimal DataFrame transforms.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content signature (one hash-aggregation;
+    * map-side combine makes this a single light shuffle at any scale).
+    */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_sig"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact all-pairs shingle-Jaccard within a blocking key — the verifiable
+    * small-scale form (quadratic within a block; use [[minhashNearDuplicates]]
+    * for the unblocked 100 TB path).
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc"), col(blockCol).as("block"),
+        explode(WordShingles.wordShingles(col(textCol))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc").as("a_id"), col("block"), col("shingle"))
+    val b = sh.select(col("doc").as("b_id"), col("block").as("block_b"), col("shingle").as("shingle_b"))
+    a.join(b,
+        col("block") === col("block_b") && col("shingle") === col("shingle_b") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter"), graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs — the scale path.
+    *
+    * shingle → K minhash signatures (nested HOF, one pass per doc) →
+    * band buckets (join key = (band, hash of the band's signature rows)) →
+    * candidate pairs from same-bucket docs → exact Jaccard verification on
+    * the candidates only. Cost is O(n·K) + a bucket-join whose fan-out is
+    * the duplicate rate, never O(n²).
+    */
+  def minhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+    val sh = docs
+      .select(col(idCol).as("doc"),
+        WordShingles.wordShingles(col(textCol)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    // All band bucket ids in one codegen'd pass per doc (see BandMinhash);
+    // posexplode yields (band, bh) rows for the bucket join.
+    val banded = sh
+      .select(col("doc"),
+        posexplode(graft.functions.BandMinhash.bandMinhash(col("shingles"), numHashes, bands))
+          .as(Seq("band", "bh")))
+
+    val candidates = banded.select(col("doc").as("a_id"), col("band"), col("bh"))
+      .join(banded.select(col("doc").as("b_id"), col("band").as("band_b"), col("bh").as("bh_b")),
+        col("band") === col("band_b") && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+
+    val shA = sh.select(col("doc").as("a_id"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("doc").as("b_id"), col("shingles").as("sh_b"))
+    candidates
+      .join(shA, "a_id").join(shB, "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+        graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
+  }
+}

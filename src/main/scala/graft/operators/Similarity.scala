@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column (`array<float>` at rest,
+  * computed in double).
+  *
+  * The reference serves 1×N cosine KNN from its vector store
+  * (reference: worker/app/services/qdrant_client.py:588-595). Re-expressed
+  * for Spark batch:
+  *   - [[cosineTopK]]: exact brute force — a broadcast of the query vector,
+  *     one narrow scan, and TakeOrderedAndProject (per-partition heap +
+  *     driver merge). At 100 TB this is bandwidth-bound and embarrassingly
+  *     parallel — the right baseline.
+  *   - [[withBucket]] / [[annTopK]]: random-hyperplane LSH (sign buckets).
+  *     Bucket ids are computed once at write time and persisted or
+  *     partitioned on; a query probes only buckets within Hamming distance
+  *     `probeRadius` — pruning the scan by ~2^planes/Σ(C(planes,r)).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5) —
+    * fixed LCG, stable across sessions/engines (no RNG state).
+    */
+  private def planeComponent(r: Int, j: Int): Double = {
+    val x = (1103515245L * (r.toLong * 131L + j.toLong + 1L) + 12345L) & 0x7fffffffL
+    x.toDouble / 0x80000000L.toDouble - 0.5
+  }
+
+  private def planeLit(r: Int, dim: Int): Column =
+    array((0 until dim).map(j => lit(planeComponent(r, j))): _*)
+
+  /** Sign-bucket id from `planes` fixed hyperplanes (bit r = sign of the
+    * projection on plane r).
+    */
+  def bucketCol(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { r =>
+      when(VectorFunctions.dot(vec, planeLit(r, dim)) >= 0, lit(1L << r)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def withBucket(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame =
+    df.withColumn("bucket", bucketCol(col(vecCol).cast("array<double>"), planes, dim))
+
+  /** Exact cosine top-k of every corpus row against a single-row query
+    * frame holding `qv: array<double>`.
+    */
+  def cosineTopK(corpus: DataFrame, vecCol: String, query: DataFrame, k: Int): DataFrame =
+    corpus
+      .crossJoin(broadcast(query))
+      .withColumn("score", VectorFunctions.cosine(col(vecCol).cast("array<double>"), col("qv")))
+      .orderBy(col("score").desc)
+      .limit(k)
+
+  /** Approximate cosine top-k: probe only buckets within `probeRadius`
+    * Hamming distance of the query's bucket.
+    */
+  def annTopK(
+      corpusWithBucket: DataFrame, vecCol: String, query: DataFrame,
+      k: Int, planes: Int, dim: Int, probeRadius: Int = 1): DataFrame = {
+    val q = query.withColumn("qbucket", bucketCol(col("qv"), planes, dim))
+    corpusWithBucket
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeRadius)
+      .withColumn("score", VectorFunctions.cosine(col(vecCol).cast("array<double>"), col("qv")))
+      .orderBy(col("score").desc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, word n-gram shingles, portable 60-bit token hashes,
+  * SimHash fingerprints, language-ID scoring and quality metrics.
+  *
+  * Everything here composes Spark built-ins / higher-order functions, so it
+  * stays inside whole-stage codegen and needs no shuffle beyond the final
+  * aggregation — a narrow map over 100 TB of documents.
+  *
+  * Hash portability: token/shingle hashes are the first 15 hex chars of
+  * sha256 (60 bits, < 2^63), so any SQL engine (the DuckDB oracle included)
+  * reproduces them exactly.
+  */
+object TextAnalytics {
+
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val DeStopwords: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht")
+  val EsStopwords: Seq[String] = Seq("el", "la", "de", "que", "los")
+  val FrStopwords: Seq[String] = Seq("le", "la", "les", "des", "est")
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Distinct word 3-gram shingles (empty for texts under 3 words). */
+  def shingles(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Portable 60-bit hash: first 15 hex chars of sha256, as BIGINT. */
+  def hash60(s: Column): Column =
+    conv(substring(sha2(s, 256), 1, 15), 16, 10).cast(LongType)
+
+  /** 60-bit SimHash over an array of 60-bit token hashes: per bit position,
+    * tokens vote +1/-1 by their bit; the fingerprint sets bits with a
+    * non-negative vote. Near-duplicate docs land within small Hamming
+    * distance. Runs as nested higher-order functions — one pass per doc,
+    * no explode.
+    */
+  def simhash(tokenHashes: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(59)), i =>
+        when(
+          aggregate(tokenHashes, lit(0), (acc, h) =>
+            acc + (call_function("shiftright", h, i).bitwiseAND(lit(1L)).cast("int") * lit(2) - lit(1))) >= 0,
+          call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+
+  /** Count of distinct tokens appearing in a stopword list. */
+  def stopwordScore(distinctTokens: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(distinctTokens, array(stopwords.map(lit): _*)))
+
+  /** Heuristic language id from stopword hits, fixed tie-break order
+    * en > de > es > fr, 'und' (undetermined) when all scores are zero.
+    */
+  def langId(sEn: Column, sDe: Column, sEs: Column, sFr: Column): Column =
+    when(sEn === 0 && sDe === 0 && sEs === 0 && sFr === 0, "und")
+      .when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+      .when(sDe >= sEs && sDe >= sFr, "de")
+      .when(sEs >= sFr, "es")
+      .otherwise("fr")
+}

@@ -13,7 +13,7 @@ import graft.core.Tables
   * oracle the driver replays in DuckDB over the same parquet tables.
   *
   * Conventions for oracle parity:
-  *  - aggregates over doubles are `round(x, n)` in BOTH engines;
+  *  - derived doubles go through rnd()/sqlRnd() in BOTH engines;
   *  - integer sums are `CAST(... AS BIGINT)` in DuckDB (it widens to
   *    HUGEINT by default, which would be a schema mismatch);
   *  - timestamps are emitted as formatted strings or epoch integers, never
@@ -24,6 +24,24 @@ object Catalog {
   type Q = (SparkSession, String) => DataFrame
 
   private def tbl(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Cross-engine-stable rounding: floor(x·10^k + 0.5)/10^k in pure IEEE
+    * ops, which Spark and DuckDB evaluate bit-identically. Spark's round()
+    * rounds the shortest-decimal-repr (java BigDecimal.valueOf) while
+    * DuckDB rounds the binary value — they disagree whenever a result's
+    * shortest repr lands exactly on the half grid (e.g. 0.37925). Only for
+    * non-negative derived values; raw stored columns are never rounded.
+    */
+  def rnd(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** SQL form of [[rnd]] for the DuckDB oracle. */
+  def sqlRnd(x: String, scale: Int): String = {
+    val p = "1" + ("0" * scale)
+    s"floor(($x) * $p + 0.5) / $p.0"
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
     * sessions set spark.sql.legacy.parquet.nanosAsLong=true and this helper
@@ -47,21 +65,21 @@ object Catalog {
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        rnd(avg(col("l_quantity")), 4).as("avg_qty"),
+        rnd(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_discount), 4) AS avg_disc,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100.0 AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS sum_disc_price,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0 AS avg_qty,
+       floor((avg(l_discount)) * 10000 + 0.5) / 10000.0 AS avg_disc,
        count(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -112,14 +130,14 @@ object Catalog {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
         countDistinct(col("o_orderkey")).as("n_orders"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
   private val q03Sql =
     """SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue,
        count(DISTINCT o_orderkey) AS n_orders
        FROM lineitem
        JOIN orders ON l_orderkey = o_orderkey
@@ -139,12 +157,12 @@ object Catalog {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("totalprice"))
+        col("o_totalprice").as("totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
   private val q04Sql =
-    """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS totalprice
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice AS totalprice
        FROM (
          SELECT o_custkey, o_orderkey, o_totalprice,
                 row_number() OVER (PARTITION BY o_custkey
@@ -161,11 +179,11 @@ object Catalog {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
       .select(col("o_orderkey"), col("o_custkey"),
-        round(col("o_totalprice"), 2).as("totalprice"),
+        col("o_totalprice").as("totalprice"),
         col("o_orderpriority"))
 
   private val q05Sql =
-    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice, o_orderpriority
+    """SELECT o_orderkey, o_custkey, o_totalprice AS totalprice, o_orderpriority
        FROM orders
        ORDER BY o_totalprice DESC, o_orderkey
        LIMIT 100"""
@@ -213,14 +231,14 @@ object Catalog {
   val q08RollupEvents: Q = (s, d) =>
     events(s, d)
       .rollup(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), rnd(sum(col("value")), 2).as("total_value"))
       .select(coalesce(col("event_type"), lit("<all>")).as("event_type"),
         col("n"), col("total_value"))
       .orderBy(col("event_type"))
 
   private val q08Sql =
     """SELECT coalesce(event_type, '<all>') AS event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100.0 AS total_value
        FROM events
        GROUP BY ROLLUP(event_type)
        ORDER BY event_type"""
@@ -232,18 +250,18 @@ object Catalog {
     events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.95)"), 4).as("p95"),
-        round(min(col("value")), 2).as("min_value"),
-        round(max(col("value")), 2).as("max_value"))
+        rnd(expr("percentile(value, 0.5)"), 4).as("p50"),
+        rnd(expr("percentile(value, 0.95)"), 4).as("p95"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
       .orderBy(col("event_type"))
 
   private val q09Sql =
     """SELECT event_type,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95,
-       round(min(value), 2) AS min_value,
-       round(max(value), 2) AS max_value
+       floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000.0 AS p50,
+       floor((quantile_cont(value, 0.95)) * 10000 + 0.5) / 10000.0 AS p95,
+       min(value) AS min_value,
+       max(value) AS max_value
        FROM events
        GROUP BY event_type
        ORDER BY event_type"""
@@ -257,13 +275,13 @@ object Catalog {
         col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 2).as("total_value"),
+        rnd(sum(col("value")), 2).as("total_value"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("day"), col("event_type"))
 
   private val q10Sql =
     """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value,
+       count(*) AS n, floor((sum(value)) * 100 + 0.5) / 100.0 AS total_value,
        count(DISTINCT user_id) AS n_users
        FROM events
        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
@@ -280,14 +298,14 @@ object Catalog {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("n_chars")), 2).as("avg_chars"),
+        rnd(avg(col("n_chars")), 2).as("avg_chars"),
         array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
       .orderBy(col("lang"))
 
   private val q11Sql =
     """SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       round(avg(n_chars), 2) AS avg_chars,
+       floor((avg(n_chars)) * 100 + 0.5) / 100.0 AS avg_chars,
        array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
        FROM documents
        GROUP BY lang
@@ -340,7 +358,7 @@ object Catalog {
     "q10_daily_activity" -> q10DailyActivity,
     "q11_doc_rollup" -> q11DocRollup,
     "q12_full_outer_merge" -> q12FullOuterMerge,
-  )
+  ) ++ PipelineCatalog.queries
 
   val oracles: ListMap[String, String] = ListMap(
     "q01_pricing_summary" -> q01Sql,
@@ -355,5 +373,5 @@ object Catalog {
     "q10_daily_activity" -> q10Sql,
     "q11_doc_rollup" -> q11Sql,
     "q12_full_outer_merge" -> q12Sql,
-  )
+  ) ++ PipelineCatalog.oracles
 }

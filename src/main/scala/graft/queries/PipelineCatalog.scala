@@ -1,0 +1,418 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Uuid5
+import graft.operators.{Chunker, Dedup, DevEmbed, Similarity, TextAnalytics}
+
+/** Pipeline / text-analytics operator queries: the reference's dataflow
+  * stages (chunk → embed → search, SURVEY §2.8) plus the training-data
+  * operators (dedup, near-dup, similarity search, language id, quality,
+  * fingerprints). Oracle SQL reproduces each computation in DuckDB —
+  * including the full iterative whitespace-aware chunker, expressed as a
+  * recursive CTE.
+  */
+object PipelineCatalog {
+  import Catalog.{Q, rnd}
+
+  private def tbl(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val ChunkSize = 100
+  private val ChunkOverlap = 20
+  private val ChunkStep = ChunkSize - ChunkOverlap
+
+  // -------------------------------------------------------------------------
+  // q13: sliding-window chunker (T1) — posexplode of the ChunkText expression
+  // -------------------------------------------------------------------------
+
+  val q13Chunks: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap))
+          .as(Seq("idx", "chunk")))
+      .orderBy(col("doc_id"), col("idx"))
+
+  /** The reference chunker's iterative cut/overlap algorithm
+    * (chunker.py:56-131) as a DuckDB recursive CTE — same normalize, same
+    * whitespace-preferred cut, same forward-progress guards.
+    */
+  private def finExpr(start: String): String = {
+    val e0 = s"LEAST($start + $ChunkSize, n)"
+    val len = s"($e0 - $start)"
+    val win = s"substr(t, $start + 1, $len)"
+    val p = s"strpos(reverse($win), ' ')"
+    s"""CASE WHEN $e0 >= n THEN n
+        WHEN $p > 0 AND ($len - $p) > 0 THEN $start + ($len - $p)
+        ELSE $e0 END"""
+  }
+
+  private val nextStart =
+    s"""CASE WHEN ns1 <= prev_start
+        THEN (CASE WHEN prev_start >= 0 THEN prev_start + $ChunkStep ELSE start + $ChunkStep END)
+        ELSE ns1 END"""
+
+  private val q13Sql =
+    s"""WITH RECURSIVE norm AS (
+         SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
+       ), base AS (
+         SELECT doc_id, t, length(t) AS n FROM norm WHERE length(t) > 0
+       ), walk(doc_id, t, n, start, prev_start, fin) AS (
+         SELECT doc_id, t, n, 0, -1, ${finExpr("0")} FROM base
+         UNION ALL
+         SELECT doc_id, t, n, LEAST($nextStart, n), start,
+                ${finExpr(s"LEAST($nextStart, n)")}
+         FROM (
+           SELECT doc_id, t, n, start, prev_start, fin,
+                  CASE WHEN fin - $ChunkOverlap <= start THEN start + $ChunkStep
+                       ELSE fin - $ChunkOverlap END AS ns1
+           FROM walk WHERE fin < n
+         ) s
+       )
+       SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS idx,
+              chunk
+       FROM (SELECT doc_id, start, trim(substr(t, start + 1, fin - start)) AS chunk FROM walk) c
+       WHERE chunk <> ''
+       ORDER BY doc_id, idx"""
+
+  // -------------------------------------------------------------------------
+  // q14: deterministic ids (F6) — no DuckDB sha1 ⇒ rows-only + unit goldens
+  // -------------------------------------------------------------------------
+
+  val q14ChunkIds: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("document_id", Uuid5.documentId(concat(lit("docs/"), col("doc_id"))))
+      .select(col("doc_id"), col("document_id"),
+        posexplode(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap))
+          .as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("document_id"), col("idx"),
+        Uuid5.chunkId(col("document_id"), col("idx")).as("chunk_id"))
+      .orderBy(col("doc_id"), col("idx"))
+
+  // -------------------------------------------------------------------------
+  // q15: dev-mode embedding (T3) — first 8 dims, exact doubles
+  // -------------------------------------------------------------------------
+
+  val q15EmbedDev: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("vec", DevEmbed.devEmbed(col("text"), 8))
+      .select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("vec"), i + 1).as(s"e$i")): _*)
+      .orderBy(col("doc_id"))
+
+  private val q15Sql = {
+    val dims = (0 until 8)
+      .map(i => s"CAST('0x' || substr(sha256(text), ${2 * i + 1}, 2) AS INT) / 256.0 AS e$i")
+      .mkString(",\n       ")
+    s"""SELECT doc_id,
+       $dims
+       FROM documents ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q16: brute-force cosine KNN (J4/W1)
+  // -------------------------------------------------------------------------
+
+  val q16KnnCosine: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    Similarity.cosineTopK(
+        emb.filter(col("vec_id") =!= 0), "embedding", query, 10)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  private val q16Sql =
+    """SELECT vec_id, label,
+       floor((list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))) * 1000000 + 0.5) / 1000000.0 AS score
+       FROM embeddings WHERE vec_id <> 0
+       ORDER BY score DESC, vec_id LIMIT 10"""
+
+  // -------------------------------------------------------------------------
+  // q17: exact dedup by content signature
+  // -------------------------------------------------------------------------
+
+  val q17DedupExact: Q = (s, d) =>
+    Dedup.exactDuplicateGroups(tbl(s, d, "documents"), "doc_id", "text")
+      .select(col("content_sig"), col("keeper_id"), col("n_copies"))
+      .orderBy(col("content_sig"))
+
+  private val q17Sql =
+    """SELECT sha256(text) AS content_sig,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id, count(*) AS n_copies
+       FROM documents
+       GROUP BY sha256(text)
+       ORDER BY content_sig"""
+
+  // -------------------------------------------------------------------------
+  // q18: near-dup pairs by exact shingle Jaccard (lang-blocked)
+  // -------------------------------------------------------------------------
+
+  val q18JaccardPairs: Q = (s, d) =>
+    Dedup.jaccardPairs(tbl(s, d, "documents"), "doc_id", "text", "lang", 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q18Sql =
+    """WITH words AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+       ), sh AS (
+         SELECT DISTINCT doc_id, lang, shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT a_id, b_id, inter,
+              floor((CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+       FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+       WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+       ORDER BY a_id, b_id"""
+
+  // -------------------------------------------------------------------------
+  // q19: MinHash+LSH near-dups (scale path; xxhash64 ⇒ rows-only oracle,
+  // equivalence with q18 asserted in DedupSpec)
+  // -------------------------------------------------------------------------
+
+  val q19MinhashLsh: Q = (s, d) =>
+    Dedup.minhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // -------------------------------------------------------------------------
+  // q20: SimHash fingerprints
+  // -------------------------------------------------------------------------
+
+  val q20Simhash: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalytics.tokens(col("text")))).as("w"))
+      .select(col("doc_id"), TextAnalytics.hash60(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc_id"), TextAnalytics.simhash(col("hs")).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val q20Sql =
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       ), bits AS (
+         SELECT doc_id, i,
+           CASE WHEN sum(CAST((h >> CAST(i AS INT)) & 1 AS INT) * 2 - 1) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END AS b
+         FROM tok CROSS JOIN range(60) r(i) GROUP BY doc_id, i
+       )
+       SELECT doc_id, CAST(sum(b) AS BIGINT) AS simhash FROM bits
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q21: heuristic language id
+  // -------------------------------------------------------------------------
+
+  val q21LangId: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("toks", array_distinct(TextAnalytics.tokens(col("text"))))
+      .select(col("doc_id"),
+        TextAnalytics.stopwordScore(col("toks"), TextAnalytics.EnStopwords).as("s_en"),
+        TextAnalytics.stopwordScore(col("toks"), TextAnalytics.DeStopwords).as("s_de"),
+        TextAnalytics.stopwordScore(col("toks"), TextAnalytics.EsStopwords).as("s_es"),
+        TextAnalytics.stopwordScore(col("toks"), TextAnalytics.FrStopwords).as("s_fr"))
+      .withColumn("predicted",
+        TextAnalytics.langId(col("s_en"), col("s_de"), col("s_es"), col("s_fr")))
+      .orderBy(col("doc_id"))
+
+  private val q21Sql = {
+    def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH w AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents),
+       s AS (SELECT doc_id,
+         len(list_intersect(toks, ${arr(TextAnalytics.EnStopwords)})) AS s_en,
+         len(list_intersect(toks, ${arr(TextAnalytics.DeStopwords)})) AS s_de,
+         len(list_intersect(toks, ${arr(TextAnalytics.EsStopwords)})) AS s_es,
+         len(list_intersect(toks, ${arr(TextAnalytics.FrStopwords)})) AS s_fr
+         FROM w)
+       SELECT doc_id, s_en, s_de, s_es, s_fr,
+         CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS predicted
+       FROM s ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q22: quality scoring
+  // -------------------------------------------------------------------------
+
+  val q22Quality: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("toks", TextAnalytics.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("total_len",
+        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, b) => a + b))
+      .withColumn("avg_token_len_raw", col("total_len").cast("double") / col("n_tokens"))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), t =>
+          array_contains(array(TextAnalytics.EnStopwords.map(lit): _*), t))))
+      .withColumn("stop_ratio_raw", col("stop_hits").cast("double") / col("n_tokens"))
+      .withColumn("digit_ratio_raw",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / length(col("text")))
+      .select(col("doc_id"), col("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        rnd(col("avg_token_len_raw"), 4).as("avg_token_len"),
+        rnd(col("stop_ratio_raw"), 4).as("stopword_ratio"),
+        rnd(col("digit_ratio_raw"), 4).as("digit_ratio"),
+        rnd(
+          lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            lit(0.5) * col("stop_ratio_raw") +
+            lit(0.3) * (lit(1.0) - least(abs(col("avg_token_len_raw") - 5.0) / 10.0, lit(1.0))),
+          4).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  private val q22Sql = {
+    val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH w AS (
+         SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+       ), m AS (
+         SELECT doc_id, text, len(toks) AS n_tokens,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / len(toks) AS avg_len_raw,
+           CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE)
+             / len(toks) AS stop_ratio_raw,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text) AS digit_ratio_raw
+         FROM w)
+       SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         floor((avg_len_raw) * 10000 + 0.5) / 10000.0 AS avg_token_len,
+         floor((stop_ratio_raw) * 10000 + 0.5) / 10000.0 AS stopword_ratio,
+         floor((digit_ratio_raw) * 10000 + 0.5) / 10000.0 AS digit_ratio,
+         floor((0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.5 * stop_ratio_raw
+             + 0.3 * (1.0 - least(abs(avg_len_raw - 5.0) / 10.0, 1.0))) * 10000 + 0.5) / 10000.0 AS quality_score
+       FROM m ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q23: document fingerprint (min-hash + xor over shingle hashes)
+  // -------------------------------------------------------------------------
+
+  val q23Fingerprint: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        explode(graft.operators.WordShingles.wordShingles(col("text"))).as("shingle"))
+      .distinct()
+      .select(col("doc_id"), TextAnalytics.hash60(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fp_min"), expr("bit_xor(h)").as("fp_xor"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  private val q23Sql =
+    """WITH words AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS h
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       )
+       SELECT doc_id, CAST(min(h) AS BIGINT) AS fp_min, CAST(bit_xor(h) AS BIGINT) AS fp_xor,
+              count(*) AS n_shingles
+       FROM sh GROUP BY doc_id ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q24: sessionization (gap > 30 min) — lag/cumsum windows over events
+  // -------------------------------------------------------------------------
+
+  private val SessionGapUs = 1800L * 1000000L
+
+  val q24Sessionize: Q = (s, d) => {
+    val e = tbl(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        rnd(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q24Sql =
+    s"""WITH e AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+       ), flags AS (
+         SELECT user_id, event_id, us, value,
+           CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $SessionGapUs
+                THEN 1 ELSE 0 END AS new_s
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       ), sess AS (
+         SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM flags
+       )
+       SELECT user_id, session_id, count(*) AS n_events,
+         CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+         floor((sum(value)) * 100 + 0.5) / 100.0 AS total_value
+       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  // -------------------------------------------------------------------------
+  // q25: LSH-bucketed approximate nearest neighbours (rows-only; recall
+  // vs q16 exact asserted in SimilaritySpec)
+  // -------------------------------------------------------------------------
+
+  val q25AnnLsh: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val corpus = Similarity.withBucket(emb.filter(col("vec_id") =!= 0), "embedding", 8, 64)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    Similarity.annTopK(corpus, "embedding", query, 10, 8, 64, probeRadius = 2)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  // -------------------------------------------------------------------------
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q13_chunks" -> q13Chunks,
+    "q14_chunk_ids" -> q14ChunkIds,
+    "q15_embed_dev" -> q15EmbedDev,
+    "q16_knn_cosine" -> q16KnnCosine,
+    "q17_dedup_exact" -> q17DedupExact,
+    "q18_jaccard_pairs" -> q18JaccardPairs,
+    "q19_minhash_lsh" -> q19MinhashLsh,
+    "q20_simhash" -> q20Simhash,
+    "q21_lang_id" -> q21LangId,
+    "q22_quality" -> q22Quality,
+    "q23_fingerprint" -> q23Fingerprint,
+    "q24_sessionize" -> q24Sessionize,
+    "q25_ann_lsh" -> q25AnnLsh,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q13_chunks" -> q13Sql,
+    "q15_embed_dev" -> q15Sql,
+    "q16_knn_cosine" -> q16Sql,
+    "q17_dedup_exact" -> q17Sql,
+    "q18_jaccard_pairs" -> q18Sql,
+    "q20_simhash" -> q20Sql,
+    "q21_lang_id" -> q21Sql,
+    "q22_quality" -> q22Sql,
+    "q23_fingerprint" -> q23Sql,
+    "q24_sessionize" -> q24Sql,
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariant tests for the full query catalog at sf0.001.
+  * Value-level correctness is the driver's DuckDB oracle (see
+  * tools/oracle_check.py for the dev loop); these tests pin structural
+  * invariants the oracle can't see.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  test("every catalog query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, Sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns k=12 ranked sources") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 12)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-_: Double)), "scores not descending")
+  }
+
+  test("chunk idx is consecutive per document (validate_json.py:51-66 invariant)") {
+    import org.apache.spark.sql.functions._
+    val chunks = SparkEntry.queries("q13_chunks")(spark, Sf)
+    val bad = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("idx")).as("mx"), min(col("idx")).as("mn"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("minhash-LSH near-dups are a superset of exact lang-blocked Jaccard pairs") {
+    val exact = SparkEntry.queries("q18_jaccard_pairs")(spark, Sf)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = SparkEntry.queries("q19_minhash_lsh")(spark, Sf)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "expected planted near-dup pairs in testdata")
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
+  }
+
+  test("ANN recall@10 >= 0.4 against exact KNN") {
+    val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("q25_ann_lsh")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ANN recall too low: $recall")
+  }
+}
