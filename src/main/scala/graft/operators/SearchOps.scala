@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Filtered top-k similarity search + RAG source selection — the
+  * reference's /search and /ask read paths (SURVEY §3.2/§3.3) as
+  * DataFrame transforms.
+  */
+object SearchOps {
+
+  /** P2/P3-style payload filters (reference: worker/app/routers/
+    * search.py:74-105 composes must-AND equality + time-range conditions).
+    */
+  case class SearchFilters(
+      documentId: Option[String] = None,
+      kind: Option[String] = None,
+      path: Option[String] = None,
+      ingestedAfterTs: Option[Long] = None,
+      ingestedBeforeTs: Option[Long] = None)
+
+  private def predicate(f: SearchFilters): Column = {
+    val conds = Seq(
+      f.documentId.map(col("document_id") === _),
+      f.kind.map(col("kind") === _),
+      f.path.map(col("path") === _),
+      f.ingestedAfterTs.map(col("ingested_at_ts") >= _),
+      f.ingestedBeforeTs.map(col("ingested_at_ts") < _),
+    ).flatten
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Filtered cosine top-k over a chunk table, normalized to the Source
+    * shape with 600-char snippet truncation (P6, search.py:23-71).
+    * Executes as: pruned scan → codegen'd cosine → TakeOrderedAndProject.
+    */
+  def search(
+      chunks: DataFrame,
+      queryVector: Column,
+      k: Int = 10,
+      filters: SearchFilters = SearchFilters(),
+      minScore: Option[Double] = None): DataFrame = {
+    val scored = chunks
+      .filter(predicate(filters))
+      .withColumn("score",
+        VectorFunctions.cosine(col("vector").cast("array<double>"), queryVector))
+    val gated = minScore.fold(scored)(s => scored.filter(col("score") >= s))
+    gated
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("document_id"), col("kind"), col("path"),
+        col("idx"), col("score"),
+        when(length(col("text")) > 600,
+          concat(substring(col("text"), 1, 600), lit("…")))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** W7 snippet budget: from the top-`poolSize` hits with score ≥
+    * `minScore`, keep at most `maxSnippets` snippets of ≤ `perSnippetChars`
+    * chars whose RUNNING total length stays ≤ `totalBudget`
+    * (reference: worker/app/routers/ask.py:375-422 — pool 10, min 0.2,
+    * ≤5 snippets, ≤2000 chars each, ≤8000 total).
+    */
+  def snippetSelect(
+      hits: DataFrame,
+      poolSize: Int = 10,
+      minScore: Double = 0.2,
+      maxSnippets: Int = 5,
+      perSnippetChars: Int = 2000,
+      totalBudget: Int = 8000): DataFrame = {
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .orderBy(col("score").desc, col("id"))
+      .limit(poolSize)
+      .filter(col("score") >= minScore)
+      .withColumn("snippet", substring(col("text"), 1, perSnippetChars))
+      .withColumn("running_chars", sum(length(col("snippet"))).over(w))
+      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= maxSnippets && col("running_chars") <= totalBudget)
+      .select(col("id"), col("document_id"), col("path"), col("score"),
+        col("snippet"), col("rank"))
+  }
+
+  /** W6 source interleave: first k/2 text hits + k−k/2 image hits
+    * (reference: ask.py:265).
+    */
+  def interleaveSources(textHits: DataFrame, imageHits: DataFrame, k: Int): DataFrame = {
+    val kText = k / 2
+    val kImage = k - kText
+    textHits.limit(kText).unionByName(imageHits.limit(kImage))
+  }
+
+  /** A5 synthesis gate: max score must reach `minSynthScore`
+    * (reference: ask.py:448-463, config.py:86 MIN_SYNTH_SCORE=0.55).
+    */
+  def synthesisGate(hits: DataFrame, minSynthScore: Double = 0.55): Boolean =
+    hits.agg(max(col("score"))).head.getDouble(0) >= minSynthScore
+
+  /** Grounded prompt text from selected snippets (ask.py:359-372); the LLM
+    * call itself is an external service beyond the engine boundary.
+    */
+  def buildPrompt(question: String, snippets: Seq[(String, String)]): String = {
+    val ctx = snippets.zipWithIndex
+      .map { case ((path, text), i) => s"[${i + 1}] ($path)\n$text" }
+      .mkString("\n\n")
+    s"""Answer the question using ONLY the context below. If the context is
+       |insufficient, say so.
+       |
+       |Context:
+       |$ctx
+       |
+       |Question: $question
+       |Answer:""".stripMargin
+  }
+}

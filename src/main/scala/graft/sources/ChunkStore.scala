@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The chunk collection at rest: bucket-partitioned parquet with
+  * replace-by-document upsert semantics.
+  *
+  * The reference's invariant is deterministic ids + delete-before-write, so
+  * re-ingesting a file replaces its points instead of duplicating them
+  * (reference: worker/app/services/qdrant_client.py:410-433,
+  * docs/invariants.md:12-18). On Spark that becomes:
+  *
+  *  - partition the table by `doc_bucket = pmod(xxhash64(document_id), N)`
+  *    — co-locates a document's chunks, bounds rewrite scope;
+  *  - upsert = read ONLY the buckets hit by the incoming batch (partition
+  *    pruning), anti-join out the incoming document_ids (the "delete"),
+  *    union the new rows, and dynamically overwrite just those bucket
+  *    partitions.
+  *
+  * At 100 TB with N≈8192 buckets a re-ingest of one document rewrites
+  * 1/8192 of the table, not the whole thing; a full-corpus re-ingest is a
+  * no-op content-wise (same ids, same rows). On a Delta/Iceberg deployment
+  * the same call maps to MERGE; plain parquet keeps this library
+  * dependency-free.
+  */
+object ChunkStore {
+
+  val DefaultBuckets = 64
+
+  private def withBucket(chunks: DataFrame, numBuckets: Int): DataFrame =
+    chunks.withColumn("doc_bucket", pmod(xxhash64(col("document_id")), lit(numBuckets)))
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The bucket count is a TABLE property: replace-by-document only works
+    * if every writer buckets identically, so the count chosen at creation
+    * is persisted beside the data and later upserts ignore their own
+    * parameter in favor of it. (Found the hard way: a second writer with a
+    * different count writes the "replacement" into different partitions —
+    * silent duplicates.)
+    */
+  private def bucketMetaPath(path: String) = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+
+  private def readTableBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = bucketMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeTableBuckets(spark: SparkSession, path: String, n: Int): Unit = {
+    val p = bucketMetaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Idempotent replace-by-document upsert. */
+  def upsert(chunks: DataFrame, path: String, numBuckets: Int = DefaultBuckets): Unit = {
+    val spark = chunks.sparkSession
+
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p)
+    }
+    val buckets0 = if (exists) readTableBuckets(spark, path).getOrElse(numBuckets) else numBuckets
+    val incoming = withBucket(chunks, buckets0)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if (!exists) {
+      incoming.write.partitionBy("doc_bucket").mode("overwrite").parquet(path)
+      writeTableBuckets(spark, path, buckets0)
+    } else {
+      val buckets = incoming.select("doc_bucket").distinct()
+        .collect().map(_.getLong(0)) // small: ≤ numBuckets values
+      val docs = incoming.select(col("document_id")).distinct()
+      // survivors: rows in affected buckets belonging to OTHER documents;
+      // localCheckpoint materializes them so the dynamic overwrite below
+      // does not read from the files it replaces.
+      val survivors = spark.read.parquet(path)
+        .filter(col("doc_bucket").isin(buckets: _*)) // partition-pruned scan
+        .join(docs, Seq("document_id"), "left_anti")
+        .localCheckpoint()
+      survivors.unionByName(incoming)
+        .write.partitionBy("doc_bucket").mode("overwrite").parquet(path)
+      writeTableBuckets(spark, path, buckets0) // re-assert, cheap
+    }
+  }
+}

@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Uuid5
+import graft.operators.{Chunker, DevEmbed}
+
+/** File ingestion: the reference's dropzone pipeline (SURVEY §3.1) as one
+  * declarative DataFrame lineage —
+  *   discovery → ignore filters → kind inference → parse → canonicalize →
+  *   ids → chunk → embed → chunk rows.
+  *
+  * Sources re-expressed Spark-first (SURVEY §2.1):
+  *  - S1 discovery: `spark.read.format("binaryFile")` recursive listing —
+  *    distributed, no driver-side walk;
+  *  - S2 kind inference by extension (reference:
+  *    worker/app/services/discovery.py:70-79, api upload.go:24-48);
+  *  - P4 ignore filters: extension blocklist + `smoke_`/`test_`/`temp_`/
+  *    hidden prefixes (reference: discovery.py:39-67, config.py:105);
+  *  - S3/S4/S5/S6 parsers routed by kind (file_router.py:23-103) — CSV
+  *    rows to `"v1 | v2"` lines, JSON flattened to `"a.b[0]: value"`
+  *    lines, JSONL per line with `$[i]` prefixes;
+  *  - F11 canonical relpath + F6 deterministic ids (docids.py:28-49);
+  *  - P7 empty-content guard (process.py:422-425);
+  *  - T1 chunk + T3 dev-embed per chunk.
+  *
+  * At scale: one narrow map over file splits, no shuffle until the store
+  * write. Real parsers for binary formats (pdf/docx/audio/image) plug in as
+  * additional `parseX` branches; in this environment they are stubbed like
+  * the reference's dev modes.
+  */
+object FileIngest {
+
+  val IgnoredExtensions: Seq[String] = Seq("tmp", "part", "swp", "ds_store", "crdownload")
+  val IgnoredPrefixes: Seq[String] = Seq("smoke_", "test_", "temp_", ".", "~")
+
+  /** S2: extension → kind (text|csv|json|pdf|doc|html|audio|image). */
+  def kindForExtension(ext: Column): Column = {
+    val e = lower(ext)
+    when(e.isin("txt", "md", "markdown", "rst", "log"), "text")
+      .when(e.isin("csv", "tsv"), "csv")
+      .when(e.isin("json", "jsonl"), "json")
+      .when(e === "pdf", "pdf")
+      .when(e.isin("doc", "docx"), "doc")
+      .when(e.isin("html", "htm"), "html")
+      .when(e.isin("mp3", "wav", "m4a", "flac", "ogg"), "audio")
+      .when(e.isin("png", "jpg", "jpeg", "gif", "webp", "bmp"), "image")
+      .otherwise("text") // reference falls back to raw text (file_router.py:96-103)
+  }
+
+  /** F11: canonical POSIX relpath under the dropzone root
+    * (docids.py:28-41): strip the root prefix, `./`, and the historical
+    * `data/dropzone/` prefix.
+    */
+  def canonicalRelpath(path: Column, root: String): Column = {
+    val rootNorm = root.stripSuffix("/") + "/"
+    val stripped = regexp_replace(path, "^file:", "")
+    val rel = regexp_replace(stripped, "^" + java.util.regex.Pattern.quote(rootNorm), "")
+    val noDot = regexp_replace(rel, "^\\./", "")
+    regexp_replace(noDot, "^data/dropzone/", "")
+  }
+
+  private def basename(path: Column): Column = element_at(split(path, "/"), -1)
+  private def extension(path: Column): Column =
+    lower(regexp_extract(basename(path), "\\.([^.]+)$", 1))
+
+  /** P4: ignore-filter predicate over the canonical relpath. */
+  def keepFile(relpath: Column): Column = {
+    val name = basename(relpath)
+    val extOk = !extension(relpath).isin(IgnoredExtensions: _*)
+    val prefixOk = IgnoredPrefixes
+      .map(p => !lower(name).startsWith(p))
+      .reduce(_ && _)
+    extOk && prefixOk
+  }
+
+  /** S4: CSV text → `"v1 | v2"` lines (reference caps: 5000 rows, 50 cols,
+    * 2000 chars/cell — parse_csv.py:4-23, parsers_csv.py:6-26).
+    */
+  def csvToLines(raw: Column): Column = {
+    val rows = slice(split(raw, "\r?\n"), 1, 5000)
+    array_join(
+      filter(
+        transform(rows, row =>
+          array_join(
+            transform(slice(split(row, ","), 1, 50), c =>
+              substring(trim(c), 1, 2000)),
+            " | ")),
+        l => trim(l) =!= ""),
+      "\n")
+  }
+
+  /** S5/F14: flatten a parsed JSON value into `"a.b[0]: value"` lines.
+    * Dynamic JSON (schema unknown at plan time) goes through a
+    * VariantType-free recursive walk on the driver-side schema when known;
+    * for the fully dynamic case we parse with Jackson in a codegen-friendly
+    * static call (see [[JsonFlatten]]).
+    */
+  def jsonToLines(raw: Column): Column = JsonFlatten.jsonFlatten(raw)
+
+  /** S12: extension router — one `when` dispatch per kind
+    * (file_router.py:23-103). Binary kinds are stubbed with a
+    * deterministic placeholder like the reference's dev modes
+    * (`audio` AUDIO_DEV_MODE, `image` caption fallback process.py:911).
+    */
+  def routeText(kind: Column, rawText: Column, relpath: Column): Column =
+    when(kind === "csv", csvToLines(rawText))
+      .when(kind === "json" && relpath.endsWith(".jsonl"), JsonFlatten.jsonlFlatten(rawText))
+      .when(kind === "json", jsonToLines(rawText))
+      .when(kind === "audio", concat(lit("audio transcript stub: "), relpath))
+      .when(kind === "image", concat(lit("image: "), relpath))
+      .when(kind === "pdf", rawText) // real extraction: pdfbox branch at deploy
+      .when(kind === "doc", rawText) // real extraction: poi branch at deploy
+      .when(kind === "html",
+        trim(regexp_replace(
+          regexp_replace(rawText, "(?is)<(script|style|noscript)[^>]*>.*?</\\1>", " "),
+          "(?s)<[^>]*>", " ")))
+      .otherwise(rawText)
+
+  /** Full ingest: directory → chunk rows
+    * (id, document_id, kind, path, idx, text, vector, meta…).
+    */
+  def ingestDirectory(
+      spark: SparkSession,
+      dropzone: String,
+      chunkSize: Int = Chunker.DefaultSize,
+      chunkOverlap: Int = Chunker.DefaultOverlap,
+      embedDim: Int = 64): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dropzone)
+      .select(col("path"), col("content"), col("modificationTime"), col("length"))
+
+    val parsed = files
+      .withColumn("relpath", canonicalRelpath(col("path"), dropzone))
+      .filter(keepFile(col("relpath")))
+      .withColumn("kind", kindForExtension(extension(col("relpath"))))
+      .withColumn("raw_text", decode(col("content"), "UTF-8"))
+      .withColumn("text_full", routeText(col("kind"), col("raw_text"), col("relpath")))
+      .filter(trim(col("text_full")) =!= "") // P7 empty-content guard
+      .withColumn("document_id", Uuid5.documentId(col("relpath")))
+      .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
+      .withColumn("bytes", col("length"))
+
+    parsed
+      .select(col("document_id"), col("kind"), col("relpath").as("path"),
+        col("content_sig"), col("bytes"),
+        posexplode(Chunker.chunkTextCol(col("text_full"), chunkSize, chunkOverlap))
+          .as(Seq("idx", "text")))
+      .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
+      .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
+      .select("id", "document_id", "kind", "path", "idx", "text", "vector",
+        "content_sig", "bytes")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Uuid5
+import graft.operators.{Chunker, DevEmbed}
+import graft.sources.{ChunkStore, FileIngest}
+
+/** Streaming dropzone ingestion — the reference's watcher daemon
+  * (SURVEY §2.9) re-expressed as Structured Streaming:
+  *
+  *  - ST1 source: the polled directory becomes a checkpointed file stream
+  *    (`readStream.format("binaryFile")`) with a processing-time trigger
+  *    (reference poll interval 2 s, filewatcher.py:27);
+  *  - ST2 debounce: `maxFilesPerTrigger` bounds batch size; file-stability
+  *    probing is subsumed by the source's completed-file listing;
+  *  - ST3 exactly-once/dedup state: the reference keeps a path→hash state
+  *    file and deletes old points when a file changes
+  *    (watch_dropzone.py:37-80). Here the checkpoint holds source offsets
+  *    and `foreachBatch` applies ChunkStore.upsert — deterministic ids
+  *    make replay idempotent, changed files replace their own chunks;
+  *  - ST4 retry: restart-from-checkpoint re-processes any failed batch.
+  */
+object Dropzone {
+
+  /** Chunk-row pipeline for one micro-batch of files (same lineage as
+    * [[FileIngest.ingestDirectory]], applied to a streaming batch).
+    */
+  private def pipeline(files: DataFrame, dropzone: String,
+      chunkSize: Int, chunkOverlap: Int, embedDim: Int): DataFrame =
+    files
+      .withColumn("relpath", FileIngest.canonicalRelpath(col("path"), dropzone))
+      .filter(FileIngest.keepFile(col("relpath")))
+      .withColumn("kind", FileIngest.kindForExtension(
+        lower(regexp_extract(element_at(split(col("relpath"), "/"), -1), "\\.([^.]+)$", 1))))
+      .withColumn("raw_text", decode(col("content"), "UTF-8"))
+      .withColumn("text_full", FileIngest.routeText(col("kind"), col("raw_text"), col("relpath")))
+      .filter(trim(col("text_full")) =!= "")
+      .withColumn("document_id", Uuid5.documentId(col("relpath")))
+      .withColumn("content_sig", sha2(col("raw_text"), 256))
+      .select(col("document_id"), col("kind"), col("relpath").as("path"),
+        col("content_sig"), col("length").as("bytes"),
+        posexplode(Chunker.chunkTextCol(col("text_full"), chunkSize, chunkOverlap))
+          .as(Seq("idx", "text")))
+      .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
+      .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
+      .select("id", "document_id", "kind", "path", "idx", "text", "vector",
+        "content_sig", "bytes")
+
+  /** Start the streaming ingest; returns the query (caller manages
+    * lifecycle / awaitTermination).
+    */
+  def start(
+      spark: SparkSession,
+      dropzone: String,
+      storePath: String,
+      checkpoint: String,
+      triggerInterval: String = "2 seconds",
+      maxFilesPerTrigger: Int = 64,
+      chunkSize: Int = Chunker.DefaultSize,
+      chunkOverlap: Int = Chunker.DefaultOverlap,
+      embedDim: Int = 64): StreamingQuery = {
+    val stream = spark.readStream
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(dropzone)
+
+    stream.writeStream
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val chunks = pipeline(batch, dropzone, chunkSize, chunkOverlap, embedDim)
+        if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
+      }
+      .start()
+  }
+}

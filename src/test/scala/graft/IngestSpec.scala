@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SearchOps
+import graft.operators.SearchOps.SearchFilters
+import graft.operators.DevEmbed
+import graft.sources.{ChunkStore, FileIngest}
+
+/** End-to-end ingest goldens. Parser expectations mirror the reference's
+  * own unit tests (worker/tests/test_parse_csv_unit.py,
+  * test_parse_json_unit.py); idempotency mirrors smoke_golden.py's
+  * double-run invariant.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def writeFixtures(dir: Path): Unit = {
+    Files.writeString(dir.resolve("notes.txt"), "hello world this is a plain note")
+    Files.writeString(dir.resolve("readme.md"), "# Title\nsome markdown body text")
+    Files.writeString(dir.resolve("people.csv"), "name,age\nalice,30\nbob,25\n")
+    Files.writeString(dir.resolve("data.json"),
+      """{"user": {"name": "bob", "age": 25}, "tags": ["x", "y"]}""")
+    Files.writeString(dir.resolve("rows.jsonl"), "{\"a\": 1}\n{\"b\": 2}\n")
+    Files.writeString(dir.resolve("temp_scratch.txt"), "should be ignored")
+    Files.writeString(dir.resolve("junk.tmp"), "should be ignored")
+    Files.writeString(dir.resolve("empty.txt"), "   ")
+  }
+
+  private lazy val dropzone: Path = {
+    val d = Files.createTempDirectory("graft-dropzone")
+    writeFixtures(d)
+    d
+  }
+
+  private lazy val ingested =
+    FileIngest.ingestDirectory(spark, dropzone.toString, chunkSize = 200, chunkOverlap = 40)
+      .cache()
+
+  test("discovery + ignore filters + empty guard") {
+    val paths = ingested.select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(paths == Set("notes.txt", "readme.md", "people.csv", "data.json", "rows.jsonl"))
+  }
+
+  test("kind inference by extension") {
+    val kinds = ingested.select("path", "kind").distinct().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds("notes.txt") == "text" && kinds("readme.md") == "text")
+    assert(kinds("people.csv") == "csv")
+    assert(kinds("data.json") == "json" && kinds("rows.jsonl") == "json")
+  }
+
+  test("CSV rows become ' | ' joined lines (reference golden)") {
+    val text = ingested.filter(col("path") === "people.csv")
+      .orderBy("idx").select("text").collect().map(_.getString(0)).mkString(" ")
+    assert(text.contains("name | age"))
+    assert(text.contains("alice | 30"))
+  }
+
+  test("JSON flattens to dotted key: value lines (reference golden)") {
+    val text = ingested.filter(col("path") === "data.json")
+      .orderBy("idx").select("text").collect().map(_.getString(0)).mkString(" ")
+    assert(text.contains("user.name: bob"))
+    assert(text.contains("user.age: 25"))
+    assert(text.contains("tags[0]: x"))
+  }
+
+  test("JSONL flattens with $[i] line prefixes (reference golden)") {
+    val text = ingested.filter(col("path") === "rows.jsonl")
+      .orderBy("idx").select("text").collect().map(_.getString(0)).mkString(" ")
+    assert(text.contains("$[0].a: 1"))
+    assert(text.contains("$[1].b: 2"))
+  }
+
+  test("deterministic document and chunk ids (docids.py scheme)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val u = (s: String) => UTF8String.fromString(s)
+    val row = ingested.filter(col("path") === "notes.txt" && col("idx") === 0)
+      .select("document_id", "id").head
+    val expectedDoc = graft.functions.Uuid5
+      .compute(u(graft.functions.Uuid5.DefaultNamespace), u("notes.txt")).toString
+    assert(row.getString(0) == expectedDoc)
+    assert(row.getString(1) ==
+      graft.functions.Uuid5.compute(u(expectedDoc), u("chunk:0")).toString)
+  }
+
+  test("store upsert is idempotent; changed files replace their chunks") {
+    val store = Files.createTempDirectory("graft-store").resolve("chunks").toString
+    ChunkStore.upsert(ingested, store, numBuckets = 8)
+    val first = ChunkStore.read(spark, store)
+    val n1 = first.count()
+    val ids1 = first.select("id").collect().map(_.getString(0)).sorted.toSeq
+
+    // double-run must be a no-op (smoke_golden.py:61-88)
+    ChunkStore.upsert(ingested, store, numBuckets = 8)
+    val second = ChunkStore.read(spark, store)
+    assert(second.count() == n1)
+    assert(second.select("id").collect().map(_.getString(0)).sorted.toSeq == ids1)
+
+    // change one file -> only that document's chunks are replaced.
+    // (unpersist + refresh: the cached first-ingest plan would otherwise be
+    // matched as a subtree and serve the stale file content)
+    Files.writeString(dropzone.resolve("notes.txt"), "completely different content now")
+    ingested.unpersist()
+    spark.catalog.refreshByPath(dropzone.toString)
+    val reIngested = FileIngest.ingestDirectory(
+      spark, dropzone.toString, chunkSize = 200, chunkOverlap = 40)
+      .filter(col("path") === "notes.txt")
+    ChunkStore.upsert(reIngested, store, numBuckets = 8)
+    val third = ChunkStore.read(spark, store)
+    assert(third.count() == n1) // one short doc -> still one chunk
+    val newText = third.filter(col("path") === "notes.txt").select("text")
+      .head.getString(0)
+    assert(newText == "completely different content now")
+    val others = third.filter(col("path") =!= "notes.txt").select("id")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(others == ids1.filterNot(_ == ids1.diff(others).head))
+  }
+
+  test("search returns the matching chunk with score 1.0 and respects filters") {
+    val hits = SearchOps.search(
+      ingested,
+      DevEmbed.devEmbed(lit("name | age alice | 30 bob | 25"), 64),
+      k = 3)
+    val top = hits.head
+    assert(top.getAs[String]("path") == "people.csv")
+    assert(math.abs(top.getAs[Double]("score") - 1.0) < 1e-12)
+
+    val filtered = SearchOps.search(
+      ingested,
+      DevEmbed.devEmbed(lit("name | age alice | 30 bob | 25"), 64),
+      k = 3, filters = SearchFilters(kind = Some("text")))
+    assert(filtered.collect().forall(_.getAs[String]("kind") == "text"))
+  }
+
+  test("snippet budget keeps <=5 snippets under the running total (W7)") {
+    import spark.implicits._
+    val hits = (1 to 10).map(i =>
+      (s"id$i", s"doc$i", "text", s"p$i", 0, 1.0 - i * 0.01, "x" * 3000))
+      .toDF("id", "document_id", "kind", "path", "idx", "score", "text")
+    val snips = SearchOps.snippetSelect(hits).collect()
+    assert(snips.length == 4) // 4 x 2000 chars = 8000 budget
+    assert(snips.forall(_.getAs[String]("snippet").length == 2000))
+  }
+}
