@@ -118,6 +118,28 @@ object FileIngest {
           "(?s)<[^>]*>", " ")))
       .otherwise(rawText)
 
+  /** Document-level parse: directory → one row per kept, non-empty file
+    * (document_id, kind, path, text, content_sig, bytes). `text` is the
+    * routed FULL document text with newlines intact — line-oriented
+    * normalizers (note2json, transcript detection) must run on THIS frame;
+    * the chunker below collapses whitespace.
+    */
+  def parseDirectory(spark: SparkSession, dropzone: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dropzone)
+      .select(col("path"), col("content"), col("length"))
+      .withColumn("relpath", canonicalRelpath(col("path"), dropzone))
+      .filter(keepFile(col("relpath")))
+      .withColumn("kind", kindForExtension(extension(col("relpath"))))
+      .withColumn("raw_text", decode(col("content"), "UTF-8"))
+      .withColumn("text", routeText(col("kind"), col("raw_text"), col("relpath")))
+      .filter(trim(col("text")) =!= "") // P7 empty-content guard
+      .withColumn("document_id", Uuid5.documentId(col("relpath")))
+      .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
+      .select(col("document_id"), col("kind"), col("relpath").as("path"),
+        col("text"), col("content_sig"), col("length").as("bytes"))
+
   /** Full ingest: directory → chunk rows
     * (id, document_id, kind, path, idx, text, vector, meta…).
     */
@@ -126,31 +148,14 @@ object FileIngest {
       dropzone: String,
       chunkSize: Int = Chunker.DefaultSize,
       chunkOverlap: Int = Chunker.DefaultOverlap,
-      embedDim: Int = 64): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(dropzone)
-      .select(col("path"), col("content"), col("modificationTime"), col("length"))
-
-    val parsed = files
-      .withColumn("relpath", canonicalRelpath(col("path"), dropzone))
-      .filter(keepFile(col("relpath")))
-      .withColumn("kind", kindForExtension(extension(col("relpath"))))
-      .withColumn("raw_text", decode(col("content"), "UTF-8"))
-      .withColumn("text_full", routeText(col("kind"), col("raw_text"), col("relpath")))
-      .filter(trim(col("text_full")) =!= "") // P7 empty-content guard
-      .withColumn("document_id", Uuid5.documentId(col("relpath")))
-      .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
-      .withColumn("bytes", col("length"))
-
-    parsed
-      .select(col("document_id"), col("kind"), col("relpath").as("path"),
+      embedDim: Int = 64): DataFrame =
+    parseDirectory(spark, dropzone)
+      .select(col("document_id"), col("kind"), col("path"),
         col("content_sig"), col("bytes"),
-        posexplode(Chunker.chunkTextCol(col("text_full"), chunkSize, chunkOverlap))
+        posexplode(Chunker.chunkTextCol(col("text"), chunkSize, chunkOverlap))
           .as(Seq("idx", "text")))
       .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
       .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
       .select("id", "document_id", "kind", "path", "idx", "text", "vector",
         "content_sig", "bytes")
-  }
 }

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DevEmbed, SearchOps}
+
+/** Retrieval eval harness (SURVEY §2.8 T11; reference:
+  * scripts/dev/tools/ask_eval.py:41-131): QA pairs → search per question →
+  * substring hit@1 → latency p50/p95.
+  */
+object AskEval {
+
+  case class QA(question: String, expectSubstring: String)
+  case class EvalResult(
+      n: Int, hits: Int, hitRate: Double, p50Ms: Double, p95Ms: Double)
+
+  def run(chunks: DataFrame, qas: Seq[QA], k: Int = 10, embedDim: Int = 64): EvalResult = {
+    val latencies = new Array[Double](qas.length)
+    var hits = 0
+    qas.zipWithIndex.foreach { case (qa, i) =>
+      val t0 = System.nanoTime()
+      val top = SearchOps.search(
+        chunks, DevEmbed.devEmbed(lit(qa.question), embedDim), k).collect()
+      latencies(i) = (System.nanoTime() - t0) / 1e6
+      if (top.headOption.exists(_.getAs[String]("text").contains(qa.expectSubstring)))
+        hits += 1
+    }
+    val sorted = latencies.sorted
+    def pct(p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+    EvalResult(qas.length, hits,
+      if (qas.isEmpty) 0.0 else hits.toDouble / qas.length,
+      pct(0.50), pct(0.95))
+  }
+}

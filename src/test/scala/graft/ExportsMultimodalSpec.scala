@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Exports
+import graft.tools.AskEval
+
+class ExportsMultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def chunkDf = Seq(
+    ("c1", "docA", "text", "a.txt", 0, "alpha beta"),
+    ("c2", "docA", "text", "a.txt", 1, "gamma delta"),
+    ("c3", "docB", "text", "b.txt", 0, "epsilon")
+  ).toDF("id", "document_id", "kind", "path", "idx", "text")
+
+  private def imageDf = Seq(
+    ("i1", "docA", "image", "a.png", 0, "image: a.png"),
+    ("i2", "docC", "image", "c.png", 0, "image: c.png")
+  ).toDF("id", "document_id", "kind", "path", "idx", "text")
+
+  test("export: stable fields, idx-ordered; manifest counts + stable sha") {
+    val ex = Exports.exportChunks(chunkDf, "docA").collect()
+    assert(ex.map(_.getAs[Int]("idx")).toSeq == Seq(0, 1))
+    assert(ex.head.schema.fieldNames.toSeq ==
+      Seq("id", "document_id", "kind", "path", "idx", "text"))
+
+    val m1 = Exports.manifest(chunkDf, "docA").head
+    assert(m1.getAs[Long]("chunk_count") == 2)
+    // stable across row order: repartitioned input gives the same sha
+    val m2 = Exports.manifest(chunkDf.repartition(5), "docA").head
+    assert(m1.getAs[String]("content_sha256") == m2.getAs[String]("content_sha256"))
+
+    // JSONL write path (S15/S16)
+    val out = Files.createTempDirectory("export").resolve("doc").toString
+    Exports.exportChunks(chunkDf, "docA").coalesce(1).write.json(out)
+    val lines = spark.read.json(out)
+    assert(lines.count() == 2)
+  }
+
+  test("documents listing merges chunk and image collections (J1 full outer)") {
+    val listing = Exports.documentsListing(chunkDf, imageDf).collect()
+      .map(r => r.getAs[String]("document_id") ->
+        (r.getAs[Long]("chunks_count"), r.getAs[Long]("images_count"))).toMap
+    assert(listing == Map(
+      "docA" -> (2L, 1L), "docB" -> (1L, 0L), "docC" -> (0L, 1L)))
+  }
+
+  test("multimodal: batched stub decode over binary rows; resize + frames") {
+    val dir = Files.createTempDirectory("media")
+    Files.write(dir.resolve("pic.png"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("clip.mp3"), Array[Byte](9, 9, 9))
+    val media = Multimodal.readMedia(spark, dir.toString)
+    val decoded = Multimodal.decode(media, batchSize = 1)
+    val rows = decoded.collect().map(r => r.kind -> r).toMap
+    assert(rows("image").durationMs == 0 && rows("image").width >= 64)
+    assert(rows("audio").durationMs > 0)
+    assert(rows("image").caption.startsWith("image stub:"))
+    // determinism
+    val again = Multimodal.decode(media, batchSize = 7).collect().map(r => r.kind -> r).toMap
+    assert(again("image") == rows("image"))
+
+    val resized = Multimodal.resizeTo(decoded.toDF(), 128).collect()
+    assert(resized.forall(r => r.getAs[Int]("out_width") <= 128 &&
+      r.getAs[Int]("out_height") <= 128))
+
+    val frames = Multimodal.sampleFrames(decoded.toDF(), 500)
+    assert(frames.count() >= 2) // audio duration >= 1s -> >= 2 samples at 500ms
+  }
+
+  test("eval harness: perfect corpus scores hit@1 = 1.0") {
+    val corpus = chunkDf.withColumn("vector",
+      graft.operators.DevEmbed.devEmbed(col("text"), 64))
+    val res = AskEval.run(corpus, Seq(
+      AskEval.QA("alpha beta", "alpha"),
+      AskEval.QA("epsilon", "epsilon")))
+    assert(res.hitRate == 1.0)
+    assert(res.p50Ms > 0 && res.p95Ms >= res.p50Ms)
+  }
+}
