@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{ChunkChat, ChunkText, DevEmbed, WordShingles}
+import graft.sources.{ChatExportExplode, JsonFlatten, Note2JsonParse, TranscriptParse}
+
+/** SQL-facing registration of every custom expression, so `spark.sql`
+  * users get the full operator surface:
+  *
+  *   SELECT uuid5(ns, name), cosine_similarity(a, b), chunk_text(text, 800, 100), ...
+  *
+  * Call `Registry.install(spark)` once per session.
+  */
+object Registry {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+
+    reg.createOrReplaceTempFunction("uuid5",
+      es => Uuid5(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("chunk_text",
+      es => ChunkText(es(0), intArg(es(1), "size"), intArg(es(2), "overlap")), "scala_udf")
+    reg.createOrReplaceTempFunction("chunk_chat",
+      es => ChunkChat(es(0), intArg(es(1), "size")), "scala_udf")
+    reg.createOrReplaceTempFunction("dev_embed",
+      es => DevEmbed(es(0), intArg(es(1), "dim")), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es(0), intArg(es(1), "n")), "scala_udf")
+    reg.createOrReplaceTempFunction("band_minhash",
+      es => BandMinhash(es(0), intArg(es(1), "numHashes"), intArg(es(2), "bands")), "scala_udf")
+    reg.createOrReplaceTempFunction("json_flatten",
+      es => JsonFlatten(es(0), jsonl = false), "scala_udf")
+    reg.createOrReplaceTempFunction("jsonl_flatten",
+      es => JsonFlatten(es(0), jsonl = true), "scala_udf")
+    reg.createOrReplaceTempFunction("chat_conversations",
+      es => ChatExportExplode(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("parse_transcript",
+      es => TranscriptParse(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("note2json",
+      es => Note2JsonParse(es(0), es(1)), "scala_udf")
+  }
+}

@@ -386,6 +386,29 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q26: semi-structured property extraction (F14/F20 in query form) —
+  // events.props carries JSON strings; extract + aggregate
+  // -------------------------------------------------------------------------
+
+  val q26JsonProps: Q = (s, d) =>
+    tbl(s, d, "events")
+      .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        rnd(sum(col("value")), 2).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("k_mod"))
+
+  private val q26Sql =
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS k_mod,
+       count(*) AS n,
+       floor((sum(value)) * 100 + 0.5) / 100.0 AS total_value,
+       count(DISTINCT user_id) AS n_users
+       FROM events
+       GROUP BY 1
+       ORDER BY k_mod"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -401,6 +424,7 @@ object PipelineCatalog {
     "q23_fingerprint" -> q23Fingerprint,
     "q24_sessionize" -> q24Sessionize,
     "q25_ann_lsh" -> q25AnnLsh,
+    "q26_json_props" -> q26JsonProps,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -414,5 +438,6 @@ object PipelineCatalog {
     "q22_quality" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
     "q24_sessionize" -> q24Sql,
+    "q26_json_props" -> q26Sql,
   )
 }

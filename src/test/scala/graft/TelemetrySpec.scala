@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Telemetry
+import graft.functions.Registry
+
+class TelemetrySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("observe-based ingest metrics are captured by the listener (A4/A7)") {
+    import spark.implicits._
+    Telemetry.install(spark)
+    val chunks = Seq(
+      ("c1", "d1", "text", "a.txt", 0, "hello"),
+      ("c2", "d1", "text", "a.txt", 1, "world"),
+      ("c3", "d2", "csv", "b.csv", 0, "x | y"))
+      .toDF("id", "document_id", "kind", "path", "idx", "text")
+    Telemetry.observeIngest(chunks, runId = "test-run").count()
+    // listener fires asynchronously on success; poll briefly for delivery
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (Telemetry.metrics("test-run").isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val m = Telemetry.metrics("test-run")
+    assert(m.isDefined, "metrics row not captured")
+    assert(m.get.getAs[Long]("chunks") == 3)
+    assert(m.get.getAs[Long]("kind_text") == 2)
+    assert(m.get.getAs[Long]("kind_csv") == 1)
+    assert(m.get.getAs[Long]("chars") == 15)
+  }
+
+  test("SQL registry exposes custom expressions to spark.sql") {
+    Registry.install(spark)
+    val row = spark.sql(
+      """SELECT
+         uuid5('00000000-0000-5000-8000-000000000000', 'notes/a.md') AS id,
+         cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
+         size(chunk_text('aaaa bbbb cccc', 10, 3)) AS n_chunks,
+         dev_embed('hello', 4)[0] AS e0,
+         size(word_shingles('a b c d', 3)) AS n_shingles""").head
+    assert(row.getAs[String]("id") == "6d64ace0-3d62-5690-995e-4e90e20c9aef")
+    assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[Int]("n_chunks") > 0)
+    assert(row.getAs[Double]("e0") == 0.171875)
+    assert(row.getAs[Int]("n_shingles") == 2)
+  }
+}
