@@ -43,9 +43,24 @@ object Uuid5 {
     */
   val DefaultNamespace = "00000000-0000-5000-8000-000000000000"
 
-  /** SHA-1(namespace-bytes ++ name-utf8) with version 5 / IETF variant bits. */
+  /** SHA-1(namespace-bytes ++ name-utf8) with version 5 / IETF variant bits.
+    *
+    * A namespace that is not itself a UUID (the reference's prefixed ids:
+    * `chatgpt:{id}`, `transcript:{sig}:{thread}`) is first mapped to one
+    * via uuid5(DefaultNamespace, namespace) — the reference falls back to
+    * RANDOM uuid4 point ids on those paths (process.py:1364,1515), which
+    * its own invariants doc flags as divergent; we keep determinism
+    * everywhere (SURVEY §7.4).
+    */
   def compute(namespace: UTF8String, name: UTF8String): UTF8String = {
-    val ns = UUID.fromString(namespace.toString)
+    val nsStr = namespace.toString
+    val ns =
+      try UUID.fromString(nsStr)
+      catch {
+        case _: IllegalArgumentException =>
+          UUID.fromString(
+            compute(UTF8String.fromString(DefaultNamespace), namespace).toString)
+      }
     val md = MessageDigest.getInstance("SHA-1")
     val nsBytes = ByteBuffer.allocate(16)
       .putLong(ns.getMostSignificantBits)

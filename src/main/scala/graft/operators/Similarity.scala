@@ -54,6 +54,64 @@ object Similarity {
       .orderBy(col("score").desc)
       .limit(k)
 
+  /** IVF (inverted-file) index: k-means centroids over the corpus, each
+    * vector assigned to its nearest centroid's cell. A query probes only
+    * the `nProbe` cells whose centroids are closest — the classic
+    * coarse-quantization ANN layout. Centroid training is one MLlib fit
+    * (sampleable at 100 TB); assignment is one `transform` pass computed
+    * at write time and persisted/partitioned on, so a search scans
+    * ~nProbe/k of the corpus.
+    */
+  private def l2Normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  def ivfIndex(
+      corpus: DataFrame, vecCol: String, k: Int, seed: Long = 42L):
+      (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    // Spherical k-means: L2-normalize before clustering so Euclidean cells
+    // align with cosine neighbourhoods (‖a−b‖² = 2−2·cos on the unit
+    // sphere) — unnormalized cells split by magnitude and cost recall.
+    val featured = corpus.withColumn("features",
+      array_to_vector(transform(col(vecCol).cast("array<double>"),
+        x => x / sqrt(aggregate(col(vecCol).cast("array<double>"),
+          lit(0.0), (acc, y) => acc + y * y)))))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setMaxIter(20)
+      .fit(featured)
+    (model, model.transform(featured).withColumnRenamed("prediction", "cell"))
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells, exact cosine within. */
+  def ivfTopK(
+      indexed: DataFrame, vecCol: String,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
+    val centroids = model.clusterCenters
+    val qn = l2Normalize(queryVec)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val ca = c.toArray
+        while (j < ca.length) { val diff = ca(j) - qn(j); d += diff * diff; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    indexed
+      .filter(col("cell").isin(probes.toSeq: _*)) // cell pruning
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"),
+        array(queryVec.map(lit).toSeq: _*)))
+      .orderBy(col("score").desc)
+      .limit(k)
+  }
+
   /** Approximate cosine top-k: probe only buckets within `probeRadius`
     * Hamming distance of the query's bucket.
     */

@@ -409,6 +409,26 @@ object PipelineCatalog {
        ORDER BY k_mod"""
 
   // -------------------------------------------------------------------------
+  // q27: IVF (k-means cell) approximate nearest neighbours — the
+  // coarse-quantization scale path (rows-only; recall vs q16 exact pinned
+  // in QueriesSpec). NOTE: the synthetic embeddings are near-uniform random
+  // vectors — the worst case for ANY partition-pruning ANN (measured
+  // recall ~= scan fraction; IvfTune sweep). nProbe=8/k=16 halves the scan
+  // for ~0.86 recall here; clustered real-world embeddings fare far
+  // better at much lower probe ratios.
+  // -------------------------------------------------------------------------
+
+  val q27AnnIvf: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val (model, indexed) = Similarity.ivfIndex(emb.filter(col("vec_id") =!= 0), "embedding", 16)
+    Similarity.ivfTopK(indexed, "embedding", model, qv, 10, nProbe = 8)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -425,6 +445,7 @@ object PipelineCatalog {
     "q24_sessionize" -> q24Sessionize,
     "q25_ann_lsh" -> q25AnnLsh,
     "q26_json_props" -> q26JsonProps,
+    "q27_ann_ivf" -> q27AnnIvf,
   )
 
   val oracles: ListMap[String, String] = ListMap(

@@ -124,24 +124,102 @@ object FileIngest {
     * normalizers (note2json, transcript detection) must run on THIS frame;
     * the chunker below collapses whitespace.
     */
-  def parseDirectory(spark: SparkSession, dropzone: String): DataFrame =
-    spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(dropzone)
-      .select(col("path"), col("content"), col("length"))
+  /** Raw scan of a files frame (path, content, length) — shared by the
+    * batch directory read and streaming micro-batches, so both produce
+    * IDENTICAL documents (a divergent streaming copy once re-landed chat
+    * files under different ids — silent duplicates).
+    */
+  def scanFilesFrame(files: DataFrame, dropzone: String): DataFrame =
+    files
       .withColumn("relpath", canonicalRelpath(col("path"), dropzone))
       .filter(keepFile(col("relpath")))
       .withColumn("kind", kindForExtension(extension(col("relpath"))))
       .withColumn("raw_text", decode(col("content"), "UTF-8"))
+      .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
+      .select(col("relpath"), col("kind"), col("raw_text"),
+        col("content_sig"), col("length").as("bytes"))
+
+  /** Raw scan: kept files with decoded text, BEFORE parser routing
+    * (chat-export detection must see the raw JSON, not its flattened
+    * form).
+    */
+  private def scanFiles(spark: SparkSession, dropzone: String): DataFrame =
+    scanFilesFrame(
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(dropzone)
+        .select(col("path"), col("content"), col("length")),
+      dropzone)
+
+  private def routePlain(scanned: DataFrame): DataFrame =
+    scanned
       .withColumn("text", routeText(col("kind"), col("raw_text"), col("relpath")))
       .filter(trim(col("text")) =!= "") // P7 empty-content guard
       .withColumn("document_id", Uuid5.documentId(col("relpath")))
-      .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
       .select(col("document_id"), col("kind"), col("relpath").as("path"),
-        col("text"), col("content_sig"), col("length").as("bytes"))
+        col("text"), col("content_sig"), col("bytes"))
+
+  def parseDirectory(spark: SparkSession, dropzone: String): DataFrame =
+    routePlain(scanFiles(spark, dropzone))
+
+  /** Document-level parse with chat awareness (the reference's full T8
+    * routing): ChatGPT exports explode into one document per conversation
+    * with `chatgpt:{id}` ids (process.py:1253-1600); text files that score
+    * ≥ 0.85 transcript confidence become `kind=chat` documents with
+    * `transcript:{sig}:{thread}` ids (process.py:437-439); everything else
+    * passes through [[parseDirectory]] unchanged.
+    */
+  def parseDirectoryWithChat(spark: SparkSession, dropzone: String): DataFrame =
+    routeDocuments(scanFiles(spark, dropzone))
+
+  /** Chat-aware document routing over a scanned frame (see
+    * [[parseDirectoryWithChat]]).
+    */
+  def routeDocuments(scanned: DataFrame): DataFrame = {
+    val isExportCol = col("relpath").endsWith(".json") &&
+      size(ChatExport.chatConversations(col("raw_text"))) > 0
+
+    val plain = routePlain(scanned.filter(!isExportCol))
+    val chats = scanned.filter(isExportCol)
+      .select(col("content_sig"), col("bytes"),
+        posexplode(ChatExport.chatConversations(col("raw_text"))).as(Seq("ci", "conv")))
+      .select(
+        concat(lit("chatgpt:"), col("conv.conversation_id")).as("document_id"),
+        lit("chat").as("kind"),
+        concat(lit("chatgpt/"), col("conv.conversation_id")).as("path"),
+        col("conv.text").as("text"),
+        col("content_sig"), col("bytes"))
+
+    val transcriptHit = col("kind") === "text" &&
+      Transcript.isTranscript(col("text"), col("path"))
+    val plainKept = plain.filter(!transcriptHit)
+    val transcripts = plain.filter(transcriptHit)
+      .withColumn("t", Transcript.parseTranscriptCol(col("text"), col("path")))
+      .filter(col("t").isNotNull)
+      .select(col("t.document_id").as("document_id"), lit("chat").as("kind"),
+        col("path"), col("t.text").as("text"), col("content_sig"), col("bytes"))
+
+    plainKept.unionByName(chats).unionByName(transcripts)
+  }
+
+  private def chunkAndEmbed(
+      documents: DataFrame, chunkSize: Int, chunkOverlap: Int, embedDim: Int): DataFrame =
+    documents
+      .select(col("document_id"), col("kind"), col("path"),
+        col("content_sig"), col("bytes"),
+        posexplode(
+          when(col("kind") === "chat", Chunker.chunkChatCol(col("text"), chunkSize))
+            .otherwise(Chunker.chunkTextCol(col("text"), chunkSize, chunkOverlap)))
+          .as(Seq("idx", "text")))
+      .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
+      .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
+      .select("id", "document_id", "kind", "path", "idx", "text", "vector",
+        "content_sig", "bytes")
 
   /** Full ingest: directory → chunk rows
-    * (id, document_id, kind, path, idx, text, vector, meta…).
+    * (id, document_id, kind, path, idx, text, vector, meta…). Chat
+    * documents (exploded exports + detected transcripts) go through the
+    * chat-aware chunker (T2), everything else through the sliding window.
     */
   def ingestDirectory(
       spark: SparkSession,
@@ -149,13 +227,16 @@ object FileIngest {
       chunkSize: Int = Chunker.DefaultSize,
       chunkOverlap: Int = Chunker.DefaultOverlap,
       embedDim: Int = 64): DataFrame =
-    parseDirectory(spark, dropzone)
-      .select(col("document_id"), col("kind"), col("path"),
-        col("content_sig"), col("bytes"),
-        posexplode(Chunker.chunkTextCol(col("text"), chunkSize, chunkOverlap))
-          .as(Seq("idx", "text")))
-      .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
-      .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
-      .select("id", "document_id", "kind", "path", "idx", "text", "vector",
-        "content_sig", "bytes")
+    chunkAndEmbed(parseDirectoryWithChat(spark, dropzone), chunkSize, chunkOverlap, embedDim)
+
+  /** Chunk rows from an in-memory files frame (path, content, length) —
+    * the SAME lineage as [[ingestDirectory]], for streaming micro-batches.
+    */
+  def chunksFromFiles(
+      files: DataFrame, dropzone: String,
+      chunkSize: Int = Chunker.DefaultSize,
+      chunkOverlap: Int = Chunker.DefaultOverlap,
+      embedDim: Int = 64): DataFrame =
+    chunkAndEmbed(routeDocuments(scanFilesFrame(files, dropzone)),
+      chunkSize, chunkOverlap, embedDim)
 }

@@ -25,30 +25,6 @@ import graft.sources.{ChunkStore, FileIngest}
   */
 object Dropzone {
 
-  /** Chunk-row pipeline for one micro-batch of files (same lineage as
-    * [[FileIngest.ingestDirectory]], applied to a streaming batch).
-    */
-  private def pipeline(files: DataFrame, dropzone: String,
-      chunkSize: Int, chunkOverlap: Int, embedDim: Int): DataFrame =
-    files
-      .withColumn("relpath", FileIngest.canonicalRelpath(col("path"), dropzone))
-      .filter(FileIngest.keepFile(col("relpath")))
-      .withColumn("kind", FileIngest.kindForExtension(
-        lower(regexp_extract(element_at(split(col("relpath"), "/"), -1), "\\.([^.]+)$", 1))))
-      .withColumn("raw_text", decode(col("content"), "UTF-8"))
-      .withColumn("text_full", FileIngest.routeText(col("kind"), col("raw_text"), col("relpath")))
-      .filter(trim(col("text_full")) =!= "")
-      .withColumn("document_id", Uuid5.documentId(col("relpath")))
-      .withColumn("content_sig", sha2(col("raw_text"), 256))
-      .select(col("document_id"), col("kind"), col("relpath").as("path"),
-        col("content_sig"), col("length").as("bytes"),
-        posexplode(Chunker.chunkTextCol(col("text_full"), chunkSize, chunkOverlap))
-          .as(Seq("idx", "text")))
-      .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
-      .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
-      .select("id", "document_id", "kind", "path", "idx", "text", "vector",
-        "content_sig", "bytes")
-
   /** Start the streaming ingest; returns the query (caller manages
     * lifecycle / awaitTermination).
     */
@@ -73,7 +49,9 @@ object Dropzone {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val chunks = pipeline(batch, dropzone, chunkSize, chunkOverlap, embedDim)
+        val chunks = FileIngest.chunksFromFiles(
+          batch.select(col("path"), col("content"), col("length")),
+          dropzone, chunkSize, chunkOverlap, embedDim)
         if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
       }
       .start()

@@ -31,7 +31,17 @@ object IngestDemo {
     Files.writeString(dz.resolve("inventory.csv"), "item,qty\nwidget,7\nsprocket,12\n")
     Files.writeString(dz.resolve("api.json"), """{"service": {"name": "graft", "port": 8082}}""")
     Files.writeString(dz.resolve("support_chat.txt"),
-      "User: my ingest is slow\nAssistant: check the shuffle partitions\nUser: thanks!")
+      "User: my ingest is slow, can you help me figure out why it drags?\n" +
+        "Assistant: check the shuffle partitions setting first of all.\n" +
+        "User: and what about the broadcast threshold then?\n" +
+        "Assistant: raise it so dimension tables stop shuffling around.\n" +
+        "System: conversation archived.")
+    Files.writeString(dz.resolve("threads.json"),
+      """[{"id": "conv-demo", "title": "Perf chat", "mapping": {
+          "m1": {"message": {"author": {"role": "user"},
+                 "content": {"parts": ["why is my join slow?"]}, "create_time": 1704103260}},
+          "m2": {"message": {"author": {"role": "assistant"},
+                 "content": {"parts": ["it is not broadcast; hint it"]}, "create_time": 1704103320}}}}]""")
     Files.writeString(dz.resolve("temp_junk.txt"), "ignored")
 
     println("== batch ingest")

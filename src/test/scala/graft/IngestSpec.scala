@@ -35,6 +35,15 @@ class IngestSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("temp_scratch.txt"), "should be ignored")
     Files.writeString(dir.resolve("junk.tmp"), "should be ignored")
     Files.writeString(dir.resolve("empty.txt"), "   ")
+    Files.writeString(dir.resolve("threads.json"),
+      """[{"id": "conv-1", "title": "T", "mapping": {
+           "n1": {"message": {"author": {"role": "user"},
+                  "content": {"parts": ["hello there"]}, "create_time": 1704103260}},
+           "n2": {"message": {"author": {"role": "assistant"},
+                  "content": {"parts": ["hi, how can I help?"]}, "create_time": 1704103320}}}}]""")
+    Files.writeString(dir.resolve("support_chat.txt"),
+      "User: what is a shuffle?\nAssistant: data movement between stages.\n" +
+        "user: and a broadcast?\nAI: sending a small table to every node.\nSystem: end of chat.")
   }
 
   private lazy val dropzone: Path = {
@@ -49,7 +58,22 @@ class IngestSpec extends AnyFunSuite {
 
   test("discovery + ignore filters + empty guard") {
     val paths = ingested.select("path").distinct().collect().map(_.getString(0)).toSet
-    assert(paths == Set("notes.txt", "readme.md", "people.csv", "data.json", "rows.jsonl"))
+    assert(paths == Set("notes.txt", "readme.md", "people.csv", "data.json", "rows.jsonl",
+      "chatgpt/conv-1", "support_chat.txt"))
+  }
+
+  test("chat export and transcript route to kind=chat with their id schemes") {
+    import org.apache.spark.sql.Row
+    val chat = ingested.filter(col("path") === "chatgpt/conv-1")
+      .select("document_id", "kind").distinct().collect()
+    assert(chat.toSeq == Seq(Row("chatgpt:conv-1", "chat")))
+    val tr = ingested.filter(col("path") === "support_chat.txt")
+      .select("document_id", "kind").distinct().head
+    assert(tr.getString(0).startsWith("transcript:") && tr.getString(1) == "chat")
+    // chat-aware chunker output starts with a message header
+    val text = ingested.filter(col("path") === "chatgpt/conv-1").orderBy("idx")
+      .select("text").head.getString(0)
+    assert(text.startsWith("[2024-01-01 10:01] user: hello there"))
   }
 
   test("kind inference by extension") {

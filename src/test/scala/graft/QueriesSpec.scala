@@ -69,4 +69,13 @@ class QueriesSpec extends AnyFunSuite {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.4, s"ANN recall too low: $recall")
   }
+
+  test("IVF ANN recall@10 >= 0.7 against exact KNN (random-vector data; see IvfTune)") {
+    val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("q27_ann_ivf")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall too low: $recall")
+  }
 }

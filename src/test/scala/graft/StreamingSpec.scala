@@ -51,4 +51,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(ChunkStore.read(spark, store).count() == n)
     } finally query.stop()
   }
+
+  test("ST4: restart from checkpoint resumes without duplicating processed files") {
+    val dropzone: Path = Files.createTempDirectory("graft-restart-dz")
+    val store = Files.createTempDirectory("graft-restart-store").resolve("chunks").toString
+    val checkpoint = Files.createTempDirectory("graft-restart-ckpt").toString
+
+    Files.writeString(dropzone.resolve("one.txt"), "first file before the crash")
+    val q1 = Dropzone.start(spark, dropzone.toString, store, checkpoint,
+      chunkSize = 200, chunkOverlap = 40)
+    try { q1.processAllAvailable() } finally q1.stop()
+    val afterFirst = ChunkStore.read(spark, store).count()
+
+    // file lands while the query is down; a new query on the SAME
+    // checkpoint must pick it up and must NOT re-duplicate one.txt
+    Files.writeString(dropzone.resolve("two.txt"), "second file after restart")
+    val q2 = Dropzone.start(spark, dropzone.toString, store, checkpoint,
+      chunkSize = 200, chunkOverlap = 40)
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val rows = ChunkStore.read(spark, store)
+    assert(rows.count() == afterFirst + 1)
+    assert(rows.select("path").distinct().collect().map(_.getString(0)).toSet
+      == Set("one.txt", "two.txt"))
+  }
 }
