@@ -32,6 +32,8 @@ object Registry {
       es => CosineSimilarity(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_normalize",
+      es => L2Normalize(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("chunk_text",
       es => ChunkText(es(0), intArg(es(1), "size"), intArg(es(2), "overlap")), "scala_udf")
     reg.createOrReplaceTempFunction("chunk_chat",

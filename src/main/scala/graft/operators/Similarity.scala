@@ -77,12 +77,12 @@ object Similarity {
     // Spherical k-means: L2-normalize before clustering so Euclidean cells
     // align with cosine neighbourhoods (‖a−b‖² = 2−2·cos on the unit
     // sphere) — unnormalized cells split by magnitude and cost recall.
+    // Codegen'd L2Normalize, not a HOF: this runs on every k-means pass.
     val featured = corpus.withColumn("features",
-      array_to_vector(transform(col(vecCol).cast("array<double>"),
-        x => x / sqrt(aggregate(col(vecCol).cast("array<double>"),
-          lit(0.0), (acc, y) => acc + y * y)))))
+      array_to_vector(graft.functions.VectorFunctions.l2Normalize(
+        col(vecCol).cast("array<double>"))))
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setMaxIter(20)
+      .setK(k).setSeed(seed).setMaxIter(5)
       .fit(featured)
     (model, model.transform(featured).withColumnRenamed("prediction", "cell"))
   }

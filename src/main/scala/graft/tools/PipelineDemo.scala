@@ -53,6 +53,24 @@ object PipelineDemo {
     decoded.show(5, 60)
     Multimodal.resizeTo(decoded.toDF(), 256).select("path", "width", "height", "out_width", "out_height").show(5)
 
+    println("== zip archive export for journal.md (S17 + J3 original-file join)")
+    val zipBytes = graft.sources.Archive.buildArchive(spark, chunks, docId, Some(dz.toString))
+    val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(zipBytes))
+    var entry = zin.getNextEntry
+    while (entry != null) {
+      println(f"  ${entry.getName}%-22s ${zin.readAllBytes().length}%6d bytes")
+      entry = zin.getNextEntry
+    }
+
+    println("== SQL l2_normalize -> dot == cosine on the unit sphere")
+    graft.functions.Registry.install(spark)
+    chunks.limit(3).createOrReplaceTempView("c")
+    spark.sql("""
+      SELECT path,
+             round(dot_product(l2_normalize(vector), l2_normalize(vector)), 10) AS self_dot,
+             round(cosine_similarity(vector, vector), 10) AS self_cos
+      FROM c""").show(3, 40)
+
     println("== eval harness over the ingested corpus")
     val corpus = chunks.withColumn("vector", DevEmbed.devEmbed(col("text"), 64))
     val res = AskEval.run(corpus, Seq(

@@ -89,4 +89,25 @@ class ExportsMultimodalSpec extends AnyFunSuite {
     assert(res.hitRate == 1.0)
     assert(res.p50Ms > 0 && res.p95Ms >= res.p50Ms)
   }
+
+  test("zip archive: jsonl + manifest + original source file (S17/J3)") {
+    import java.util.zip.ZipInputStream
+    val dir = Files.createTempDirectory("arch-dz")
+    Files.writeString(dir.resolve("doc.txt"), "the original bytes of the document")
+    val chunks = graft.sources.FileIngest.ingestDirectory(spark, dir.toString, 200, 40)
+    val docId = chunks.select("document_id").head.getString(0)
+
+    val bytes = graft.sources.Archive.buildArchive(spark, chunks, docId, Some(dir.toString))
+    val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+    var entries = Map.empty[String, String]
+    var e = zin.getNextEntry
+    while (e != null) {
+      entries += e.getName -> new String(zin.readAllBytes(), "UTF-8")
+      e = zin.getNextEntry
+    }
+    assert(entries.keySet == Set("chunks.jsonl", "manifest.json", "source/doc.txt"))
+    assert(entries("source/doc.txt") == "the original bytes of the document")
+    assert(entries("manifest.json").contains("\"chunk_count\": 1"))
+    assert(entries("chunks.jsonl").contains("\"idx\":0"))
+  }
 }

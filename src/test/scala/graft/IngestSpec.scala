@@ -176,4 +176,11 @@ class IngestSpec extends AnyFunSuite {
     assert(snips.length == 4) // 4 x 2000 chars = 8000 budget
     assert(snips.forall(_.getAs[String]("snippet").length == 2000))
   }
+
+  test("typed Dataset[Chunk] view over ingest output") {
+    val ds = graft.core.Chunk.typed(ingested)
+    val c = ds.filter(_.path == "people.csv").head()
+    assert(c.kind == "csv" && c.idx == 0 && c.vector.length == 64)
+    assert(c.id.nonEmpty && c.content_sig.length == 64)
+  }
 }
