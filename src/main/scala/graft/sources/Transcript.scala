@@ -44,16 +44,21 @@ object Transcript {
     (text: Column) => text.rlike(p)
   }
 
-  /** Detection confidence in [0,1] (parse_transcript.py:51-142), as a
-    * single column expression.
+  /** Detection confidence in [0,1] (parse_transcript.py:51-142).
+    *
+    * The regex match counts and role flags are computed ONCE as child
+    * columns; the clamp/boost arithmetic combines their scalars in a
+    * single expression. A naive `when(...).otherwise(...)` chain
+    * re-references each prior stage twice — exponential duplication of the
+    * regex subtrees that blew the serialized plan up to multi-MiB task
+    * binaries.
     */
   def confidence(text: Column, filename: Column): Column = {
     val totalLines = size(filter(split(text, "\n"), l => trim(l) =!= ""))
-    val ts = matchCount(text, TimestampedRole).cast("double")
-    val rp = matchCount(text, RolePrefix).cast("double")
-    val md = matchCount(text, MarkdownRole).cast("double")
-    val js = matchCount(text, JsonRole).cast("double")
-    val weightedRaw = ts * 1.5 + rp * 1.2 + md * 1.2 + js * 0.5
+    val ts = matchCount(text, TimestampedRole)
+    val rp = matchCount(text, RolePrefix)
+    val md = matchCount(text, MarkdownRole)
+    val js = matchCount(text, JsonRole)
 
     val userRoles = "(?:user|human)"
     val assistantRoles = "(?:assistant|ai|bot|agent)"
@@ -65,23 +70,15 @@ object Transcript {
     val nRoles = anyPattern(userRoles).cast("int") +
       anyPattern(assistantRoles).cast("int") + anyPattern(systemRoles).cast("int")
 
-    val weighted = when(nRoles < 2, weightedRaw * 0.3).otherwise(weightedRaw)
-    val expected = greatest(lit(2.0), totalLines.cast("double") / 10.0)
-    val ratio = least(weighted / expected, lit(2.0))
-    val base = least(ratio * 0.5, lit(0.95))
-
     val hints = Seq("chat", "transcript", "conversation", "dialog", "dialogue")
     val boost = when(
       hints.map(h => lower(filename).contains(h)).reduce(_ || _), 0.15).otherwise(0.0)
 
-    val c0 = least(base + boost, lit(0.99))
-    val c1 = when(weighted < 2, least(c0, lit(0.5))).otherwise(c0)
-    val c2 = when(ts >= 3, greatest(c1, lit(0.9))).otherwise(c1)
-    val c3 = when(rp >= 4 && nRoles >= 2, greatest(c2, lit(0.88))).otherwise(c2)
+    val tooShort = text.isNull || length(trim(text)) < 20
 
-    val rounded = round(c3, 3)
-    when(text.isNull || length(trim(text)) < 20 || totalLines === 0, 0.0)
-      .otherwise(rounded)
+    org.apache.spark.sql.GraftSql.column(TranscriptConfidence(Seq(
+      ts, rp, md, js, nRoles, totalLines, boost, tooShort.cast("int"))
+      .map(org.apache.spark.sql.GraftSql.expression)))
   }
 
   def isTranscript(text: Column, filename: Column): Column =
@@ -187,6 +184,48 @@ object Transcript {
   def parseTranscriptCol(text: Column, filename: Column): Column =
     GraftSql.column(TranscriptParse(
       GraftSql.expression(text), GraftSql.expression(filename)))
+}
+
+/** Scalar combine for [[Transcript.confidence]]: children =
+  * (ts, rp, md, js, nRoles, totalLines, boost, tooShort). Pure arithmetic
+  * over 8 already-computed values; CodegenFallback is fine (one call per
+  * row, trivial cost) and keeps the expression tree linear.
+  */
+case class TranscriptConfidence(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = false
+  override def prettyName: String = "transcript_confidence"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    def num(i: Int): Double = children(i).eval(input) match {
+      case null => 0.0
+      case n: Number => n.doubleValue()
+      case b: Boolean => if (b) 1.0 else 0.0
+    }
+    val (ts, rp, md, js) = (num(0), num(1), num(2), num(3))
+    val nRoles = num(4)
+    val totalLines = num(5)
+    val boost = num(6)
+    val tooShort = num(7) > 0.5
+    if (tooShort || totalLines == 0) return 0.0
+
+    val weightedRaw = ts * 1.5 + rp * 1.2 + md * 1.2 + js * 0.5
+    val weighted = if (nRoles < 2) weightedRaw * 0.3 else weightedRaw
+    val expected = math.max(2.0, totalLines / 10.0)
+    val ratio = math.min(weighted / expected, 2.0)
+    val base = math.min(ratio * 0.5, 0.95)
+    val c0 = math.min(base + boost, 0.99)
+    val c1 = if (weighted < 2) math.min(c0, 0.5) else c0
+    val c2 = if (ts >= 3) math.max(c1, 0.9) else c1
+    val c3 = if (rp >= 4 && nRoles >= 2) math.max(c2, 0.88) else c2
+    java.math.BigDecimal.valueOf(c3)
+      .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
 case class TranscriptParse(left: Expression, right: Expression)

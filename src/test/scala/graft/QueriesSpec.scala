@@ -78,4 +78,14 @@ class QueriesSpec extends AnyFunSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.7, s"IVF recall too low: $recall")
   }
+
+  test("LSH embedding near-dups are a subset of exact pairs with equal cosines") {
+    val exact = SparkEntry.queries("q28_embedding_near_dup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = SparkEntry.queries("q29_embedding_near_dup_lsh")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    val extras = lsh -- exact
+    assert(extras.isEmpty, s"LSH produced pairs the exact join lacks: $extras")
+  }
 }
