@@ -36,6 +36,18 @@ object PlanAudit {
         else lines.foreach(l => println("  " + l.trim.take(160)))
       }
     }
+
+    // salted skew join: hot key must spread across salt partitions
+    import org.apache.spark.sql.functions._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), lit("hot").as("k"))
+    val dim = spark.range(1).select(lit("hot").as("k"), lit("H").as("label"))
+    val salted = graft.operators.SkewJoin.saltedJoin(events, dim, "k", 8)
+    println("==== salted_skew_join")
+    println(s"  rows: ${salted.count()} (== ${events.count()})")
+    salted.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Generate"))
+      .take(3).foreach(l => println("  " + l.trim.take(140)))
     spark.stop()
   }
 }

@@ -50,4 +50,19 @@ class TelemetrySpec extends AnyFunSuite {
     assert(row.getAs[Double]("e0") == 0.171875)
     assert(row.getAs[Int]("n_shingles") == 2)
   }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // one hot key with 1000 rows, a few cold keys
+    val left = ((1 to 1000).map(i => ("hot", i)) ++ Seq(("a", 1), ("b", 2)))
+      .toDF("k", "v")
+    val right = Seq(("hot", "H"), ("a", "A"), ("c", "C")).toDF("k", "label")
+    val plain = left.join(right, Seq("k")).groupBy("k", "label")
+      .count().collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = graft.operators.SkewJoin.saltedJoin(left, right, "k", 8)
+      .groupBy("k", "label")
+      .count().collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(plain.contains(("hot", "H", 1000L)))
+  }
 }
