@@ -183,4 +183,27 @@ class IngestSpec extends AnyFunSuite {
     assert(c.kind == "csv" && c.idx == 0 && c.vector.length == 64)
     assert(c.id.nonEmpty && c.content_sig.length == 64)
   }
+
+  test("HTML strips script/style and tags (S9)") {
+    import spark.implicits._
+    val html = """<html><head><style>body{color:red}</style>
+      <script>alert('x')</script></head>
+      <body><h1>Title</h1><p>some <b>bold</b> text</p></body></html>"""
+    val out = Seq(html).toDF("raw")
+      .select(graft.sources.FileIngest.routeText(lit("html"), col("raw"), lit("p.html")).as("t"))
+      .head.getString(0)
+    assert(!out.contains("alert") && !out.contains("color:red") && !out.contains("<"))
+    assert(out.contains("Title") && out.contains("some") && out.contains("bold"))
+  }
+
+  test("S18 reindex: read store, write new store, identical content") {
+    import java.nio.file.Files
+    val s1 = Files.createTempDirectory("reix1").resolve("chunks").toString
+    ChunkStore.upsert(ingested, s1, numBuckets = 4)
+    val s2 = Files.createTempDirectory("reix2").resolve("chunks").toString
+    ChunkStore.upsert(ChunkStore.read(spark, s1).drop("doc_bucket"), s2, numBuckets = 16)
+    val a = ChunkStore.read(spark, s1).select("id").collect().map(_.getString(0)).sorted.toSeq
+    val b = ChunkStore.read(spark, s2).select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
