@@ -48,6 +48,44 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs: documents whose 60-bit SimHash
+    * fingerprints are within `maxHamming` bits. Pigeonhole banding: split
+    * the fingerprint into `maxHamming + 1` segments — any pair within the
+    * distance budget agrees EXACTLY on at least one segment — so
+    * candidates come from equi-joins on (segment index, segment value),
+    * then `bit_count(a XOR b)` verifies. O(n·segments) + collision joins,
+    * never O(n²).
+    */
+  def simhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    val segments = maxHamming + 1
+    val segBits = bits / segments
+    val fp = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(TextAnalytics.tokens(col(textCol)))).as("w"))
+      .select(col("doc"), TextAnalytics.hash60(col("w")).as("h"))
+      .groupBy(col("doc"))
+      .agg(collect_list(col("h")).as("hs"))
+      .select(col("doc"), TextAnalytics.simhash(col("hs")).as("fp"))
+
+    val banded = fp.select(col("doc"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(segments - 1)), i =>
+        call_function("shiftright", col("fp"), i * segBits)
+          .bitwiseAND(lit((1L << segBits) - 1)))).as(Seq("seg", "segval")))
+
+    val a = banded.select(col("doc").as("a_id"), col("fp").as("fp_a"),
+      col("seg"), col("segval"))
+    val b = banded.select(col("doc").as("b_id"), col("fp").as("fp_b"),
+      col("seg").as("seg_b"), col("segval").as("segval_b"))
+    a.join(b, col("seg") === col("seg_b") && col("segval") === col("segval_b") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact all-pairs form: every
     * (a, b) with cosine ≥ threshold. Quadratic — the verifiable
     * small-scale oracle; use [[embeddingNearDuplicatesLsh]] at corpus

@@ -453,6 +453,15 @@ object PipelineCatalog {
       .orderBy(col("a_id"), col("b_id"))
 
   // -------------------------------------------------------------------------
+  // q30: SimHash near-dup pairs via pigeonhole segment banding (rows-only;
+  // equivalence with brute-force Hamming pinned in QueriesSpec)
+  // -------------------------------------------------------------------------
+
+  val q30SimhashNearDup: Q = (s, d) =>
+    Dedup.simhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 4)
+      .orderBy(col("a_id"), col("b_id"))
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -472,6 +481,7 @@ object PipelineCatalog {
     "q27_ann_ivf" -> q27AnnIvf,
     "q28_embedding_near_dup" -> q28EmbeddingNearDup,
     "q29_embedding_near_dup_lsh" -> q29EmbeddingNearDupLsh,
+    "q30_simhash_near_dup" -> q30SimhashNearDup,
   )
 
   val oracles: ListMap[String, String] = ListMap(

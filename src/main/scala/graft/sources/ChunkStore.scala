@@ -93,4 +93,19 @@ object ChunkStore {
       writeTableBuckets(spark, path, buckets0) // re-assert, cheap
     }
   }
+
+  /** Compact the store: streaming upserts leave one file set per
+    * micro-batch per touched bucket; this rewrites every bucket partition
+    * to `filesPerBucket` files. Content-preserving (same rows, same
+    * bucketing); run periodically like any table-maintenance OPTIMIZE.
+    */
+  def compact(spark: SparkSession, path: String, filesPerBucket: Int = 1): Unit = {
+    val buckets = readTableBuckets(spark, path).getOrElse(DefaultBuckets)
+    val all = spark.read.parquet(path).localCheckpoint()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    all
+      .repartition(buckets * filesPerBucket, col("doc_bucket"))
+      .write.partitionBy("doc_bucket").mode("overwrite").parquet(path)
+    writeTableBuckets(spark, path, buckets)
+  }
 }

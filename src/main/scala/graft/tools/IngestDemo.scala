@@ -78,6 +78,16 @@ object IngestDemo {
       after.filter(col("path") === "late_arrival.txt").select("path", "idx", "text").show(5, 60)
     } finally query.stop()
 
+    println("== compact the store (batch + stream upserts left small files)")
+    def parquetFiles = java.nio.file.Files.walk(java.nio.file.Path.of(store))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val filesBefore = parquetFiles
+    val rowsBefore = ChunkStore.read(spark, store).count()
+    ChunkStore.compact(spark, store)
+    println(s"== files: $filesBefore -> $parquetFiles; rows: $rowsBefore -> ${ChunkStore.read(spark, store).count()}")
+    ChunkStore.compact(spark, store) // probe: compaction is idempotent
+    println(s"== after second compact: files=$parquetFiles rows=${ChunkStore.read(spark, store).count()}")
+
     spark.stop()
   }
 }

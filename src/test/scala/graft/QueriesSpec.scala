@@ -88,4 +88,20 @@ class QueriesSpec extends AnyFunSuite {
     val extras = lsh -- exact
     assert(extras.isEmpty, s"LSH produced pairs the exact join lacks: $extras")
   }
+
+  test("simhash banding finds exactly the brute-force Hamming pairs") {
+    import org.apache.spark.sql.functions._
+    val fp = SparkEntry.queries("q20_simhash")(spark, Sf)
+    val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("fa"))
+    val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("fb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .filter(col("hamming") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = SparkEntry.queries("q30_simhash_near_dup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, s"banding != brute force: only-banded=${banded -- brute} only-brute=${brute -- banded}")
+    assert(brute.nonEmpty, "expected some near-dup fingerprints in testdata")
+  }
 }

@@ -75,4 +75,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("path").distinct().collect().map(_.getString(0)).toSet
       == Set("one.txt", "two.txt"))
   }
+
+  test("store compaction preserves content and reduces file count") {
+    val dropzone: Path = Files.createTempDirectory("graft-compact-dz")
+    val store = Files.createTempDirectory("graft-compact-store").resolve("chunks").toString
+    // several upserts -> several file sets per bucket
+    for (i <- 1 to 4) {
+      Files.writeString(dropzone.resolve(s"f$i.txt"), s"document number $i body")
+      spark.catalog.refreshByPath(dropzone.toString)
+      graft.sources.ChunkStore.upsert(
+        graft.sources.FileIngest.ingestDirectory(spark, dropzone.toString, 200, 40),
+        store, numBuckets = 4)
+    }
+    def parquetFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Path.of(store)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    }
+    val before = ChunkStore.read(spark, store).select("id").collect().map(_.getString(0)).sorted.toSeq
+    val filesBefore = parquetFiles
+    graft.sources.ChunkStore.compact(spark, store)
+    val after = ChunkStore.read(spark, store).select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before)
+    assert(parquetFiles < filesBefore, s"expected fewer files than $filesBefore")
+  }
 }
