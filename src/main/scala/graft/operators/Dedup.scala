@@ -32,8 +32,10 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc"), col(blockCol).as("block"),
         explode(WordShingles.wordShingles(col(textCol))).as("shingle"))
-      .distinct()
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    // shingle-set sizes straight off the doc-level arrays (WordShingles is
+    // already distinct) — no second explode+aggregate pass
+    val sizes = docs.select(col(idCol).as("doc"),
+      size(WordShingles.wordShingles(col(textCol))).as("n"))
     val a = sh.select(col("doc").as("a_id"), col("block"), col("shingle"))
     val b = sh.select(col("doc").as("b_id"), col("block").as("block_b"), col("shingle").as("shingle_b"))
     a.join(b,

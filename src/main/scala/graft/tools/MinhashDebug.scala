@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.BandMinhash
-import graft.operators.{Dedup, TextAnalytics}
+import graft.operators.{Dedup, WordShingles}
 
 /** Stage-by-stage timing of the MinHash-LSH pipeline at a given SF. */
 object MinhashDebug {
@@ -27,7 +27,7 @@ object MinhashDebug {
 
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sh = docs.select(col("doc_id").as("doc"),
-        TextAnalytics.shingles(TextAnalytics.tokens(col("text"))).as("shingles"))
+        WordShingles.wordShingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
     time("shingles")(println(sh.count()))
 
@@ -35,15 +35,8 @@ object MinhashDebug {
       posexplode(BandMinhash.bandMinhash(col("shingles"), 32, 8)).as(Seq("band", "bh")))
     time("banded")(println(banded.count()))
 
-    val candidates = banded.select(col("doc").as("a_id"), col("band"), col("bh"))
-      .join(banded.select(col("doc").as("b_id"), col("band").as("band_b"), col("bh").as("bh_b")),
-        col("band") === col("band_b") && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    time("candidates")(println(candidates.count()))
-
     time("full operator")(
       println(Dedup.minhashNearDuplicates(docs, "doc_id", "text", 32, 8, 0.5).count()))
-
     time("full operator 2nd run")(
       println(Dedup.minhashNearDuplicates(docs, "doc_id", "text", 32, 8, 0.5).count()))
   }
