@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical-plan properties the 100 TB
+  * design depends on (SCALING.md). A future change that silently loses
+  * pushdown, broadcasts, or top-k short-circuits fails here, not in
+  * production.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), "filters not pushed")
+    assert(!p.contains("l_comment"), "scan reads more than the projection")
+  }
+
+  test("q03: dimension joins broadcast, no shuffle on dims") {
+    val p = plan("q03_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "expected broadcast joins for nation/region")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("q05/q16: global top-k compiles to TakeOrderedAndProject, not a sort") {
+    assert(plan("q05_global_top_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q16_knn_cosine").contains("TakeOrderedAndProject"))
+  }
+
+  test("q13: chunker runs as a codegen Generate over a two-column scan") {
+    val p = plan("q13_chunks")
+    assert(p.contains("Generate posexplode(chunk_text("))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q19: banding uses the single-pass band_minhash expression") {
+    val p = plan("q19_minhash_lsh")
+    assert(p.contains("band_minhash("))
+    assert(!p.toLowerCase.contains("cartesianproduct"), "candidate join degraded to cartesian")
+  }
+}
