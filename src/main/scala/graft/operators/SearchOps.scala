@@ -58,6 +58,36 @@ object SearchOps {
           .otherwise(col("text")).as("text"))
   }
 
+  /** Batch top-k: MANY queries against the corpus in one job — the batch
+    * form of the reference's per-request KNN (SURVEY §2.3 J4 / §2.5 W1).
+    * `queries` holds (query_id, qv: array<double>); the query set is
+    * broadcast, scores computed in one corpus scan, and per-query top-k
+    * taken by a ranking window partitioned on query_id (the shuffle key).
+    * The reference can only loop requests one at a time; this is the
+    * Spark-native shape for eval sets and bulk retrieval.
+    */
+  def batchSearch(
+      chunks: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      filters: SearchFilters = SearchFilters()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = chunks
+      .filter(predicate(filters))
+      .crossJoin(broadcast(queries))
+      .withColumn("score",
+        VectorFunctions.cosine(col("vector").cast("array<double>"), col("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("document_id"),
+        col("kind"), col("path"), col("idx"), col("score"),
+        when(length(col("text")) > 600,
+          concat(substring(col("text"), 1, 600), lit("…")))
+          .otherwise(col("text")).as("text"))
+  }
+
   /** W7 snippet budget: from the top-`poolSize` hits with score ≥
     * `minScore`, keep at most `maxSnippets` snippets of ≤ `perSnippetChars`
     * chars whose RUNNING total length stays ≤ `totalBudget`

@@ -15,6 +15,26 @@ object AskEval {
   case class EvalResult(
       n: Int, hits: Int, hitRate: Double, p50Ms: Double, p95Ms: Double)
 
+  /** Batch evaluation: all questions in ONE Spark job via
+    * [[SearchOps.batchSearch]] — hit@1 computed distributed. Latency
+    * percentiles don't apply (single job); use [[run]] for per-query
+    * serving-latency shape.
+    */
+  def runBatch(chunks: DataFrame, qas: Seq[QA], k: Int = 10, embedDim: Int = 64): (Int, Double) = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val queries = qas.zipWithIndex
+      .map { case (qa, i) => (i.toLong, qa.question, qa.expectSubstring) }
+      .toDF("query_id", "question", "expect")
+      .withColumn("qv", DevEmbed.devEmbed(col("question"), embedDim))
+    val hits = SearchOps.batchSearch(chunks, queries.select("query_id", "qv"), k)
+      .filter(col("rank") === 1)
+      .join(queries.select("query_id", "expect"), "query_id")
+      .filter(col("text").contains(col("expect")))
+      .count().toInt
+    (hits, if (qas.isEmpty) 0.0 else hits.toDouble / qas.length)
+  }
+
   def run(chunks: DataFrame, qas: Seq[QA], k: Int = 10, embedDim: Int = 64): EvalResult = {
     val latencies = new Array[Double](qas.length)
     var hits = 0

@@ -77,6 +77,10 @@ object PipelineDemo {
       AskEval.QA("loose thoughts about buckets and joins", "buckets"),
       AskEval.QA("something absent entirely", "nope")))
     println(s"== eval: $res")
+    val (batchHits, batchRate) = AskEval.runBatch(corpus, Seq(
+      AskEval.QA("loose thoughts about buckets and joins", "buckets"),
+      AskEval.QA("something absent entirely", "nope")))
+    println(s"== batch eval (one job): hits=$batchHits rate=$batchRate")
 
     spark.stop()
   }

@@ -110,4 +110,29 @@ class ExportsMultimodalSpec extends AnyFunSuite {
     assert(entries("manifest.json").contains("\"chunk_count\": 1"))
     assert(entries("chunks.jsonl").contains("\"idx\":0"))
   }
+
+  test("batch search: one job, per-query top-k matches the serving path") {
+    val corpus = chunkDf.withColumn("vector",
+      graft.operators.DevEmbed.devEmbed(col("text"), 64))
+    val qas = Seq(
+      AskEval.QA("alpha beta", "alpha"),
+      AskEval.QA("gamma delta", "gamma"),
+      AskEval.QA("nothing like this", "zzz"))
+    val (hits, rate) = AskEval.runBatch(corpus, qas)
+    assert(hits == 2 && math.abs(rate - 2.0 / 3) < 1e-9)
+
+    // per-query ranks are dense and scores descending within a query
+    import spark.implicits._
+    val queries = qas.zipWithIndex.map { case (qa, i) => (i.toLong, qa.question) }
+      .toDF("query_id", "q")
+      .withColumn("qv", graft.operators.DevEmbed.devEmbed(col("q"), 64))
+      .select("query_id", "qv")
+    val res = graft.operators.SearchOps.batchSearch(corpus, queries, k = 2).collect()
+    assert(res.length == 6) // 3 queries x k=2
+    qas.indices.foreach { q =>
+      val rows = res.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+      assert(rows.map(_.getInt(1)).toSeq == Seq(1, 2))
+      assert(rows(0).getAs[Double]("score") >= rows(1).getAs[Double]("score"))
+    }
+  }
 }
