@@ -33,6 +33,12 @@ object Similarity {
   private def planeLit(r: Int, dim: Int): Column =
     array((0 until dim).map(j => lit(planeComponent(r, j))): _*)
 
+  /** The deterministic hyperplane constants — exposed so independent
+    * implementations (the DuckDB oracle) can reproduce bucket assignment.
+    */
+  def planeValues(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)(planeComponent)
+
   /** Sign-bucket id from `planes` fixed hyperplanes (bit r = sign of the
     * projection on plane r).
     */

@@ -461,6 +461,43 @@ object PipelineCatalog {
     Dedup.simhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 4)
       .orderBy(col("a_id"), col("b_id"))
 
+  private val q30Sql =
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, CAST('0x' || substr(sha256(w), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents)
+       ), bits AS (
+         SELECT doc_id, i,
+           CASE WHEN sum(CAST((h >> CAST(i AS INT)) & 1 AS INT) * 2 - 1) >= 0
+                THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END AS b
+         FROM tok CROSS JOIN range(60) r(i) GROUP BY doc_id, i
+       ), fp AS (
+         SELECT doc_id, CAST(sum(b) AS BIGINT) AS f FROM bits GROUP BY doc_id
+       )
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.f, b.f)) <= 4
+       ORDER BY a_id, b_id"""
+
+  private val q29Sql = {
+    val planes = graft.operators.Similarity.planeValues(4, 64)
+    val bucket = planes.zipWithIndex.map { case (p, r) =>
+      val lit = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $lit::DOUBLE[]) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), bucketed AS (
+         SELECT vec_id, v, $bucket AS bucket FROM e
+       )
+       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              floor((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000.0 AS cosine
+       FROM bucketed a JOIN bucketed b
+         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+       ORDER BY a_id, b_id"""
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
@@ -497,5 +534,7 @@ object PipelineCatalog {
     "q24_sessionize" -> q24Sql,
     "q26_json_props" -> q26Sql,
     "q28_embedding_near_dup" -> q28Sql,
+    "q29_embedding_near_dup_lsh" -> q29Sql,
+    "q30_simhash_near_dup" -> q30Sql,
   )
 }
