@@ -499,6 +499,38 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q31: as-of join — each purchase matched to the user's latest prior view
+  // (composed windows, one shuffle; DuckDB's native ASOF JOIN as the oracle)
+  // -------------------------------------------------------------------------
+
+  val q31AsofJoin: Q = (s, d) => {
+    val e = tbl(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("value"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "us", "value")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), col("value"))
+    graft.operators.AsOfJoin.leftAsOf(purchases, views, "user_id", "us", Seq("value"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"),
+        col("asof_us").as("view_us"), col("asof_value").as("view_value"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q31Sql =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS us, value, event_type FROM events
+       ), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+          v AS (SELECT * FROM e WHERE event_type = 'view')
+       SELECT p.event_id AS purchase_id, p.user_id,
+              CAST(p.us AS BIGINT) AS purchase_us,
+              CAST(v.us AS BIGINT) AS view_us, v.value AS view_value
+       FROM p ASOF LEFT JOIN v
+         ON p.user_id = v.user_id AND v.us <= p.us
+       ORDER BY purchase_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -519,6 +551,7 @@ object PipelineCatalog {
     "q28_embedding_near_dup" -> q28EmbeddingNearDup,
     "q29_embedding_near_dup_lsh" -> q29EmbeddingNearDupLsh,
     "q30_simhash_near_dup" -> q30SimhashNearDup,
+    "q31_asof_join" -> q31AsofJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -536,5 +569,6 @@ object PipelineCatalog {
     "q28_embedding_near_dup" -> q28Sql,
     "q29_embedding_near_dup_lsh" -> q29Sql,
     "q30_simhash_near_dup" -> q30Sql,
+    "q31_asof_join" -> q31Sql,
   )
 }
