@@ -531,6 +531,43 @@ object PipelineCatalog {
        ORDER BY purchase_id"""
 
   // -------------------------------------------------------------------------
+  // q32: bounded range join — errors within 10 minutes before each purchase
+  // (bin-bucketed equi-join, never a nested-loop; plain inequality join as
+  // the DuckDB oracle)
+  // -------------------------------------------------------------------------
+
+  val q32RangeJoin: Q = (s, d) => {
+    val e = tbl(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("us"), col("event_id"))
+    graft.operators.RangeJoin.intervalJoin(
+        purchases, errors, "user_id", "us",
+        before = 600L * 1000000L, after = 0L, rightCols = Seq("event_id"))
+      .select(col("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"), col("r_event_id").as("error_id"),
+        col("r_us").as("error_us"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
+  private val q32Sql =
+    """WITH e AS (
+         SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+       )
+       SELECT p.event_id AS purchase_id, p.user_id,
+              CAST(p.us AS BIGINT) AS purchase_us,
+              CAST(x.event_id AS BIGINT) AS error_id,
+              CAST(x.us AS BIGINT) AS error_us
+       FROM e p JOIN e x
+         ON p.user_id = x.user_id
+        AND p.event_type = 'purchase' AND x.event_type = 'error'
+        AND x.us >= p.us - 600000000 AND x.us <= p.us
+       ORDER BY purchase_id, error_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -552,6 +589,7 @@ object PipelineCatalog {
     "q29_embedding_near_dup_lsh" -> q29EmbeddingNearDupLsh,
     "q30_simhash_near_dup" -> q30SimhashNearDup,
     "q31_asof_join" -> q31AsofJoin,
+    "q32_range_join" -> q32RangeJoin,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -570,5 +608,6 @@ object PipelineCatalog {
     "q29_embedding_near_dup_lsh" -> q29Sql,
     "q30_simhash_near_dup" -> q30Sql,
     "q31_asof_join" -> q31Sql,
+    "q32_range_join" -> q32Sql,
   )
 }

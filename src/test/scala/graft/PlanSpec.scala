@@ -52,4 +52,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("band_minhash("))
     assert(!p.toLowerCase.contains("cartesianproduct"), "candidate join degraded to cartesian")
   }
+
+  test("q32: range join is an equi hash join on bins, not a nested loop") {
+    val p = plan("q32_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degenerated to a non-equi nested loop")
+    assert(p.contains("Join") && p.contains("_bin"), "expected bin-keyed equi join")
+  }
 }
