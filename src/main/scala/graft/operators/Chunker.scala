@@ -43,14 +43,18 @@ object Chunker {
     if (text == null || text.isEmpty) "" else WsRe.replaceAllIn(text, " ").trim
 
   /** Deterministic cut point in [start, start+size): last space strictly
-    * inside the window, else hard cut (chunker.py:32-53).
+    * inside the window, else hard cut (chunker.py:32-53). Indices are
+    * CODEPOINT positions: Python slices by codepoint, so astral-plane
+    * characters (emoji) must count as one unit, not a UTF-16 pair.
     */
-  private def nextCut(text: String, start: Int, size: Int): Int = {
-    val end = math.min(start + size, text.length)
-    if (end >= text.length) text.length
+  private def nextCut(cps: Array[Int], start: Int, size: Int): Int = {
+    val end = math.min(start + size, cps.length)
+    if (end >= cps.length) cps.length
     else {
-      val wsPos = text.lastIndexOf(' ', end - 1)
-      if (wsPos > start) wsPos else end // wsPos must be > window index 0
+      var wsPos = -1
+      var i = end - 1
+      while (i > start && wsPos < 0) { if (cps(i) == ' ') wsPos = i; i -= 1 }
+      if (wsPos > start) wsPos else end // space at window index 0 is rejected
     }
   }
 
@@ -66,17 +70,20 @@ object Chunker {
     var ov = math.max(0, overlap)
     if (ov >= size) ov = math.max(0, size - 1)
     val step = math.max(1, size - ov)
-    val n = t.length
+    val cps = t.codePoints().toArray
+    val n = cps.length
     val out = ArrayBuffer.empty[String]
+    def slice(from: Int, until: Int): String =
+      new String(cps, from, until - from)
 
     var start = 0
     var prevStart = -1
     var done = false
     while (start < n && !done) {
-      var end = nextCut(t, start, size)
+      var end = nextCut(cps, start, size)
       if (end <= start) end = math.min(start + size, n)
 
-      val chunk = t.substring(start, end).trim
+      val chunk = slice(start, end).trim
       if (chunk.nonEmpty) out += chunk
 
       if (end >= n) done = true
