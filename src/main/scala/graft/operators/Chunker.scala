@@ -101,12 +101,16 @@ object Chunker {
   /** Chat-aware chunker: packs `\n\n`-separated message blocks up to `size`
     * chars; an oversized message is split with its header line repeated on
     * every piece, preferring a newline cut past half the available window
-    * (reference: worker/app/services/chunker.py:134-253).
+    * (reference: worker/app/services/chunker.py:134-253). All sizes and
+    * slices are CODEPOINT-based like Python's — UTF-16 slicing would both
+    * shift boundaries and cut surrogate pairs in half.
     */
   def chunkChatMessages(
       text: String,
       size: Int = DefaultSize): Seq[String] = {
     if (text == null || text.isEmpty || size <= 0) return Nil
+
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
     val blocks = text.split("\n\n", -1)
     val chunks = ArrayBuffer.empty[String]
@@ -122,7 +126,7 @@ object Chunker {
     for (raw <- blocks) {
       val block = raw.trim
       if (block.nonEmpty) {
-        val blockSize = block.length
+        val blockSize = cpLen(block)
         if (blockSize > size) {
           // split oversized message, repeating its header on every piece
           val (header, content) = block.split("\n", 2) match {
@@ -131,27 +135,30 @@ object Chunker {
               val colon = block.indexOf(": ")
               if (colon > 0) (block.substring(0, colon + 2), block.substring(colon + 2))
               else {
-                val cut = math.min(50, block.length)
+                val cut = block.offsetByCodePoints(0, math.min(50, cpLen(block)))
                 (block.substring(0, cut) + ": ", block.substring(cut))
               }
           }
           flush()
-          val available = math.max(1, size - header.length)
+          val available = math.max(1, size - cpLen(header))
+          val cps = content.codePoints().toArray
+          def slice(from: Int, until: Int): String = new String(cps, from, until - from)
           var cs = 0
-          while (cs < content.length) {
-            if (cs + available < content.length) {
-              val piece = content.substring(cs, cs + available)
-              val lastNl = piece.lastIndexOf('\n')
+          while (cs < cps.length) {
+            if (cs + available < cps.length) {
+              var lastNl = -1
+              var i = cs + available - 1
+              while (i >= cs && lastNl < 0) { if (cps(i) == '\n') lastNl = i - cs; i -= 1 }
               if (lastNl > available / 2) {
-                chunks += header + piece.substring(0, lastNl + 1)
+                chunks += header + slice(cs, cs + lastNl + 1)
                 cs += lastNl + 1
               } else {
-                chunks += header + piece
+                chunks += header + slice(cs, cs + available)
                 cs += available
               }
             } else {
-              chunks += header + content.substring(cs)
-              cs = content.length
+              chunks += header + slice(cs, cps.length)
+              cs = cps.length
             }
           }
         } else {
