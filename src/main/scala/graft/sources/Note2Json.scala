@@ -67,6 +67,103 @@ object Note2Json {
     }.nextOption()
   }
 
+  /** Python-json.dumps-compatible serialization (`", "` / `": "`
+    * separators, ensure_ascii=False) so plain_text matches the reference's
+    * `_normalize_from_json` byte-for-byte.
+    */
+  private def pyDumps(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    val sb = new java.lang.StringBuilder
+    def esc(s: String): String = {
+      val b = new java.lang.StringBuilder("\"")
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append("\"").toString
+    }
+    def go(x: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (x.isObject) {
+        sb.append('{')
+        val it = x.fields(); var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(", ")
+          first = false
+          sb.append(esc(e.getKey)).append(": ")
+          go(e.getValue)
+        }
+        sb.append('}')
+      } else if (x.isArray) {
+        sb.append('[')
+        val it = x.elements(); var first = true
+        while (it.hasNext) {
+          if (!first) sb.append(", ")
+          first = false
+          go(it.next())
+        }
+        sb.append(']')
+      } else if (x.isTextual) sb.append(esc(x.asText()))
+      else if (x.isNull) sb.append("null")
+      else sb.append(x.asText()) // numbers/booleans render as JSON literals
+    }
+    go(n)
+    sb.toString
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `_normalize_from_json` (parser.py:58-111): object title / filename
+    * stem, F18 tag normalization (strip '#', booleans → "true"/"false"),
+    * plain_text = the python-style JSON dump (or the bare string).
+    */
+  def normalizeFromJson(raw: String, filenameHint: String): Option[InternalRow] = {
+    val node = try jsonMapper.readTree(raw) catch { case _: Exception => return None }
+    if (node == null) return None
+
+    val stem = {
+      val h = if (filenameHint.nonEmpty) filenameHint else "json"
+      h.split("\\.", 2).head
+    }
+    val title =
+      if (node.isObject && node.has("title")) {
+        val t = node.get("title")
+        if (t.isBoolean) { if (t.asBoolean) "True" else "False" } else t.asText()
+      } else stem
+
+    val tags = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (node.isObject && node.has("tags") && node.get("tags").isArray) {
+      node.get("tags").elements().forEachRemaining { t =>
+        if (t.isTextual || t.isNumber || t.isBoolean) {
+          val s = if (t.isBoolean) { if (t.asBoolean) "true" else "false" } else t.asText()
+          tags += (if (s.startsWith("#")) s.substring(1) else s)
+        }
+      }
+    }
+    val plain = if (node.isTextual) node.asText() else pyDumps(node)
+
+    def u(s: String) = UTF8String.fromString(s)
+    def arr(xs: Seq[String]) = new GenericArrayData(xs.map(u).toArray[Any])
+    Some(InternalRow(
+      u(title), null, u(raw), u(plain),
+      arr(tags.toSeq), arr(Nil), null, null, null, arr(Nil)))
+  }
+
+  /** Auto format sniff (read_input, parser.py:357-394): leading `{`/`[` →
+    * JSON normalize (falling back to text parse on malformed JSON), else
+    * markdown/plain text.
+    */
+  def parseAuto(input: String, filenameHint: String): Option[InternalRow] = {
+    val first = input.dropWhile(_.isWhitespace).headOption
+    if (first.contains('{') || first.contains('['))
+      normalizeFromJson(input, filenameHint).orElse(parseText(input, filenameHint))
+    else parseText(input, filenameHint)
+  }
+
   def parseText(input: String, filenameHint: String): Option[InternalRow] = {
     val text = sanitize(input)
     if (text.trim.isEmpty) return None
@@ -152,9 +249,8 @@ case class Note2JsonParse(left: Expression, right: Expression) extends BinaryExp
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(text: Any, hint: Any): Any =
-    Note2Json.parseText(
-      text.asInstanceOf[UTF8String].toString,
-      hint.asInstanceOf[UTF8String].toString).orNull
+    Note2JsonParse.computeRow(
+      text.asInstanceOf[UTF8String], hint.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (t, h) => {
@@ -171,5 +267,5 @@ case class Note2JsonParse(left: Expression, right: Expression) extends BinaryExp
 
 object Note2JsonParse {
   def computeRow(text: UTF8String, hint: UTF8String): InternalRow =
-    Note2Json.parseText(text.toString, hint.toString).orNull
+    Note2Json.parseAuto(text.toString, hint.toString).orNull
 }
