@@ -80,11 +80,20 @@ object Dedup {
       col("seg"), col("segval"))
     val b = banded.select(col("doc").as("b_id"), col("fp").as("fp_b"),
       col("seg").as("seg_b"), col("segval").as("segval_b"))
+    // Emit-once: a qualifying pair collides in EVERY segment where its
+    // fingerprints agree — keep only the lowest such segment, so no
+    // dedup aggregation over the candidate stream is needed.
+    val mask = (1L << segBits) - 1
+    val xorFp = col("fp_a").bitwiseXOR(col("fp_b"))
+    def segEqual(s: Int): Column =
+      call_function("shiftright", xorFp, lit(s * segBits)).bitwiseAND(lit(mask)) === 0
+    val firstEqualSeg = (1 until segments)
+      .foldLeft(when(segEqual(0), lit(0)))((acc, s) => acc.when(segEqual(s), lit(s)))
     a.join(b, col("seg") === col("seg_b") && col("segval") === col("segval_b") &&
         col("a_id") < col("b_id"))
+      .filter(col("seg") === firstEqualSeg)
       .select(col("a_id"), col("b_id"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
+        bit_count(xorFp).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -147,17 +156,27 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
 
     // All band bucket ids in one codegen'd pass per doc (see BandMinhash);
-    // posexplode yields (band, bh) rows for the bucket join.
+    // posexplode yields (band, bh) rows for the bucket join. The full band
+    // array rides along so a pair is emitted only from the FIRST band where
+    // the signatures agree — no dedup aggregation over candidates.
     val banded = sh
       .select(col("doc"),
-        posexplode(graft.functions.BandMinhash.bandMinhash(col("shingles"), numHashes, bands))
-          .as(Seq("band", "bh")))
+        graft.functions.BandMinhash.bandMinhash(col("shingles"), numHashes, bands).as("bhs"))
+      .select(col("doc"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
 
-    val candidates = banded.select(col("doc").as("a_id"), col("band"), col("bh"))
-      .join(banded.select(col("doc").as("b_id"), col("band").as("band_b"), col("bh").as("bh_b")),
+    def bandEqual(i: Int): Column =
+      element_at(col("bhs_a"), i + 1) === element_at(col("bhs_b"), i + 1)
+    val firstEqualBand = (1 until bands)
+      .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
+
+    val candidates = banded
+      .select(col("doc").as("a_id"), col("bhs").as("bhs_a"), col("band"), col("bh"))
+      .join(banded.select(col("doc").as("b_id"), col("bhs").as("bhs_b"),
+          col("band").as("band_b"), col("bh").as("bh_b")),
         col("band") === col("band_b") && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
+      .filter(col("band") === firstEqualBand)
       .select(col("a_id"), col("b_id"))
-      .distinct()
 
     val shA = sh.select(col("doc").as("a_id"), col("shingles").as("sh_a"))
     val shB = sh.select(col("doc").as("b_id"), col("shingles").as("sh_b"))

@@ -8,9 +8,11 @@ import org.apache.spark.sql.types.LongType
   * tokenization, word n-gram shingles, portable 60-bit token hashes,
   * SimHash fingerprints, language-ID scoring and quality metrics.
   *
-  * Everything here composes Spark built-ins / higher-order functions, so it
-  * stays inside whole-stage codegen and needs no shuffle beyond the final
-  * aggregation — a narrow map over 100 TB of documents.
+  * Per-element hot loops (SimHash votes, token length/stopword tallies) are
+  * codegen'd Catalyst expressions — Spark HOF lambdas are CodegenFallback
+  * (always interpreted), so composing `aggregate`/`transform` there costs
+  * ~100x. Everything stays a narrow map over 100 TB of documents with no
+  * shuffle beyond the final aggregation.
   *
   * Hash portability: token/shingle hashes are the first 15 hex chars of
   * sha256 (60 bits, < 2^63), so any SQL engine (the DuckDB oracle included)
@@ -40,22 +42,23 @@ object TextAnalytics {
   /** 60-bit SimHash over an array of 60-bit token hashes: per bit position,
     * tokens vote +1/-1 by their bit; the fingerprint sets bits with a
     * non-negative vote. Near-duplicate docs land within small Hamming
-    * distance. Runs as nested higher-order functions — one pass per doc,
-    * no explode.
+    * distance. One codegen'd JVM loop per doc ([[graft.functions.SimHash60]]
+    * — HOF lambdas are interpreted and cost ~100x here), no explode.
     */
   def simhash(tokenHashes: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(59)), i =>
-        when(
-          aggregate(tokenHashes, lit(0), (acc, h) =>
-            acc + (call_function("shiftright", h, i).bitwiseAND(lit(1L)).cast("int") * lit(2) - lit(1))) >= 0,
-          call_function("shiftleft", lit(1L), i))
-          .otherwise(lit(0L))),
-      lit(0L), (a, b) => a + b)
+    graft.functions.SimHash60.simhash60(tokenHashes)
 
   /** Count of distinct tokens appearing in a stopword list. */
   def stopwordScore(distinctTokens: Column, stopwords: Seq[String]): Column =
     size(array_intersect(distinctTokens, array(stopwords.map(lit): _*)))
+
+  /** Sum of token character lengths (codegen'd single pass). */
+  def totalTokenChars(tokens: Column): Column =
+    graft.functions.SumCharLengths.sumCharLengths(tokens)
+
+  /** Count of tokens (with repeats) in a fixed word list (codegen'd). */
+  def wordListHits(tokens: Column, words: Seq[String]): Column =
+    graft.functions.WordListHits.wordListHits(tokens, words)
 
   /** Heuristic language id from stopword hits, fixed tie-break order
     * en > de > es > fr, 'und' (undetermined) when all scores are zero.

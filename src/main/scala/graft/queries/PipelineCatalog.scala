@@ -257,12 +257,10 @@ object PipelineCatalog {
     tbl(s, d, "documents")
       .withColumn("toks", TextAnalytics.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
-      .withColumn("total_len",
-        aggregate(transform(col("toks"), t => length(t)), lit(0), (a, b) => a + b))
+      .withColumn("total_len", TextAnalytics.totalTokenChars(col("toks")))
       .withColumn("avg_token_len_raw", col("total_len").cast("double") / col("n_tokens"))
       .withColumn("stop_hits",
-        size(filter(col("toks"), t =>
-          array_contains(array(TextAnalytics.EnStopwords.map(lit): _*), t))))
+        TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords))
       .withColumn("stop_ratio_raw", col("stop_hits").cast("double") / col("n_tokens"))
       .withColumn("digit_ratio_raw",
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / length(col("text")))

@@ -38,6 +38,33 @@ class KernelsSpec extends AnyFunSuite {
     assert(v.forall(x => x >= 0.0 && x < 1.0))
   }
 
+  test("simhash60 kernel matches the vote formula") {
+    import graft.functions.SimHash60
+    def fp(hs: Long*): Long = SimHash60.compute(new GenericArrayData(hs.toArray))
+    // empty: every bit's vote is 0 >= 0 -> all 60 bits set
+    assert(fp() == (1L << 60) - 1)
+    // single hash: bits of h vote +1, absent bits vote -1 -> fingerprint == h (low 60 bits)
+    assert(fp(0x5L) == 0x5L)
+    assert(fp(0x7ffffffffffffffL) == 0x7ffffffffffffffL)
+    // two hashes: ties (vote 0) set the bit -> union of bits
+    assert(fp(0x5L, 0x3L) == 0x7L)
+    // three: majority wins where votes disagree; bit0 {1,1,0}->+1 set,
+    // bit1 {0,1,0}->-1 clear, bit2 {0,0,1}->-1 clear, rest vote -3 clear
+    assert(fp(0x1L, 0x3L, 0x4L) == 0x1L)
+  }
+
+  test("sum_char_lengths / word_list_hits kernels") {
+    import graft.functions.{SumCharLengths, WordListHits}
+    def arr(ws: String*) = new GenericArrayData(ws.toArray.map(UTF8String.fromString))
+    assert(SumCharLengths.compute(arr("ab", "c", "")) == 3L)
+    assert(SumCharLengths.compute(arr()) == 0L)
+    // numChars counts codepoints, matching Spark's length()
+    assert(SumCharLengths.compute(arr("héllo", "💡")) == 6L)
+    val set = WordListHits.toSet(Seq("the", "a"))
+    assert(WordListHits.compute(arr("the", "cat", "the", "a"), set) == 3)
+    assert(WordListHits.compute(arr(), set) == 0)
+  }
+
   test("cosine kernel") {
     def arr(xs: Double*) = new GenericArrayData(xs.toArray)
     assert(VectorKernels.cosine(arr(1, 0), arr(1, 0)) == 1.0)
