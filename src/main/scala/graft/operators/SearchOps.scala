@@ -27,8 +27,10 @@ object SearchOps {
       f.documentId.map(col("document_id") === _),
       f.kind.map(col("kind") === _),
       f.path.map(col("path") === _),
-      f.ingestedAfterTs.map(col("ingested_at_ts") >= _),
-      f.ingestedBeforeTs.map(col("ingested_at_ts") < _),
+      // time-range filters bind to the provenance meta struct, matching the
+      // reference's `meta.ingested_at_ts` payload key (search.py:91-103)
+      f.ingestedAfterTs.map(col("meta.ingested_at_ts") >= _),
+      f.ingestedBeforeTs.map(col("meta.ingested_at_ts") < _),
     ).flatten
     conds.reduceOption(_ && _).getOrElse(lit(true))
   }

@@ -358,7 +358,7 @@ object Catalog {
     "q10_daily_activity" -> q10DailyActivity,
     "q11_doc_rollup" -> q11DocRollup,
     "q12_full_outer_merge" -> q12FullOuterMerge,
-  ) ++ PipelineCatalog.queries
+  ) ++ PipelineCatalog.queries ++ IngestCatalog.queries
 
   val oracles: ListMap[String, String] = ListMap(
     "q01_pricing_summary" -> q01Sql,
@@ -373,5 +373,5 @@ object Catalog {
     "q10_daily_activity" -> q10Sql,
     "q11_doc_rollup" -> q11Sql,
     "q12_full_outer_merge" -> q12Sql,
-  ) ++ PipelineCatalog.oracles
+  ) ++ PipelineCatalog.oracles ++ IngestCatalog.oracles
 }

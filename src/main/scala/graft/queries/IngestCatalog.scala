@@ -1,0 +1,433 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Chunker, DevEmbed, SearchOps}
+import graft.sources.{FileIngest, Note2Json, Transcript}
+
+/** Driver-verified queries over the INGESTION surface (SURVEY §2.1/§2.7/
+  * §2.8): each builds an in-memory files frame from the `documents` table
+  * (path/content/length — the exact contract of the binaryFile source) and
+  * runs the REAL `FileIngest` lineage, so the oracle checks the same code
+  * the batch directory scan and streaming micro-batches execute.
+  *
+  * Everything emitted is independently recomputed in DuckDB: parser
+  * routing (csv/json/html), canonical relpaths, ignore filters, content
+  * signatures, the full sliding-window + chat chunkers (recursive CTEs),
+  * provenance meta (process.py:55-141), transcript confidence arithmetic
+  * (parse_transcript.py:51-142) and note2json field extraction
+  * (note_to_json/parser.py:157-307). uuid5 ids/dev-embed vectors are
+  * deliberately excluded here — they are pinned by q14/q15 and RFC test
+  * vectors (DuckDB lacks sha1).
+  */
+object IngestCatalog {
+  import Catalog.{Q, rnd}
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+
+  private def isoOf(secs: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(secs)) + "Z"
+
+  /** Fixed ingest instants — wall-clock stamps are per-ingest parameters
+    * (a distributed engine must not read the clock per row).
+    */
+  private val T0 = 1754000000L
+  private val T1 = 1754100000L
+
+  // -------------------------------------------------------------------------
+  // q33: full text ingest — discovery frame → relpath → route → chunk →
+  // provenance meta (S1/S3/F3/F11/P7/T1/W2 + Missing#1 contract)
+  // -------------------------------------------------------------------------
+
+  private def txtFiles(s: SparkSession, d: String, parity: Option[Int],
+      doubled: Boolean): DataFrame = {
+    val base = parity.fold(docs(s, d))(p => docs(s, d).filter(pmod(col("doc_id"), lit(2)) === p))
+    val body = if (doubled) concat(col("text"), lit(" "), col("text")) else col("text")
+    base.select(
+      concat(lit("dz/docs/"), col("doc_id"), lit(".txt")).as("path"),
+      encode(body, "UTF-8").as("content"))
+      .withColumn("length", octet_length(col("content")).cast("long"))
+  }
+
+  val q33IngestText: Q = (s, d) =>
+    FileIngest.chunksFromFiles(txtFiles(s, d, None, doubled = false), "dz",
+        chunkSize = 100, chunkOverlap = 20, embedDim = 8,
+        ingestedAt = java.time.Instant.ofEpochSecond(T0))
+      .select(col("path"), col("idx"), col("text"),
+        col("content_sig"), col("bytes"),
+        col("meta.ingested_at").as("ingested_at"),
+        col("meta.ingested_at_ts").as("ingested_at_ts"),
+        col("meta.source_system").as("source_system"),
+        col("meta.doc_type").as("doc_type"),
+        col("meta.detected_as").as("detected_as"),
+        col("meta.detect_confidence").as("detect_confidence"),
+        col("meta.source_ext").as("source_ext"))
+      .orderBy(col("path"), col("idx"))
+
+  private val q33Sql =
+    s"""${ChunkerSql.walkCte(
+          "SELECT 'docs/' || doc_id || '.txt' AS key, text FROM documents", 100, 20)}
+       SELECT c.key AS path, c.idx, c.chunk AS text,
+              sha256(d.text) AS content_sig,
+              CAST(strlen(d.text) AS BIGINT) AS bytes,
+              '${isoOf(T0)}' AS ingested_at, CAST($T0 AS BIGINT) AS ingested_at_ts,
+              'filesystem' AS source_system, 'text' AS doc_type,
+              'text' AS detected_as, CAST(1.0 AS DOUBLE) AS detect_confidence,
+              '.txt' AS source_ext
+       FROM chunks c JOIN documents d ON c.key = 'docs/' || d.doc_id || '.txt'
+       ORDER BY path, idx"""
+
+  // -------------------------------------------------------------------------
+  // q34: extension routing + parsers + ignore filters (S2/S4/S5/S9/S12/P4)
+  // -------------------------------------------------------------------------
+
+  private def mixedFiles(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    def f(path: org.apache.spark.sql.Column, body: org.apache.spark.sql.Column) =
+      base.select(path.as("path"), encode(body, "UTF-8").as("content"))
+    val csv = f(concat(lit("dz/tab/"), col("doc_id"), lit(".csv")),
+      concat(lit("doc_id,lang,source\n"), col("doc_id"), lit(","),
+        col("lang"), lit(","), col("source")))
+    val json = f(concat(lit("dz/js/"), col("doc_id"), lit(".json")),
+      concat(lit("{\"doc\": "), col("doc_id"),
+        lit(", \"lang\": \""), col("lang"), lit("\"}")))
+    val html = f(concat(lit("dz/web/"), col("doc_id"), lit(".html")),
+      concat(lit("<html><head><style>p{color:red}</style></head><body><h1>Doc "),
+        col("doc_id"), lit("</h1><p>"), substring(col("text"), 1, 120),
+        lit("</p></body></html>")))
+    // P4 negatives: prefix- and extension-ignored files must NOT appear
+    val ignoredPrefix = f(concat(lit("dz/tmp/temp_"), col("doc_id"), lit(".txt")), col("text"))
+    val ignoredExt = f(concat(lit("dz/tmp/"), col("doc_id"), lit(".tmp")), col("text"))
+    csv.unionByName(json).unionByName(html)
+      .unionByName(ignoredPrefix).unionByName(ignoredExt)
+      .withColumn("length", octet_length(col("content")).cast("long"))
+  }
+
+  val q34IngestRoute: Q = (s, d) =>
+    FileIngest.routeDocuments(FileIngest.scanFilesFrame(mixedFiles(s, d), "dz"))
+      .select(col("path"), col("kind"), col("text"), col("content_sig"),
+        col("bytes"), col("source_ext"), col("doc_type"), col("detected_as"))
+      .orderBy(col("path"))
+
+  private val q34Sql =
+    """WITH d AS (SELECT doc_id, lang, source, text FROM documents),
+       raw AS (
+         SELECT 'tab/' || doc_id || '.csv' AS path, 'csv' AS kind, '.csv' AS source_ext,
+                'doc_id,lang,source' || chr(10) || doc_id || ',' || lang || ',' || source AS content,
+                'doc_id | lang | source' || chr(10) || doc_id || ' | ' || lang || ' | ' || source AS text
+         FROM d
+         UNION ALL
+         SELECT 'js/' || doc_id || '.json', 'json', '.json',
+                '{"doc": ' || doc_id || ', "lang": "' || lang || '"}',
+                'doc: ' || doc_id || chr(10) || 'lang: ' || lang
+         FROM d
+         UNION ALL
+         SELECT 'web/' || doc_id || '.html', 'html', '.html',
+                '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+                  || doc_id || '</h1><p>' || substr(text, 1, 120) || '</p></body></html>',
+                trim(regexp_replace(regexp_replace(
+                  '<html><head><style>p{color:red}</style></head><body><h1>Doc '
+                    || doc_id || '</h1><p>' || substr(text, 1, 120) || '</p></body></html>',
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<[^>]*>', ' ', 'g'))
+         FROM d)
+       SELECT path, kind, text, sha256(content) AS content_sig,
+              CAST(strlen(content) AS BIGINT) AS bytes,
+              source_ext, kind AS doc_type, kind AS detected_as
+       FROM raw
+       ORDER BY path"""
+
+  // -------------------------------------------------------------------------
+  // q35: provenance time-range filter + threshold + truncation on the REAL
+  // search read path (P3/P5/P6/W1 over an ingested store)
+  // -------------------------------------------------------------------------
+
+  private val QText = "fast hash join on sorted data"
+  private val MinScore = 0.93
+
+  val q35ProvenanceSearch: Q = (s, d) => {
+    val older = FileIngest.chunksFromFiles(
+      txtFiles(s, d, Some(0), doubled = true), "dz",
+      chunkSize = 800, chunkOverlap = 100, embedDim = 8,
+      ingestedAt = java.time.Instant.ofEpochSecond(T0))
+    val newer = FileIngest.chunksFromFiles(
+      txtFiles(s, d, Some(1), doubled = true), "dz",
+      chunkSize = 800, chunkOverlap = 100, embedDim = 8,
+      ingestedAt = java.time.Instant.ofEpochSecond(T1))
+    SearchOps.search(
+        older.unionByName(newer),
+        DevEmbed.devEmbed(lit(QText), 8),
+        k = 1000000,
+        filters = SearchOps.SearchFilters(ingestedAfterTs = Some(T0 + 1)),
+        minScore = Some(MinScore))
+      .select(col("path"), col("idx"), rnd(col("score"), 6).as("score"), col("text"))
+      .orderBy(col("path"), col("idx"))
+  }
+
+  private def devEmbedSql(textExpr: String): String =
+    (0 until 8)
+      .map(i => s"CAST('0x' || substr(sha256($textExpr), ${2 * i + 1}, 2) AS INT) / 256.0")
+      .mkString("[", ", ", "]")
+
+  private val q35Sql =
+    s"""${ChunkerSql.walkCte(
+          "SELECT doc_id AS key, text || ' ' || text AS text FROM documents WHERE doc_id % 2 = 1",
+          800, 100)},
+       scored AS (
+         SELECT 'docs/' || key || '.txt' AS path, idx, chunk,
+                list_cosine_similarity(${devEmbedSql("chunk")},
+                  ${devEmbedSql(s"'$QText'")}) AS score
+         FROM chunks)
+       SELECT path, idx, floor(score * 1000000 + 0.5) / 1000000.0 AS score,
+              CASE WHEN length(chunk) > 600 THEN substr(chunk, 1, 600) || '…'
+                   ELSE chunk END AS text
+       FROM scored
+       WHERE score >= $MinScore
+       ORDER BY path, idx"""
+
+  // -------------------------------------------------------------------------
+  // q36: transcript detection confidence + parse (F16/F17/T5) — constructed
+  // role-prefixed dialogs, confidence arithmetic recomputed in SQL
+  // -------------------------------------------------------------------------
+
+  val q36Transcript: Q = (s, d) => {
+    val ws = split(trim(col("text")), " ")
+    val k = (pmod(col("doc_id"), lit(4)) + 2).cast("int")
+    val lines = transform(sequence(lit(0), k - 1), j =>
+      concat(when(j % 2 === 0, "User: ").otherwise("Assistant: "),
+        element_at(ws, (j * 2 + 1).cast("int")), lit(" "),
+        element_at(ws, (j * 2 + 2).cast("int"))))
+    val fname = concat(lit("chat_"), col("doc_id"), lit(".txt"))
+    docs(s, d)
+      .withColumn("t", array_join(lines, "\n"))
+      .withColumn("fname", fname)
+      .withColumn("conf", Transcript.confidence(col("t"), col("fname")))
+      .withColumn("p", Transcript.parseTranscriptCol(col("t"), col("fname")))
+      .select(col("doc_id"), col("conf"),
+        (col("conf") >= Transcript.DetectionThreshold).as("is_transcript"),
+        col("p.message_count").as("message_count"),
+        col("p.title").as("title"), col("p.text").as("formatted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q36Sql =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                CAST(2 + doc_id % 4 AS INT) AS k
+         FROM documents
+       ), built AS (
+         SELECT doc_id, k,
+           list_transform(range(0, k), j ->
+             (CASE WHEN j % 2 = 0 THEN 'User: ' ELSE 'Assistant: ' END)
+               || ws[2*j + 1] || ' ' || ws[2*j + 2]) AS ls,
+           ws[1] || ' ' || ws[2] AS first_user
+         FROM w
+       ), conf AS (
+         -- parse_transcript.py:51-142 with ts=0, md=0, js=0, n_roles=2,
+         -- total_lines=k, boost=0.15 ('chat' in filename): weighted=1.2k,
+         -- ratio=min(weighted/max(2,k/10),2), base=min(ratio*.5,.95),
+         -- c=min(base+boost,.99); rp>=4 floor of 0.88; round HALF_UP 3dp
+         SELECT doc_id, k, ls, first_user,
+           floor((CASE WHEN k >= 4
+                   THEN greatest(least(least(least(1.2*k / greatest(2.0, k/10.0), 2.0) * 0.5, 0.95) + 0.15, 0.99), 0.88)
+                   ELSE least(least(least(1.2*k / greatest(2.0, k/10.0), 2.0) * 0.5, 0.95) + 0.15, 0.99)
+                 END) * 1000 + 0.5) / 1000.0 AS conf
+         FROM built
+       )
+       SELECT doc_id, conf, conf >= 0.85 AS is_transcript,
+              k AS message_count,
+              'chat ' || doc_id || ': ' || first_user AS title,
+              array_to_string(ls, chr(10) || chr(10)) AS formatted
+       FROM conf
+       ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q37: note2json markdown field extraction (F18/F19/T6)
+  // -------------------------------------------------------------------------
+
+  val q37Note2Json: Q = (s, d) => {
+    val ws = split(trim(col("text")), " ")
+    val dd = lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
+    val md = concat(
+      lit("# Doc "), col("doc_id"), lit("\n\n"),
+      lit("**Date:** 2024-03-"), dd, lit("\n"),
+      lit("**Tags:** #"), col("lang"), lit(" #graft\n"),
+      lit("**Tone:** calm\n\n"),
+      lit("**Summary:**\n"), concat_ws(" ", slice(ws, 1, 5)), lit("\n\n"),
+      lit("**Core Reflections:**\n- "), element_at(ws, 6),
+      lit("\n- "), element_at(ws, 7), lit("\n\n"),
+      col("text"))
+    docs(s, d)
+      .withColumn("p", Note2Json.note2json(md, concat(lit("note_"), col("doc_id"), lit(".md"))))
+      .select(col("doc_id"),
+        col("p.title").as("title"), col("p.date").as("date"),
+        col("p.timestamp").as("ts"), col("p.tone").as("tone"),
+        array_join(col("p.tags"), "|").as("tags"),
+        array_join(col("p.headers"), "|").as("headers"),
+        col("p.summary").as("summary"),
+        array_join(col("p.reflections"), "|").as("reflections"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q37Sql =
+    """WITH w AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS ws,
+                lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dd
+         FROM documents)
+       SELECT doc_id,
+              'Doc ' || doc_id AS title,
+              '2024-03-' || dd AS date,
+              '2024-03-' || dd || 'T00:00:00Z' AS ts,
+              'calm' AS tone,
+              lang || '|graft' AS tags,
+              'Doc ' || doc_id AS headers,
+              array_to_string(ws[1:5], ' ') AS summary,
+              ws[6] || '|' || ws[7] AS reflections
+       FROM w
+       ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q38: chat-aware chunker (T2) — greedy message packing as a recursive CTE
+  // (chunker.py:134-253, simple path; oversized-message split is pinned by
+  // reference-executed goldens in ChunkerSpec)
+  // -------------------------------------------------------------------------
+
+  private val ChatSize = 40
+
+  val q38ChatChunks: Q = (s, d) => {
+    val ws = split(trim(col("text")), " ")
+    val k = (pmod(col("doc_id"), lit(3)) + 3).cast("int")
+    val lines = transform(sequence(lit(0), k - 1), j =>
+      concat(when(j % 2 === 0, "User: ").otherwise("Assistant: "),
+        element_at(ws, (j * 2 + 1).cast("int")), lit(" "),
+        element_at(ws, (j * 2 + 2).cast("int"))))
+    docs(s, d)
+      .withColumn("t", array_join(lines, "\n\n"))
+      .select(col("doc_id"),
+        posexplode(Chunker.chunkChatCol(col("t"), ChatSize)).as(Seq("idx", "chunk")))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  private val q38Sql =
+    s"""WITH RECURSIVE w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                CAST(3 + doc_id % 3 AS INT) AS k
+         FROM documents
+       ), blocks AS (
+         SELECT doc_id, j,
+           (CASE WHEN j % 2 = 0 THEN 'User: ' ELSE 'Assistant: ' END)
+             || ws[2*j + 1] || ' ' || ws[2*j + 2] AS b
+         FROM w, unnest(range(0, k)) AS u(j)
+       ), sized AS (
+         SELECT doc_id, CAST(j AS INT) AS j, b, length(b) AS bl,
+                max(j) OVER (PARTITION BY doc_id) AS jmax
+         FROM blocks
+       ), pack(doc_id, j, jmax, cur, cid) AS (
+         SELECT doc_id, j, jmax, bl, 0 FROM sized WHERE j = 0
+         UNION ALL
+         SELECT s.doc_id, s.j, s.jmax,
+                CASE WHEN p.cur + 2 + s.bl > $ChatSize THEN s.bl + 2
+                     ELSE p.cur + 2 + s.bl END,
+                CASE WHEN p.cur + 2 + s.bl > $ChatSize THEN p.cid + 1
+                     ELSE p.cid END
+         FROM pack p JOIN sized s ON s.doc_id = p.doc_id AND s.j = p.j + 1
+         WHERE p.j < p.jmax
+       )
+       SELECT p.doc_id AS doc_id, CAST(p.cid AS INT) AS idx,
+              string_agg(s.b, chr(10) || chr(10) ORDER BY p.j) AS chunk
+       FROM pack p JOIN sized s ON s.doc_id = p.doc_id AND s.j = p.j
+       GROUP BY p.doc_id, p.cid
+       ORDER BY doc_id, idx"""
+
+  // -------------------------------------------------------------------------
+  // q39: snippet budget + source interleave (W6/W7) over scored hits
+  // -------------------------------------------------------------------------
+
+  val q39SnippetBudget: Q = (s, d) => {
+    val emb = Tables(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
+    val hits = emb.filter(col("vec_id") =!= 0)
+      .join(docs(s, d), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        concat(lit("doc-"), col("vec_id")).as("document_id"),
+        when(pmod(col("vec_id"), lit(2)) === 0, "text").otherwise("image").as("kind"),
+        concat(lit("p/"), col("vec_id")).as("path"),
+        graft.functions.VectorFunctions.cosine(
+          col("embedding").cast("array<double>"), col("qv")).as("score"),
+        col("text"))
+    val tHits = hits.filter(col("kind") === "text").orderBy(col("score").desc, col("id"))
+    val iHits = hits.filter(col("kind") === "image").orderBy(col("score").desc, col("id"))
+    SearchOps.snippetSelect(
+        SearchOps.interleaveSources(tHits, iHits, 10),
+        poolSize = 10, minScore = 0.0, maxSnippets = 5,
+        perSnippetChars = 200, totalBudget = 700)
+      .select(col("id"), col("document_id"), col("path"),
+        rnd(col("score"), 6).as("score"), col("snippet"),
+        col("rank").as("snippet_rank"))
+      .orderBy(col("snippet_rank"))
+  }
+
+  private val q39Sql =
+    """WITH q AS (
+         SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+       ), h AS (
+         SELECT e.vec_id AS id, 'doc-' || e.vec_id AS document_id,
+                CASE WHEN e.vec_id % 2 = 0 THEN 'text' ELSE 'image' END AS kind,
+                'p/' || e.vec_id AS path,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score,
+                d.text
+         FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+         WHERE e.vec_id <> 0
+       ), tk AS (
+         SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn
+         FROM h WHERE kind = 'text'
+       ), ik AS (
+         SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rn
+         FROM h WHERE kind = 'image'
+       ), pool AS (
+         SELECT id, document_id, path, score, text FROM tk WHERE rn <= 5
+         UNION ALL
+         SELECT id, document_id, path, score, text FROM ik WHERE rn <= 5
+       ), sel AS (
+         SELECT id, document_id, path, score,
+                substr(text, 1, 200) AS snippet,
+                sum(length(substr(text, 1, 200)))
+                  OVER (ORDER BY score DESC, id ROWS UNBOUNDED PRECEDING) AS running,
+                row_number() OVER (ORDER BY score DESC, id) AS snippet_rank
+         FROM pool WHERE score >= 0.0
+       )
+       SELECT id, document_id, path,
+              floor(score * 1000000 + 0.5) / 1000000.0 AS score,
+              snippet, CAST(snippet_rank AS INT) AS snippet_rank
+       FROM sel WHERE snippet_rank <= 5 AND running <= 700
+       ORDER BY snippet_rank"""
+
+  // -------------------------------------------------------------------------
+
+  val queries: ListMap[String, Q] = ListMap(
+    "q33_ingest_text" -> q33IngestText,
+    "q34_ingest_route" -> q34IngestRoute,
+    "q35_provenance_search" -> q35ProvenanceSearch,
+    "q36_transcript" -> q36Transcript,
+    "q37_note2json" -> q37Note2Json,
+    "q38_chat_chunks" -> q38ChatChunks,
+    "q39_snippet_budget" -> q39SnippetBudget,
+  )
+
+  val oracles: ListMap[String, String] = ListMap(
+    "q33_ingest_text" -> q33Sql,
+    "q34_ingest_route" -> q34Sql,
+    "q35_provenance_search" -> q35Sql,
+    "q36_transcript" -> q36Sql,
+    "q37_note2json" -> q37Sql,
+    "q38_chat_chunks" -> q38Sql,
+    "q39_snippet_budget" -> q39Sql,
+  )
+}

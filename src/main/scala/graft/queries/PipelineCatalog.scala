@@ -37,47 +37,9 @@ object PipelineCatalog {
           .as(Seq("idx", "chunk")))
       .orderBy(col("doc_id"), col("idx"))
 
-  /** The reference chunker's iterative cut/overlap algorithm
-    * (chunker.py:56-131) as a DuckDB recursive CTE — same normalize, same
-    * whitespace-preferred cut, same forward-progress guards.
-    */
-  private def finExpr(start: String): String = {
-    val e0 = s"LEAST($start + $ChunkSize, n)"
-    val len = s"($e0 - $start)"
-    val win = s"substr(t, $start + 1, $len)"
-    val p = s"strpos(reverse($win), ' ')"
-    s"""CASE WHEN $e0 >= n THEN n
-        WHEN $p > 0 AND ($len - $p) > 0 THEN $start + ($len - $p)
-        ELSE $e0 END"""
-  }
-
-  private val nextStart =
-    s"""CASE WHEN ns1 <= prev_start
-        THEN (CASE WHEN prev_start >= 0 THEN prev_start + $ChunkStep ELSE start + $ChunkStep END)
-        ELSE ns1 END"""
-
   private val q13Sql =
-    s"""WITH RECURSIVE norm AS (
-         SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents
-       ), base AS (
-         SELECT doc_id, t, length(t) AS n FROM norm WHERE length(t) > 0
-       ), walk(doc_id, t, n, start, prev_start, fin) AS (
-         SELECT doc_id, t, n, 0, -1, ${finExpr("0")} FROM base
-         UNION ALL
-         SELECT doc_id, t, n, LEAST($nextStart, n), start,
-                ${finExpr(s"LEAST($nextStart, n)")}
-         FROM (
-           SELECT doc_id, t, n, start, prev_start, fin,
-                  CASE WHEN fin - $ChunkOverlap <= start THEN start + $ChunkStep
-                       ELSE fin - $ChunkOverlap END AS ns1
-           FROM walk WHERE fin < n
-         ) s
-       )
-       SELECT doc_id,
-              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS idx,
-              chunk
-       FROM (SELECT doc_id, start, trim(substr(t, start + 1, fin - start)) AS chunk FROM walk) c
-       WHERE chunk <> ''
+    s"""${ChunkerSql.walkCte("SELECT doc_id AS key, text FROM documents", ChunkSize, ChunkOverlap)}
+       SELECT key AS doc_id, idx, chunk FROM chunks
        ORDER BY doc_id, idx"""
 
   // -------------------------------------------------------------------------

@@ -124,20 +124,32 @@ object FileIngest {
     * normalizers (note2json, transcript detection) must run on THIS frame;
     * the chunker below collapses whitespace.
     */
-  /** Raw scan of a files frame (path, content, length) — shared by the
-    * batch directory read and streaming micro-batches, so both produce
-    * IDENTICAL documents (a divergent streaming copy once re-landed chat
-    * files under different ids — silent duplicates).
+  /** Raw scan of a files frame (path, content, length[, modificationTime])
+    * — shared by the batch directory read and streaming micro-batches, so
+    * both produce IDENTICAL documents (a divergent streaming copy once
+    * re-landed chat files under different ids — silent duplicates).
+    * Emits the file-level provenance base: `source_ext` (lowercased, with
+    * dot — reference ingest_dropzone.py:410-412 `Path.suffix.lower()`) and
+    * `mtime` (epoch seconds, `fp.stat().st_mtime`).
     */
-  def scanFilesFrame(files: DataFrame, dropzone: String): DataFrame =
+  def scanFilesFrame(files: DataFrame, dropzone: String): DataFrame = {
+    val mtime =
+      if (files.columns.contains("modificationTime"))
+        col("modificationTime").cast("double")
+      else lit(null).cast("double")
     files
       .withColumn("relpath", canonicalRelpath(col("path"), dropzone))
       .filter(keepFile(col("relpath")))
       .withColumn("kind", kindForExtension(extension(col("relpath"))))
       .withColumn("raw_text", decode(col("content"), "UTF-8"))
       .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
+      .withColumn("source_ext",
+        lower(regexp_extract(basename(col("relpath")), "(\\.[^.]+)$", 1)))
+      .withColumn("mtime", mtime)
       .select(col("relpath"), col("kind"), col("raw_text"),
-        col("content_sig"), col("length").as("bytes"))
+        col("content_sig"), col("length").as("bytes"),
+        col("source_ext"), col("mtime"))
+  }
 
   /** Raw scan: kept files with decoded text, BEFORE parser routing
     * (chat-export detection must see the raw JSON, not its flattened
@@ -148,7 +160,7 @@ object FileIngest {
       spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(dropzone)
-        .select(col("path"), col("content"), col("length")),
+        .select(col("path"), col("content"), col("length"), col("modificationTime")),
       dropzone)
 
   private def routePlain(scanned: DataFrame): DataFrame =
@@ -157,7 +169,14 @@ object FileIngest {
       .filter(trim(col("text")) =!= "") // P7 empty-content guard
       .withColumn("document_id", Uuid5.documentId(col("relpath")))
       .select(col("document_id"), col("kind"), col("relpath").as("path"),
-        col("text"), col("content_sig"), col("bytes"))
+        col("text"), col("content_sig"), col("bytes"),
+        col("source_ext"), col("mtime"),
+        // provenance (process.py:602-620): plain files come from the
+        // filesystem, typed and detected as their routed kind
+        lit("filesystem").as("source_system"), col("kind").as("doc_type"),
+        col("kind").as("detected_as"), lit(1.0).as("detect_confidence"),
+        lit(null).cast("string").as("created_at"),
+        lit(null).cast("string").as("updated_at"))
 
   def parseDirectory(spark: SparkSession, dropzone: String): DataFrame =
     routePlain(scanFiles(spark, dropzone))
@@ -176,19 +195,30 @@ object FileIngest {
     * [[parseDirectoryWithChat]]).
     */
   def routeDocuments(scanned: DataFrame): DataFrame = {
-    val isExportCol = col("relpath").endsWith(".json") &&
-      size(ChatExport.chatConversations(col("raw_text"))) > 0
+    // Parse candidate chat exports ONCE (full-JSON parse is the expensive
+    // step); both the route predicate and the explode read this column.
+    val withConvs = scanned.withColumn("convs",
+      when(col("relpath").endsWith(".json"),
+        ChatExport.chatConversations(col("raw_text")))
+        .otherwise(array().cast(
+          org.apache.spark.sql.types.ArrayType(ChatExport.schema, containsNull = false))))
+    val isExportCol = size(col("convs")) > 0
 
-    val plain = routePlain(scanned.filter(!isExportCol))
-    val chats = scanned.filter(isExportCol)
-      .select(col("content_sig"), col("bytes"),
-        posexplode(ChatExport.chatConversations(col("raw_text"))).as(Seq("ci", "conv")))
+    val plain = routePlain(withConvs.filter(!isExportCol).drop("convs"))
+    val chats = withConvs.filter(isExportCol)
+      .select(col("content_sig"), col("bytes"), col("source_ext"), col("mtime"),
+        posexplode(col("convs")).as(Seq("ci", "conv")))
       .select(
         concat(lit("chatgpt:"), col("conv.conversation_id")).as("document_id"),
         lit("chat").as("kind"),
         concat(lit("chatgpt/"), col("conv.conversation_id")).as("path"),
         col("conv.text").as("text"),
-        col("content_sig"), col("bytes"))
+        col("content_sig"), col("bytes"), col("source_ext"), col("mtime"),
+        // provenance (process.py:1374-1381)
+        lit("chatgpt").as("source_system"), lit("chat").as("doc_type"),
+        lit("chatgpt").as("detected_as"), lit(0.95).as("detect_confidence"),
+        col("conv.chat_created_at").as("created_at"),
+        col("conv.chat_updated_at").as("updated_at"))
 
     val transcriptHit = col("kind") === "text" &&
       Transcript.isTranscript(col("text"), col("path"))
@@ -197,16 +227,60 @@ object FileIngest {
       .withColumn("t", Transcript.parseTranscriptCol(col("text"), col("path")))
       .filter(col("t").isNotNull)
       .select(col("t.document_id").as("document_id"), lit("chat").as("kind"),
-        col("path"), col("t.text").as("text"), col("content_sig"), col("bytes"))
+        col("path"), col("t.text").as("text"), col("content_sig"), col("bytes"),
+        col("source_ext"), col("mtime"),
+        // provenance (process.py:497-503): confidence is the detector score
+        lit("transcript").as("source_system"), lit("chat").as("doc_type"),
+        lit("transcript").as("detected_as"),
+        Transcript.confidence(col("text"), col("path")).as("detect_confidence"),
+        lit(null).cast("string").as("created_at"),
+        lit(null).cast("string").as("updated_at"))
 
     plainKept.unionByName(chats).unionByName(transcripts)
   }
 
+  /** Parse an ISO-8601-Z string to epoch seconds, null-safe across the two
+    * shapes the pipeline emits (with/without microseconds) — the reference
+    * does `datetime.fromisoformat(...).timestamp()` (process.py:116-141).
+    */
+  private def isoToTs(c: Column): Column =
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssX")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"))).cast("long")
+
+  /** The per-chunk provenance meta contract (process.py:55-141; field
+    * presence asserted by the reference's test_process_unit.py:144-215).
+    */
+  private def metaStruct(ingestedAt: java.time.Instant): Column = {
+    val secs = ingestedAt.getEpochSecond
+    val iso = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(secs)) + "Z"
+    val fields = Seq(
+      "ingested_at" -> lit(iso),
+      "ingested_at_ts" -> lit(secs),
+      "source_system" -> col("source_system"),
+      "doc_type" -> col("doc_type"),
+      "detected_as" -> col("detected_as"),
+      "detect_confidence" -> col("detect_confidence"),
+      "tags" -> array().cast("array<string>"),
+      "author" -> lit(null).cast("string"),
+      "created_at" -> col("created_at"),
+      "created_at_ts" -> isoToTs(col("created_at")),
+      "updated_at" -> col("updated_at"),
+      "updated_at_ts" -> isoToTs(col("updated_at")),
+      "source_ext" -> col("source_ext"),
+      "mtime" -> col("mtime"))
+    call_function("named_struct",
+      fields.flatMap { case (n, c) => Seq(lit(n), c) }: _*)
+  }
+
   private def chunkAndEmbed(
-      documents: DataFrame, chunkSize: Int, chunkOverlap: Int, embedDim: Int): DataFrame =
+      documents: DataFrame, chunkSize: Int, chunkOverlap: Int, embedDim: Int,
+      ingestedAt: java.time.Instant): DataFrame =
     documents
       .select(col("document_id"), col("kind"), col("path"),
-        col("content_sig"), col("bytes"),
+        col("content_sig"), col("bytes"), metaStruct(ingestedAt).as("meta"),
         posexplode(
           when(col("kind") === "chat", Chunker.chunkChatCol(col("text"), chunkSize))
             .otherwise(Chunker.chunkTextCol(col("text"), chunkSize, chunkOverlap)))
@@ -214,7 +288,7 @@ object FileIngest {
       .withColumn("id", Uuid5.chunkId(col("document_id"), col("idx")))
       .withColumn("vector", DevEmbed.devEmbed(col("text"), embedDim))
       .select("id", "document_id", "kind", "path", "idx", "text", "vector",
-        "content_sig", "bytes")
+        "content_sig", "bytes", "meta")
 
   /** Full ingest: directory → chunk rows
     * (id, document_id, kind, path, idx, text, vector, meta…). Chat
@@ -226,17 +300,21 @@ object FileIngest {
       dropzone: String,
       chunkSize: Int = Chunker.DefaultSize,
       chunkOverlap: Int = Chunker.DefaultOverlap,
-      embedDim: Int = 64): DataFrame =
-    chunkAndEmbed(parseDirectoryWithChat(spark, dropzone), chunkSize, chunkOverlap, embedDim)
+      embedDim: Int = 64,
+      ingestedAt: java.time.Instant = java.time.Instant.now()): DataFrame =
+    chunkAndEmbed(parseDirectoryWithChat(spark, dropzone),
+      chunkSize, chunkOverlap, embedDim, ingestedAt)
 
-  /** Chunk rows from an in-memory files frame (path, content, length) —
-    * the SAME lineage as [[ingestDirectory]], for streaming micro-batches.
+  /** Chunk rows from an in-memory files frame (path, content, length
+    * [, modificationTime]) — the SAME lineage as [[ingestDirectory]], for
+    * streaming micro-batches.
     */
   def chunksFromFiles(
       files: DataFrame, dropzone: String,
       chunkSize: Int = Chunker.DefaultSize,
       chunkOverlap: Int = Chunker.DefaultOverlap,
-      embedDim: Int = 64): DataFrame =
+      embedDim: Int = 64,
+      ingestedAt: java.time.Instant = java.time.Instant.now()): DataFrame =
     chunkAndEmbed(routeDocuments(scanFilesFrame(files, dropzone)),
-      chunkSize, chunkOverlap, embedDim)
+      chunkSize, chunkOverlap, embedDim, ingestedAt)
 }

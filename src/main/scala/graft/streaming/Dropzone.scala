@@ -50,7 +50,8 @@ object Dropzone {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val chunks = FileIngest.chunksFromFiles(
-          batch.select(col("path"), col("content"), col("length")),
+          batch.select(col("path"), col("content"), col("length"),
+            col("modificationTime")),
           dropzone, chunkSize, chunkOverlap, embedDim)
         if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
       }

@@ -36,7 +36,8 @@ class IngestSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("junk.tmp"), "should be ignored")
     Files.writeString(dir.resolve("empty.txt"), "   ")
     Files.writeString(dir.resolve("threads.json"),
-      """[{"id": "conv-1", "title": "T", "mapping": {
+      """[{"id": "conv-1", "title": "T",
+           "create_time": 1704103260, "update_time": 1704103320, "mapping": {
            "n1": {"message": {"author": {"role": "user"},
                   "content": {"parts": ["hello there"]}, "create_time": 1704103260}},
            "n2": {"message": {"author": {"role": "assistant"},
@@ -194,6 +195,54 @@ class IngestSpec extends AnyFunSuite {
       .head.getString(0)
     assert(!out.contains("alert") && !out.contains("color:red") && !out.contains("<"))
     assert(out.contains("Title") && out.contains("some") && out.contains("bold"))
+  }
+
+  test("provenance meta contract fields on every chunk (test_process_unit.py:144-215)") {
+    val meta = ingested.select(col("path"), col("kind"), col("meta.*"))
+    // required fields present on every chunk
+    val fields = meta.columns.toSet
+    assert(Set("ingested_at", "ingested_at_ts", "source_system", "doc_type",
+      "detected_as", "detect_confidence", "tags", "author",
+      "created_at", "created_at_ts", "updated_at", "updated_at_ts",
+      "source_ext", "mtime").subsetOf(fields))
+    assert(meta.filter(col("ingested_at").isNull || col("ingested_at_ts").isNull ||
+      col("source_system").isNull || col("doc_type").isNull ||
+      col("detected_as").isNull || col("detect_confidence").isNull ||
+      col("tags").isNull).isEmpty)
+    assert(meta.filter(!col("ingested_at").endsWith("Z")).isEmpty)
+
+    // plain file: filesystem / kind / kind / 1.0, source_ext with dot
+    val txt = meta.filter(col("path") === "notes.txt").head
+    assert(txt.getAs[String]("source_system") == "filesystem")
+    assert(txt.getAs[String]("doc_type") == "text")
+    assert(txt.getAs[String]("detected_as") == "text")
+    assert(txt.getAs[Double]("detect_confidence") == 1.0)
+    assert(txt.getAs[String]("source_ext") == ".txt")
+    assert(!txt.isNullAt(txt.fieldIndex("mtime")))
+
+    // chat export: chatgpt / chat / chatgpt / 0.95 + conversation timestamps
+    val chat = meta.filter(col("path") === "chatgpt/conv-1").head
+    assert(chat.getAs[String]("source_system") == "chatgpt")
+    assert(chat.getAs[String]("doc_type") == "chat")
+    assert(chat.getAs[String]("detected_as") == "chatgpt")
+    assert(chat.getAs[Double]("detect_confidence") == 0.95)
+    assert(chat.getAs[String]("source_ext") == ".json")
+    assert(chat.getAs[String]("created_at") == "2024-01-01T10:01:00Z")
+    assert(chat.getAs[Long]("created_at_ts") == 1704103260L)
+
+    // transcript: transcript / chat / transcript / detector confidence
+    val tr = meta.filter(col("path") === "support_chat.txt").head
+    assert(tr.getAs[String]("source_system") == "transcript")
+    assert(tr.getAs[String]("doc_type") == "chat")
+    assert(tr.getAs[String]("detected_as") == "transcript")
+    assert(tr.getAs[Double]("detect_confidence") >= 0.85)
+
+    // P3: the time-range filter binds to meta.ingested_at_ts
+    val ts = txt.getAs[Long]("ingested_at_ts")
+    assert(SearchOps.search(ingested, DevEmbed.devEmbed(lit("q"), 64), k = 100,
+      filters = SearchFilters(ingestedAfterTs = Some(ts + 10))).isEmpty)
+    assert(!SearchOps.search(ingested, DevEmbed.devEmbed(lit("q"), 64), k = 100,
+      filters = SearchFilters(ingestedBeforeTs = Some(ts + 10))).isEmpty)
   }
 
   test("S18 reindex: read store, write new store, identical content") {
