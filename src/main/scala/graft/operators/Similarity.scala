@@ -93,24 +93,25 @@ object Similarity {
     (model, model.transform(featured).withColumnRenamed("prediction", "cell"))
   }
 
-  /** IVF search: probe the `nProbe` nearest cells, exact cosine within. */
+  /** IVF search: probe the `nProbe` nearest cells, exact cosine within.
+    * `cell` persisted as a partition column (see
+    * [[graft.sources.VectorStore]]) makes the `isin` prune at the source.
+    */
   def ivfTopK(
       indexed: DataFrame, vecCol: String,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+      centroids: Array[Array[Double]],
       queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
-    val centroids = model.clusterCenters
     val qn = l2Normalize(queryVec)
     val probes = centroids.zipWithIndex
-      .map { case (c, i) =>
+      .map { case (ca, i) =>
         var d = 0.0
         var j = 0
-        val ca = c.toArray
         while (j < ca.length) { val diff = ca(j) - qn(j); d += diff * diff; j += 1 }
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
     indexed
-      .filter(col("cell").isin(probes.toSeq: _*)) // cell pruning
+      .filter(col("cell").isin(probes.toSeq: _*)) // cell/partition pruning
       .withColumn("score", VectorFunctions.cosine(
         col(vecCol).cast("array<double>"),
         array(queryVec.map(lit).toSeq: _*)))
@@ -118,17 +119,46 @@ object Similarity {
       .limit(k)
   }
 
-  /** Approximate cosine top-k: probe only buckets within `probeRadius`
-    * Hamming distance of the query's bucket.
+  /** The query vector's sign bucket, computed driver-side — the same
+    * plane-by-plane dot products as [[bucketCol]] (bit-identical IEEE
+    * order), so probe enumeration matches at-rest bucket assignment.
+    */
+  def bucketOf(qv: Array[Double], planes: Int, dim: Int): Long = {
+    var bucket = 0L
+    var r = 0
+    while (r < planes) {
+      var s = 0.0
+      var j = 0
+      val n = math.min(dim, qv.length)
+      while (j < n) { s += qv(j) * planeComponent(r, j); j += 1 }
+      if (s >= 0) bucket |= 1L << r
+      r += 1
+    }
+    bucket
+  }
+
+  /** All bucket ids within `radius` Hamming bits of `qbucket` —
+    * ΣC(planes,r) of the 2^planes ids; the probe list for an `isin` that a
+    * bucket-partitioned table prunes at the source.
+    */
+  def probeBuckets(qbucket: Long, planes: Int, radius: Int): Seq[Long] =
+    (0L until (1L << planes))
+      .filter(b => java.lang.Long.bitCount(b ^ qbucket) <= radius)
+
+  /** Approximate cosine top-k: enumerate the Hamming ball around the
+    * query's bucket and scan ONLY those buckets (`isin` → partition
+    * pruning on a [[graft.sources.VectorStore]] layout — the previous
+    * `bit_count(bucket XOR qbucket)` filter was a full scan).
     */
   def annTopK(
-      corpusWithBucket: DataFrame, vecCol: String, query: DataFrame,
+      corpusWithBucket: DataFrame, vecCol: String, queryVec: Array[Double],
       k: Int, planes: Int, dim: Int, probeRadius: Int = 1): DataFrame = {
-    val q = query.withColumn("qbucket", bucketCol(col("qv"), planes, dim))
+    val probes = probeBuckets(bucketOf(queryVec, planes, dim), planes, probeRadius)
     corpusWithBucket
-      .crossJoin(broadcast(q))
-      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeRadius)
-      .withColumn("score", VectorFunctions.cosine(col(vecCol).cast("array<double>"), col("qv")))
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"),
+        array(queryVec.map(lit).toSeq: _*)))
       .orderBy(col("score").desc)
       .limit(k)
   }

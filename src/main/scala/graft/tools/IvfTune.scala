@@ -41,7 +41,7 @@ object IvfTune {
         val recalls = queryIds.map { qid =>
           val q = all(qid)
           val got = Similarity.ivfTopK(indexed.filter(col("vec_id") =!= qid),
-            "embedding", model, q, 10, nProbe)
+            "embedding", model.clusterCenters.map(_.toArray), q, 10, nProbe)
             .select("vec_id").collect().map(_.getLong(0)).toSet
           (exactTop10(q, qid) & got).size / 10.0
         }

@@ -59,4 +59,15 @@ class PlanSpec extends AnyFunSuite {
       "range join degenerated to a non-equi nested loop")
     assert(p.contains("Join") && p.contains("_bin"), "expected bin-keyed equi join")
   }
+
+  test("q25/q27: ANN probes prune the persisted layout at the source") {
+    // LSH: bucket probe list pushed into parquet (bucket-clustered files →
+    // row-group skipping); IVF: cell probe prunes whole partitions.
+    val p25 = plan("q25_ann_lsh")
+    assert(p25.contains("PushedFilters: [In(bucket"),
+      "LSH bucket probe not pushed to the parquet scan")
+    val p27 = plan("q27_ann_ivf")
+    assert(p27.contains("PartitionFilters") && p27.contains("cell"),
+      "IVF probe does not prune cell partitions at the source")
+  }
 }
