@@ -44,6 +44,10 @@ object Registry {
       es => WordShingles(es(0), intArg(es(1), "n")), "scala_udf")
     reg.createOrReplaceTempFunction("band_minhash",
       es => BandMinhash(es(0), intArg(es(1), "numHashes"), intArg(es(2), "bands")), "scala_udf")
+    reg.createOrReplaceTempFunction("decode_text",
+      es => DecodeText(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("html_to_text",
+      es => graft.sources.HtmlToText(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       es => SimHash60(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("sum_char_lengths",

@@ -64,6 +64,73 @@ object SimHash60 {
     GraftSql.column(SimHash60(GraftSql.expression(tokenHashes)))
 }
 
+/** Encoding-sniffing text decode of a binary column — the reference's
+  * `decode_bytes` waterfall (note_to_json/utils/encoding.py:21-56):
+  * strict UTF-8 first, then UTF-16 LE/BE/auto, then cp1252/latin-1;
+  * a leading U+FEFF BOM is stripped after decode; a >10% NUL ratio
+  * rejects non-UTF-16 candidates (catches UTF-16 bytes that happen to be
+  * valid UTF-8); UTF-16 candidates must be ≥50% printable ASCII. A bare
+  * `decode(content, 'UTF-8')` silently garbles BOM-prefixed and UTF-16
+  * files (reference tests: test_bom_handling.py, test_utf8_and_utf16_files.py).
+  */
+case class DecodeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "decode_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DecodeText.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DecodeText$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DecodeText {
+  private val Utf16Names = Set("UTF-16LE", "UTF-16BE", "UTF-16")
+  private val Encodings =
+    Seq("UTF-8", "UTF-16LE", "UTF-16BE", "UTF-16", "windows-1252", "ISO-8859-1")
+
+  private def strictDecode(data: Array[Byte], name: String): Option[String] =
+    try {
+      val dec = java.nio.charset.Charset.forName(name).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(data)).toString)
+    } catch { case _: Exception => None }
+
+  def decodeBytes(data: Array[Byte]): String = {
+    Encodings.foreach { enc =>
+      strictDecode(data, enc).foreach { decoded0 =>
+        val decoded =
+          if (decoded0.nonEmpty && decoded0.charAt(0) == '\ufeff') decoded0.substring(1)
+          else decoded0
+        val ok =
+          if (decoded.isEmpty) true
+          else {
+            val nulls = decoded.count(_ == '\u0000')
+            val nullOk = nulls.toDouble / decoded.length <= 0.1 || Utf16Names(enc)
+            val printableOk = !Utf16Names(enc) || {
+              val printable = decoded.count(c => c >= ' ' && c < 0x7f)
+              printable >= decoded.length * 0.5
+            }
+            nullOk && printableOk
+          }
+        if (ok) return decoded
+      }
+    }
+    // latin-1 decodes any byte string; unreachable in practice
+    new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  def compute(data: Array[Byte]): UTF8String =
+    UTF8String.fromString(decodeBytes(data))
+
+  def decodeText(content: Column): Column =
+    GraftSql.column(DecodeText(GraftSql.expression(content)))
+}
+
 /** Sum of per-token character lengths of an `array<string>` — the codegen
   * replacement for `aggregate(transform(toks, length), 0, +)` (q22).
   */

@@ -131,10 +131,9 @@ object IngestCatalog {
          SELECT 'web/' || doc_id || '.html', 'html', '.html',
                 '<html><head><style>p{color:red}</style></head><body><h1>Doc '
                   || doc_id || '</h1><p>' || substr(text, 1, 120) || '</p></body></html>',
-                trim(regexp_replace(regexp_replace(
-                  '<html><head><style>p{color:red}</style></head><body><h1>Doc '
-                    || doc_id || '</h1><p>' || substr(text, 1, 120) || '</p></body></html>',
-                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'), '(?s)<[^>]*>', ' ', 'g'))
+                -- bs4 get_text(separator=newline): tags drop to line breaks,
+                -- lines strip, blanks vanish -> heading + stripped body
+                'Doc ' || doc_id || chr(10) || trim(substr(text, 1, 120))
          FROM d)
        SELECT path, kind, text, sha256(content) AS content_sig,
               CAST(strlen(content) AS BIGINT) AS bytes,

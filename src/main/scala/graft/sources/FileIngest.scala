@@ -112,10 +112,7 @@ object FileIngest {
       .when(kind === "image", concat(lit("image: "), relpath))
       .when(kind === "pdf", rawText) // real extraction: pdfbox branch at deploy
       .when(kind === "doc", rawText) // real extraction: poi branch at deploy
-      .when(kind === "html",
-        trim(regexp_replace(
-          regexp_replace(rawText, "(?is)<(script|style|noscript)[^>]*>.*?</\\1>", " "),
-          "(?s)<[^>]*>", " ")))
+      .when(kind === "html", HtmlText.htmlToText(rawText)) // bs4 get_text parity (S9)
       .otherwise(rawText)
 
   /** Document-level parse: directory → one row per kept, non-empty file
@@ -141,7 +138,10 @@ object FileIngest {
       .withColumn("relpath", canonicalRelpath(col("path"), dropzone))
       .filter(keepFile(col("relpath")))
       .withColumn("kind", kindForExtension(extension(col("relpath"))))
-      .withColumn("raw_text", decode(col("content"), "UTF-8"))
+      // encoding-sniffing decode: UTF-8 / BOM-stripped / UTF-16 LE/BE /
+      // cp1252 fallback (reference decode_bytes waterfall; a bare UTF-8
+      // decode garbles BOM-prefixed and UTF-16 files silently)
+      .withColumn("raw_text", graft.functions.DecodeText.decodeText(col("content")))
       .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
       .withColumn("source_ext",
         lower(regexp_extract(basename(col("relpath")), "(\\.[^.]+)$", 1)))

@@ -27,6 +27,10 @@ class IngestSpec extends AnyFunSuite {
 
   private def writeFixtures(dir: Path): Unit = {
     Files.writeString(dir.resolve("notes.txt"), "hello world this is a plain note")
+    Files.write(dir.resolve("bom_note.txt"),
+      ("﻿" + "bom prefixed note").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("utf16_note.txt"),
+      ("﻿" + "utf sixteen note body").getBytes(java.nio.charset.StandardCharsets.UTF_16LE))
     Files.writeString(dir.resolve("readme.md"), "# Title\nsome markdown body text")
     Files.writeString(dir.resolve("people.csv"), "name,age\nalice,30\nbob,25\n")
     Files.writeString(dir.resolve("data.json"),
@@ -60,7 +64,14 @@ class IngestSpec extends AnyFunSuite {
   test("discovery + ignore filters + empty guard") {
     val paths = ingested.select("path").distinct().collect().map(_.getString(0)).toSet
     assert(paths == Set("notes.txt", "readme.md", "people.csv", "data.json", "rows.jsonl",
-      "chatgpt/conv-1", "support_chat.txt"))
+      "chatgpt/conv-1", "support_chat.txt", "bom_note.txt", "utf16_note.txt"))
+  }
+
+  test("BOM and UTF-16 files decode cleanly (test_bom_handling/test_utf8_and_utf16)") {
+    val bom = ingested.filter(col("path") === "bom_note.txt").select("text").head.getString(0)
+    assert(bom == "bom prefixed note") // BOM stripped, not decoded into the text
+    val u16 = ingested.filter(col("path") === "utf16_note.txt").select("text").head.getString(0)
+    assert(u16 == "utf sixteen note body") // no interleaved NULs
   }
 
   test("chat export and transcript route to kind=chat with their id schemes") {
@@ -185,16 +196,28 @@ class IngestSpec extends AnyFunSuite {
     assert(c.id.nonEmpty && c.content_sig.length == 64)
   }
 
-  test("HTML strips script/style and tags (S9)") {
-    import spark.implicits._
+  test("HTML extracts bs4-visible text: entities, <br>, blank lines (S9)") {
+    import graft.sources.HtmlText.extract
+    // goldens match BeautifulSoup get_text(separator="\n") + strip/drop-blank
+    // post-processing of parsers_html.py:6-25 (verified against the executed
+    // reference semantics)
     val html = """<html><head><style>body{color:red}</style>
-      <script>alert('x')</script></head>
-      <body><h1>Title</h1><p>some <b>bold</b> text</p></body></html>"""
+      <script>alert('x')</script><noscript>enable js</noscript></head>
+      <body><h1>Title</h1><p>some <b>bold</b> text</p>
+      <!-- a comment --><p>line one<br>line two</p>
+      <p>A &amp; B &lt;tag&gt; &quot;q&quot; &#233; &#x1F389; caf&eacute;&nbsp;!</p>
+      </body></html>"""
+    assert(extract(html) ==
+      "Title\nsome\nbold\ntext\nline one\nline two\nA & B <tag> \"q\" é 🎉 café !")
+    // blank-line dropping and entity-only lines
+    assert(extract("<p>  </p><p>x</p>") == "x")
+    assert(extract("") == "")
+    // the router wires kind=html through this extractor
+    import spark.implicits._
     val out = Seq(html).toDF("raw")
       .select(graft.sources.FileIngest.routeText(lit("html"), col("raw"), lit("p.html")).as("t"))
       .head.getString(0)
-    assert(!out.contains("alert") && !out.contains("color:red") && !out.contains("<"))
-    assert(out.contains("Title") && out.contains("some") && out.contains("bold"))
+    assert(out.startsWith("Title\nsome") && !out.contains("alert") && !out.contains("enable js"))
   }
 
   test("provenance meta contract fields on every chunk (test_process_unit.py:144-215)") {

@@ -65,6 +65,24 @@ class KernelsSpec extends AnyFunSuite {
     assert(WordListHits.compute(arr(), set) == 0)
   }
 
+  test("decode_text: BOM strip + UTF-16 sniff (decode_bytes waterfall)") {
+    import graft.functions.DecodeText.decodeBytes
+    import java.nio.charset.StandardCharsets._
+    val content = "# Test Title\nUTF content with émojis 🎉"
+    // plain UTF-8 and UTF-8 with BOM → identical, BOM stripped
+    assert(decodeBytes(content.getBytes(UTF_8)) == content)
+    assert(decodeBytes(("﻿" + content).getBytes(UTF_8)) == content)
+    // UTF-16 LE/BE with BOM (Java "UTF-16" honours it)
+    assert(decodeBytes(("﻿" + content).getBytes(UTF_16LE)) == content)
+    assert(decodeBytes(("﻿" + content).getBytes(UTF_16BE)) == content)
+    // UTF-16LE without BOM: ASCII bytes are valid UTF-8 but >10% NULs → sniffed
+    assert(decodeBytes("hello world plain ascii".getBytes(UTF_16LE))
+      == "hello world plain ascii")
+    // cp1252 fallback for non-UTF bytes (é = 0xE9)
+    assert(decodeBytes(Array[Byte](0x63, 0x61, 0x66, 0xE9.toByte)) == "café")
+    assert(decodeBytes(Array.emptyByteArray) == "")
+  }
+
   test("cosine kernel") {
     def arr(xs: Double*) = new GenericArrayData(xs.toArray)
     assert(VectorKernels.cosine(arr(1, 0), arr(1, 0)) == 1.0)
