@@ -146,7 +146,7 @@ object FileIngest {
       .withColumn("source_ext",
         lower(regexp_extract(basename(col("relpath")), "(\\.[^.]+)$", 1)))
       .withColumn("mtime", mtime)
-      .select(col("relpath"), col("kind"), col("raw_text"),
+      .select(col("relpath"), col("kind"), col("raw_text"), col("content"),
         col("content_sig"), col("length").as("bytes"),
         col("source_ext"), col("mtime"))
   }
@@ -165,7 +165,12 @@ object FileIngest {
 
   private def routePlain(scanned: DataFrame): DataFrame =
     scanned
-      .withColumn("text", routeText(col("kind"), col("raw_text"), col("relpath")))
+      .withColumn("text",
+        // binary kinds parse from the raw bytes (JDK-native extractors);
+        // everything else routes on the decoded text
+        when(col("kind") === "pdf", BinaryDocs.pdfTextCol(col("content")))
+          .when(col("kind") === "doc", BinaryDocs.docxTextCol(col("content")))
+          .otherwise(routeText(col("kind"), col("raw_text"), col("relpath"))))
       .filter(trim(col("text")) =!= "") // P7 empty-content guard
       .withColumn("document_id", Uuid5.documentId(col("relpath")))
       .select(col("document_id"), col("kind"), col("relpath").as("path"),

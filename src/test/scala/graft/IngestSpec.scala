@@ -268,6 +268,47 @@ class IngestSpec extends AnyFunSuite {
       filters = SearchFilters(ingestedBeforeTs = Some(ts + 10))).isEmpty)
   }
 
+  test("DOCX extracts paragraph text from word/document.xml (S8, JDK-native)") {
+    import graft.sources.BinaryDocs
+    val xml =
+      """<?xml version="1.0"?><w:document xmlns:w="ns"><w:body>
+        <w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world &amp; more</w:t></w:r></w:p>
+        <w:p><w:r><w:t>second</w:t></w:r><w:br/><w:r><w:t>line</w:t></w:r></w:p>
+        </w:body></w:document>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(xml.getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    assert(BinaryDocs.docxText(bos.toByteArray)
+      == "Hello world & more\nsecond\nline")
+    assert(BinaryDocs.docxText("not a zip".getBytes) == "")
+  }
+
+  test("PDF extracts Tj/TJ text from raw and Flate streams (S7, JDK-native)") {
+    import graft.sources.BinaryDocs
+    def pdfWith(stream: Array[Byte], extra: String = ""): Array[Byte] = {
+      val head = s"%PDF-1.4\n1 0 obj\n<< /Length ${stream.length} $extra >>\nstream\n"
+      val tail = "endstream\nendobj\ntrailer\n%%EOF"
+      head.getBytes("ISO-8859-1") ++ stream ++ tail.getBytes("ISO-8859-1")
+    }
+    val content = "BT /F1 12 Tf (Hello PDF) Tj T* [(sec) -250 (ond \\(esc\\))] TJ ET"
+    // uncompressed content stream
+    assert(BinaryDocs.pdfText(pdfWith(content.getBytes("ISO-8859-1")))
+      == "Hello PDF\nsecond (esc)")
+    // FlateDecode-compressed content stream
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes("ISO-8859-1")); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n = deflater.deflate(buf)
+    assert(BinaryDocs.pdfText(pdfWith(buf.take(n), "/Filter /FlateDecode"))
+      == "Hello PDF\nsecond (esc)")
+    // octal escapes decode
+    assert(BinaryDocs.pdfText(pdfWith("BT (caf\\351) Tj ET".getBytes("ISO-8859-1")))
+      == "café")
+    assert(BinaryDocs.pdfText("garbage".getBytes) == "")
+  }
+
   test("S18 reindex: read store, write new store, identical content") {
     import java.nio.file.Files
     val s1 = Files.createTempDirectory("reix1").resolve("chunks").toString
