@@ -409,6 +409,92 @@ object IngestCatalog {
        ORDER BY snippet_rank"""
 
   // -------------------------------------------------------------------------
+  // q40: ChatGPT-export explode (T4) + message ordering/formatting (W5) +
+  // unix→ISO provenance timestamps (F7) — a full mapping-format export is
+  // constructed per document; the REAL routeDocuments detects it, explodes
+  // conversations, sorts messages by create_time and formats
+  // "[YYYY-MM-DD HH:MM] role: content" lines (parse_chatgpt.py:16-280)
+  // -------------------------------------------------------------------------
+
+  val q40ChatExport: Q = (s, d) => {
+    val ws = split(trim(col("text")), " ")
+    val k = (pmod(col("doc_id"), lit(3)) + 2).cast("int")
+    val base = lit(1700000000L) + col("doc_id") * 1000
+    val msgs = transform(sequence(lit(0), k - 1), j =>
+      concat(
+        lit("\"n"), j, lit("\": {\"message\": {\"author\": {\"role\": \""),
+        when(j % 2 === 0, "user").otherwise("assistant"),
+        lit("\"}, \"content\": {\"parts\": [\""),
+        element_at(ws, (j * 2 + 1).cast("int")), lit(" "),
+        element_at(ws, (j * 2 + 2).cast("int")),
+        lit("\"]}, \"create_time\": "), (base + j * 60).cast("string"),
+        lit("}}")))
+    val json = concat(
+      lit("[{\"id\": \"conv-"), col("doc_id"),
+      lit("\", \"title\": \"T"), col("doc_id"),
+      lit("\", \"create_time\": "), base.cast("string"),
+      lit(", \"mapping\": {"), array_join(msgs, ", "), lit("}}]"))
+    val files = docs(s, d).select(
+      concat(lit("dz/export_"), col("doc_id"), lit(".json")).as("path"),
+      encode(json, "UTF-8").as("content"))
+      .withColumn("length", octet_length(col("content")).cast("long"))
+    FileIngest.routeDocuments(FileIngest.scanFilesFrame(files, "dz"))
+      .select(col("document_id"), col("kind"), col("path"), col("text"),
+        col("detected_as"), col("detect_confidence"), col("created_at"))
+      .orderBy(col("document_id"))
+  }
+
+  private val q40Sql =
+    """WITH w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                CAST(2 + doc_id % 3 AS INT) AS k,
+                1700000000 + doc_id * 1000 AS base
+         FROM documents
+       ), lines AS (
+         SELECT doc_id, k, base,
+           list_transform(range(0, k), j ->
+             '[' || strftime(make_timestamp((base + j*60) * 1000000), '%Y-%m-%d %H:%M') || '] '
+               || (CASE WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END) || ': '
+               || ws[2*j + 1] || ' ' || ws[2*j + 2]) AS ls
+         FROM w)
+       SELECT 'chatgpt:conv-' || doc_id AS document_id, 'chat' AS kind,
+              'chatgpt/conv-' || doc_id AS path,
+              array_to_string(ls, chr(10) || chr(10)) AS text,
+              'chatgpt' AS detected_as, CAST(0.95 AS DOUBLE) AS detect_confidence,
+              strftime(make_timestamp(base * 1000000), '%Y-%m-%dT%H:%M:%SZ') AS created_at
+       FROM lines
+       ORDER BY document_id"""
+
+  // -------------------------------------------------------------------------
+  // q41: JSONL flatten (S6) — per-line `$[i]` prefixes, bool/null Python
+  // rendering, malformed lines skipped with their index preserved
+  // (parse_json.py:26-41)
+  // -------------------------------------------------------------------------
+
+  val q41Jsonl: Q = (s, d) => {
+    val jsonl = concat(
+      lit("{\"a\": "), col("doc_id"), lit(", \"flag\": true}\n"),
+      lit("this line is not json\n"),
+      lit("{\"b\": \""), col("lang"), lit("\", \"n\": [1, 2], \"z\": null}"))
+    val files = docs(s, d).select(
+      concat(lit("dz/rows_"), col("doc_id"), lit(".jsonl")).as("path"),
+      encode(jsonl, "UTF-8").as("content"))
+      .withColumn("length", octet_length(col("content")).cast("long"))
+    FileIngest.routeDocuments(FileIngest.scanFilesFrame(files, "dz"))
+      .select(col("path"), col("kind"), col("text"))
+      .orderBy(col("path"))
+  }
+
+  private val q41Sql =
+    """SELECT 'rows_' || doc_id || '.jsonl' AS path, 'json' AS kind,
+              '$[0].a: ' || doc_id || chr(10) || '$[0].flag: True' || chr(10) ||
+              '$[2].b: ' || lang || chr(10) ||
+              '$[2].n[0]: 1' || chr(10) || '$[2].n[1]: 2' || chr(10) ||
+              '$[2].z: None' AS text
+       FROM documents
+       ORDER BY path"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -418,6 +504,8 @@ object IngestCatalog {
     "q37_note2json" -> q37Note2Json,
     "q38_chat_chunks" -> q38ChatChunks,
     "q39_snippet_budget" -> q39SnippetBudget,
+    "q40_chat_export" -> q40ChatExport,
+    "q41_jsonl_flatten" -> q41Jsonl,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -428,5 +516,7 @@ object IngestCatalog {
     "q37_note2json" -> q37Sql,
     "q38_chat_chunks" -> q38Sql,
     "q39_snippet_budget" -> q39Sql,
+    "q40_chat_export" -> q40Sql,
+    "q41_jsonl_flatten" -> q41Sql,
   )
 }
