@@ -495,6 +495,65 @@ object IngestCatalog {
        ORDER BY path"""
 
   // -------------------------------------------------------------------------
+  // q42: deterministic train/val/test split — engine-portable sha-bucket
+  // assignment, stable under re-runs/partitioning (TrainPrep.assignSplits)
+  // -------------------------------------------------------------------------
+
+  val q42TrainSplit: Q = (s, d) =>
+    graft.operators.TrainPrep.assignSplits(docs(s, d), "doc_id", "graft",
+        Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val q42Sql =
+    """WITH b AS (
+         SELECT doc_id, lang,
+                CAST('0x' || substr(sha256(doc_id || ':graft'), 1, 15) AS BIGINT) % 10000 AS bucket
+         FROM documents)
+       SELECT doc_id, lang,
+              CASE WHEN bucket < 8000 THEN 'train'
+                   WHEN bucket < 9000 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM b
+       ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q43: greedy token-budget sequence packing per language shard
+  // (TrainPrep.packSequences) — the sequential fold recomputed as a
+  // recursive CTE
+  // -------------------------------------------------------------------------
+
+  private val PackBudget = 200L
+
+  val q43PackSequences: Q = (s, d) =>
+    graft.operators.TrainPrep.packSequences(
+        docs(s, d).withColumn("n_tokens",
+          size(split(trim(col("text")), " ")).cast("long")),
+        "lang", "doc_id", "n_tokens", budget = PackBudget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("seq_idx"), col("seq_pos"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val q43Sql =
+    s"""WITH RECURSIVE t AS (
+         SELECT doc_id, lang,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         FROM documents
+       ), walk(lang, rn, doc_id, n, seq_idx, seq_pos, cur) AS (
+         SELECT lang, rn, doc_id, n, CAST(0 AS BIGINT), 0, n FROM t WHERE rn = 1
+         UNION ALL
+         SELECT t.lang, t.rn, t.doc_id, t.n,
+           CASE WHEN w.cur + t.n > $PackBudget THEN w.seq_idx + 1 ELSE w.seq_idx END,
+           CASE WHEN w.cur + t.n > $PackBudget THEN 0 ELSE w.seq_pos + 1 END,
+           CASE WHEN w.cur + t.n > $PackBudget THEN t.n ELSE w.cur + t.n END
+         FROM walk w JOIN t ON t.lang = w.lang AND t.rn = w.rn + 1
+       )
+       SELECT doc_id, lang, n AS n_tokens, seq_idx, CAST(seq_pos AS INT) AS seq_pos
+       FROM walk
+       ORDER BY lang, doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -506,6 +565,8 @@ object IngestCatalog {
     "q39_snippet_budget" -> q39SnippetBudget,
     "q40_chat_export" -> q40ChatExport,
     "q41_jsonl_flatten" -> q41Jsonl,
+    "q42_train_split" -> q42TrainSplit,
+    "q43_pack_sequences" -> q43PackSequences,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -518,5 +579,7 @@ object IngestCatalog {
     "q39_snippet_budget" -> q39Sql,
     "q40_chat_export" -> q40Sql,
     "q41_jsonl_flatten" -> q41Sql,
+    "q42_train_split" -> q42Sql,
+    "q43_pack_sequences" -> q43Sql,
   )
 }

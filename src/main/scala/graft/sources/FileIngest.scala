@@ -202,8 +202,11 @@ object FileIngest {
   def routeDocuments(scanned: DataFrame): DataFrame = {
     // Parse candidate chat exports ONCE (full-JSON parse is the expensive
     // step); both the route predicate and the explode read this column.
+    // exports are JSON ARRAYS — the leading-char sniff skips the full
+    // Jackson parse for every object-shaped .json file
     val withConvs = scanned.withColumn("convs",
-      when(col("relpath").endsWith(".json"),
+      when(col("relpath").endsWith(".json") &&
+          substring(ltrim(col("raw_text")), 1, 1) === "[",
         ChatExport.chatConversations(col("raw_text")))
         .otherwise(array().cast(
           org.apache.spark.sql.types.ArrayType(ChatExport.schema, containsNull = false))))
