@@ -39,6 +39,25 @@ object Exports {
         first(col("path")).as("path"),
         first(col("kind")).as("kind"))
 
+  /** J2: export lookup with collection fallback — the chunks collection
+    * serves the export unless the document has no text chunks, in which
+    * case the image collection's rows serve it (reference export.py
+    * falls back across collections). One pass: union with a source
+    * priority, keep only the best-priority source present.
+    */
+  def exportDocument(
+      chunks: DataFrame, images: DataFrame, documentId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = chunks.withColumn("_src", lit(0))
+      .unionByName(images.withColumn("_src", lit(1)))
+      .filter(col("document_id") === documentId)
+    u.withColumn("_best",
+        min(col("_src")).over(Window.partitionBy(col("document_id"))))
+      .filter(col("_src") === col("_best"))
+      .select("id", "document_id", "kind", "path", "idx", "text")
+      .orderBy("idx")
+  }
+
   /** A1 + J1: documents listing — per-document roll-up over the chunk
     * collection full-outer-merged with the image collection
     * (documents.py:147-168: union of kinds/paths, per-collection counts,

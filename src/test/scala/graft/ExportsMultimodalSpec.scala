@@ -50,6 +50,26 @@ class ExportsMultimodalSpec extends AnyFunSuite {
     assert(lines.count() == 2)
   }
 
+  test("export fallback lookup prefers chunks, falls back to images (J2)") {
+    // docA exists in both collections -> chunk rows only
+    val a = Exports.exportDocument(chunkDf, imageDf, "docA").collect()
+    assert(a.map(_.getAs[String]("id")).toSeq == Seq("c1", "c2"))
+    // docC has no text chunks -> image rows serve the export
+    val c = Exports.exportDocument(chunkDf, imageDf, "docC").collect()
+    assert(c.map(_.getAs[String]("id")).toSeq == Seq("i2"))
+    // unknown doc -> empty
+    assert(Exports.exportDocument(chunkDf, imageDf, "nope").isEmpty)
+  }
+
+  test("synthesis gate trips exactly at the min score (A5, ask.py:448-463)") {
+    import graft.operators.SearchOps
+    val hits = Seq(("h1", 0.54), ("h2", 0.31)).toDF("id", "score")
+    assert(!SearchOps.synthesisGate(hits)) // max 0.54 < 0.55
+    val hits2 = Seq(("h1", 0.55), ("h2", 0.31)).toDF("id", "score")
+    assert(SearchOps.synthesisGate(hits2)) // >= is inclusive
+    assert(SearchOps.synthesisGate(hits, minSynthScore = 0.5))
+  }
+
   test("documents listing merges chunk and image collections (J1 full outer)") {
     val listing = Exports.documentsListing(chunkDf, imageDf).collect()
       .map(r => r.getAs[String]("document_id") ->

@@ -309,6 +309,38 @@ class IngestSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText("garbage".getBytes) == "")
   }
 
+  test("ST6 read-while-write: upsert rewrites only the touched buckets") {
+    import java.nio.file.{Files, Paths}
+    val store = Files.createTempDirectory("rw").resolve("chunks").toString
+    ChunkStore.upsert(ingested, store, numBuckets = 8)
+
+    def partFiles(): Map[String, Seq[String]] = {
+      val root = Paths.get(store)
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("doc_bucket="))
+        .map { dir =>
+          dir.getFileName.toString ->
+            Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSeq.sorted
+        }.toMap
+    }
+    val before = partFiles()
+
+    // replace ONE document; only its bucket partition may change
+    val one = ingested.filter(col("path") === "notes.txt")
+    assert(!one.isEmpty)
+    ChunkStore.upsert(one, store)
+    val after = partFiles()
+
+    val changed = before.keySet.union(after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // readers of untouched buckets keep their exact files (read-while-write
+    // isolation: concurrent scans of other buckets never see a rewrite)
+    assert(ChunkStore.read(spark, store).count() == ingested.count())
+  }
+
   test("S18 reindex: read store, write new store, identical content") {
     import java.nio.file.Files
     val s1 = Files.createTempDirectory("reix1").resolve("chunks").toString
