@@ -22,6 +22,29 @@ object Dedup {
       .groupBy(sha2(col(textCol), 256).as("content_sig"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the daily-batch shape: classify each NEW
+    * document against the existing corpus and against earlier rows of its
+    * own batch. Returns the batch annotated with `dup_of_corpus` (content
+    * signature already stored) and `is_batch_dup` (an earlier batch row —
+    * smaller id — has the same signature). At 100 TB the corpus side is a
+    * signature-only scan (one column) and both joins are hash joins on the
+    * signature — no full-text movement.
+    */
+  def incrementalExact(
+      batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val sig = sha2(col(textCol), 256)
+    val corpusSigs = corpus.select(sha2(col(textCol), 256).as("content_sig")).distinct()
+    val b = batch.withColumn("content_sig", sig)
+    val firstOfSig = b.groupBy(col("content_sig"))
+      .agg(min(col(idCol)).as("_first_id"))
+    b.join(corpusSigs.withColumn("_in_corpus", lit(true)), Seq("content_sig"), "left")
+      .join(firstOfSig, Seq("content_sig"))
+      .withColumn("dup_of_corpus", coalesce(col("_in_corpus"), lit(false)))
+      .withColumn("is_batch_dup", col(idCol) > col("_first_id"))
+      .drop("_in_corpus", "_first_id")
+  }
+
   /** Exact all-pairs shingle-Jaccard within a blocking key — the verifiable
     * small-scale form (quadratic within a block; use [[minhashNearDuplicates]]
     * for the unblocked 100 TB path).

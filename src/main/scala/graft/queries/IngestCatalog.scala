@@ -554,6 +554,47 @@ object IngestCatalog {
        ORDER BY lang, doc_id"""
 
   // -------------------------------------------------------------------------
+  // q44: incremental exact dedup — a synthetic "new batch" (some rows copy
+  // corpus texts, some copy earlier batch rows) classified against the
+  // documents corpus (Dedup.incrementalExact, the daily-crawl shape)
+  // -------------------------------------------------------------------------
+
+  val q44IncrementalDedup: Q = (s, d) => {
+    val corpus = docs(s, d)
+    // batch: ids offset by 100000; every 3rd row copies a corpus text
+    // (shifted id), every 5th copies an earlier batch row's text
+    val fresh = corpus.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+        .otherwise(concat(lit("new "), col("text"))).as("text"))
+    val batch = fresh.unionByName(
+      corpus.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text")))
+    graft.operators.Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .select(col("doc_id"), col("dup_of_corpus"), col("is_batch_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q44Sql =
+    """WITH batch AS (
+         SELECT doc_id + 100000 AS doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN text ELSE 'new ' || text END AS text
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 200000, 'new ' || text FROM documents WHERE doc_id % 5 = 0
+       ), sigs AS (
+         SELECT doc_id, sha256(text) AS sig FROM batch
+       ), corpus AS (SELECT DISTINCT sha256(text) AS sig FROM documents),
+       firsts AS (SELECT sig, min(doc_id) AS first_id FROM sigs GROUP BY sig)
+       SELECT s.doc_id,
+              (c.sig IS NOT NULL) AS dup_of_corpus,
+              s.doc_id > f.first_id AS is_batch_dup
+       FROM sigs s LEFT JOIN corpus c ON s.sig = c.sig
+       JOIN firsts f ON s.sig = f.sig
+       ORDER BY s.doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -567,6 +608,7 @@ object IngestCatalog {
     "q41_jsonl_flatten" -> q41Jsonl,
     "q42_train_split" -> q42TrainSplit,
     "q43_pack_sequences" -> q43PackSequences,
+    "q44_incremental_dedup" -> q44IncrementalDedup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -581,5 +623,6 @@ object IngestCatalog {
     "q41_jsonl_flatten" -> q41Sql,
     "q42_train_split" -> q42Sql,
     "q43_pack_sequences" -> q43Sql,
+    "q44_incremental_dedup" -> q44Sql,
   )
 }
