@@ -27,10 +27,16 @@ object VectorStore {
   case class Index(vectors: DataFrame, centroids: Array[Array[Double]],
       planes: Int, dim: Int)
 
-  /** Deterministic cache path for a source table + layout parameters. */
+  /** Deterministic cache path for a source table + layout parameters. The
+    * source file's (size, mtime) is part of the key: regenerated testdata
+    * must never be served by a stale index (rows-only queries would not
+    * catch it).
+    */
   def indexPath(sfDir: String, planes: Int, dim: Int, k: Int): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val stamp = if (src.exists()) s"${src.length()}|${src.lastModified()}" else "absent"
     val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$planes|$dim|$k".getBytes("UTF-8"))
+      .digest(s"$sfDir|$stamp|$planes|$dim|$k".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
     new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-vstore-$sig").toString
   }
