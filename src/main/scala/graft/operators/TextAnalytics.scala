@@ -48,6 +48,39 @@ object TextAnalytics {
   def simhash(tokenHashes: Column): Column =
     graft.functions.SimHash60.simhash60(tokenHashes)
 
+  // ------------------------------------------------------------- redaction
+
+  /** PII-ish patterns, deliberately RE2-safe (no lookaround/backrefs) so
+    * Java regex and any RE2 engine (the DuckDB oracle, Go/Rust scrubbers)
+    * agree match-for-match. Conservative by design: a training-corpus
+    * scrubber prefers typed placeholder tokens over deletions so
+    * tokenization stays stable.
+    */
+  val UrlRe = "https?://\\S+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d[\\d ]{7,}\\d"
+
+  /** Text with URLs/emails/IPv4s/phone numbers replaced by typed tokens —
+    * composed builtin `regexp_replace` (codegen'd), applied in fixed
+    * order (URL first: it swallows everything to whitespace).
+    */
+  def redact(text: Column): Column = {
+    val r1 = regexp_replace(text, UrlRe, "<URL>")
+    val r2 = regexp_replace(r1, EmailRe, "<EMAIL>")
+    val r3 = regexp_replace(r2, Ipv4Re, "<IP>")
+    regexp_replace(r3, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-category match counts over the ORIGINAL text (independent counts
+    * — the audit signal a scrubbing pipeline reports).
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_url" -> regexp_count(text, lit(UrlRe)),
+    "n_email" -> regexp_count(text, lit(EmailRe)),
+    "n_ip" -> regexp_count(text, lit(Ipv4Re)),
+    "n_phone" -> regexp_count(text, lit(PhoneRe)))
+
   /** Count of distinct tokens appearing in a stopword list. */
   def stopwordScore(distinctTokens: Column, stopwords: Seq[String]): Column =
     size(array_intersect(distinctTokens, array(stopwords.map(lit): _*)))

@@ -595,6 +595,49 @@ object IngestCatalog {
        ORDER BY s.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q45: PII redaction — URLs/emails/IPv4s/phones to typed tokens + audit
+  // counts (TextAnalytics.redact; RE2-safe patterns, so DuckDB replays the
+  // exact same matches)
+  // -------------------------------------------------------------------------
+
+  val q45Redact: Q = (s, d) => {
+    val dirty = concat(
+      lit("contact bob@mail"), col("lang"), lit(".com at 10.0."),
+      pmod(col("doc_id"), lit(256)), lit(".7 or +1 555 000"), col("doc_id"),
+      lit(" see https://ex.com/"), col("doc_id"), lit(" "), col("text"))
+    val base = docs(s, d).withColumn("dirty", dirty)
+    val counted = graft.operators.TextAnalytics.piiCounts(col("dirty"))
+      .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+    counted
+      .select(col("doc_id"),
+        graft.operators.TextAnalytics.redact(col("dirty")).as("clean"),
+        col("n_url"), col("n_email"), col("n_ip"), col("n_phone"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q45Sql = {
+    import graft.operators.TextAnalytics.{UrlRe, EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH d AS (
+         SELECT doc_id,
+                'contact bob@mail' || lang || '.com at 10.0.' || (doc_id % 256)
+                  || '.7 or +1 555 000' || doc_id
+                  || ' see https://ex.com/' || doc_id || ' ' || text AS dirty
+         FROM documents)
+       SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+                '$UrlRe', '<URL>', 'g'),
+                '$EmailRe', '<EMAIL>', 'g'),
+                '$Ipv4Re', '<IP>', 'g'),
+                '$PhoneRe', '<PHONE>', 'g') AS clean,
+              CAST(len(regexp_extract_all(dirty, '$UrlRe')) AS INT) AS n_url,
+              CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS INT) AS n_email,
+              CAST(len(regexp_extract_all(dirty, '$Ipv4Re')) AS INT) AS n_ip,
+              CAST(len(regexp_extract_all(dirty, '$PhoneRe')) AS INT) AS n_phone
+       FROM d
+       ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -609,6 +652,7 @@ object IngestCatalog {
     "q42_train_split" -> q42TrainSplit,
     "q43_pack_sequences" -> q43PackSequences,
     "q44_incremental_dedup" -> q44IncrementalDedup,
+    "q45_redact" -> q45Redact,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -624,5 +668,6 @@ object IngestCatalog {
     "q42_train_split" -> q42Sql,
     "q43_pack_sequences" -> q43Sql,
     "q44_incremental_dedup" -> q44Sql,
+    "q45_redact" -> q45Sql,
   )
 }
