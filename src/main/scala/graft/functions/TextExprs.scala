@@ -64,6 +64,67 @@ object SimHash60 {
     GraftSql.column(SimHash60(GraftSql.expression(tokenHashes)))
 }
 
+/** 60-bit SimHash straight from a text column in ONE per-row pass:
+  * tokenize (split trimmed text on single spaces — identical to
+  * `split(trim(text), " ")`), distinct, sha256-based 60-bit token hash
+  * ([[Sha256.hash60]], the portable `hash60` scheme), per-bit ±1 votes.
+  *
+  * Replaces the explode → groupBy(doc) → collect_list(h) → simhash(hs)
+  * assembly, which moved EVERY token hash of the corpus through a shuffle
+  * and built per-doc arrays in aggregation buffers — at 100 TB that is a
+  * token-level exchange where a narrow map suffices. Bit-identical to the
+  * q20/q30 DuckDB oracle's SQL expansion.
+  */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHashText.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashText$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashText {
+  def compute(text: UTF8String): Long = {
+    // UTF8String.trim() strips ASCII space only — same as Spark's trim();
+    // String.split(" ", -1) keeps interior empty tokens — same as Spark's
+    // split(_, " ") and DuckDB's string_split(_, ' ').
+    val words = text.trim().toString.split(" ", -1)
+    val seen = new java.util.HashSet[String](words.length * 2)
+    val ones = new Array[Int](60)
+    var n = 0
+    var j = 0
+    while (j < words.length) {
+      val w = words(j)
+      if (seen.add(w)) {
+        n += 1
+        val h = Sha256.hash60(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var i = 0
+        while (i < 60) {
+          ones(i) += ((h >>> i) & 1L).toInt
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 60) {
+      if (2 * ones(i) - n >= 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  def simhashText(text: Column): Column =
+    GraftSql.column(SimHashText(GraftSql.expression(text)))
+}
+
 /** Encoding-sniffing text decode of a binary column — the reference's
   * `decode_bytes` waterfall (note_to_json/utils/encoding.py:21-56):
   * strict UTF-8 first, then UTF-16 LE/BE/auto, then cp1252/latin-1;

@@ -33,8 +33,13 @@ object Dedup {
   def incrementalExact(
       batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val sig = sha2(col(textCol), 256)
-    val corpusSigs = corpus.select(sha2(col(textCol), 256).as("content_sig")).distinct()
+    // Null text signs as the empty string: sha2(NULL) = NULL would make the
+    // null-unsafe signature joins silently DROP those batch rows from the
+    // annotated output. Contract: null and empty text are one signature
+    // class — every input batch row appears exactly once in the result.
+    val sig = sha2(coalesce(col(textCol), lit("")), 256)
+    val corpusSigs = corpus.select(
+      sha2(coalesce(col(textCol), lit("")), 256).as("content_sig")).distinct()
     val b = batch.withColumn("content_sig", sig)
     val firstOfSig = b.groupBy(col("content_sig"))
       .agg(min(col(idCol)).as("_first_id"))
@@ -86,13 +91,12 @@ object Dedup {
       maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     val segments = maxHamming + 1
     val segBits = bits / segments
+    // Fingerprint is ONE narrow per-row pass (tokenize→hash→vote inside a
+    // codegen'd kernel) — no token explode, no per-doc aggregation: at
+    // 100 TB the only exchanges left are the banded candidate joins.
     val fp = docs
       .select(col(idCol).as("doc"),
-        explode(array_distinct(TextAnalytics.tokens(col(textCol)))).as("w"))
-      .select(col("doc"), TextAnalytics.hash60(col("w")).as("h"))
-      .groupBy(col("doc"))
-      .agg(collect_list(col("h")).as("hs"))
-      .select(col("doc"), TextAnalytics.simhash(col("hs")).as("fp"))
+        graft.functions.SimHashText.simhashText(col(textCol)).as("fp"))
 
     val banded = fp.select(col("doc"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(segments - 1)), i =>

@@ -68,7 +68,15 @@ object EmbedService {
       dim: Int,
       transport: Transport,
       batchSize: Int = 64,
-      devMode: Boolean = false)
+      devMode: Boolean = false,
+      /** Fail the TASK once this many CONSECUTIVE batches fail in one
+        * partition. Fail-soft skipping is for transient per-batch errors;
+        * a persistent outage (bad URL, server down) would otherwise
+        * silently drop the whole dataset and report "success" with zero
+        * embedded rows — only stderr lines and an optional accumulator
+        * would know. 0 disables the threshold.
+        */
+      maxConsecutiveFailures: Int = 10)
 
   private val mapper = new ObjectMapper()
 
@@ -133,12 +141,23 @@ object EmbedService {
     val outSchema = df.schema.add(vectorCol, ArrayType(DoubleType, containsNull = false))
     val textIdx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
+      var consecutiveFailures = 0
       rows.grouped(cfg.batchSize).flatMap { batch =>
         val texts = batch.map(_.getString(textIdx))
         val vectors =
-          try embedBatch(cfg, texts.toSeq)
-          catch {
+          try {
+            val vs = embedBatch(cfg, texts.toSeq)
+            consecutiveFailures = 0
+            vs
+          } catch {
             case e: Exception =>
+              consecutiveFailures += 1
+              if (cfg.maxConsecutiveFailures > 0 &&
+                  consecutiveFailures >= cfg.maxConsecutiveFailures)
+                throw new RuntimeException(
+                  s"[embed] $consecutiveFailures consecutive batch failures — " +
+                    s"embedding backend looks DOWN, failing the stage " +
+                    s"(last error: ${e.getMessage})", e)
               skipped.foreach(_.add(batch.size))
               System.err.println(s"[embed] batch of ${batch.size} skipped: ${e.getMessage}")
               Nil

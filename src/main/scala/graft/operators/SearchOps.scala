@@ -103,7 +103,12 @@ object SearchOps {
       maxSnippets: Int = 5,
       perSnippetChars: Int = 2000,
       totalBudget: Int = 8000): DataFrame = {
-    val w = Window.orderBy(col("score").desc, col("id"))
+    // The pool is ≤ poolSize (10) rows post-limit, so a single-partition
+    // window is safe at any scale — but an UNPARTITIONED window spec sprays
+    // "No Partition Defined" warnings through every log, training readers
+    // to ignore a warning that elsewhere flags a real scale-killer. A
+    // constant partition key ranks the same tiny pool silently.
+    val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hits
       .orderBy(col("score").desc, col("id"))
@@ -111,7 +116,8 @@ object SearchOps {
       .filter(col("score") >= minScore)
       .withColumn("snippet", substring(col("text"), 1, perSnippetChars))
       .withColumn("running_chars", sum(length(col("snippet"))).over(w))
-      .withColumn("rank", row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("score").desc, col("id"))))
       .filter(col("rank") <= maxSnippets && col("running_chars") <= totalBudget)
       .select(col("id"), col("document_id"), col("path"), col("score"),
         col("snippet"), col("rank"))

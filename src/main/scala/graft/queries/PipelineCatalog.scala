@@ -43,18 +43,65 @@ object PipelineCatalog {
        ORDER BY doc_id, idx"""
 
   // -------------------------------------------------------------------------
-  // q14: deterministic ids (F6) — no DuckDB sha1 ⇒ rows-only + unit goldens
+  // q14: deterministic ids (F6). DuckDB lacks sha1, so the oracle is a
+  // VALUES table of RFC-4122 uuid5 vectors precomputed with an INDEPENDENT
+  // implementation (CPython's stdlib uuid module) for a fixed (doc, idx)
+  // grid — a uuid5 regression now flips a driver row, not only a ScalaTest.
+  // The chunker lineage the old rows-only form rode on is already fully
+  // oracle-verified by q13/q33.
   // -------------------------------------------------------------------------
 
   val q14ChunkIds: Q = (s, d) =>
     tbl(s, d, "documents")
+      .filter(col("doc_id") < 10)
       .withColumn("document_id", Uuid5.documentId(concat(lit("docs/"), col("doc_id"))))
       .select(col("doc_id"), col("document_id"),
-        posexplode(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap))
-          .as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("document_id"), col("idx"),
-        Uuid5.chunkId(col("document_id"), col("idx")).as("chunk_id"))
+        explode(sequence(lit(0), lit(2))).as("idx"))
+      .withColumn("chunk_id", Uuid5.chunkId(col("document_id"), col("idx")))
+      .select(col("doc_id"), col("document_id"), col("idx"), col("chunk_id"))
       .orderBy(col("doc_id"), col("idx"))
+
+  /** Golden (doc_id, idx, document_id, chunk_id) rows: python3 -c uuid5
+    * with namespace 00000000-0000-5000-8000-000000000000, names
+    * "docs/{doc_id}" / "chunk:{idx}" — the reference's id scheme
+    * (worker/app/utils/docids.py:25,44-49).
+    */
+  private val q14Sql =
+    """WITH v(doc_id, idx, document_id, chunk_id) AS (VALUES
+       (0, 0, '3c258cfd-419a-5683-8698-16c463246921', 'ad3c5b94-30c8-5308-a732-8f57e374e4f0'),
+       (0, 1, '3c258cfd-419a-5683-8698-16c463246921', '9db3b6a3-b21e-57bc-a7c6-3aa185493d5a'),
+       (0, 2, '3c258cfd-419a-5683-8698-16c463246921', '02ab78fc-ba7f-5698-80a1-091025d1c225'),
+       (1, 0, '46beadc5-53db-5b38-8440-eaa78ef58b6c', '681bfdaf-37e8-5785-834e-94372059d95a'),
+       (1, 1, '46beadc5-53db-5b38-8440-eaa78ef58b6c', '66ccfef5-6a43-5449-8e30-7550c2fff357'),
+       (1, 2, '46beadc5-53db-5b38-8440-eaa78ef58b6c', '6587a8ca-95ba-5a22-aef5-6ce8b81c1d2b'),
+       (2, 0, '1145e388-6644-5cb7-b321-e7b922aaa713', '6a213b53-bf46-5a3e-8641-8f8d491f22ae'),
+       (2, 1, '1145e388-6644-5cb7-b321-e7b922aaa713', '31f24206-ea5b-567c-8634-4f6e2aebd2e7'),
+       (2, 2, '1145e388-6644-5cb7-b321-e7b922aaa713', 'c9601815-2b17-5db9-b20b-fc57f221020f'),
+       (3, 0, 'a21c6e60-17b2-52cb-b90d-3675046b248a', 'b0811142-dd67-5f34-ad1d-48d76f67c87b'),
+       (3, 1, 'a21c6e60-17b2-52cb-b90d-3675046b248a', '0aa10dcd-ff03-5f4f-8d8d-16eb188cf551'),
+       (3, 2, 'a21c6e60-17b2-52cb-b90d-3675046b248a', '8f63a4e9-4539-56e9-9913-0e263a82c9c8'),
+       (4, 0, 'f2580f8d-dd4f-5185-a1c8-5561fa00338c', '60c193ed-9bf4-5a50-92df-d41ae4507771'),
+       (4, 1, 'f2580f8d-dd4f-5185-a1c8-5561fa00338c', 'b38d18e5-bd10-59f0-a88c-a4a5f6de6f96'),
+       (4, 2, 'f2580f8d-dd4f-5185-a1c8-5561fa00338c', '51c8cae2-d98b-5277-a3b0-b0458d5fa216'),
+       (5, 0, '2a567d3d-ced5-5716-8c26-bde0112fd69b', 'e1f46009-7960-51d0-9e43-0b33916fcd9c'),
+       (5, 1, '2a567d3d-ced5-5716-8c26-bde0112fd69b', 'dcadd097-f699-539a-a223-7e8f3762a090'),
+       (5, 2, '2a567d3d-ced5-5716-8c26-bde0112fd69b', 'b08e614f-7317-5ba2-9480-101f688a67a9'),
+       (6, 0, '58e11769-2cd4-55c9-8493-46361f34db11', '8cfd41ba-6200-5665-bece-dbef5827090a'),
+       (6, 1, '58e11769-2cd4-55c9-8493-46361f34db11', '5402745e-da49-537b-bffe-8d99ddf6ab34'),
+       (6, 2, '58e11769-2cd4-55c9-8493-46361f34db11', '8565175b-dd32-5e7d-a21d-e09e0307539c'),
+       (7, 0, '5ce161d5-0e75-56ff-afea-40c9be7b0398', '37e3a136-e2b7-5832-a0f4-174c2c48432e'),
+       (7, 1, '5ce161d5-0e75-56ff-afea-40c9be7b0398', '07aa402b-a583-5060-9300-f95f464afb6e'),
+       (7, 2, '5ce161d5-0e75-56ff-afea-40c9be7b0398', '5f632a29-1349-5f81-a85f-8578a5754f4f'),
+       (8, 0, '4df0661e-ffca-53c5-bd21-ca161b52f55f', '7050d501-6cdf-50dd-9c7e-cd1640205cee'),
+       (8, 1, '4df0661e-ffca-53c5-bd21-ca161b52f55f', 'efa2f402-b1f2-5bc8-b315-507835c0c02f'),
+       (8, 2, '4df0661e-ffca-53c5-bd21-ca161b52f55f', 'ed23454d-c039-5f9d-bad4-ed851f5079b7'),
+       (9, 0, '5dbc4807-c329-584e-a4fa-8e3144a1fb5a', '0e6dc967-1dc0-527c-b2e4-4f98854de815'),
+       (9, 1, '5dbc4807-c329-584e-a4fa-8e3144a1fb5a', 'ccb40911-7bf2-5556-a537-906df390feb2'),
+       (9, 2, '5dbc4807-c329-584e-a4fa-8e3144a1fb5a', '0b0181ef-0ee8-539f-a73b-6d46c8b31567'))
+       SELECT d.doc_id, v.document_id, CAST(v.idx AS INT) AS idx, v.chunk_id
+       FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 10) d
+       JOIN v ON v.doc_id = d.doc_id
+       ORDER BY d.doc_id, v.idx"""
 
   // -------------------------------------------------------------------------
   // q15: dev-mode embedding (T3) — first 8 dims, exact doubles
@@ -141,14 +188,68 @@ object PipelineCatalog {
        ORDER BY a_id, b_id"""
 
   // -------------------------------------------------------------------------
-  // q19: MinHash+LSH near-dups (scale path; xxhash64 ⇒ rows-only oracle,
-  // equivalence with q18 asserted in DedupSpec)
+  // q19: MinHash+LSH near-dups (scale path). The hash family is
+  // engine-portable (sha256 base + mod-2^60 affine permutations, see
+  // BandMinhash), so DuckDB replays the banding BIT-FOR-BIT: the oracle
+  // recomputes all 32 minhashes, folds the 8 band buckets, takes
+  // same-bucket candidate pairs, and verifies exact Jaccard — a full
+  // hash-match of the LSH path, not a rows-only count.
   // -------------------------------------------------------------------------
 
   val q19MinhashLsh: Q = (s, d) =>
     Dedup.minhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
         numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy(col("a_id"), col("b_id"))
+
+  private val q19Sql = {
+    import graft.functions.BandMinhash
+    val numHashes = 32
+    val bands = 8
+    val rpb = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(k => s"min(${BandMinhash.sqlLcg(k, "x")}) AS m$k")
+      .mkString(",\n           ")
+    val bandCols = (0 until bands).map { b =>
+      val acc = (0 until rpb).foldLeft(BandMinhash.FoldSeed.toString)(
+        (a, r) => BandMinhash.sqlMix(a, s"m${b * rpb + r}"))
+      s"$acc AS bh$b"
+    }.mkString(",\n           ")
+    val anyBand = (0 until bands).map(b => s"a.bh$b = b.bh$b").mkString(" OR ")
+    s"""WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), sh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), h AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM sh
+       ), mins AS (
+         SELECT doc_id,
+           $minCols
+         FROM h GROUP BY doc_id
+       ), bnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM mins
+       ), cand AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM bnd a JOIN bnd b ON a.doc_id < b.doc_id AND ($anyBand)
+       ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT c.a_id, c.b_id, count(*) AS inter
+         FROM cand c
+         JOIN sh sa ON sa.doc_id = c.a_id
+         JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         GROUP BY c.a_id, c.b_id
+       )
+       SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
+              floor((CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+       FROM inter i
+       JOIN sizes sa ON sa.doc_id = i.a_id
+       JOIN sizes sb ON sb.doc_id = i.b_id
+       WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+       ORDER BY a_id, b_id"""
+  }
 
   // -------------------------------------------------------------------------
   // q20: SimHash fingerprints
@@ -157,11 +258,7 @@ object PipelineCatalog {
   val q20Simhash: Q = (s, d) =>
     tbl(s, d, "documents")
       .select(col("doc_id"),
-        explode(array_distinct(TextAnalytics.tokens(col("text")))).as("w"))
-      .select(col("doc_id"), TextAnalytics.hash60(col("w")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
-      .select(col("doc_id"), TextAnalytics.simhash(col("hs")).as("simhash"))
+        graft.functions.SimHashText.simhashText(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
 
   private val q20Sql =
@@ -331,8 +428,11 @@ object PipelineCatalog {
        FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
   // -------------------------------------------------------------------------
-  // q25: LSH-bucketed approximate nearest neighbours (rows-only; recall
-  // vs q16 exact asserted in SimilaritySpec)
+  // q25: LSH-bucketed approximate nearest neighbours. The hyperplanes are
+  // deterministic LCG constants (Similarity.planeValues), so the oracle
+  // recomputes every vector's sign bucket AND the query's probe set in
+  // DuckDB (Hamming ball ≡ the enumerated `isin` list) — full hash-match;
+  // recall vs q16 exact additionally asserted in SimilaritySpec.
   // -------------------------------------------------------------------------
 
   val q25AnnLsh: Q = (s, d) => {
@@ -347,6 +447,28 @@ object PipelineCatalog {
     Similarity.annTopK(store.vectors, "embedding", qv, 10, 8, 64, probeRadius = 2)
       .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  private val q25Sql = {
+    val planes = Similarity.planeValues(8, 64)
+    val bucket = planes.zipWithIndex.map { case (p, r) =>
+      val pl = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $pl::DOUBLE[]) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), b AS (
+         SELECT vec_id, label, v, $bucket AS bucket FROM e
+       ), q AS (
+         SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0
+       ), hits AS (
+         SELECT b.vec_id, b.label, list_cosine_similarity(b.v, q.qv) AS s
+         FROM b, q
+         WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, q.qbucket)) <= 2
+         ORDER BY s DESC LIMIT 10
+       )
+       SELECT vec_id, label, floor(s * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits ORDER BY score DESC, vec_id"""
   }
 
   // -------------------------------------------------------------------------
@@ -562,7 +684,10 @@ object PipelineCatalog {
 
   val oracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,
+    "q14_chunk_ids" -> q14Sql,
     "q15_embed_dev" -> q15Sql,
+    "q19_minhash_lsh" -> q19Sql,
+    "q25_ann_lsh" -> q25Sql,
     "q16_knn_cosine" -> q16Sql,
     "q17_dedup_exact" -> q17Sql,
     "q18_jaccard_pairs" -> q18Sql,

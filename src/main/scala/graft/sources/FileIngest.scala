@@ -203,10 +203,13 @@ object FileIngest {
     // Parse candidate chat exports ONCE (full-JSON parse is the expensive
     // step); both the route predicate and the explode read this column.
     // exports are JSON ARRAYS — the leading-char sniff skips the full
-    // Jackson parse for every object-shaped .json file
+    // Jackson parse for every object-shaped .json file. The sniff must
+    // tolerate ANY leading whitespace the way json.loads does
+    // (parse_chatgpt.py): plain ltrim strips ASCII spaces only, which would
+    // silently route a pretty-printed/BOM-prefixed export as flattened JSON.
     val withConvs = scanned.withColumn("convs",
       when(col("relpath").endsWith(".json") &&
-          substring(ltrim(col("raw_text")), 1, 1) === "[",
+          substring(ltrim(col("raw_text"), " \t\r\n\u00a0\ufeff"), 1, 1) === "[",
         ChatExport.chatConversations(col("raw_text")))
         .otherwise(array().cast(
           org.apache.spark.sql.types.ArrayType(ChatExport.schema, containsNull = false))))

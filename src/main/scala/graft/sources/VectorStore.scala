@@ -27,18 +27,49 @@ object VectorStore {
   case class Index(vectors: DataFrame, centroids: Array[Array[Double]],
       planes: Int, dim: Int)
 
-  /** Deterministic cache path for a source table + layout parameters. The
-    * source file's (size, mtime) is part of the key: regenerated testdata
-    * must never be served by a stale index (rows-only queries would not
-    * catch it).
+  /** Content stamp of the source table: for a plain file its (size,
+    * mtime); for a Spark-written DIRECTORY, the sorted (name, size, mtime)
+    * of its part files — a directory's own stat does not change on
+    * in-place part rewrites, so hashing only it can serve a stale index
+    * after the table regenerates (rows-only queries would not catch it).
+    */
+  def sourceStamp(src: java.io.File): String =
+    if (!src.exists()) "absent"
+    else if (src.isDirectory) {
+      val parts = Option(src.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+      parts.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
+        .mkString("dir[", ",", "]")
+    } else s"${src.length()}|${src.lastModified()}"
+
+  /** Index location: BESIDE the table it indexes — `<table>._graft_index/`
+    * under the index root — with a `_graft_manifest.json` recording the
+    * source stamp + layout params; [[ensure]] rebuilds on any mismatch
+    * rather than trusting the path. The root is the table's own parent
+    * directory when writable (the at-rest lakehouse layout: index travels
+    * with the data); a read-only source (this sandbox's /root/testdata)
+    * falls back to `GRAFT_INDEX_DIR` or the JVM tmpdir, keyed by the
+    * table's absolute path.
     */
   def indexPath(sfDir: String, planes: Int, dim: Int, k: Int): String = {
     val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val stamp = if (src.exists()) s"${src.length()}|${src.lastModified()}" else "absent"
-    val sig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$sfDir|$stamp|$planes|$dim|$k".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    new java.io.File(System.getProperty("java.io.tmpdir"), s"graft-vstore-$sig").toString
+    val parent = src.getAbsoluteFile.getParentFile
+    if (parent != null && parent.canWrite)
+      new java.io.File(parent, "embeddings.parquet._graft_index").toString
+    else {
+      val root = sys.env.get("GRAFT_INDEX_DIR")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getAbsolutePath.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      new java.io.File(root, s"graft-vstore-$sig").toString
+    }
+  }
+
+  private def manifest(sfDir: String, planes: Int, dim: Int, k: Int): String = {
+    val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
+    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k}"""
   }
 
   /** Write-time indexing: label every vector with `cell` (IVF) and
@@ -85,9 +116,14 @@ object VectorStore {
       sfDir: String, planes: Int = 8, dim: Int = 64, k: Int = 16,
       seed: Long = 42L): Index = {
     val path = indexPath(sfDir, planes, dim, k)
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "_graft_centroids.json")))
+    val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
+    val expected = manifest(sfDir, planes, dim, k)
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
       write(emb, vecCol, path, planes, dim, k, seed)
+      java.nio.file.Files.writeString(mfPath, expected)
+    }
     read(spark, path, planes, dim)
   }
 }
