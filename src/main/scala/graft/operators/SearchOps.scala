@@ -61,33 +61,77 @@ object SearchOps {
   }
 
   /** Batch top-k: MANY queries against the corpus in one job — the batch
-    * form of the reference's per-request KNN (SURVEY §2.3 J4 / §2.5 W1).
-    * `queries` holds (query_id, qv: array<double>); the query set is
-    * broadcast, scores computed in one corpus scan, and per-query top-k
-    * taken by a ranking window partitioned on query_id (the shuffle key).
-    * The reference can only loop requests one at a time; this is the
-    * Spark-native shape for eval sets and bulk retrieval.
+    * form of the reference's per-request KNN (SURVEY §2.3 J4 / §2.5 W1;
+    * the eval-set shape of ask_eval.py:41-131). `queries` holds
+    * (query_id, qv: array<double>); the query set is broadcast and scores
+    * computed in one corpus scan.
+    *
+    * Per-query ranking is a per-partition BOUNDED HEAP (k rows per query
+    * per partition survive the scan) followed by an exact ranking window
+    * over the k·nQueries·nPartitions survivors — the batch generalization
+    * of TakeOrderedAndProject. Ranking the scored corpus directly with a
+    * `row_number` window would exchange EVERY (corpus × queries) scored
+    * row on query_id: at 100 TB that shuffle IS the job. Global top-k per
+    * query is a subset of the union of per-partition top-k (same
+    * tie-break), so the reduction is exact, and only k·nQueries·nParts
+    * rows ever move.
     */
   def batchSearch(
       chunks: DataFrame,
       queries: DataFrame,
       k: Int = 10,
       filters: SearchFilters = SearchFilters()): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, Row}
     val scored = chunks
       .filter(predicate(filters))
       .crossJoin(broadcast(queries))
       .withColumn("score",
         VectorFunctions.cosine(col("vector").cast("array<double>"), col("qv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("document_id"),
+      // project BEFORE the heap: the vectors (the wide payload) must not
+      // ride through the reduction
+      .select(col("query_id"), col("id"), col("document_id"),
         col("kind"), col("path"), col("idx"), col("score"),
         when(length(col("text")) > 600,
           concat(substring(col("text"), 1, 600), lit("…")))
           .otherwise(col("text")).as("text"))
+    val schema = scored.schema
+    val qIdx = schema.fieldIndex("query_id")
+    val sIdx = schema.fieldIndex("score")
+    val iIdx = schema.fieldIndex("id")
+    val kk = k
+    val reduced = scored.mapPartitions { rows =>
+      // Worst-first ordering (head of the heap = the row to evict):
+      // lower score is worse; on a score tie the LARGER id is worse —
+      // mirrors the final window's (score DESC, id ASC). Null scores sort
+      // worst, matching NULLS LAST under desc. ids compare via
+      // Comparable (string/numeric ids; ASCII ids order identically to
+      // Spark's UTF8String binary sort).
+      val worstFirst: Ordering[Row] = (a: Row, b: Row) => {
+        val sa = if (a.isNullAt(sIdx)) Double.NegativeInfinity else a.getDouble(sIdx)
+        val sb = if (b.isNullAt(sIdx)) Double.NegativeInfinity else b.getDouble(sIdx)
+        val c = java.lang.Double.compare(sb, sa)
+        if (c != 0) c
+        else a.get(iIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(iIdx))
+      }
+      val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[Row]]()
+      rows.foreach { row =>
+        val heap = heaps.computeIfAbsent(row.get(qIdx),
+          _ => scala.collection.mutable.PriorityQueue.empty[Row](worstFirst))
+        if (heap.size < kk) heap.enqueue(row)
+        else if (worstFirst.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row)
+        }
+      }
+      val out = Iterator.newBuilder[Row]
+      heaps.values().forEach(h => h.foreach(out += _))
+      out.result()
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    reduced
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("document_id"),
+        col("kind"), col("path"), col("idx"), col("score"), col("text"))
   }
 
   /** W7 snippet budget: from the top-`poolSize` hits with score ≥

@@ -658,6 +658,196 @@ object PipelineCatalog {
        ORDER BY purchase_id, error_id"""
 
   // -------------------------------------------------------------------------
+  // q46: BATCH similarity search — N query vectors against the corpus in
+  // one job through the real SearchOps.batchSearch (per-partition bounded
+  // heap + exact final rank; the full-corpus row_number window it replaces
+  // exchanged every scored row). Oracle: the straightforward window SQL.
+  // -------------------------------------------------------------------------
+
+  val q46BatchSearch: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 3).select(
+      col("vec_id").as("id"),
+      concat(lit("doc-"), col("vec_id")).as("document_id"),
+      lit("text").as("kind"),
+      concat(lit("emb/"), col("vec_id")).as("path"),
+      lit(0).as("idx"),
+      concat(lit("label "), col("label")).as("text"),
+      col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    graft.operators.SearchOps.batchSearch(corpus, queries, k = 5)
+      .select(col("query_id"), col("rank"), col("id"), col("document_id"),
+        col("kind"), col("path"), col("idx"),
+        rnd(col("score"), 6).as("score"), col("text"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q46Sql =
+    """WITH q AS (
+         SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id < 3
+       ), c AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id >= 3
+       ), scored AS (
+         SELECT q.qid, c.vec_id, c.label,
+                list_cosine_similarity(c.v, q.qv) AS s
+         FROM c CROSS JOIN q
+       ), ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS rnk
+         FROM scored
+       )
+       SELECT qid AS query_id, CAST(rnk AS INT) AS "rank", vec_id AS id,
+              'doc-' || vec_id AS document_id, 'text' AS kind,
+              'emb/' || vec_id AS path, 0 AS idx,
+              floor(s * 1000000 + 0.5) / 1000000.0 AS score,
+              'label ' || label AS text
+       FROM ranked WHERE rnk <= 5
+       ORDER BY query_id, "rank""""
+
+  // -------------------------------------------------------------------------
+  // q47: documents listing (J1/A1/U3 surface) — the REAL
+  // Exports.documentsListing over two constructed collections: per-doc
+  // kind/path set roll-ups, chunks-first order-preserving merge, top-3
+  // path slice, per-collection counts (documents.py:19-168). Arrays are
+  // serialized to joined strings for the cross-engine compare.
+  // -------------------------------------------------------------------------
+
+  val q47DocumentsListing: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val chunks = docs.select((col("doc_id") % 200).as("document_id"),
+      col("source").as("kind"), concat(lit("docs/"), col("doc_id")).as("path"))
+    val images = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") % 150).as("document_id"),
+        lit("image").as("kind"), concat(lit("img/"), col("doc_id")).as("path"))
+    graft.sources.Exports.documentsListing(chunks, images, 200)
+      .select(col("document_id"),
+        array_join(col("kinds"), ",").as("kinds"),
+        array_join(col("paths"), ",").as("paths"),
+        col("chunks_count"), col("images_count"))
+      .orderBy(col("document_id").desc)
+  }
+
+  private val q47Sql =
+    """WITH c AS (
+         SELECT doc_id % 200 AS document_id, source AS kind,
+                'docs/' || doc_id AS path
+         FROM documents
+       ), i AS (
+         SELECT doc_id % 150 AS document_id, 'image' AS kind,
+                'img/' || doc_id AS path
+         FROM documents WHERE doc_id % 3 = 0
+       ), cr AS (
+         SELECT document_id, list_sort(list(DISTINCT kind)) AS kinds,
+                list_sort(list(DISTINCT path))[1:3] AS paths,
+                count(*) AS chunks_count
+         FROM c GROUP BY document_id
+       ), ir AS (
+         SELECT document_id, list_sort(list(DISTINCT kind)) AS kinds,
+                list_sort(list(DISTINCT path))[1:3] AS paths,
+                count(*) AS images_count
+         FROM i GROUP BY document_id
+       ), m AS (
+         SELECT COALESCE(cr.document_id, ir.document_id) AS document_id,
+                list_concat(COALESCE(cr.kinds, CAST([] AS VARCHAR[])),
+                            COALESCE(ir.kinds, CAST([] AS VARCHAR[]))) AS ak,
+                list_concat(COALESCE(cr.paths, CAST([] AS VARCHAR[])),
+                            COALESCE(ir.paths, CAST([] AS VARCHAR[]))) AS ap,
+                CAST(COALESCE(cr.chunks_count, 0) AS BIGINT) AS chunks_count,
+                CAST(COALESCE(ir.images_count, 0) AS BIGINT) AS images_count
+         FROM cr FULL OUTER JOIN ir ON cr.document_id = ir.document_id
+       )
+       SELECT document_id,
+              array_to_string(list_filter(ak, (x, j) -> list_position(ak, x) = j), ',') AS kinds,
+              array_to_string(list_filter(ap, (x, j) -> list_position(ap, x) = j)[1:3], ',') AS paths,
+              chunks_count, images_count
+       FROM m ORDER BY document_id DESC LIMIT 200"""
+
+  // -------------------------------------------------------------------------
+  // q48: synthesis-gate arithmetic in batch form (A5; ask.py:448-463,
+  // config.py MIN_SYNTH_SCORE=0.55, snippet pool min score 0.2) — per
+  // query: source count, top score, and the gate classification
+  // no_sources / low_confidence / synthesized.
+  // -------------------------------------------------------------------------
+
+  val q48SynthGate: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", graft.functions.VectorFunctions.cosine(col("v"), col("qv")))
+      .filter(col("score") >= 0.2)
+    scored.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_sources"), max(col("score")).as("top_raw"))
+      .join(queries.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_sources"), lit(0L)).as("n_sources"),
+        rnd(coalesce(col("top_raw"), lit(0.0)), 6).as("top_score"),
+        when(coalesce(col("n_sources"), lit(0L)) === 0, "no_sources")
+          .when(col("top_raw") < 0.55, "low_confidence")
+          .otherwise("synthesized").as("synth_status"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q48Sql =
+    """WITH q AS (
+         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         FROM embeddings WHERE vec_id < 5
+       ), c AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id >= 5
+       ), scored AS (
+         SELECT q.query_id, list_cosine_similarity(c.v, q.qv) AS s
+         FROM c CROSS JOIN q
+       ), agg AS (
+         SELECT query_id, count(*) AS n_sources, max(s) AS top_raw
+         FROM scored WHERE s >= 0.2 GROUP BY query_id
+       )
+       SELECT q.query_id,
+              CAST(COALESCE(a.n_sources, 0) AS BIGINT) AS n_sources,
+              floor((COALESCE(a.top_raw, 0.0)) * 1000000 + 0.5) / 1000000.0 AS top_score,
+              CASE WHEN COALESCE(a.n_sources, 0) = 0 THEN 'no_sources'
+                   WHEN a.top_raw < 0.55 THEN 'low_confidence'
+                   ELSE 'synthesized' END AS synth_status
+       FROM q LEFT JOIN agg a ON a.query_id = q.query_id
+       ORDER BY q.query_id"""
+
+  // -------------------------------------------------------------------------
+  // q49: per-source ingest summary (A4/A7; status.py:51-91 ingest state —
+  // files seen, chunks upserted, empty-skip counts) recomputed over the
+  // REAL chunker, grouped by source system.
+  // -------------------------------------------------------------------------
+
+  val q49IngestSummary: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("n_chunks",
+        size(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("files_seen"),
+        sum(when(col("n_chunks") === 0, 1L).otherwise(0L)).as("skipped_empty"),
+        sum(col("n_chunks")).cast("long").as("chunks_upserted"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("source"))
+
+  private val q49Sql =
+    s"""${ChunkerSql.walkCte("SELECT doc_id AS key, text FROM documents", ChunkSize, ChunkOverlap)},
+       per_doc AS (SELECT key, count(*) AS n FROM chunks GROUP BY key),
+       j AS (
+         SELECT d.source, length(d.text) AS len, COALESCE(p.n, 0) AS n
+         FROM documents d LEFT JOIN per_doc p ON p.key = d.doc_id
+       )
+       SELECT source, count(*) AS files_seen,
+              CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS skipped_empty,
+              CAST(sum(n) AS BIGINT) AS chunks_upserted,
+              CAST(sum(len) AS BIGINT) AS total_chars
+       FROM j GROUP BY source ORDER BY source"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -680,6 +870,10 @@ object PipelineCatalog {
     "q30_simhash_near_dup" -> q30SimhashNearDup,
     "q31_asof_join" -> q31AsofJoin,
     "q32_range_join" -> q32RangeJoin,
+    "q46_batch_search" -> q46BatchSearch,
+    "q47_documents_listing" -> q47DocumentsListing,
+    "q48_synth_gate" -> q48SynthGate,
+    "q49_ingest_summary" -> q49IngestSummary,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -702,5 +896,9 @@ object PipelineCatalog {
     "q30_simhash_near_dup" -> q30Sql,
     "q31_asof_join" -> q31Sql,
     "q32_range_join" -> q32Sql,
+    "q46_batch_search" -> q46Sql,
+    "q47_documents_listing" -> q47Sql,
+    "q48_synth_gate" -> q48Sql,
+    "q49_ingest_summary" -> q49Sql,
   )
 }

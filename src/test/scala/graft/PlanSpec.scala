@@ -60,6 +60,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("_bin"), "expected bin-keyed equi join")
   }
 
+  test("q20/q30: SimHash fingerprints are a narrow map — no token shuffle") {
+    // The fingerprint must come from the per-row simhash_text kernel, not
+    // an explode→groupBy→collect_list assembly (a token-level exchange of
+    // the whole corpus at 100 TB).
+    val p20 = plan("q20_simhash")
+    assert(p20.contains("simhash_text("), "q20 lost the single-pass kernel")
+    assert(!p20.contains("HashAggregate") && !p20.contains("collect_list"),
+      "q20 fingerprint went through an aggregation")
+    val p30 = plan("q30_simhash_near_dup")
+    assert(p30.contains("simhash_text("), "q30 lost the single-pass kernel")
+    assert(!p30.contains("collect_list"),
+      "q30 fingerprint assembly re-grew a token-level shuffle")
+  }
+
+  test("q46: batch search ranks per-partition heap survivors, not the corpus") {
+    // The bounded heap (MapPartitions) must sit BELOW the ranking window:
+    // only k·nQueries·nPartitions survivors reach the query_id exchange.
+    val p = plan("q46_batch_search")
+    val mp = p.indexOf("MapPartitions")
+    val win = p.indexOf("Window")
+    assert(mp >= 0, "per-partition top-k heap missing from the plan")
+    assert(win >= 0, "final exact ranking window missing")
+    // executedPlan prints top-down: the window must appear ABOVE (before)
+    // the MapPartitions reduction in the tree.
+    assert(win < mp, "ranking window runs below the heap reduction")
+  }
+
   test("q25/q27: ANN probes prune the persisted layout at the source") {
     // LSH: bucket probe list pushed into parquet (bucket-clustered files →
     // row-group skipping); IVF: cell probe prunes whole partitions.
