@@ -120,26 +120,223 @@ object BinaryDocs {
     sb.toString
   }
 
+  // ------------------------------------------------- ToUnicode CMaps (S7)
+
+  /** A parsed ToUnicode CMap: fixed code byte-length + code → Unicode
+    * string (multi-char dst allowed). Identity-H composite fonts (the
+    * output of every modern word processor — reference happy path:
+    * parse_pdf.py via pypdf) show TWO-BYTE glyph ids; without the CMap
+    * they decode to garbage, which round-2 degraded to empty text.
+    */
+  final private class ToUnicodeCMap(
+      val codeLen: Int, val map: java.util.HashMap[Int, String]) {
+    /** Decode a code string (chars are raw bytes 0-255) through the map;
+      * unmapped codes are dropped (pypdf emits nothing for them).
+      */
+    def decode(codeBytes: String): String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + codeLen <= codeBytes.length) {
+        var code = 0
+        var j = 0
+        while (j < codeLen) { code = (code << 8) | (codeBytes.charAt(i + j) & 0xff); j += 1 }
+        val dst = map.get(code)
+        if (dst != null) sb.append(dst)
+        i += codeLen
+      }
+      sb.toString
+    }
+  }
+
+  private def hexToString(hex: String): String = {
+    // dst hex is UTF-16BE; group into 4-hex-digit code units
+    val h = hex.replaceAll("\\s", "")
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + 4 <= h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    // a trailing 2-digit byte (1-byte dst) maps as latin-1
+    if (i + 2 <= h.length) sb.append(Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+    sb.toString
+  }
+
+  private val BfCharRe = java.util.regex.Pattern.compile(
+    "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f\\s]+)>")
+  private val BfRangeRe = java.util.regex.Pattern.compile(
+    "<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*(<([0-9A-Fa-f\\s]+)>|\\[((?:\\s*<[0-9A-Fa-f\\s]+>)+)\\s*\\])")
+  private val HexItemRe = java.util.regex.Pattern.compile("<([0-9A-Fa-f\\s]+)>")
+  private val CodeSpaceRe = java.util.regex.Pattern.compile(
+    "begincodespacerange\\s*<([0-9A-Fa-f]+)>", java.util.regex.Pattern.DOTALL)
+
+  /** Parse bfchar/bfrange sections of a ToUnicode CMap stream
+    * (PDF 32000-1 §9.10.3). Returns None when the text has no mappings.
+    */
+  private def parseCMap(text: String): Option[ToUnicodeCMap] = {
+    val map = new java.util.HashMap[Int, String]()
+    var codeLen = 0
+    val cs = CodeSpaceRe.matcher(text)
+    if (cs.find()) codeLen = cs.group(1).length / 2
+
+    def section(begin: String, end: String): Iterator[String] = {
+      val out = ArrayBuffer.empty[String]
+      var from = 0
+      while ({ val b = text.indexOf(begin, from); b >= 0 } ) {
+        val b = text.indexOf(begin, from)
+        val e = text.indexOf(end, b)
+        if (e < 0) { from = text.length }
+        else { out += text.substring(b + begin.length, e); from = e + end.length }
+      }
+      out.iterator
+    }
+
+    section("beginbfchar", "endbfchar").foreach { body =>
+      val m = BfCharRe.matcher(body)
+      while (m.find()) {
+        if (codeLen == 0) codeLen = m.group(1).length / 2
+        map.put(Integer.parseInt(m.group(1), 16), hexToString(m.group(2)))
+      }
+    }
+    section("beginbfrange", "endbfrange").foreach { body =>
+      val m = BfRangeRe.matcher(body)
+      while (m.find()) {
+        if (codeLen == 0) codeLen = m.group(1).length / 2
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        if (m.group(5) != null) {
+          // [ <d1> <d2> … ] — explicit dst per code
+          val items = HexItemRe.matcher(m.group(5))
+          var code = lo
+          while (items.find() && code <= hi) {
+            map.put(code, hexToString(items.group(1)))
+            code += 1
+          }
+        } else {
+          // <dstStart> — consecutive dsts from a base (increment last char)
+          val base = hexToString(m.group(4))
+          var code = lo
+          while (code <= hi && code - lo < 65536) {
+            val off = code - lo
+            val dst =
+              if (base.isEmpty) ""
+              else base.substring(0, base.length - 1) +
+                (base.charAt(base.length - 1) + off).toChar
+            map.put(code, dst)
+            code += 1
+          }
+        }
+      }
+    }
+    if (map.isEmpty) None
+    else Some(new ToUnicodeCMap(if (codeLen == 0) 2 else codeLen, map))
+  }
+
+  private val ObjRe = java.util.regex.Pattern.compile(
+    "(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj", java.util.regex.Pattern.DOTALL)
+  private val ToUnicodeRefRe = java.util.regex.Pattern.compile(
+    "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R")
+  private val FontDictRe = java.util.regex.Pattern.compile(
+    "/Font\\s*<<(.*?)>>", java.util.regex.Pattern.DOTALL)
+  private val FontEntryRe = java.util.regex.Pattern.compile(
+    "/([A-Za-z0-9.]+)\\s+(\\d+)\\s+\\d+\\s+R")
+  private val StreamRe = java.util.regex.Pattern.compile(
+    "stream\r?\n(.*?)endstream", java.util.regex.Pattern.DOTALL)
+
+  /** Per-font-name ToUnicode maps of the whole document: object graph
+    * walked by regex (objects → /ToUnicode refs; /Font resource dicts →
+    * name → font object). Cross-reference/object streams (PDF 1.5
+    * compressed xref) are not chased — those documents degrade as before.
+    */
+  private def documentCMaps(raw: String): java.util.HashMap[String, ToUnicodeCMap] = {
+    val bodies = new java.util.HashMap[Int, String]()
+    val om = ObjRe.matcher(raw)
+    while (om.find()) bodies.put(om.group(1).toInt, om.group(2))
+
+    def cmapOfObject(num: Int): Option[ToUnicodeCMap] = {
+      val body = bodies.get(num)
+      if (body == null) return None
+      val sm = StreamRe.matcher(body)
+      if (!sm.find()) return None
+      val data = sm.group(1)
+      val text = inflate(data.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+        .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+        .getOrElse(data)
+      parseCMap(text)
+    }
+
+    // font object number → its CMap
+    val byFontObj = new java.util.HashMap[Int, ToUnicodeCMap]()
+    bodies.forEach { (num, body) =>
+      val tm = ToUnicodeRefRe.matcher(body)
+      if (tm.find())
+        cmapOfObject(tm.group(1).toInt).foreach(byFontObj.put(num, _))
+    }
+    // resource font name → font object → CMap
+    val byName = new java.util.HashMap[String, ToUnicodeCMap]()
+    bodies.forEach { (_, body) =>
+      val fd = FontDictRe.matcher(body)
+      while (fd.find()) {
+        val fe = FontEntryRe.matcher(fd.group(1))
+        while (fe.find()) {
+          val cm = byFontObj.get(fe.group(2).toInt)
+          if (cm != null) byName.put(fe.group(1), cm)
+        }
+      }
+    }
+    // Resources that could not be resolved by name (split dicts, inline
+    // fonts): when the document has exactly ONE CMap, any font switch
+    // selects it — the single-font-family case that dominates real PDFs.
+    if (byName.isEmpty && byFontObj.size() == 1)
+      byName.put("*", byFontObj.values().iterator().next())
+    byName
+  }
+
   /** Text-showing ops of one (decompressed) content stream. Newlines on
     * T* / Td / TD / ' line moves, like pypdf's extract_text layout-lite.
+    * `/Fx … Tf` switches the active font: strings shown under a font with
+    * a ToUnicode CMap decode as fixed-width codes through it (Identity-H
+    * two-byte glyph ids); simple fonts keep byte-wise latin-1.
     */
-  private def streamText(content: String, out: java.lang.StringBuilder): Unit = {
-    // (…) Tj / (…) '  — single strings;  [ (…) -n (…) ] TJ — arrays
+  private def streamText(
+      content: String, out: java.lang.StringBuilder,
+      fonts: java.util.HashMap[String, ToUnicodeCMap]): Unit = {
     val op = java.util.regex.Pattern.compile(
-      """\(((?:[^()\\]|\\.)*)\)\s*(Tj|')|\]\s*TJ|T\*|\d[\d.\s-]*T[dD]""")
+      """/([A-Za-z0-9.]+)\s+[\d.]+\s+Tf|\(((?:[^()\\]|\\.)*)\)\s*(Tj|')|<([0-9A-Fa-f\s]*)>\s*(Tj|')|\]\s*TJ|T\*|\d[\d.\s-]*T[dD]""")
     val m = op.matcher(content)
-    // capture strings inside TJ arrays separately
-    val str = java.util.regex.Pattern.compile("""\(((?:[^()\\]|\\.)*)\)""")
+    // strings inside TJ arrays: literal or hex
+    val str = java.util.regex.Pattern.compile(
+      """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>""")
+    var cmap: ToUnicodeCMap = null
+    def show(literal: String, hex: String): Unit = {
+      val bytes =
+        if (literal != null) pdfString(literal)
+        else {
+          val h = hex.replaceAll("\\s", "")
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + 2 <= h.length) {
+            sb.append(Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+            i += 2
+          }
+          sb.toString
+        }
+      out.append(if (cmap != null) cmap.decode(bytes) else bytes)
+    }
     var last = 0
     while (m.find()) {
       val g = m.group()
-      if (g.endsWith("Tj") || g.endsWith("'")) out.append(pdfString(m.group(1)))
-      else if (g.endsWith("TJ")) {
+      if (g.endsWith("Tf")) {
+        val byName = fonts.get(m.group(1))
+        cmap = if (byName != null) byName else fonts.get("*")
+      } else if (g.endsWith("Tj") || g.endsWith("'")) {
+        show(m.group(2), m.group(4))
+      } else if (g.endsWith("TJ")) {
         // everything between `[` and `] TJ` since the previous op
         val start = content.lastIndexOf('[', m.start())
         if (start >= 0 && start >= last) {
           val sm = str.matcher(content.substring(start, m.start() + 1))
-          while (sm.find()) out.append(pdfString(sm.group(1)))
+          while (sm.find()) show(sm.group(1), sm.group(2))
         }
         out.append('\n')
       } else out.append('\n') // T*, Td, TD line moves
@@ -147,24 +344,26 @@ object BinaryDocs {
     }
   }
 
-  /** Best-effort visible text of a PDF: every content stream inflated (or
-    * taken raw), text operators concatenated, collapsed blank lines.
+  /** Best-effort visible text of a PDF: ToUnicode CMaps resolved from the
+    * object graph, every content stream inflated (or taken raw), text
+    * operators concatenated — two-byte CMap fonts included — collapsed
+    * blank lines.
     */
   def pdfText(bytes: Array[Byte]): String = {
     try {
       val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val fonts = documentCMaps(raw)
       val out = new java.lang.StringBuilder
-      val sm = java.util.regex.Pattern
-        .compile("stream\r?\n(.*?)endstream", java.util.regex.Pattern.DOTALL)
-        .matcher(raw)
+      val sm = StreamRe.matcher(raw)
       while (sm.find()) {
         val body = sm.group(1)
         val bodyBytes = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
         val text = inflate(bodyBytes)
           .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
           .getOrElse(body)
-        if (text.contains("BT") || text.contains("Tj") || text.contains("TJ"))
-          streamText(text, out)
+        if ((text.contains("BT") || text.contains("Tj") || text.contains("TJ")) &&
+            !text.contains("begincmap") && !text.contains("beginbfchar"))
+          streamText(text, out, fonts)
       }
       out.toString.split("\n", -1).map(_.trim).filter(_.nonEmpty).mkString("\n")
     } catch { case _: Exception => "" }

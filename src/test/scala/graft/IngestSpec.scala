@@ -309,6 +309,56 @@ class IngestSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText("garbage".getBytes) == "")
   }
 
+  test("PDF Identity-H two-byte fonts decode through the ToUnicode CMap (S7)") {
+    import graft.sources.BinaryDocs
+    // bfchar: 0001→'H' 0002→'e'; bfrange 0010-0013 → 'l'.. ('l','m','n','o')
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0013> <006C>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    // Hex-shown glyph ids: 0001 0002 0010 0010 0013 = "Hello";
+    // a TJ array mixing hex strings exercises the array path too.
+    val content =
+      "BT /TT1 12 Tf <0001 0002 0010 0010 0013> Tj T* [<0002> <0010>] TJ ET"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Page /Resources << /Font << /TT1 2 0 R >> >> /Contents 4 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 3 0 R >>
+         |endobj
+         |3 0 obj
+         |<< /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer
+         |%%EOF""".stripMargin
+    assert(BinaryDocs.pdfText(pdf.getBytes("ISO-8859-1")) == "Hello\nel")
+    // unmapped codes are dropped, not emitted as garbage
+    val bad = pdf.replace("<0001 0002 0010 0010 0013>", "<0001 7777 0013>")
+    assert(BinaryDocs.pdfText(bad.getBytes("ISO-8859-1")) == "Ho\nel")
+  }
+
   test("ST6 read-while-write: upsert rewrites only the touched buckets") {
     import java.nio.file.{Files, Paths}
     val store = Files.createTempDirectory("rw").resolve("chunks").toString
