@@ -81,6 +81,21 @@ object TextAnalytics {
     "n_ip" -> regexp_count(text, lit(Ipv4Re)),
     "n_phone" -> regexp_count(text, lit(PhoneRe)))
 
+  /** GPT-2-style pre-tokenizer, engine-portable form: contraction tails,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. Deliberately RE2-safe (the upstream GPT-2 regex's `\s+(?!\S)`
+    * lookahead is dropped) so Java regex and the DuckDB oracle count
+    * identical token boundaries — the cheap corpus-budget estimator a
+    * training pipeline runs BEFORE paying for real BPE.
+    */
+  val BpeTokenRe = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+  /** Estimated BPE-ish token count (matches of [[BpeTokenRe]], whitespace
+    * runs excluded — they merge into the following token in real BPE).
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRe)) - regexp_count(text, lit("\\s+"))
+
   /** Count of distinct tokens appearing in a stopword list. */
   def stopwordScore(distinctTokens: Column, stopwords: Seq[String]): Column =
     size(array_intersect(distinctTokens, array(stopwords.map(lit): _*)))

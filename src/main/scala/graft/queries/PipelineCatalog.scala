@@ -848,6 +848,75 @@ object PipelineCatalog {
        FROM j GROUP BY source ORDER BY source"""
 
   // -------------------------------------------------------------------------
+  // q50: export manifest (S15-S17) — the REAL Exports.manifest over the
+  // real chunker's output for a set of documents: chunk counts, total
+  // chars, and the partition-order-independent content sha256 (sha256 over
+  // the sorted "idx:chunk_sig" lines — export.py:66-160's manifest).
+  // -------------------------------------------------------------------------
+
+  val q50ExportManifest: Q = (s, d) => {
+    val chunks = tbl(s, d, "documents")
+      .filter(col("doc_id") < 50)
+      .select(concat(lit("doc-"), col("doc_id")).as("document_id"),
+        lit("text").as("kind"),
+        concat(lit("docs/"), col("doc_id")).as("path"),
+        posexplode(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap))
+          .as(Seq("idx", "text")))
+    graft.sources.Exports.manifestAll(chunks)
+      .select(col("document_id"), col("chunk_count"), col("total_chars"),
+        col("content_sha256"), col("path"), col("kind"))
+      .orderBy(col("document_id"))
+  }
+
+  private val q50Sql =
+    s"""${ChunkerSql.walkCte("SELECT doc_id AS key, text FROM documents WHERE doc_id < 50", ChunkSize, ChunkOverlap)},
+       sigs AS (
+         SELECT 'doc-' || key AS document_id, idx,
+                'docs/' || key AS path,
+                sha256(CAST(idx AS VARCHAR) || '|' || chunk) AS chunk_sig,
+                length(chunk) AS len
+         FROM chunks
+       )
+       SELECT document_id, count(*) AS chunk_count,
+              CAST(sum(len) AS BIGINT) AS total_chars,
+              sha256(string_agg(CAST(idx AS VARCHAR) || ':' || chunk_sig, chr(10)
+                ORDER BY CAST(idx AS VARCHAR) || ':' || chunk_sig)) AS content_sha256,
+              min(path) AS path, 'text' AS kind
+       FROM sigs GROUP BY document_id
+       ORDER BY document_id"""
+
+  // -------------------------------------------------------------------------
+  // q51: token-budget estimation — whitespace tokens vs the BPE-ish
+  // pre-tokenizer count (the pair a training pipeline compares to price a
+  // corpus before real tokenization), plus chars-per-token.
+  // -------------------------------------------------------------------------
+
+  val q51TokenBudget: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("n_ws_tokens", size(TextAnalytics.tokens(col("text"))))
+      .withColumn("n_bpe_tokens", TextAnalytics.bpeTokenCount(col("text")))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        rnd(length(col("text")).cast("double") /
+          greatest(col("n_bpe_tokens"), lit(1)).cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  private val q51Sql = {
+    // embed in a SQL single-quoted literal: double the quotes the regex
+    // itself contains (contraction tails)
+    val re = TextAnalytics.BpeTokenRe.replace("'", "''")
+    s"""SELECT doc_id,
+       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '$re'))
+         - len(regexp_extract_all(text, '\\s+')) AS INT) AS n_bpe_tokens,
+       floor((CAST(length(text) AS DOUBLE) /
+         CAST(greatest(len(regexp_extract_all(text, '$re'))
+           - len(regexp_extract_all(text, '\\s+')), 1) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+         AS chars_per_token
+       FROM documents ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -874,6 +943,8 @@ object PipelineCatalog {
     "q47_documents_listing" -> q47DocumentsListing,
     "q48_synth_gate" -> q48SynthGate,
     "q49_ingest_summary" -> q49IngestSummary,
+    "q50_export_manifest" -> q50ExportManifest,
+    "q51_token_budget" -> q51TokenBudget,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -900,5 +971,7 @@ object PipelineCatalog {
     "q47_documents_listing" -> q47Sql,
     "q48_synth_gate" -> q48Sql,
     "q49_ingest_summary" -> q49Sql,
+    "q50_export_manifest" -> q50Sql,
+    "q51_token_budget" -> q51Sql,
   )
 }

@@ -23,12 +23,15 @@ object Exports {
       .select("id", "document_id", "kind", "path", "idx", "text")
       .orderBy("idx")
 
-  /** S17 manifest: counts + deterministic content signature (sha256 over
-    * the idx-ordered chunk signatures — stable across partitionings).
+  /** S17 manifest, batch form: counts + deterministic content signature
+    * (sha256 over the SORTED `idx:chunk_sig` lines — stable across
+    * partitionings and row order) for EVERY document in one grouped pass.
+    * The reference serves one manifest per request (export.py:66-160);
+    * this is the Spark-native all-documents shape, one shuffle on
+    * document_id with map-side partial aggregation.
     */
-  def manifest(chunks: DataFrame, documentId: String): DataFrame =
+  def manifestAll(chunks: DataFrame): DataFrame =
     chunks
-      .filter(col("document_id") === documentId)
       .withColumn("chunk_sig", sha2(concat_ws("|", col("idx"), col("text")), 256))
       .groupBy(col("document_id"))
       .agg(
@@ -36,8 +39,12 @@ object Exports {
         sum(length(col("text"))).as("total_chars"),
         sha2(array_join(array_sort(collect_list(
           concat_ws(":", col("idx"), col("chunk_sig")))), "\n"), 256).as("content_sha256"),
-        first(col("path")).as("path"),
-        first(col("kind")).as("kind"))
+        min(col("path")).as("path"),
+        min(col("kind")).as("kind"))
+
+  /** S17 manifest for one document (the reference's per-request shape). */
+  def manifest(chunks: DataFrame, documentId: String): DataFrame =
+    manifestAll(chunks.filter(col("document_id") === documentId))
 
   /** J2: export lookup with collection fallback — the chunks collection
     * serves the export unless the document has no text chunks, in which
