@@ -104,12 +104,20 @@ object FileIngest {
     * deterministic placeholder like the reference's dev modes
     * (`audio` AUDIO_DEV_MODE, `image` caption fallback process.py:911).
     */
-  def routeText(kind: Column, rawText: Column, relpath: Column): Column =
+  def routeText(kind: Column, rawText: Column, relpath: Column,
+      mediaText: Option[Column] = None): Column =
     when(kind === "csv", csvToLines(rawText))
       .when(kind === "json" && relpath.endsWith(".jsonl"), JsonFlatten.jsonlFlatten(rawText))
       .when(kind === "json", jsonToLines(rawText))
-      .when(kind === "audio", concat(lit("audio transcript stub: "), relpath))
-      .when(kind === "image", concat(lit("image: "), relpath))
+      // audio/image: the service annotation when the media path supplied
+      // one (routeDocumentsWithMedia); otherwise the dev stubs. An empty
+      // caption falls back to `image: {rel}` exactly like process.py:911.
+      .when(kind === "audio",
+        mediaText.getOrElse(concat(lit("audio transcript stub: "), relpath)))
+      .when(kind === "image",
+        mediaText.map(mt => when(mt.isNull || mt === "",
+            concat(lit("image: "), relpath)).otherwise(mt))
+          .getOrElse(concat(lit("image: "), relpath)))
       .when(kind === "pdf", rawText) // real extraction: pdfbox branch at deploy
       .when(kind === "doc", rawText) // real extraction: poi branch at deploy
       .when(kind === "html", HtmlText.htmlToText(rawText)) // bs4 get_text parity (S9)
@@ -170,7 +178,11 @@ object FileIngest {
         // everything else routes on the decoded text
         when(col("kind") === "pdf", BinaryDocs.pdfTextCol(col("content")))
           .when(col("kind") === "doc", BinaryDocs.docxTextCol(col("content")))
-          .otherwise(routeText(col("kind"), col("raw_text"), col("relpath"))))
+          .otherwise(routeText(col("kind"), col("raw_text"), col("relpath"),
+            mediaText =
+              if (scanned.columns.contains("media_text")) Some(col("media_text"))
+              else None)))
+      .drop("media_text")
       .filter(trim(col("text")) =!= "") // P7 empty-content guard
       .withColumn("document_id", Uuid5.documentId(col("relpath")))
       .select(col("document_id"), col("kind"), col("relpath").as("path"),
@@ -195,6 +207,28 @@ object FileIngest {
     */
   def parseDirectoryWithChat(spark: SparkSession, dropzone: String): DataFrame =
     routeDocuments(scanFiles(spark, dropzone))
+
+  /** Media-aware routing (S10/S11 service paths): audio rows transcribed
+    * and image rows captioned through the batched
+    * [[graft.operators.MediaService]] transport BEFORE kind routing —
+    * the cluster shape of the reference's in-process faster-whisper/BLIP
+    * calls (parse_audio.py:34-64, images.py:5-40). Dev mode reproduces
+    * the reference's stubs verbatim; empty captions fall back to
+    * `image: {rel}` in [[routeText]]. Non-media rows are untouched — the
+    * annotation is a per-partition batched map on the media subset only.
+    */
+  def routeDocumentsWithMedia(
+      scanned: DataFrame,
+      stt: graft.operators.MediaService.Config,
+      caption: graft.operators.MediaService.Config): DataFrame = {
+    val audio = graft.operators.MediaService.annotate(
+      scanned.filter(col("kind") === "audio"), "relpath", "content", "media_text", stt)
+    val images = graft.operators.MediaService.annotate(
+      scanned.filter(col("kind") === "image"), "relpath", "content", "media_text", caption)
+    val rest = scanned.filter(!col("kind").isin("audio", "image"))
+      .withColumn("media_text", lit(null).cast("string"))
+    routeDocuments(rest.unionByName(audio).unionByName(images))
+  }
 
   /** Chat-aware document routing over a scanned frame (see
     * [[parseDirectoryWithChat]]).

@@ -359,6 +359,48 @@ class IngestSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText(bad.getBytes("ISO-8859-1")) == "Ho\nel")
   }
 
+  test("S10/S11 media routing: STT + caption service annotations enter the lineage") {
+    import spark.implicits._
+    import graft.operators.MediaService
+    val files = Seq(
+      ("dz/talk.mp3", Array[Byte](1, 2, 3), 3L),
+      ("dz/photo.png", Array[Byte](4, 5), 2L),
+      ("dz/blank.png", Array[Byte](6), 1L),
+      ("dz/note.txt", "plain words here".getBytes("UTF-8"),
+        "plain words here".getBytes("UTF-8").length.toLong))
+      .toDF("path", "content", "length")
+    val scanned = FileIngest.scanFilesFrame(files, "dz")
+    // echo transport: captions "anno:<basename>", except blank.png → ""
+    val echo = new MediaService.Transport {
+      override def post(paths: Seq[String], payloads: Seq[Array[Byte]]): String =
+        paths.map(p => if (p.contains("blank")) "\"\""
+          else "\"anno:" + p.substring(p.lastIndexOf('/') + 1) + "\"")
+          .mkString("""{"texts": [""", ",", "]}")
+    }
+    val docs = FileIngest.routeDocumentsWithMedia(scanned,
+        MediaService.Config(MediaService.Stt, echo),
+        MediaService.Config(MediaService.Caption, echo))
+      .select("path", "kind", "text", "doc_type").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(docs("talk.mp3") == (("audio", "anno:talk.mp3", "audio")))
+    assert(docs("photo.png") == (("image", "anno:photo.png", "image")))
+    // empty caption falls back to the reference's `image: {rel}` (process.py:911)
+    assert(docs("blank.png") == (("image", "image: blank.png", "image")))
+    assert(docs("note.txt")._2 == "plain words here")
+
+    // dev mode: reference-verbatim stubs, transport never called
+    val boom = new MediaService.Transport {
+      override def post(p: Seq[String], d: Seq[Array[Byte]]): String =
+        throw new IllegalStateException("must not call")
+    }
+    val dev = FileIngest.routeDocumentsWithMedia(scanned,
+        MediaService.Config(MediaService.Stt, boom, devMode = true),
+        MediaService.Config(MediaService.Caption, boom, devMode = true))
+      .select("path", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dev("talk.mp3") == "[DEV] transcript of talk.mp3")
+    assert(dev("photo.png") == "image: photo.png") // empty dev caption → fallback
+  }
+
   test("ST6 read-while-write: upsert rewrites only the touched buckets") {
     import java.nio.file.{Files, Paths}
     val store = Files.createTempDirectory("rw").resolve("chunks").toString
