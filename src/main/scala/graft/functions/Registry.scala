@@ -50,6 +50,12 @@ object Registry {
       es => graft.sources.HtmlToText(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60",
       es => SimHash60(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash_text",
+      es => SimHashText(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("pdf_text",
+      es => graft.sources.PdfText(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("docx_text",
+      es => graft.sources.DocxText(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("sum_char_lengths",
       es => SumCharLengths(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("json_flatten",
