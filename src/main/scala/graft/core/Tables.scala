@@ -16,4 +16,19 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Fan a freshly-scanned frame out to the session's parallelism when the
+    * source produced (far) fewer splits than cores. Parquet scans
+    * parallelize by ROW GROUP; the test tables are single-row-group files,
+    * so without this every heavy per-row kernel downstream (chunker,
+    * sha256 signatures, ingest routing) serializes on ONE task while 31
+    * cores idle. The round-trip is one cheap exchange of the raw rows. At
+    * production scale a 100 TB table has ~million row groups — the guard
+    * makes this a no-op there, exactly as it should be: this is a
+    * small-input pathology, not a scale pattern.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
 }

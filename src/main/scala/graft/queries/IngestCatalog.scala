@@ -27,7 +27,10 @@ import graft.sources.{FileIngest, Note2Json, Transcript}
 object IngestCatalog {
   import Catalog.{Q, rnd}
 
-  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  // fanOut: the single-row-group test file would otherwise run the ENTIRE
+  // ingest lineage (decode, route, sha256, chunker) as one task
+  private def docs(s: SparkSession, d: String) =
+    Tables.fanOut(Tables(s, d, "documents"))
 
   private def isoOf(secs: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")

@@ -22,6 +22,14 @@ object PipelineCatalog {
 
   private def tbl(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** documents with scan fan-out: the text-kernel queries (chunker,
+    * shingles, minhash, simhash, quality, redaction) are CPU-bound per-row
+    * work, and the single-row-group test file would otherwise run all of
+    * it on ONE task (see Tables.fanOut — a no-op on well-split sources).
+    */
+  private def docsWide(s: SparkSession, d: String) =
+    Tables.fanOut(Tables(s, d, "documents"))
+
   private val ChunkSize = 100
   private val ChunkOverlap = 20
   private val ChunkStep = ChunkSize - ChunkOverlap
@@ -31,7 +39,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q13Chunks: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .select(col("doc_id"),
         posexplode(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap))
           .as(Seq("idx", "chunk")))
@@ -52,7 +60,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q14ChunkIds: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .filter(col("doc_id") < 10)
       .withColumn("document_id", Uuid5.documentId(concat(lit("docs/"), col("doc_id"))))
       .select(col("doc_id"), col("document_id"),
@@ -108,7 +116,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q15EmbedDev: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .withColumn("vec", DevEmbed.devEmbed(col("text"), 8))
       .select(col("doc_id") +:
         (0 until 8).map(i => element_at(col("vec"), i + 1).as(s"e$i")): _*)
@@ -149,7 +157,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q17DedupExact: Q = (s, d) =>
-    Dedup.exactDuplicateGroups(tbl(s, d, "documents"), "doc_id", "text")
+    Dedup.exactDuplicateGroups(docsWide(s, d), "doc_id", "text")
       .select(col("content_sig"), col("keeper_id"), col("n_copies"))
       .orderBy(col("content_sig"))
 
@@ -165,7 +173,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q18JaccardPairs: Q = (s, d) =>
-    Dedup.jaccardPairs(tbl(s, d, "documents"), "doc_id", "text", "lang", 0.5)
+    Dedup.jaccardPairs(docsWide(s, d), "doc_id", "text", "lang", 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
   private val q18Sql =
@@ -197,7 +205,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q19MinhashLsh: Q = (s, d) =>
-    Dedup.minhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text",
+    Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
         numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
@@ -256,7 +264,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q20Simhash: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .select(col("doc_id"),
         graft.functions.SimHashText.simhashText(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
@@ -279,7 +287,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q21LangId: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .withColumn("toks", array_distinct(TextAnalytics.tokens(col("text"))))
       .select(col("doc_id"),
         TextAnalytics.stopwordScore(col("toks"), TextAnalytics.EnStopwords).as("s_en"),
@@ -313,7 +321,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q22Quality: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .withColumn("toks", TextAnalytics.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("total_len", TextAnalytics.totalTokenChars(col("toks")))
@@ -364,7 +372,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q23Fingerprint: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .select(col("doc_id"),
         explode(graft.operators.WordShingles.wordShingles(col("text"))).as("shingle"))
       .distinct()
@@ -548,7 +556,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q30SimhashNearDup: Q = (s, d) =>
-    Dedup.simhashNearDuplicates(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 4)
+    Dedup.simhashNearDuplicates(docsWide(s, d), "doc_id", "text", maxHamming = 4)
       .orderBy(col("a_id"), col("b_id"))
 
   private val q30Sql =
@@ -716,7 +724,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q47DocumentsListing: Q = (s, d) => {
-    val docs = tbl(s, d, "documents")
+    val docs = docsWide(s, d)
     val chunks = docs.select((col("doc_id") % 200).as("document_id"),
       col("source").as("kind"), concat(lit("docs/"), col("doc_id")).as("path"))
     val images = docs.filter(col("doc_id") % 3 === 0)
@@ -824,7 +832,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q49IngestSummary: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .withColumn("n_chunks",
         size(Chunker.chunkTextCol(col("text"), ChunkSize, ChunkOverlap)))
       .groupBy(col("source"))
@@ -855,7 +863,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q50ExportManifest: Q = (s, d) => {
-    val chunks = tbl(s, d, "documents")
+    val chunks = docsWide(s, d)
       .filter(col("doc_id") < 50)
       .select(concat(lit("doc-"), col("doc_id")).as("document_id"),
         lit("text").as("kind"),
@@ -892,7 +900,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q51TokenBudget: Q = (s, d) =>
-    tbl(s, d, "documents")
+    docsWide(s, d)
       .withColumn("n_ws_tokens", size(TextAnalytics.tokens(col("text"))))
       .withColumn("n_bpe_tokens", TextAnalytics.bpeTokenCount(col("text")))
       .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
