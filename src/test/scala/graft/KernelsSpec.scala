@@ -53,6 +53,25 @@ class KernelsSpec extends AnyFunSuite {
     assert(fp(0x1L, 0x3L, 0x4L) == 0x1L)
   }
 
+  test("band_minhash portable family is frozen (drift golden)") {
+    // The q19 DuckDB oracle replays this family bit-for-bit from the
+    // published constants — any change to the hash derivation silently
+    // breaks cross-engine dedup reproducibility. These values pin the
+    // family between driver runs.
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("alpha beta gamma"),
+      UTF8String.fromString("beta gamma delta")))
+    val out = graft.functions.BandMinhash.compute(arr, 8, 4)
+    assert((0 until 4).map(out.getLong) == Seq(
+      19551264411556175L, 1043594958751881966L,
+      15341877949385535L, 97046368363271812L))
+    // hash60 must equal CAST('0x'||substr(sha256(x),1,15) AS BIGINT)
+    assert(graft.functions.Sha256.hash60("x".getBytes("UTF-8"))
+      == 204651429991967492L)
+  }
+
   test("sum_char_lengths / word_list_hits kernels") {
     import graft.functions.{SumCharLengths, WordListHits}
     def arr(ws: String*) = new GenericArrayData(ws.toArray.map(UTF8String.fromString))
