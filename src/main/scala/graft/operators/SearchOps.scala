@@ -103,15 +103,27 @@ object SearchOps {
       // Worst-first ordering (head of the heap = the row to evict):
       // lower score is worse; on a score tie the LARGER id is worse —
       // mirrors the final window's (score DESC, id ASC). Null scores sort
-      // worst, matching NULLS LAST under desc. ids compare via
-      // Comparable (string/numeric ids; ASCII ids order identically to
-      // Spark's UTF8String binary sort).
+      // worst (NULLS LAST under desc); null ids sort best (NULLS FIRST
+      // under asc). String ids compare by UTF-8 bytes (UTF8String), NOT
+      // String.compareTo (UTF-16 code units) — the orders differ for
+      // non-BMP vs U+E000..U+FFFF code points, and a mismatch with the
+      // final window's binary sort could evict a row the global top-k
+      // needs, breaking the reduction-is-exact invariant.
+      def cmpId(x: Any, y: Any): Int = (x, y) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
       val worstFirst: Ordering[Row] = (a: Row, b: Row) => {
         val sa = if (a.isNullAt(sIdx)) Double.NegativeInfinity else a.getDouble(sIdx)
         val sb = if (b.isNullAt(sIdx)) Double.NegativeInfinity else b.getDouble(sIdx)
         val c = java.lang.Double.compare(sb, sa)
         if (c != 0) c
-        else a.get(iIdx).asInstanceOf[Comparable[Any]].compareTo(b.get(iIdx))
+        else cmpId(a.get(iIdx), b.get(iIdx))
       }
       val heaps = new java.util.HashMap[Any, scala.collection.mutable.PriorityQueue[Row]]()
       rows.foreach { row =>

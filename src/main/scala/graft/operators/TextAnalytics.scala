@@ -88,13 +88,15 @@ object TextAnalytics {
     * identical token boundaries — the cheap corpus-budget estimator a
     * training pipeline runs BEFORE paying for real BPE.
     */
-  val BpeTokenRe = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+  val BpeTokenRe = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
 
-  /** Estimated BPE-ish token count (matches of [[BpeTokenRe]], whitespace
-    * runs excluded — they merge into the following token in real BPE).
+  /** Estimated BPE-ish token count: matches of [[BpeTokenRe]]. Whitespace
+    * that isn't a single-space token prefix is simply skipped between
+    * matches — single word gaps ride along via the ` ?` prefixes, exactly
+    * as real BPE merges a leading space into the following token.
     */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit(BpeTokenRe)) - regexp_count(text, lit("\\s+"))
+    regexp_count(text, lit(BpeTokenRe))
 
   /** Count of distinct tokens appearing in a stopword list. */
   def stopwordScore(distinctTokens: Column, stopwords: Seq[String]): Column =

@@ -34,7 +34,13 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
 object WordShingles {
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val words = text.toString.trim.split(' ')
+    // UTF8String.trim() strips ASCII space only and split(" ", -1) keeps
+    // empty tokens — same semantics as Spark's trim()/split(_, " ") and the
+    // DuckDB oracle's trim()/string_split(_, ' '). Java String.trim +
+    // split(' ') would strip \t/\n and drop trailing empties, silently
+    // diverging the cross-engine LSH replay on such data (mirrors
+    // SimHashText, TextExprs.scala).
+    val words = text.trim().toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new mutable.LinkedHashSet[String]
     val sb = new java.lang.StringBuilder

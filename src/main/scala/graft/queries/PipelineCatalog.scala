@@ -915,11 +915,9 @@ object PipelineCatalog {
     val re = TextAnalytics.BpeTokenRe.replace("'", "''")
     s"""SELECT doc_id,
        CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
-       CAST(len(regexp_extract_all(text, '$re'))
-         - len(regexp_extract_all(text, '\\s+')) AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_bpe_tokens,
        floor((CAST(length(text) AS DOUBLE) /
-         CAST(greatest(len(regexp_extract_all(text, '$re'))
-           - len(regexp_extract_all(text, '\\s+')), 1) AS DOUBLE)) * 10000 + 0.5) / 10000.0
+         CAST(greatest(len(regexp_extract_all(text, '$re')), 1) AS DOUBLE)) * 10000 + 0.5) / 10000.0
          AS chars_per_token
        FROM documents ORDER BY doc_id"""
   }

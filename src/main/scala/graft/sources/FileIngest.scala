@@ -220,14 +220,31 @@ object FileIngest {
   def routeDocumentsWithMedia(
       scanned: DataFrame,
       stt: graft.operators.MediaService.Config,
-      caption: graft.operators.MediaService.Config): DataFrame = {
+      caption: graft.operators.MediaService.Config,
+      sttFailed: Option[org.apache.spark.util.LongAccumulator] = None,
+      captionFailed: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    // Fail-soft skips must be OBSERVABLE: below the dead-backend threshold a
+    // failed STT batch silently drops its rows from the corpus, so a default
+    // NAMED accumulator (visible per-stage in the Spark UI / event log)
+    // counts them even when the caller doesn't wire one. Pass your own to
+    // read the count programmatically.
+    val sc = scanned.sparkSession.sparkContext
+    val sttAcc = sttFailed.getOrElse(sc.longAccumulator("graft.media.stt_failed_rows"))
+    val capAcc = captionFailed.getOrElse(sc.longAccumulator("graft.media.caption_failed_rows"))
     val audio = graft.operators.MediaService.annotate(
-      scanned.filter(col("kind") === "audio"), "relpath", "content", "media_text", stt)
+      scanned.filter(col("kind") === "audio"), "relpath", "content", "media_text", stt,
+      failed = Some(sttAcc))
     val images = graft.operators.MediaService.annotate(
-      scanned.filter(col("kind") === "image"), "relpath", "content", "media_text", caption)
-    val rest = scanned.filter(!col("kind").isin("audio", "image"))
-      .withColumn("media_text", lit(null).cast("string"))
-    routeDocuments(rest.unionByName(audio).unionByName(images))
+      scanned.filter(col("kind") === "image"), "relpath", "content", "media_text", caption,
+      failed = Some(capAcc))
+    // Media rows are never chat exports, so they route through routePlain
+    // DIRECTLY rather than riding into routeDocuments, whose two branches
+    // (plain + chat explode) each re-evaluate their narrow input lineage —
+    // that would run the annotation mapPartitions (a real service call per
+    // media file!) twice, and double-count the failure accumulators.
+    val mediaDocs = routePlain(audio.unionByName(images))
+    routeDocuments(scanned.filter(!col("kind").isin("audio", "image")))
+      .unionByName(mediaDocs)
   }
 
   /** Chat-aware document routing over a scanned frame (see

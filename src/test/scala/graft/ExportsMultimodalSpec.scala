@@ -155,4 +155,27 @@ class ExportsMultimodalSpec extends AnyFunSuite {
       assert(rows(0).getAs[Double]("score") >= rows(1).getAs[Double]("score"))
     }
   }
+
+  test("batch search heap tie-break matches the window's UTF-8 binary id order") {
+    import spark.implicits._
+    // Three rows with IDENTICAL vectors (tied scores) in one partition, k=2:
+    // the heap must evict by the same order the final window ranks with.
+    // UTF-16 code-unit order: "z" < U+10000 (surrogate 0xD800) < U+E000,
+    // UTF-8 byte order:       "z" < U+E000 (EE..)   < U+10000 (F0..).
+    // A UTF-16 heap would evict U+E000 and the top-2 would be wrong.
+    val idPrivateUse = ""
+    val idSupplementary = "𐀀" // U+10000
+    val corpus = Seq(
+      ("z", "d1"), (idPrivateUse, "d2"), (idSupplementary, "d3"))
+      .toDF("id", "document_id")
+      .withColumn("kind", lit("text")).withColumn("path", lit("p"))
+      .withColumn("idx", lit(0)).withColumn("text", lit("same text"))
+      .withColumn("vector", graft.operators.DevEmbed.devEmbed(col("text"), 8))
+      .repartition(1)
+    val queries = Seq(Tuple1(0L)).toDF("query_id")
+      .withColumn("qv", graft.operators.DevEmbed.devEmbed(lit("same text"), 8))
+    val res = graft.operators.SearchOps.batchSearch(corpus, queries, k = 2)
+      .orderBy("rank").collect()
+    assert(res.map(_.getString(2)).toSeq == Seq("z", idPrivateUse))
+  }
 }

@@ -399,6 +399,25 @@ class IngestSpec extends AnyFunSuite {
       .select("path", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(dev("talk.mp3") == "[DEV] transcript of talk.mp3")
     assert(dev("photo.png") == "image: photo.png") // empty dev caption → fallback
+
+    // intermittent STT failure (below the dead-backend threshold) drops the
+    // batch's rows fail-soft — the wired accumulator must surface the count
+    // so documents can't vanish from the corpus unobserved
+    val flaky = new MediaService.Transport {
+      override def post(p: Seq[String], d: Seq[Array[Byte]]): String =
+        throw new java.io.IOException("transient 503")
+    }
+    val sttAcc = spark.sparkContext.longAccumulator("test.stt_failed")
+    val capAcc = spark.sparkContext.longAccumulator("test.cap_failed")
+    val flakyDocs = FileIngest.routeDocumentsWithMedia(scanned,
+        MediaService.Config(MediaService.Stt, flaky, maxConsecutiveFailures = 10),
+        MediaService.Config(MediaService.Caption, flaky, maxConsecutiveFailures = 10),
+        sttFailed = Some(sttAcc), captionFailed = Some(capAcc))
+      .select("path", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!flakyDocs.contains("talk.mp3"))            // STT batch skipped...
+    assert(sttAcc.value == 1L)                         // ...but counted
+    assert(capAcc.value == 2L)                         // captions soft-fell, counted
+    assert(flakyDocs("photo.png") == "image: photo.png") // soft-empty → fallback
   }
 
   test("ST6 read-while-write: upsert rewrites only the touched buckets") {

@@ -72,6 +72,37 @@ class KernelsSpec extends AnyFunSuite {
       == 204651429991967492L)
   }
 
+  test("word_shingles trim/split matches the oracle's string_split semantics") {
+    // Space-only trim, empties kept — DuckDB trim + string_split parity, so
+    // the q19 cross-engine LSH replay is data-independent (tabs/newlines/
+    // double spaces included). Java String.trim/split(' ') would diverge.
+    def sh(s: String, n: Int): Seq[String] = {
+      val a = graft.operators.WordShingles.compute(UTF8String.fromString(s), n)
+      (0 until a.numElements).map(i => a.getUTF8String(i).toString)
+    }
+    assert(sh(" a b c ", 2) == Seq("a b", "b c"))
+    assert(sh("a  b c", 2) == Seq("a ", " b", "b c"))   // interior empty token kept
+    assert(sh("a\nb c d", 2) == Seq("a\nb c", "c d"))   // \n not trimmed, not a separator
+    assert(sh("\ta b c", 2) == Seq("\ta b", "b c"))     // \t not trimmed
+    assert(sh("a b ", 2) == Seq("a b"))                  // trailing space IS trimmed
+  }
+
+  test("BPE-ish pre-tokenizer regex counts word gaps correctly") {
+    // The q51 token-budget estimator counts matches of BpeTokenRe directly
+    // (no whitespace subtraction — single-space word gaps ride the ` ?`
+    // prefixes, as in real BPE). Spark's regexp_count is Java regex, so
+    // pinning via java.util.regex pins the Column semantics.
+    def n(s: String): Int = {
+      val m = java.util.regex.Pattern.compile(graft.operators.TextAnalytics.BpeTokenRe).matcher(s)
+      var c = 0; while (m.find()) c += 1; c
+    }
+    assert(n("hello world foo") == 3) // the round-3 bug yielded 1
+    assert(n("it's a test") == 4)     // "it" "'s" " a" " test"
+    assert(n("foo  bar\nbaz") == 3)   // extra whitespace skipped between matches
+    assert(n("price: $12.50") == 6)   // "price" ":" " $" "12" "." "50"
+    assert(n("") == 0 && n("   ") == 0)
+  }
+
   test("sum_char_lengths / word_list_hits kernels") {
     import graft.functions.{SumCharLengths, WordListHits}
     def arr(ws: String*) = new GenericArrayData(ws.toArray.map(UTF8String.fromString))
