@@ -74,6 +74,28 @@ object Bench {
     // steady-state over 5 reps under the identical plan/config). Min of 2
     // is the steady-state throughput the 100 TB comparison cares about;
     // both runs fully materialize.
+    //
+    // PER-QUERY ISOLATION (round-3 finding): running 51 queries x 2
+    // materializations back-to-back in one JVM accumulates broadcast/
+    // shuffle/codegen state until late-alphabet queries run under memory
+    // pressure — BENCH_r03 reported q28 at 22.1s where the identical
+    // plan/config measures 1.29s in isolation (tools/QueryTime). Between
+    // queries we clear the SQL cache and force the ContextCleaner to drain
+    // (broadcast/shuffle driver refs are weakly held — they release on GC),
+    // plus a short cooldown. Both raw run times, per-query GC time and
+    // post-query heap are reported so contamination is visible in the file
+    // itself, and a post-suite fresh-context sample re-measure asserts the
+    // suite numbers were clean (isolation_check below).
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
+    }
+    def cooldown(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+      System.gc()
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timeOnce(): Double = {
@@ -81,16 +103,22 @@ object Bench {
         run(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      val t =
+      val gc0 = gcMillis()
+      val (t1, t2) =
         try {
-          val t1 = timeOnce()
-          math.min(t1, timeOnce())
+          val a = timeOnce()
+          val b = timeOnce()
+          (a, b)
         } catch { case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.nextOption.getOrElse("")}")
-          -1.0
+          (-1.0, -1.0)
         }
-      name -> t
+      val gcSec = (gcMillis() - gc0) / 1e3
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      cooldown()
+      (name, math.min(t1, t2), t1, t2, gcSec, heapMb)
     }
 
     // ingest throughput: full chunk(800/100)+dev-embed(64) pipeline over
@@ -109,17 +137,76 @@ object Bench {
         totalChars / secs
       } catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Isolation self-check: re-measure a sample of late-alphabet queries
+    // (the ones BENCH_r03 misreported) in a FRESH SparkContext and require
+    // the suite numbers to be within 2x of the isolated measurements — the
+    // bench refuses to silently publish contaminated numbers again.
+    spark.stop()
+    val sampleNames = Seq("q28_embedding_near_dup", "q31_asof_join",
+      "q35_provenance_search").filter(SparkEntry.queries.contains)
+    val isolated: Seq[(String, Double)] = {
+      val s2 = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      s2.sparkContext.setLogLevel("WARN")
+      def run2(df: org.apache.spark.sql.DataFrame): Unit = {
+        val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+        df.select(h.as("h")).agg(expr("bit_xor(h)")).head
+      }
+      val out = sampleNames.map { name =>
+        val t = try {
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            run2(SparkEntry.queries(name)(s2, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case _: Throwable => -1.0 }
+        name -> t
+      }
+      s2.stop()
+      out
+    }
+    val suiteByName = results.map(r => r._1 -> r._2).toMap
+    val isolationChecks = isolated.collect { case (name, iso) if iso > 0 =>
+      val suite = suiteByName.getOrElse(name, -1.0)
+      // floor the denominator: sub-second queries can "fail" 2x on pure
+      // scheduler jitter, which is noise, not contamination
+      val ratio = if (suite > 0) suite / math.max(iso, 0.5) else -1.0
+      (name, suite, iso, ratio)
+    }
+    val isolationOk = isolationChecks.nonEmpty && isolationChecks.forall(_._4 <= 2.0)
+    if (!isolationOk)
+      System.err.println("[bench] ISOLATION CHECK FAILED: suite numbers are " +
+        "contaminated vs fresh-context re-measurement: " +
+        isolationChecks.filter(_._4 > 2.0)
+          .map(c => f"${c._1} suite=${c._2}%.2fs isolated=${c._3}%.2fs")
+          .mkString("; "))
+
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val detail = results.map { case (k, _, t1, t2, gcSec, heapMb) =>
+      "\"" + k + "\":{\"runs\":[" + t1 + "," + t2 + "],\"gc_sec\":" + gcSec +
+        ",\"heap_mb\":" + heapMb + "}"
+    }.mkString("{", ",", "}")
+    val iso = isolationChecks.map { case (k, suite, isoT, ratio) =>
+      "\"" + k + "\":{\"suite\":" + suite + ",\"isolated\":" + isoT +
+        ",\"ratio\":" + f"$ratio%.3f" + "}"
+    }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect {
-      case (k, v) if !CorrectnessOnly.contains(k) && v >= 0 => v
+      case (k, v, _, _, _, _) if !CorrectnessOnly.contains(k) && v >= 0 => v
     }.sum
     val co = CorrectnessOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val notes = "per-query sec = min of 2 fully-materialized runs (steady state); " +
-      "r2 q03 2.55s was one-shot scheduler noise - same plan measures 1.2-1.7s " +
-      "over 5 reps (dims broadcast, no SMJ; tools/QueryTime)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"notes":"$notes","sf":"$sfDir"}""")
-    spark.stop()
+    val notes = "per-query sec = min of 2 fully-materialized runs; clearCache+" +
+      "2xGC+200ms cooldown between queries (r3: one-JVM state accumulation " +
+      "inflated late-suite numbers 3-17x); isolation_check re-measures a " +
+      "3-query sample in a fresh SparkContext and must agree within 2x"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"notes":"$notes","sf":"$sfDir"}""")
   }
 }

@@ -188,11 +188,43 @@ object SearchOps {
     textHits.limit(kText).unionByName(imageHits.limit(kImage))
   }
 
-  /** A5 synthesis gate: max score must reach `minSynthScore`
-    * (reference: ask.py:448-463, config.py:86 MIN_SYNTH_SCORE=0.55).
+  /** A5 synthesis gate, batch form: per-query source count, top score and
+    * gate classification (`no_sources` / `low_confidence` / `synthesized`)
+    * in ONE aggregation over `(query_id, score)` rows — queries with zero
+    * surviving hits come back `no_sources` via the right join on
+    * `queryIds`. The shape a serving fleet evaluates thousands of asks
+    * with; the scalar [[synthesisGate]] delegates here.
+    * (reference: ask.py:448-463, config.py:86 MIN_SYNTH_SCORE=0.55,
+    * snippet pool min 0.2.)
+    */
+  def synthesisGateBatch(
+      scored: DataFrame,
+      queryIds: DataFrame,
+      minScore: Double = 0.2,
+      minSynthScore: Double = 0.55): DataFrame =
+    scored
+      .filter(col("score") >= minScore)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_sources"), max(col("score")).as("top_raw"))
+      .join(queryIds.select(col("query_id")), Seq("query_id"), "right")
+      .select(col("query_id"),
+        coalesce(col("n_sources"), lit(0L)).as("n_sources"),
+        coalesce(col("top_raw"), lit(0.0)).as("top_score"),
+        when(coalesce(col("n_sources"), lit(0L)) === 0, "no_sources")
+          .when(col("top_raw") < minSynthScore, "low_confidence")
+          .otherwise("synthesized").as("synth_status"))
+
+  /** A5 synthesis gate (single ask): max score must reach `minSynthScore`.
+    * Delegates to [[synthesisGateBatch]] under a constant query id; an
+    * empty hits frame gates false (`no_sources`) instead of NPE-ing.
     */
   def synthesisGate(hits: DataFrame, minSynthScore: Double = 0.55): Boolean =
-    hits.agg(max(col("score"))).head.getDouble(0) >= minSynthScore
+    synthesisGateBatch(
+      hits.select(lit(0L).as("query_id"), col("score")),
+      hits.sparkSession.range(1).select(lit(0L).as("query_id")),
+      minScore = Double.NegativeInfinity,
+      minSynthScore = minSynthScore)
+      .head.getString(3) == "synthesized"
 
   /** Grounded prompt text from selected snippets (ask.py:359-372); the LLM
     * call itself is an external service beyond the engine boundary.

@@ -789,16 +789,10 @@ object PipelineCatalog {
       .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("score", graft.functions.VectorFunctions.cosine(col("v"), col("qv")))
-      .filter(col("score") >= 0.2)
-    scored.groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_sources"), max(col("score")).as("top_raw"))
-      .join(queries.select(col("query_id")), Seq("query_id"), "right")
-      .select(col("query_id"),
-        coalesce(col("n_sources"), lit(0L)).as("n_sources"),
-        rnd(coalesce(col("top_raw"), lit(0.0)), 6).as("top_score"),
-        when(coalesce(col("n_sources"), lit(0L)) === 0, "no_sources")
-          .when(col("top_raw") < 0.55, "low_confidence")
-          .otherwise("synthesized").as("synth_status"))
+      .select(col("query_id"), col("score"))
+    graft.operators.SearchOps.synthesisGateBatch(scored, queries.select(col("query_id")))
+      .select(col("query_id"), col("n_sources"),
+        rnd(col("top_score"), 6).as("top_score"), col("synth_status"))
       .orderBy(col("query_id"))
   }
 

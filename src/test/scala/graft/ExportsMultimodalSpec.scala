@@ -68,6 +68,26 @@ class ExportsMultimodalSpec extends AnyFunSuite {
     val hits2 = Seq(("h1", 0.55), ("h2", 0.31)).toDF("id", "score")
     assert(SearchOps.synthesisGate(hits2)) // >= is inclusive
     assert(SearchOps.synthesisGate(hits, minSynthScore = 0.5))
+    // empty hits: no_sources -> false (the scalar form used to NPE here)
+    assert(!SearchOps.synthesisGate(hits.filter(col("score") > 1.0)))
+  }
+
+  test("synthesis gate batch form classifies per query incl. zero-hit queries") {
+    import graft.operators.SearchOps
+    val scored = Seq(
+      (1L, 0.80), (1L, 0.10),            // synthesized (0.10 below pool min)
+      (2L, 0.54), (2L, 0.30),            // low_confidence
+      (3L, 0.15))                        // all below pool min -> no_sources
+      .toDF("query_id", "score")
+    val qids = Seq(1L, 2L, 3L, 4L).toDF("query_id") // 4 has no hits at all
+    val out = SearchOps.synthesisGateBatch(scored, qids)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0.80, "synthesized"),
+      (2L, 2L, 0.54, "low_confidence"),
+      (3L, 0L, 0.0, "no_sources"),
+      (4L, 0L, 0.0, "no_sources")))
   }
 
   test("documents listing merges chunk and image collections (J1 full outer)") {
