@@ -77,6 +77,40 @@ case class L2Normalize(child: Expression)
     copy(child = newChild)
 }
 
+/** `nearest_cell(vec)` ➜ index of the nearest centroid (spherical k-means
+  * cell) under squared Euclidean distance on the L2-normalized vector,
+  * computed via the engine-portable identity `d² = 1 + ‖c‖² − 2·(nv·c)`
+  * (‖nv‖ = 1) with the centroid norms precomputed as literals. MLlib's own
+  * `model.transform` assignment goes through `fastSquaredDistance` (norm
+  * cache + error-corrected dot trick) that no other engine reproduces
+  * bit-for-bit; this kernel's arithmetic is three IEEE ops a SQL oracle
+  * replays exactly (`1.0 + n2 - 2.0*list_inner_product(nv, c)`), making
+  * cell assignment — and therefore IVF probe results — cross-engine
+  * deterministic, the same portability contract as the minhash/LSH
+  * families. Ties keep the lowest centroid index (= the oracle's
+  * first-position-of-min).
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]],
+    cnorm2: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.nearestCell(input.asInstanceOf[ArrayData], centroids, cnorm2)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("cnorm2", cnorm2, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.nearestCell($c, $cRef, $nRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static (Java-callable) kernels referenced from generated code. */
 object VectorKernels {
   def l2Normalize(a: ArrayData): ArrayData = {
@@ -98,6 +132,33 @@ object VectorKernels {
     var i = 0
     while (i < n) { s += x(i) * y(i); i += 1 }
     s
+  }
+
+  /** Squared-distance-on-the-unit-sphere to each centroid via
+    * `1 + ‖c‖² − 2·(nv·c)` where `nv = x·(1/√Σx²)` — each element
+    * normalized with ONE rounding (multiply by the precomputed inverse),
+    * matching the SQL replay `x * (1.0/sqrt(list_inner_product(v,v)))`.
+    */
+  def nearestCell(a: ArrayData, cs: Array[Array[Double]], cn2: Array[Double]): Int = {
+    val x = a.toDoubleArray()
+    var n = 0.0
+    var i = 0
+    while (i < x.length) { n += x(i) * x(i); i += 1 }
+    val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cc = cs(c)
+      var dot = 0.0
+      var j = 0
+      val m = math.min(x.length, cc.length)
+      while (j < m) { dot += (x(j) * inv) * cc(j); j += 1 }
+      val d = 1.0 + cn2(c) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
   }
 
   def cosine(a: ArrayData, b: ArrayData): Double = {
@@ -129,4 +190,19 @@ object VectorFunctions {
   /** Unit-length normalization of an array<double> column. */
   def l2Normalize(a: Column): Column =
     GraftSql.column(L2Normalize(toExpr(a)))
+
+  /** Centroid norms ‖c‖² (ascending-index accumulation — the values the
+    * [[NearestCell]] replay embeds as literals).
+    */
+  def centroidNorm2(cs: Array[Array[Double]]): Array[Double] =
+    cs.map { c =>
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      s
+    }
+
+  /** Nearest spherical-k-means cell of an array<double> column. */
+  def nearestCell(a: Column, centroids: Array[Array[Double]]): Column =
+    GraftSql.column(NearestCell(toExpr(a), centroids, centroidNorm2(centroids)))
 }

@@ -90,7 +90,32 @@ object Similarity {
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(5)
       .fit(featured)
-    (model, model.transform(featured).withColumnRenamed("prediction", "cell"))
+    // Assignment goes through the PORTABLE NearestCell kernel, not
+    // model.transform: MLlib's fastSquaredDistance is a JVM-private
+    // arithmetic path, while `1 + ‖c‖² − 2·(nv·c)` is replayable by any
+    // engine from the exported centroid literals — cell membership (and so
+    // every IVF probe result) becomes cross-engine deterministic.
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = corpus.withColumn("cell",
+      graft.functions.VectorFunctions.nearestCell(
+        col(vecCol).cast("array<double>"), centroids))
+    (model, assigned)
+  }
+
+  /** Distance-on-the-unit-sphere from a (pre-normalized) query to each
+    * centroid, with the SAME arithmetic as [[graft.functions.VectorKernels
+    * .nearestCell]] — one formula for write-time assignment, query-time
+    * probe selection, and the SQL oracle replay.
+    */
+  def cellDistances(qn: Array[Double], centroids: Array[Array[Double]]): Array[Double] = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(centroids)
+    centroids.zipWithIndex.map { case (cc, i) =>
+      var dot = 0.0
+      var j = 0
+      val m = math.min(qn.length, cc.length)
+      while (j < m) { dot += qn(j) * cc(j); j += 1 }
+      1.0 + cn2(i) - 2.0 * dot
+    }
   }
 
   /** IVF search: probe the `nProbe` nearest cells, exact cosine within.
@@ -102,14 +127,11 @@ object Similarity {
       centroids: Array[Array[Double]],
       queryVec: Array[Double], k: Int, nProbe: Int): DataFrame = {
     val qn = l2Normalize(queryVec)
-    val probes = centroids.zipWithIndex
-      .map { case (ca, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < ca.length) { val diff = ca(j) - qn(j); d += diff * diff; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(nProbe).map(_._1)
+    // Same formula as write-time assignment ([[cellDistances]]); ties
+    // break on the lower cell index — the order the oracle replays.
+    val probes = cellDistances(qn, centroids).zipWithIndex
+      .map { case (d, i) => (i, d) }
+      .sortBy { case (i, d) => (d, i) }.take(nProbe).map(_._1)
     indexed
       .filter(col("cell").isin(probes.toSeq: _*)) // cell/partition pruning
       .withColumn("score", VectorFunctions.cosine(

@@ -360,7 +360,9 @@ object Catalog {
     "q12_full_outer_merge" -> q12FullOuterMerge,
   ) ++ PipelineCatalog.queries ++ IngestCatalog.queries
 
-  val oracles: ListMap[String, String] = ListMap(
+  // `def`: PipelineCatalog.oracles is dynamic (q27's SQL embeds centroids
+  // trained during the query run — see PipelineCatalog.lastIvfCentroids)
+  def oracles: ListMap[String, String] = ListMap(
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_pushdown" -> q02Sql,
     "q03_regional_revenue" -> q03Sql,

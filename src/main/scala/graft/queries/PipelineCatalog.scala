@@ -504,13 +504,25 @@ object PipelineCatalog {
 
   // -------------------------------------------------------------------------
   // q27: IVF (k-means cell) approximate nearest neighbours — the
-  // coarse-quantization scale path (rows-only; recall vs q16 exact pinned
-  // in QueriesSpec). NOTE: the synthetic embeddings are near-uniform random
-  // vectors — the worst case for ANY partition-pruning ANN (measured
-  // recall ~= scan fraction; IvfTune sweep). nProbe=8/k=16 halves the scan
-  // for ~0.86 recall here; clustered real-world embeddings fare far
-  // better at much lower probe ratios.
+  // coarse-quantization scale path. Cell assignment uses the PORTABLE
+  // NearestCell identity (1 + ‖c‖² − 2·nv·c over exported centroid
+  // literals), so the oracle replays assignment + probe selection + cosine
+  // bit-for-bit in DuckDB: full hash-match, same contract as q25's planes.
+  // The centroids come out of the query's own index build (seeded MLlib
+  // k-means, deterministic) and are published to the oracle builder below.
+  // NOTE: the synthetic embeddings are near-uniform random vectors — the
+  // worst case for ANY partition-pruning ANN (measured recall ~= scan
+  // fraction; IvfTune sweep). nProbe=8/k=16 halves the scan for ~0.86
+  // recall here; clustered real-world embeddings fare far better at much
+  // lower probe ratios.
   // -------------------------------------------------------------------------
+
+  /** Centroids of the last q27 index build — read by [[oracles]] so the
+    * DuckDB replay embeds the SAME trained centroids as literals (Verify
+    * runs every query BEFORE dumping oracle SQL). Absent until q27 runs →
+    * the oracle entry is omitted and the driver records rows-only.
+    */
+  @volatile private var lastIvfCentroids: Option[Array[Array[Double]]] = None
 
   val q27AnnIvf: Q = (s, d) => {
     val emb = tbl(s, d, "embeddings")
@@ -521,9 +533,50 @@ object PipelineCatalog {
     // partitions — no training job inside query wall-time.
     val store = graft.sources.VectorStore.ensure(
       s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
     Similarity.ivfTopK(store.vectors, "embedding", store.centroids, qv, 10, nProbe = 8)
       .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** DuckDB replay of the whole IVF path from centroid literals:
+    * normalize → per-cell distance identity → first-min cell assignment →
+    * 8-probe selection for the query → exact cosine top-10 within probed
+    * cells. Every arithmetic step mirrors the engine kernels
+    * (VectorKernels.nearestCell / Similarity.cellDistances) op-for-op.
+    */
+  private def q27Sql(cs: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${cn2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), d AS (
+         SELECT vec_id, label, v, $dExprs AS ds FROM n
+       ), a AS (
+         SELECT vec_id, label, v, list_position(ds, list_min(ds)) - 1 AS cell FROM d
+       ), probes AS (
+         SELECT i AS cell FROM (
+           SELECT unnest(range(${cs.length})) AS i, unnest(ds) AS dd
+           FROM d WHERE vec_id = 0)
+         ORDER BY dd, i LIMIT 8
+       ), q AS (
+         SELECT v AS qv FROM e WHERE vec_id = 0
+       ), hits AS (
+         SELECT a.vec_id, a.label, list_cosine_similarity(a.v, q.qv) AS s
+         FROM a JOIN probes USING (cell), q
+         WHERE a.vec_id <> 0
+         ORDER BY s DESC LIMIT 10
+       )
+       SELECT vec_id, label, floor(s * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits ORDER BY score DESC, vec_id"""
   }
 
   // -------------------------------------------------------------------------
@@ -947,7 +1000,14 @@ object PipelineCatalog {
     "q51_token_budget" -> q51TokenBudget,
   )
 
-  val oracles: ListMap[String, String] = ListMap(
+  /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
+    * has run (its literals are the trained centroids); Verify reads this
+    * map after all queries, so the entry materializes exactly when valid.
+    */
+  def oracles: ListMap[String, String] = staticOracles ++
+    lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs))
+
+  private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,
     "q14_chunk_ids" -> q14Sql,
     "q15_embed_dev" -> q15Sql,

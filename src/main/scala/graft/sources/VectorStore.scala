@@ -69,7 +69,11 @@ object VectorStore {
 
   private def manifest(sfDir: String, planes: Int, dim: Int, k: Int): String = {
     val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
-    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k}"""
+    // layout version: bump when cell/bucket assignment semantics change,
+    // so indexes written by an older build rebuild instead of silently
+    // mixing assignment families ("portable-v1" = NearestCell identity
+    // assignment replacing MLlib model.transform)
+    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v1"}"""
   }
 
   /** Write-time indexing: label every vector with `cell` (IVF) and
