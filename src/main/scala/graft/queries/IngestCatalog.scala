@@ -641,6 +641,60 @@ object IngestCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q52: media ingest (S10 STT / S11 caption / T8 media routing) — audio
+  // and image files through the REAL routeDocumentsWithMedia in dev mode:
+  // the reference's own dev gates emit `[DEV] transcript of {name}`
+  // (parse_audio.py:27-32) and the empty dev caption falls back to
+  // `image: {rel}` (process.py:911), both trivially replayable. The
+  // transport object would THROW if called — the row also proves dev mode
+  // never touches the service.
+  // -------------------------------------------------------------------------
+
+  private def mediaFiles(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    def f(path: org.apache.spark.sql.Column) =
+      base.select(path.as("path"), encode(col("text"), "UTF-8").as("content"))
+    f(concat(lit("dz/med/"), col("doc_id"), lit(".mp3")))
+      .unionByName(f(concat(lit("dz/med/"), col("doc_id"), lit(".png"))))
+      .withColumn("length", octet_length(col("content")).cast("long"))
+  }
+
+  val q52MediaIngest: Q = (s, d) => {
+    import graft.operators.MediaService
+    val mustNotCall = new MediaService.Transport {
+      override def post(paths: Seq[String], payloads: Seq[Array[Byte]]): String =
+        throw new IllegalStateException("dev mode must not call the media service")
+    }
+    FileIngest.routeDocumentsWithMedia(
+        FileIngest.scanFilesFrame(mediaFiles(s, d), "dz"),
+        MediaService.Config(MediaService.Stt, mustNotCall, devMode = true),
+        MediaService.Config(MediaService.Caption, mustNotCall, devMode = true))
+      .select(col("path"), col("kind"), col("text"), col("content_sig"),
+        col("bytes"), col("source_ext"), col("source_system"),
+        col("doc_type"), col("detected_as"), col("detect_confidence"))
+      .orderBy(col("path"))
+  }
+
+  private val q52Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+       raw AS (
+         SELECT 'med/' || doc_id || '.mp3' AS path, 'audio' AS kind,
+                '.mp3' AS source_ext, text AS content,
+                '[DEV] transcript of ' || doc_id || '.mp3' AS text
+         FROM d
+         UNION ALL
+         SELECT 'med/' || doc_id || '.png', 'image', '.png', text,
+                'image: med/' || doc_id || '.png'
+         FROM d)
+       SELECT path, kind, text, sha256(content) AS content_sig,
+              CAST(strlen(content) AS BIGINT) AS bytes,
+              source_ext, 'filesystem' AS source_system,
+              kind AS doc_type, kind AS detected_as,
+              CAST(1.0 AS DOUBLE) AS detect_confidence
+       FROM raw
+       ORDER BY path"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -656,6 +710,7 @@ object IngestCatalog {
     "q43_pack_sequences" -> q43PackSequences,
     "q44_incremental_dedup" -> q44IncrementalDedup,
     "q45_redact" -> q45Redact,
+    "q52_media_ingest" -> q52MediaIngest,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -672,5 +727,6 @@ object IngestCatalog {
     "q43_pack_sequences" -> q43Sql,
     "q44_incremental_dedup" -> q44Sql,
     "q45_redact" -> q45Sql,
+    "q52_media_ingest" -> q52Sql,
   )
 }

@@ -970,6 +970,73 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q53: retrieval eval harness (T11/A6; ask_eval.py:66-127) — hit@1
+  // substring match through the REAL AskEval.evalSummary / batchSearch
+  // path plus the reference's nearest-rank p50/p95 formula. Latencies are
+  // a deterministic per-query frame (wall-clock isn't replayable; the
+  // ARITHMETIC is what the oracle pins — the same evalSummary code path
+  // consumes measured latencies in production).
+  // -------------------------------------------------------------------------
+
+  val q53AskEval: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val corpus = emb.filter(col("vec_id") >= 20).select(
+      col("vec_id").as("id"),
+      concat(lit("doc-"), col("vec_id")).as("document_id"),
+      lit("text").as("kind"),
+      concat(lit("emb/"), col("vec_id")).as("path"),
+      lit(0).as("idx"),
+      concat(lit("label "), col("label").cast("string")).as("text"),
+      col("embedding").as("vector"))
+    val queries = emb.filter(col("vec_id") < 20).select(
+      col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"),
+      concat(lit("label "), pmod(col("vec_id"), lit(10)).cast("string")).as("expect"),
+      (lit(5.0) + pmod(col("vec_id") * 37, lit(100)).cast("double")).as("latency_ms"))
+    graft.tools.AskEval.evalSummary(corpus, queries, k = 5)
+      .select(col("n"), col("hits"), rnd(col("hit_rate"), 6).as("hit_rate"),
+        col("p50_ms"), col("p95_ms"))
+  }
+
+  private val q53Sql =
+    """WITH q AS (
+         SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                'label ' || CAST(vec_id % 10 AS VARCHAR) AS expect,
+                5.0 + CAST((vec_id * 37) % 100 AS DOUBLE) AS latency_ms
+         FROM embeddings WHERE vec_id < 20
+       ), c AS (
+         SELECT vec_id, 'label ' || CAST(label AS VARCHAR) AS text,
+                CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings WHERE vec_id >= 20
+       ), scored AS (
+         SELECT q.query_id, q.expect, q.latency_ms, c.vec_id, c.text,
+                list_cosine_similarity(c.v, q.qv) AS s
+         FROM c CROSS JOIN q
+       ), top1 AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, vec_id) AS rnk
+           FROM scored) WHERE rnk = 1
+       ), hits AS (
+         SELECT query_id, latency_ms,
+                CASE WHEN contains(text, expect) THEN 1 ELSE 0 END AS hit
+         FROM top1
+       ), ranked AS (
+         SELECT *, row_number() OVER (ORDER BY latency_ms, query_id) AS rn,
+                count(*) OVER () AS n_total
+         FROM hits
+       )
+       SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(hit) AS BIGINT) AS hits,
+              floor((CAST(sum(hit) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+                / 1000000.0 AS hit_rate,
+              max(CASE WHEN rn = greatest(CAST(ceil(n_total * 0.5) AS BIGINT), 1)
+                  THEN latency_ms END) AS p50_ms,
+              max(CASE WHEN rn = greatest(CAST(ceil(n_total * 0.95) AS BIGINT), 1)
+                  THEN latency_ms END) AS p95_ms
+       FROM ranked"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -998,6 +1065,7 @@ object PipelineCatalog {
     "q49_ingest_summary" -> q49IngestSummary,
     "q50_export_manifest" -> q50ExportManifest,
     "q51_token_budget" -> q51TokenBudget,
+    "q53_ask_eval" -> q53AskEval,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1033,5 +1101,6 @@ object PipelineCatalog {
     "q49_ingest_summary" -> q49Sql,
     "q50_export_manifest" -> q50Sql,
     "q51_token_budget" -> q51Sql,
+    "q53_ask_eval" -> q53Sql,
   )
 }

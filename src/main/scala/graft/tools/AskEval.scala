@@ -35,6 +35,37 @@ object AskEval {
     (hits, if (qas.isEmpty) 0.0 else hits.toDouble / qas.length)
   }
 
+  /** Distributed eval SUMMARY frame: one row of `n / hits / hit_rate /
+    * p50_ms / p95_ms` over a QA frame `(query_id, qv, expect, latency_ms)`
+    * — hit@1 via the real [[SearchOps.batchSearch]] path, percentiles with
+    * the reference's nearest-rank formula (`sorted[max(ceil(p·n),1)]`,
+    * 1-based — ask_eval.py:96-104), exactly the arithmetic [[run]] applies
+    * driver-side. `latency_ms` is caller-supplied so measured serving
+    * latencies and deterministic replay frames share one code path.
+    */
+  def evalSummary(chunks: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top1 = SearchOps.batchSearch(chunks, queries.select("query_id", "qv"), k)
+      .filter(col("rank") === 1)
+      .join(queries.select("query_id", "expect", "latency_ms"), "query_id")
+      .withColumn("hit", col("text").contains(col("expect")).cast("int"))
+    // ≤ nQueries rows here; constant partition key = silent tiny window
+    // (same rationale as SearchOps.snippetSelect)
+    val whole = Window.partitionBy(lit(0))
+    val ranked = top1
+      .withColumn("rn", row_number().over(
+        whole.orderBy(col("latency_ms"), col("query_id"))))
+      .withColumn("n_total", count(lit(1)).over(whole))
+    def nearestRank(p: Double) =
+      greatest(ceil(col("n_total") * p), lit(1L))
+    ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("hit")).as("hits"),
+      (sum(col("hit")).cast("double") / count(lit(1))).as("hit_rate"),
+      max(when(col("rn") === nearestRank(0.50), col("latency_ms"))).as("p50_ms"),
+      max(when(col("rn") === nearestRank(0.95), col("latency_ms"))).as("p95_ms"))
+  }
+
   def run(chunks: DataFrame, qas: Seq[QA], k: Int = 10, embedDim: Int = 64): EvalResult = {
     val latencies = new Array[Double](qas.length)
     var hits = 0
