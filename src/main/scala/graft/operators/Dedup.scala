@@ -142,22 +142,48 @@ object Dedup {
         graft.queries.Catalog.rnd(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-dups via sign-LSH blocking: candidates share a
-    * hyperplane bucket (or a neighbour within `probeRadius` via banding on
-    * the query side), then exact cosine verification — O(n·collisions),
-    * not O(n²). Normalized at write + bucket persisted makes this a
-    * self-join on the bucket column at any scale.
+  /** Embedding-cosine near-dups via BANDED sign-LSH blocking: `bands`
+    * independent hyperplane families of `planes` bits each (one fused
+    * bucket computation, bit-sliced into per-band keys); candidates
+    * collide on ANY band, then exact cosine verification —
+    * O(n·collisions), never O(n²).
+    *
+    * Tuning at corpus scale (the knobs minhash banding already exposes):
+    * more `planes` per band → smaller blocks (collision fan-out
+    * ~n²/2^planes per band on skewed corpora); more `bands` → recall
+    * (P[candidate] = 1−(1−p^planes)^bands for pair agreement prob p). A
+    * single 8-plane band (the old shape) is `bands = 1`.
+    *
+    * Emit-once: a pair colliding in several bands is emitted only from
+    * its FIRST agreeing band — a predicate on the full bucket both rows
+    * carry, not a distinct over candidate pairs (no candidate shuffle).
     */
   def embeddingNearDuplicatesLsh(
       emb: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      planes: Int = 8, dim: Int = 64): DataFrame = {
+      planes: Int = 8, dim: Int = 64, bands: Int = 1): DataFrame = {
+    require(planes * bands <= 63, "planes*bands must fit a signed long")
     val bucketed = Similarity.withBucket(
-      emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, planes, dim)
-    val a = bucketed.select(col("doc").as("a_id"), col("bucket"),
-      col(vecCol).cast("array<double>").as("va"))
-    val b = bucketed.select(col("doc").as("b_id"), col("bucket").as("bucket_b"),
+      emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, planes * bands, dim)
+    val mask = (1L << planes) - 1
+    def bandKey(bucket: Column, b: Int): Column =
+      shiftright(bucket, b * planes).bitwiseAND(lit(mask))
+    val keys = array((0 until bands).map(b => bandKey(col("bucket"), b)): _*)
+    val banded = bucketed.select(col("doc"), col("bucket"), col(vecCol),
+      posexplode(keys).as(Seq("band", "bk")))
+
+    def bandEqual(i: Int): Column =
+      bandKey(col("bucket_a"), i) === bandKey(col("bucket_b"), i)
+    val firstEqualBand = (1 until bands)
+      .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
+
+    val a = banded.select(col("doc").as("a_id"), col("bucket").as("bucket_a"),
+      col("band"), col("bk"), col(vecCol).cast("array<double>").as("va"))
+    val b = banded.select(col("doc").as("b_id"), col("bucket").as("bucket_b"),
+      col("band").as("band_b"), col("bk").as("bk_b"),
       col(vecCol).cast("array<double>").as("vb"))
-    a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+    a.join(b, col("band") === col("band_b") && col("bk") === col("bk_b") &&
+        col("a_id") < col("b_id"))
+      .filter(col("band") === firstEqualBand)
       .withColumn("cosine", graft.functions.VectorFunctions.cosine(col("va"), col("vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"),

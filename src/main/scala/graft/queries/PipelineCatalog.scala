@@ -598,9 +598,13 @@ object PipelineCatalog {
              CAST(b.embedding AS DOUBLE[])) >= 0.4
        ORDER BY a_id, b_id"""
 
+  // 4 bands × 4 planes: the banded family (round-3 advice #7) — recall
+  // 1−(1−p⁴)⁴ instead of a single block's p⁴, fan-out still n²/16 per
+  // band; oracle replays all 16 LCG planes, the bit-sliced band keys and
+  // the any-band-collides candidate set.
   val q29EmbeddingNearDupLsh: Q = (s, d) =>
     Dedup.embeddingNearDuplicatesLsh(tbl(s, d, "embeddings"), "vec_id", "embedding",
-        0.4, planes = 4)
+        0.4, planes = 4, bands = 4)
       .orderBy(col("a_id"), col("b_id"))
 
   // -------------------------------------------------------------------------
@@ -631,11 +635,18 @@ object PipelineCatalog {
        ORDER BY a_id, b_id"""
 
   private val q29Sql = {
-    val planes = graft.operators.Similarity.planeValues(4, 64)
+    // 4 bands × 4 planes = 16 LCG hyperplanes, one fused bucket; band b's
+    // key is bits [4b, 4b+4). A pair is a candidate iff ANY band's keys
+    // agree — the OR below enumerates each pair once, which is exactly the
+    // engine's emit-once-first-band output set.
+    val planes = graft.operators.Similarity.planeValues(16, 64)
     val bucket = planes.zipWithIndex.map { case (p, r) =>
       val lit = p.map(_.toString).mkString("[", ",", "]")
       s"(CASE WHEN list_dot_product(v, $lit::DOUBLE[]) >= 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString(" + ")
+    val anyBand = (0 until 4).map { b =>
+      s"((a.bucket >> ${4 * b}) & 15) = ((b.bucket >> ${4 * b}) & 15)"
+    }.mkString(" OR ")
     s"""WITH e AS (
          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        ), bucketed AS (
@@ -644,7 +655,7 @@ object PipelineCatalog {
        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               floor((list_cosine_similarity(a.v, b.v)) * 1000000 + 0.5) / 1000000.0 AS cosine
        FROM bucketed a JOIN bucketed b
-         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         ON a.vec_id < b.vec_id AND ($anyBand)
        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
        ORDER BY a_id, b_id"""
   }

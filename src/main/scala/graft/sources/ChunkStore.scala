@@ -80,6 +80,10 @@ object ChunkStore {
     } else {
       val buckets = incoming.select("doc_bucket").distinct()
         .collect().map(_.getLong(0)) // small: ≤ numBuckets values
+      // empty batch (e.g. an incremental re-ingest of an unchanged corpus)
+      // must be a literal no-op: zero partitions rewritten, not an empty
+      // dynamic overwrite
+      if (buckets.isEmpty) return
       val docs = incoming.select(col("document_id")).distinct()
       // survivors: rows in affected buckets belonging to OTHER documents;
       // localCheckpoint materializes them so the dynamic overwrite below

@@ -387,4 +387,51 @@ object FileIngest {
       ingestedAt: java.time.Instant = java.time.Instant.now()): DataFrame =
     chunkAndEmbed(routeDocuments(scanFilesFrame(files, dropzone)),
       chunkSize, chunkOverlap, embedDim, ingestedAt)
+
+  /** ST3 parity (skip-unchanged re-ingest): drop documents whose
+    * `(path, content_sig)` already exist in the stored corpus BEFORE the
+    * expensive chunk+embed stages — the reference watcher's last-content-
+    * hash skip (filewatcher.py:26,47-63 state map; watch_dropzone.py:37-80)
+    * generalized from a single-process dict to an anti-join against the
+    * table itself. At a daily 100 TB re-crawl this is the difference
+    * between touching the delta and recomputing everything.
+    *
+    * Key choice: a changed file keeps its path but changes its sig →
+    * re-ingested (upsert then replaces its chunks by document id); a
+    * renamed file is a new path → ingested under its new document id; a
+    * DELETED file is out of scope here (maintenance deletes, S19). The
+    * probe side reads only two string columns of the store — parquet
+    * column pruning keeps text/vector bytes out of the join — and flows
+    * through a distinct + broadcast-or-shuffle hash anti-join, never a
+    * full-store materialization.
+    */
+  def skipUnchanged(documents: DataFrame, store: DataFrame): DataFrame =
+    documents.join(
+      store.select(col("path"), col("content_sig")).distinct(),
+      Seq("path", "content_sig"), "left_anti")
+
+  /** Incremental [[ingestDirectory]]: parse the dropzone, skip documents
+    * already stored with identical content, chunk+embed only the delta.
+    * Upserting the (possibly empty) result into `storePath` yields the
+    * reference's watcher semantics: unchanged corpus → zero buckets
+    * rewritten, zero embeddings recomputed.
+    */
+  def ingestDirectoryIncremental(
+      spark: SparkSession,
+      dropzone: String,
+      storePath: String,
+      chunkSize: Int = Chunker.DefaultSize,
+      chunkOverlap: Int = Chunker.DefaultOverlap,
+      embedDim: Int = 64,
+      ingestedAt: java.time.Instant = java.time.Instant.now()): DataFrame = {
+    val docs = parseDirectoryWithChat(spark, dropzone)
+    val storeExists = {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val delta =
+      if (storeExists) skipUnchanged(docs, ChunkStore.read(spark, storePath))
+      else docs
+    chunkAndEmbed(delta, chunkSize, chunkOverlap, embedDim, ingestedAt)
+  }
 }

@@ -452,6 +452,54 @@ class IngestSpec extends AnyFunSuite {
     assert(ChunkStore.read(spark, store).count() == ingested.count())
   }
 
+  test("ST3 skip-unchanged: re-ingest of an unchanged dropzone is a no-op delta") {
+    import java.nio.file.{Files, Paths}
+    val dz = Files.createTempDirectory("incr-dz")
+    writeFixtures(dz)
+    val store = Files.createTempDirectory("incr-store").resolve("chunks").toString
+
+    // first ingest: everything is new
+    val first = FileIngest.ingestDirectoryIncremental(
+      spark, dz.toString, store, chunkSize = 200, chunkOverlap = 40)
+    assert(!first.isEmpty)
+    ChunkStore.upsert(first, store, numBuckets = 8)
+    val total = ChunkStore.read(spark, store).count()
+
+    def partFiles(): Map[String, Seq[String]] = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(store)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("doc_bucket="))
+        .map { dir =>
+          dir.getFileName.toString ->
+            Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toSeq.sorted
+        }.toMap
+    }
+    val before = partFiles()
+
+    // unchanged re-ingest: ZERO documents chunk/embed, ZERO buckets rewritten
+    val unchanged = FileIngest.ingestDirectoryIncremental(
+      spark, dz.toString, store, chunkSize = 200, chunkOverlap = 40)
+    assert(unchanged.isEmpty, "unchanged corpus must produce an empty delta")
+    ChunkStore.upsert(unchanged, store, numBuckets = 8)
+    assert(partFiles() == before, "no-op upsert must not touch any bucket")
+    assert(ChunkStore.read(spark, store).count() == total)
+
+    // change ONE file + add one: the delta is exactly those two documents
+    Files.writeString(dz.resolve("notes.txt"), "hello world this note just changed")
+    Files.writeString(dz.resolve("fresh.txt"), "a brand new file appears")
+    val delta = FileIngest.ingestDirectoryIncremental(
+      spark, dz.toString, store, chunkSize = 200, chunkOverlap = 40)
+    val deltaPaths = delta.select("path").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(deltaPaths == Set("notes.txt", "fresh.txt"))
+    ChunkStore.upsert(delta, store, numBuckets = 8)
+    val stored = ChunkStore.read(spark, store)
+    assert(stored.filter(col("path") === "notes.txt")
+      .head.getAs[String]("text").contains("just changed"))
+    assert(stored.filter(col("path") === "fresh.txt").count() == 1)
+  }
+
   test("S18 reindex: read store, write new store, identical content") {
     import java.nio.file.Files
     val s1 = Files.createTempDirectory("reix1").resolve("chunks").toString
