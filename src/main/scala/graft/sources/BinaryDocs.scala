@@ -243,15 +243,84 @@ object BinaryDocs {
   private val StreamRe = java.util.regex.Pattern.compile(
     "stream\r?\n(.*?)endstream", java.util.regex.Pattern.DOTALL)
 
-  /** Per-font-name ToUnicode maps of the whole document: object graph
-    * walked by regex (objects → /ToUnicode refs; /Font resource dicts →
-    * name → font object). Cross-reference/object streams (PDF 1.5
-    * compressed xref) are not chased — those documents degrade as before.
+  private val ObjStmNRe = java.util.regex.Pattern.compile("/N\\s+(\\d+)")
+  private val ObjStmFirstRe = java.util.regex.Pattern.compile("/First\\s+(\\d+)")
+
+  /** The dictionary part of an object body (text before the `stream`
+    * keyword; the whole body when the object has no stream).
     */
-  private def documentCMaps(raw: String): java.util.HashMap[String, ToUnicodeCMap] = {
-    val bodies = new java.util.HashMap[Int, String]()
+  private def dictPart(body: String): String = {
+    val sm = StreamRe.matcher(body)
+    if (sm.find()) body.substring(0, sm.start()) else body
+  }
+
+  /** Raw (possibly compressed) stream payload of an object body. */
+  private def streamData(body: String): Option[String] = {
+    val sm = StreamRe.matcher(body)
+    if (sm.find()) Some(sm.group(1)) else None
+  }
+
+  private def inflateOrRaw(data: String): String =
+    inflate(data.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      .filter(_.nonEmpty)
+      .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+      .getOrElse(data)
+
+  /** All objects of the document, INCLUDING the ones packed inside
+    * `/Type /ObjStm` object streams (PDF 32000-1 §7.5.7 — the default
+    * layout modern writers emit with compressed cross-references; round-3
+    * these degraded to empty text because their font/resource dicts were
+    * invisible). An object stream's payload is `N` pairs of
+    * `objnum offset` followed at `/First` by the concatenated object
+    * bodies (objects in object streams cannot themselves hold streams, so
+    * one expansion level is complete by construction). Insertion order =
+    * file order, so content-stream assembly stays document-ordered.
+    */
+  private def objectBodies(raw: String): java.util.LinkedHashMap[Int, String] = {
+    val bodies = new java.util.LinkedHashMap[Int, String]()
     val om = ObjRe.matcher(raw)
     while (om.find()) bodies.put(om.group(1).toInt, om.group(2))
+
+    val containers = new java.util.ArrayList[String]()
+    bodies.forEach { (_, body) =>
+      if (dictPart(body).contains("/ObjStm")) containers.add(body)
+    }
+    containers.forEach { body =>
+      try {
+        val dict = dictPart(body)
+        val nm = ObjStmNRe.matcher(dict)
+        val fm = ObjStmFirstRe.matcher(dict)
+        if (nm.find() && fm.find()) streamData(body).foreach { data =>
+          val text = inflateOrRaw(data)
+          val n = nm.group(1).toInt
+          val first = fm.group(1).toInt
+          if (first <= text.length) {
+            val header = text.substring(0, first).trim
+              .split("\\s+").filter(_.nonEmpty).map(_.toInt)
+            val pairs = (0 until math.min(n, header.length / 2))
+              .map(i => (header(2 * i), header(2 * i + 1)))
+            pairs.zipWithIndex.foreach { case ((num, off), i) =>
+              val start = first + off
+              val end =
+                if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, text.length)
+                else text.length
+              if (start >= 0 && start <= end && !bodies.containsKey(num))
+                bodies.put(num, text.substring(start, end))
+            }
+          }
+        }
+      } catch { case _: Exception => () } // malformed container: skip it only
+    }
+    bodies
+  }
+
+  /** Per-font-name ToUnicode maps of the whole document: object graph
+    * walked by regex (objects → /ToUnicode refs; /Font resource dicts →
+    * name → font object) over [[objectBodies]] — object-stream-packed
+    * font and resource dicts included.
+    */
+  private def documentCMaps(
+      bodies: java.util.LinkedHashMap[Int, String]): java.util.HashMap[String, ToUnicodeCMap] = {
 
     def cmapOfObject(num: Int): Option[ToUnicodeCMap] = {
       val body = bodies.get(num)
@@ -344,26 +413,42 @@ object BinaryDocs {
     }
   }
 
-  /** Best-effort visible text of a PDF: ToUnicode CMaps resolved from the
-    * object graph, every content stream inflated (or taken raw), text
-    * operators concatenated — two-byte CMap fonts included — collapsed
-    * blank lines.
+  private def looksLikeContent(text: String): Boolean =
+    (text.contains("BT") || text.contains("Tj") || text.contains("TJ")) &&
+      !text.contains("begincmap") && !text.contains("beginbfchar")
+
+  /** Best-effort visible text of a PDF: objects indexed (object streams
+    * expanded — PDF 1.5 compressed-xref layouts included), ToUnicode CMaps
+    * resolved from the graph, content streams inflated (or taken raw) and
+    * their text operators concatenated in file order — two-byte CMap fonts
+    * included — collapsed blank lines. `/ObjStm` and `/Type /XRef` stream
+    * payloads are structure, not page content, and are excluded from the
+    * text walk; documents with no parseable object wrappers fall back to a
+    * blunt every-stream scan (tolerates malformed files).
     */
   def pdfText(bytes: Array[Byte]): String = {
     try {
       val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val fonts = documentCMaps(raw)
+      val bodies = objectBodies(raw)
+      val fonts = documentCMaps(bodies)
       val out = new java.lang.StringBuilder
-      val sm = StreamRe.matcher(raw)
-      while (sm.find()) {
-        val body = sm.group(1)
-        val bodyBytes = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-        val text = inflate(bodyBytes)
-          .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-          .getOrElse(body)
-        if ((text.contains("BT") || text.contains("Tj") || text.contains("TJ")) &&
-            !text.contains("begincmap") && !text.contains("beginbfchar"))
-          streamText(text, out, fonts)
+      var sawStream = false
+      bodies.forEach { (_, body) =>
+        val dict = dictPart(body)
+        if (!dict.contains("/ObjStm") && !dict.contains("/XRef"))
+          streamData(body).foreach { data =>
+            sawStream = true
+            val text = inflateOrRaw(data)
+            if (looksLikeContent(text)) streamText(text, out, fonts)
+          }
+      }
+      if (!sawStream) {
+        // no obj-wrapped streams at all: blunt scan for stray streams
+        val sm = StreamRe.matcher(raw)
+        while (sm.find()) {
+          val text = inflateOrRaw(sm.group(1))
+          if (looksLikeContent(text)) streamText(text, out, fonts)
+        }
       }
       out.toString.split("\n", -1).map(_.trim).filter(_.nonEmpty).mkString("\n")
     } catch { case _: Exception => "" }

@@ -359,6 +359,70 @@ class IngestSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText(bad.getBytes("ISO-8859-1")) == "Ho\nel")
   }
 
+  test("PDF 1.5 object streams: ObjStm-packed font dicts resolve, XRef payloads excluded (S7)") {
+    import graft.sources.BinaryDocs
+    def deflate(s: String): String = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes("ISO-8859-1")); d.finish()
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      new String(out.toByteArray, "ISO-8859-1")
+    }
+    // objects 2 (catalog), 3 (page), 5 (Type0 font) live INSIDE the
+    // object stream — the modern-writer layout that degraded to empty
+    // text before object streams were expanded
+    val embedded = Seq(
+      2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+      3 -> "<< /Type /Page /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+      5 -> "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H /ToUnicode 6 0 R >>")
+    val offsets = embedded.map(_._2).scanLeft(0)(_ + _.length + 1).init
+    val header = embedded.zip(offsets)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
+    val objStmPayload = header + embedded.map(_._2).mkString(" ")
+    val objStm = deflate(objStmPayload)
+    val content = deflate("BT /F1 12 Tf <00010002> Tj ET")
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0069>
+        |endbfchar
+        |endcmap""".stripMargin
+    // an XRef stream whose INFLATED payload contains "BT ... Tj" — must be
+    // recognized as structure, not page text
+    val xrefJunk = deflate("BT (not page text) Tj  ")
+    val pdf =
+      s"""%PDF-1.5
+         |1 0 obj
+         |<< /Type /ObjStm /N 3 /First ${header.length} /Filter /FlateDecode >>
+         |stream
+         |$objStm
+         |endstream
+         |endobj
+         |4 0 obj
+         |<< /Filter /FlateDecode >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |6 0 obj
+         |<< >>
+         |stream
+         |$cmap
+         |endstream
+         |endobj
+         |7 0 obj
+         |<< /Type /XRef /Filter /FlateDecode >>
+         |stream
+         |$xrefJunk
+         |endstream
+         |endobj
+         |%%EOF""".stripMargin
+    assert(BinaryDocs.pdfText(pdf.getBytes("ISO-8859-1")) == "Hi")
+  }
+
   test("S10/S11 media routing: STT + caption service annotations enter the lineage") {
     import spark.implicits._
     import graft.operators.MediaService
