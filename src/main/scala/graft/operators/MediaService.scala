@@ -125,8 +125,10 @@ object MediaService {
       var consecutive = 0
       rows.grouped(cfg.batchSize).flatMap { batch =>
         val paths = batch.map(_.getString(pIdx))
-        val texts: Seq[String] =
-          if (cfg.devMode) paths.map(p => cfg.kind.devStub(basename(p)))
+        // None = batch skipped entirely (failed STT below the dead-backend
+        // threshold); Some = one annotation per input row
+        val texts: Option[Seq[String]] =
+          if (cfg.devMode) Some(paths.map(p => cfg.kind.devStub(basename(p))))
           else
             try {
               val payloads = batch.map(_.getAs[Array[Byte]](cIdx))
@@ -134,7 +136,7 @@ object MediaService {
                 mapper.readTree(cfg.transport.post(paths.toSeq, payloads.toSeq)),
                 batch.size)
               consecutive = 0
-              out
+              Some(out)
             } catch {
               case e: Exception =>
                 consecutive += 1
@@ -147,13 +149,15 @@ object MediaService {
                 System.err.println(
                   s"[media] batch of ${batch.size} failed: ${e.getMessage}")
                 cfg.kind match {
-                  case Caption => paths.map(_ => "") // soft-empty per item
-                  case Stt => null                   // skip the rows
+                  case Caption => Some(paths.map(_ => "")) // soft-empty per item
+                  case Stt => None                         // skip the rows
                 }
             }
-        if (texts == null) Iterator.empty
-        else batch.iterator.zip(texts.iterator)
-          .map { case (row, t) => Row.fromSeq(row.toSeq :+ t) }
+        texts match {
+          case None => Iterator.empty
+          case Some(ts) => batch.iterator.zip(ts.iterator)
+            .map { case (row, t) => Row.fromSeq(row.toSeq :+ t) }
+        }
       }
     }(Encoders.row(outSchema))
   }

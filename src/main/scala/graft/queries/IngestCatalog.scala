@@ -695,6 +695,38 @@ object IngestCatalog {
        ORDER BY path"""
 
   // -------------------------------------------------------------------------
+  // q54: skip-unchanged incremental ingest (ST3 parity;
+  // filewatcher.py:26,47-63 last-hash skip) — the stored corpus holds the
+  // EVEN documents; a re-crawl delivering ALL documents must chunk+embed
+  // only the odd ones. Runs the real skipUnchanged anti-join between the
+  // real routing and chunking stages; the oracle independently rebuilds
+  // exactly the odd documents' chunk set.
+  // -------------------------------------------------------------------------
+
+  val q54IncrementalIngest: Q = (s, d) => {
+    val stored = FileIngest.chunksFromFiles(
+      txtFiles(s, d, Some(0), doubled = false), "dz",
+      chunkSize = 100, chunkOverlap = 20, embedDim = 8,
+      ingestedAt = java.time.Instant.ofEpochSecond(T0))
+    val docs = FileIngest.routeDocuments(
+      FileIngest.scanFilesFrame(txtFiles(s, d, None, doubled = false), "dz"))
+    FileIngest.chunksFromDocuments(
+        FileIngest.skipUnchanged(docs, stored),
+        chunkSize = 100, chunkOverlap = 20, embedDim = 8,
+        ingestedAt = java.time.Instant.ofEpochSecond(T0))
+      .select(col("path"), col("idx"), col("text"), col("content_sig"))
+      .orderBy(col("path"), col("idx"))
+  }
+
+  private val q54Sql =
+    s"""${ChunkerSql.walkCte(
+          "SELECT 'docs/' || doc_id || '.txt' AS key, text FROM documents WHERE doc_id % 2 = 1",
+          100, 20)}
+       SELECT c.key AS path, c.idx, c.chunk AS text, sha256(d.text) AS content_sig
+       FROM chunks c JOIN documents d ON c.key = 'docs/' || d.doc_id || '.txt'
+       ORDER BY path, idx"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -711,6 +743,7 @@ object IngestCatalog {
     "q44_incremental_dedup" -> q44IncrementalDedup,
     "q45_redact" -> q45Redact,
     "q52_media_ingest" -> q52MediaIngest,
+    "q54_incremental_ingest" -> q54IncrementalIngest,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -728,5 +761,6 @@ object IngestCatalog {
     "q44_incremental_dedup" -> q44Sql,
     "q45_redact" -> q45Sql,
     "q52_media_ingest" -> q52Sql,
+    "q54_incremental_ingest" -> q54Sql,
   )
 }

@@ -245,6 +245,76 @@ object BinaryDocs {
 
   private val ObjStmNRe = java.util.regex.Pattern.compile("/N\\s+(\\d+)")
   private val ObjStmFirstRe = java.util.regex.Pattern.compile("/First\\s+(\\d+)")
+  private val PredictorRe = java.util.regex.Pattern.compile("/Predictor\\s+(\\d+)")
+  private val ColumnsRe = java.util.regex.Pattern.compile("/Columns\\s+(\\d+)")
+  private val ColorsRe = java.util.regex.Pattern.compile("/Colors\\s+(\\d+)")
+  private val BpcRe = java.util.regex.Pattern.compile("/BitsPerComponent\\s+(\\d+)")
+
+  /** Reverse PNG row predictors (PDF 32000-1 §7.4.4.4: /Predictor ≥ 10 —
+    * each row is a filter-type byte then `columns·bpp` filtered bytes;
+    * filters None/Sub/Up/Average/Paeth). Some writers predictor-code
+    * their object streams the way they do xref streams; without this the
+    * inflated header parses as garbage and the container is skipped.
+    */
+  private def unpredictPng(data: Array[Byte], columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = columns * bpp
+    if (rowLen <= 0 || data.length < rowLen + 1) return data
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var i = 0
+      while (i < rowLen) {
+        val raw = data(src + i) & 0xff
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + ((left + up) / 2)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => raw // 0 = None; unknown types pass through
+        }
+        out(dst + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Inflate + reverse any declared PNG predictor (dict's /DecodeParms). */
+  private def decodeStream(dict: String, data: String): String = {
+    val bytes = inflate(data.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      .filter(_.nonEmpty)
+    bytes match {
+      case None => data
+      case Some(b) =>
+        val pm = PredictorRe.matcher(dict)
+        val decoded =
+          if (pm.find() && pm.group(1).toInt >= 10) {
+            val cm = ColumnsRe.matcher(dict)
+            val colm = ColorsRe.matcher(dict)
+            val bm = BpcRe.matcher(dict)
+            unpredictPng(b,
+              if (cm.find()) cm.group(1).toInt else 1,
+              if (colm.find()) colm.group(1).toInt else 1,
+              if (bm.find()) bm.group(1).toInt else 8)
+          } else b
+        new String(decoded, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
 
   /** The dictionary part of an object body (text before the `stream`
     * keyword; the whole body when the object has no stream).
@@ -291,7 +361,7 @@ object BinaryDocs {
         val nm = ObjStmNRe.matcher(dict)
         val fm = ObjStmFirstRe.matcher(dict)
         if (nm.find() && fm.find()) streamData(body).foreach { data =>
-          val text = inflateOrRaw(data)
+          val text = decodeStream(dict, data)
           val n = nm.group(1).toInt
           val first = fm.group(1).toInt
           if (first <= text.length) {

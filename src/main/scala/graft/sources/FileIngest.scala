@@ -388,6 +388,19 @@ object FileIngest {
     chunkAndEmbed(routeDocuments(scanFilesFrame(files, dropzone)),
       chunkSize, chunkOverlap, embedDim, ingestedAt)
 
+  /** Chunk+embed an already-routed documents frame — the last ingest
+    * stage on its own, so callers can interpose document-level delta
+    * filters (e.g. [[skipUnchanged]]) between routing and the expensive
+    * stages.
+    */
+  def chunksFromDocuments(
+      documents: DataFrame,
+      chunkSize: Int = Chunker.DefaultSize,
+      chunkOverlap: Int = Chunker.DefaultOverlap,
+      embedDim: Int = 64,
+      ingestedAt: java.time.Instant = java.time.Instant.now()): DataFrame =
+    chunkAndEmbed(documents, chunkSize, chunkOverlap, embedDim, ingestedAt)
+
   /** ST3 parity (skip-unchanged re-ingest): drop documents whose
     * `(path, content_sig)` already exist in the stored corpus BEFORE the
     * expensive chunk+embed stages — the reference watcher's last-content-

@@ -25,6 +25,37 @@ import graft.sources.{ChunkStore, FileIngest}
   */
 object Dropzone {
 
+  /** One micro-batch: route documents, drop the ones already stored with
+    * identical content (ST3 — the watcher's last-hash skip; re-delivered
+    * paths after checkpoint eviction or touch-rewrites would otherwise
+    * recompute chunk+embed for bytes the store already holds), chunk+embed
+    * the delta, upsert. Extracted from the foreachBatch closure so the
+    * wiring is unit-testable without running a stream.
+    */
+  private[graft] def processBatch(
+      spark: SparkSession,
+      files: DataFrame,
+      dropzone: String,
+      storePath: String,
+      chunkSize: Int,
+      chunkOverlap: Int,
+      embedDim: Int,
+      skipUnchangedFiles: Boolean): Unit = {
+    val docs = FileIngest.routeDocuments(FileIngest.scanFilesFrame(files, dropzone))
+    val storeExists = {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val delta =
+      if (skipUnchangedFiles && storeExists)
+        FileIngest.skipUnchanged(docs, ChunkStore.read(spark, storePath))
+      else docs
+    val chunks = FileIngest.chunksFromDocuments(
+      delta, chunkSize, chunkOverlap, embedDim)
+    if (storeExists) ChunkStore.upsert(chunks, storePath) // empty delta no-ops inside
+    else if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
+  }
+
   /** Start the streaming ingest; returns the query (caller manages
     * lifecycle / awaitTermination).
     */
@@ -37,7 +68,8 @@ object Dropzone {
       maxFilesPerTrigger: Int = 64,
       chunkSize: Int = Chunker.DefaultSize,
       chunkOverlap: Int = Chunker.DefaultOverlap,
-      embedDim: Int = 64): StreamingQuery = {
+      embedDim: Int = 64,
+      skipUnchangedFiles: Boolean = true): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -49,11 +81,11 @@ object Dropzone {
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val chunks = FileIngest.chunksFromFiles(
+        processBatch(spark,
           batch.select(col("path"), col("content"), col("length"),
             col("modificationTime")),
-          dropzone, chunkSize, chunkOverlap, embedDim)
-        if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
+          dropzone, storePath, chunkSize, chunkOverlap, embedDim,
+          skipUnchangedFiles)
       }
       .start()
   }

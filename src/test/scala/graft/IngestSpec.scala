@@ -421,6 +421,29 @@ class IngestSpec extends AnyFunSuite {
          |endobj
          |%%EOF""".stripMargin
     assert(BinaryDocs.pdfText(pdf.getBytes("ISO-8859-1")) == "Hi")
+
+    // same document, but the ObjStm payload is PNG-predictor-coded
+    // (/Predictor 12 = Up filter, the encoding writers use for xref-style
+    // streams): rows of 16 bytes, each prefixed by filter type 2 and
+    // subtracted from the row above, then deflated
+    val cols = 16
+    val padded = objStmPayload + " " * ((cols - objStmPayload.length % cols) % cols)
+    val rawBytes = padded.getBytes("ISO-8859-1")
+    val enc = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until rawBytes.length / cols) {
+      enc.write(2) // Up
+      for (i <- 0 until cols) {
+        val up = if (r > 0) rawBytes((r - 1) * cols + i) & 0xff else 0
+        enc.write(((rawBytes(r * cols + i) & 0xff) - up) & 0xff)
+      }
+    }
+    val objStmPred = deflate(new String(enc.toByteArray, "ISO-8859-1"))
+    val pdfPred = pdf.replace(
+      s"<< /Type /ObjStm /N 3 /First ${header.length} /Filter /FlateDecode >>\nstream\n$objStm\nendstream",
+      s"<< /Type /ObjStm /N 3 /First ${header.length} /Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n$objStmPred\nendstream")
+    assert(pdfPred != pdf, "fixture replace failed")
+    assert(BinaryDocs.pdfText(pdfPred.getBytes("ISO-8859-1")) == "Hi")
   }
 
   test("S10/S11 media routing: STT + caption service annotations enter the lineage") {

@@ -87,6 +87,38 @@ class PlanSpec extends AnyFunSuite {
     assert(win < mp, "ranking window runs below the heap reduction")
   }
 
+  test("q29: banded embedding LSH joins on (band, key) — no nested loop") {
+    // The any-band candidate set must come from the posexploded equi-join,
+    // never an OR-of-bands non-equi condition (that is a cartesian at
+    // corpus scale; the OR form exists only in the DuckDB oracle).
+    val p = plan("q29_embedding_near_dup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "banded LSH degenerated to a non-equi nested loop")
+    assert(p.contains("band"), "expected band-keyed equi join")
+  }
+
+  test("skip-unchanged probe reads only (path, content_sig) from the store") {
+    // The anti-join's store side must prune to the two key columns —
+    // text/vector bytes of a 100 TB corpus must not ride the probe.
+    import org.apache.spark.sql.functions._
+    val dz = java.nio.file.Files.createTempDirectory("plan-dz")
+    java.nio.file.Files.writeString(dz.resolve("a.txt"), "alpha beta gamma delta")
+    val store = dz.resolve("store").toString
+    graft.sources.ChunkStore.upsert(
+      graft.sources.FileIngest.ingestDirectory(spark, dz.toString), store)
+    val docs = graft.sources.FileIngest.parseDirectoryWithChat(spark, dz.toString)
+    val p = graft.sources.FileIngest
+      .skipUnchanged(docs, graft.sources.ChunkStore.read(spark, store))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "skip-unchanged lost the anti-join")
+    val scanLine = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains(store.replace("\\", ""))).mkString
+    assert(scanLine.contains("path") && scanLine.contains("content_sig"),
+      "store scan lost the probe columns")
+    assert(!scanLine.contains("vector") && !scanLine.contains("text:"),
+      "store probe reads payload bytes it must prune")
+  }
+
   test("q25/q27: ANN probes prune the persisted layout at the source") {
     // LSH: bucket probe list pushed into parquet (bucket-clustered files →
     // row-group skipping); IVF: cell probe prunes whole partitions.

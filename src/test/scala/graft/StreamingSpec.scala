@@ -76,6 +76,40 @@ class StreamingSpec extends AnyFunSuite {
       == Set("one.txt", "two.txt"))
   }
 
+  test("ST3: micro-batch skips files already stored with identical content") {
+    import org.apache.spark.sql.DataFrame
+    val store = Files.createTempDirectory("graft-st3-store").resolve("chunks").toString
+    def files(body: String): DataFrame = {
+      import spark.implicits._
+      Seq(("dz/a.txt", body.getBytes("UTF-8")))
+        .toDF("path", "content")
+        .withColumn("length", octet_length(col("content")).cast("long"))
+    }
+    def run(body: String): Unit = Dropzone.processBatch(
+      spark, files(body), "dz", store, 200, 40, 8, skipUnchangedFiles = true)
+
+    run("the first version of the file")
+    def partFiles() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Path.of(store)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+    }
+    val before = partFiles()
+
+    // identical content re-delivered (post-eviction replay / touch):
+    // zero buckets rewritten
+    run("the first version of the file")
+    assert(partFiles() == before, "unchanged re-delivery must not touch the store")
+
+    // changed content under the same path replaces the document's chunks
+    run("the second version entirely rewritten")
+    val texts = ChunkStore.read(spark, store)
+      .filter(col("path") === "a.txt").select("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(texts.exists(_.contains("second version")))
+    assert(!texts.exists(_.contains("first version")))
+  }
+
   test("store compaction preserves content and reduces file count") {
     val dropzone: Path = Files.createTempDirectory("graft-compact-dz")
     val store = Files.createTempDirectory("graft-compact-store").resolve("chunks").toString
