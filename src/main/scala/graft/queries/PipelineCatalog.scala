@@ -1048,6 +1048,122 @@ object PipelineCatalog {
        FROM ranked"""
 
   // -------------------------------------------------------------------------
+  // q55: within-document repeated-line removal (C4-style cleaning): keep
+  // each line's FIRST occurrence, report the repetition ratio a filter
+  // would gate on. array_distinct is order-preserving in Spark; the
+  // oracle replays first-occurrence semantics via min(position).
+  // -------------------------------------------------------------------------
+
+  val q55LineDedup: Q = (s, d) => {
+    val body = concat_ws("\n",
+      substring(col("text"), 1, 40), lit("boilerplate footer"),
+      substring(col("text"), 41, 40), lit("boilerplate footer"),
+      substring(col("text"), 1, 40))
+    docsWide(s, d)
+      .withColumn("lines", split(body, "\n"))
+      .withColumn("uniq", array_distinct(col("lines")))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        size(col("uniq")).as("n_unique"),
+        rnd(lit(1.0) - size(col("uniq")).cast("double") /
+          size(col("lines")).cast("double"), 6).as("repetition_ratio"),
+        array_join(col("uniq"), "\n").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55Sql =
+    """WITH d AS (
+         SELECT doc_id,
+                substr(text, 1, 40) || chr(10) || 'boilerplate footer' || chr(10)
+                  || substr(text, 41, 40) || chr(10) || 'boilerplate footer'
+                  || chr(10) || substr(text, 1, 40) AS body
+         FROM documents
+       ), ls AS (
+         SELECT doc_id, string_split(body, chr(10)) AS lines FROM d
+       ), l AS (
+         SELECT doc_id, i, lines[i] AS line, len(lines) AS n_lines
+         FROM ls, unnest(range(1, len(lines) + 1)) AS t(i)
+       ), firsts AS (
+         SELECT doc_id, line, min(i) AS fi, min(n_lines) AS n_lines
+         FROM l GROUP BY doc_id, line
+       )
+       SELECT doc_id,
+              CAST(min(n_lines) AS INT) AS n_lines,
+              CAST(count(*) AS INT) AS n_unique,
+              floor((1.0 - CAST(count(*) AS DOUBLE) / min(n_lines)) * 1000000 + 0.5)
+                / 1000000.0 AS repetition_ratio,
+              string_agg(line, chr(10) ORDER BY fi) AS clean_text
+       FROM firsts GROUP BY doc_id ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q56: corpus token frequency top-100 — the vocabulary profile a
+  // pipeline inspects before tokenizer training. Partial (map-side)
+  // aggregation bounds the shuffle at distinct-token count, and the
+  // top-100 compiles to TakeOrderedAndProject; total order (n desc,
+  // token asc) makes the cut deterministic.
+  // -------------------------------------------------------------------------
+
+  val q56TokenFreq: Q = (s, d) =>
+    docsWide(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  private val q56Sql =
+    """SELECT token, count(*) AS n
+       FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+       WHERE token <> ''
+       GROUP BY token ORDER BY n DESC, token LIMIT 100"""
+
+  // -------------------------------------------------------------------------
+  // q57: benchmark decontamination — flag corpus documents sharing any
+  // word 8-gram with a benchmark set (train/test leakage scrubbing; the
+  // n-gram-overlap check every serious pretraining pipeline runs). The
+  // benchmark here is extracts leaked from 10 corpus documents; the
+  // small benchmark shingle set broadcasts, so the corpus side stays a
+  // narrow scan + broadcast semi-structure at any scale.
+  // -------------------------------------------------------------------------
+
+  val q57Decontaminate: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(explode(graft.operators.WordShingles.wordShingles(
+        substring(col("text"), 21, 120), 8)).as("shingle"))
+      .distinct()
+    docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"),
+        explode(graft.operators.WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q57Sql = {
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w
+         FROM documents WHERE doc_id >= 25
+       ), cs AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), bw AS (
+         SELECT string_split(trim(substr(text, 21, 120)), ' ') AS w
+         FROM documents WHERE doc_id >= 25 AND doc_id < 35
+       ), bs AS (
+         SELECT DISTINCT shingle
+         FROM bw, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       )
+       SELECT doc_id, count(*) AS n_contaminated
+       FROM cs JOIN bs USING (shingle)
+       GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1077,6 +1193,9 @@ object PipelineCatalog {
     "q50_export_manifest" -> q50ExportManifest,
     "q51_token_budget" -> q51TokenBudget,
     "q53_ask_eval" -> q53AskEval,
+    "q55_line_dedup" -> q55LineDedup,
+    "q56_token_freq" -> q56TokenFreq,
+    "q57_decontaminate" -> q57Decontaminate,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1113,5 +1232,8 @@ object PipelineCatalog {
     "q50_export_manifest" -> q50Sql,
     "q51_token_budget" -> q51Sql,
     "q53_ask_eval" -> q53Sql,
+    "q55_line_dedup" -> q55Sql,
+    "q56_token_freq" -> q56Sql,
+    "q57_decontaminate" -> q57Sql,
   )
 }

@@ -119,6 +119,18 @@ class PlanSpec extends AnyFunSuite {
       "store probe reads payload bytes it must prune")
   }
 
+  test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
+    // q56: frequency top-100 must be TakeOrderedAndProject over the
+    // partially-aggregated tokens, never a global sort of the vocabulary
+    val p56 = plan("q56_token_freq")
+    assert(p56.contains("TakeOrderedAndProject"), "token top-k lost the short-circuit")
+    // q57: the benchmark side must broadcast — a shuffled join would
+    // exchange every corpus shingle at 100 TB
+    val p57 = plan("q57_decontaminate")
+    assert(p57.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assert(!p57.contains("SortMergeJoin"), "decontamination degraded to sort-merge")
+  }
+
   test("q25/q27: ANN probes prune the persisted layout at the source") {
     // LSH: bucket probe list pushed into parquet (bucket-clustered files →
     // row-group skipping); IVF: cell probe prunes whole partitions.
