@@ -44,7 +44,7 @@ object Bench {
       */
     def run(df: org.apache.spark.sql.DataFrame): Unit = {
       val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-      df.select(h.as("h")).agg(expr("bit_xor(h)")).head
+      df.select(h.as("h")).agg(expr("bit_xor(h)")).head()
     }
 
     // Warm the session at the smallest SF (class loading, codegen compiler,
@@ -111,7 +111,7 @@ object Bench {
           (a, b)
         } catch { case e: Throwable =>
           failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.nextOption.getOrElse("")}")
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.nextOption().getOrElse("")}")
           (-1.0, -1.0)
         }
       val gcSec = (gcMillis() - gc0) / 1e3
@@ -126,13 +126,13 @@ object Bench {
     val ingestTp =
       try {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-        val totalChars = docs.agg(sum(length(col("text")))).head.getLong(0)
+        val totalChars = docs.agg(sum(length(col("text")))).head().getLong(0)
         val t0 = System.nanoTime()
         docs.select(col("doc_id"),
             posexplode(graft.operators.Chunker.chunkTextCol(col("text"), 800, 100))
               .as(Seq("idx", "chunk")))
           .withColumn("vector", graft.operators.DevEmbed.devEmbed(col("chunk"), 64))
-          .select(count(lit(1)), sum(element_at(col("vector"), 1))).head
+          .select(count(lit(1)), sum(element_at(col("vector"), 1))).head()
         val secs = (System.nanoTime() - t0) / 1e9
         totalChars / secs
       } catch { case _: Throwable => -1.0 }
@@ -157,7 +157,7 @@ object Bench {
       s2.sparkContext.setLogLevel("WARN")
       def run2(df: org.apache.spark.sql.DataFrame): Unit = {
         val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
-        df.select(h.as("h")).agg(expr("bit_xor(h)")).head
+        df.select(h.as("h")).agg(expr("bit_xor(h)")).head()
       }
       val out = sampleNames.map { name =>
         val t = try {

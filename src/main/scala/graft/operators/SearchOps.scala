@@ -224,7 +224,7 @@ object SearchOps {
       hits.sparkSession.range(1).select(lit(0L).as("query_id")),
       minScore = Double.NegativeInfinity,
       minSynthScore = minSynthScore)
-      .head.getString(3) == "synthesized"
+      .head().getString(3) == "synthesized"
 
   /** Grounded prompt text from selected snippets (ask.py:359-372); the LLM
     * call itself is an external service beyond the engine boundary.

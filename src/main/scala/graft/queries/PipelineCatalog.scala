@@ -446,7 +446,7 @@ object PipelineCatalog {
   val q25AnnLsh: Q = (s, d) => {
     val emb = tbl(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     // Probe the at-rest layout: bucket is a PARTITION column of the
     // persisted vector store, so the Hamming-ball `isin` prunes the scan
     // at the source (PlanSpec asserts PartitionFilters).
@@ -527,7 +527,7 @@ object PipelineCatalog {
   val q27AnnIvf: Q = (s, d) => {
     val emb = tbl(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
     // The k-means index is built at WRITE time (VectorStore.ensure builds
     // once per sfDir); the query only selects nProbe cells and scans those
     // partitions — no training job inside query wall-time.

@@ -89,7 +89,7 @@ object ChunkStore {
       // localCheckpoint materializes them so the dynamic overwrite below
       // does not read from the files it replaces.
       val survivors = spark.read.parquet(path)
-        .filter(col("doc_bucket").isin(buckets: _*)) // partition-pruned scan
+        .filter(col("doc_bucket").isin(buckets.toIndexedSeq: _*)) // partition-pruned scan
         .join(docs, Seq("document_id"), "left_anti")
         .localCheckpoint()
       survivors.unionByName(incoming)

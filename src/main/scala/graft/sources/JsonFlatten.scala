@@ -50,7 +50,7 @@ object JsonFlatten {
 
   private def flatten(n: JsonNode, prefix: String, out: java.lang.StringBuilder): Unit = {
     if (n.isObject) {
-      val it = n.fields()
+      val it = n.properties().iterator()
       while (it.hasNext) {
         val e = it.next()
         val p = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"

@@ -89,7 +89,7 @@ object Note2Json {
     def go(x: com.fasterxml.jackson.databind.JsonNode): Unit = {
       if (x.isObject) {
         sb.append('{')
-        val it = x.fields(); var first = true
+        val it = x.properties().iterator(); var first = true
         while (it.hasNext) {
           val e = it.next()
           if (!first) sb.append(", ")

@@ -38,7 +38,7 @@ object PipelineDemo {
       .show(5, 45)
 
     println("== export one document as JSONL + manifest")
-    val docId = chunks.filter(col("path") === "journal.md").select("document_id").head.getString(0)
+    val docId = chunks.filter(col("path") === "journal.md").select("document_id").head().getString(0)
     val out = Files.createTempDirectory("pipe-export").resolve("doc").toString
     Exports.exportChunks(chunks, docId).coalesce(1).write.json(out)
     println(Files.list(java.nio.file.Path.of(out)).toArray.mkString("\n"))

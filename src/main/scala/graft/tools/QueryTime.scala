@@ -31,7 +31,7 @@ object QueryTime {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
       val t0 = System.nanoTime()
-      df.select(h.as("h")).agg(expr("bit_xor(h)")).head
+      df.select(h.as("h")).agg(expr("bit_xor(h)")).head()
       (System.nanoTime() - t0) / 1e9
     }
     val times = (1 to reps).map(_ => run())
@@ -40,7 +40,7 @@ object QueryTime {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
       val agg = df.select(h.as("h")).agg(expr("bit_xor(h)"))
-      agg.head
+      agg.head()
       println(agg.queryExecution.executedPlan.toString)
     }
     spark.stop()

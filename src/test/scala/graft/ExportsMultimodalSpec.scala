@@ -37,10 +37,10 @@ class ExportsMultimodalSpec extends AnyFunSuite {
     assert(ex.head.schema.fieldNames.toSeq ==
       Seq("id", "document_id", "kind", "path", "idx", "text"))
 
-    val m1 = Exports.manifest(chunkDf, "docA").head
+    val m1 = Exports.manifest(chunkDf, "docA").head()
     assert(m1.getAs[Long]("chunk_count") == 2)
     // stable across row order: repartitioned input gives the same sha
-    val m2 = Exports.manifest(chunkDf.repartition(5), "docA").head
+    val m2 = Exports.manifest(chunkDf.repartition(5), "docA").head()
     assert(m1.getAs[String]("content_sha256") == m2.getAs[String]("content_sha256"))
 
     // JSONL write path (S15/S16)
@@ -135,7 +135,7 @@ class ExportsMultimodalSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("arch-dz")
     Files.writeString(dir.resolve("doc.txt"), "the original bytes of the document")
     val chunks = graft.sources.FileIngest.ingestDirectory(spark, dir.toString, 200, 40)
-    val docId = chunks.select("document_id").head.getString(0)
+    val docId = chunks.select("document_id").head().getString(0)
 
     val bytes = graft.sources.Archive.buildArchive(spark, chunks, docId, Some(dir.toString))
     val zin = new ZipInputStream(new java.io.ByteArrayInputStream(bytes))

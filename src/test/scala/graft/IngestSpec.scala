@@ -68,9 +68,9 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("BOM and UTF-16 files decode cleanly (test_bom_handling/test_utf8_and_utf16)") {
-    val bom = ingested.filter(col("path") === "bom_note.txt").select("text").head.getString(0)
+    val bom = ingested.filter(col("path") === "bom_note.txt").select("text").head().getString(0)
     assert(bom == "bom prefixed note") // BOM stripped, not decoded into the text
-    val u16 = ingested.filter(col("path") === "utf16_note.txt").select("text").head.getString(0)
+    val u16 = ingested.filter(col("path") === "utf16_note.txt").select("text").head().getString(0)
     assert(u16 == "utf sixteen note body") // no interleaved NULs
   }
 
@@ -80,11 +80,11 @@ class IngestSpec extends AnyFunSuite {
       .select("document_id", "kind").distinct().collect()
     assert(chat.toSeq == Seq(Row("chatgpt:conv-1", "chat")))
     val tr = ingested.filter(col("path") === "support_chat.txt")
-      .select("document_id", "kind").distinct().head
+      .select("document_id", "kind").distinct().head()
     assert(tr.getString(0).startsWith("transcript:") && tr.getString(1) == "chat")
     // chat-aware chunker output starts with a message header
     val text = ingested.filter(col("path") === "chatgpt/conv-1").orderBy("idx")
-      .select("text").head.getString(0)
+      .select("text").head().getString(0)
     assert(text.startsWith("[2024-01-01 10:01] user: hello there"))
   }
 
@@ -122,7 +122,7 @@ class IngestSpec extends AnyFunSuite {
     import org.apache.spark.unsafe.types.UTF8String
     val u = (s: String) => UTF8String.fromString(s)
     val row = ingested.filter(col("path") === "notes.txt" && col("idx") === 0)
-      .select("document_id", "id").head
+      .select("document_id", "id").head()
     val expectedDoc = graft.functions.Uuid5
       .compute(u(graft.functions.Uuid5.DefaultNamespace), u("notes.txt")).toString
     assert(row.getString(0) == expectedDoc)
@@ -156,7 +156,7 @@ class IngestSpec extends AnyFunSuite {
     val third = ChunkStore.read(spark, store)
     assert(third.count() == n1) // one short doc -> still one chunk
     val newText = third.filter(col("path") === "notes.txt").select("text")
-      .head.getString(0)
+      .head().getString(0)
     assert(newText == "completely different content now")
     val others = third.filter(col("path") =!= "notes.txt").select("id")
       .collect().map(_.getString(0)).sorted.toSeq
@@ -168,7 +168,7 @@ class IngestSpec extends AnyFunSuite {
       ingested,
       DevEmbed.devEmbed(lit("name | age alice | 30 bob | 25"), 64),
       k = 3)
-    val top = hits.head
+    val top = hits.head()
     assert(top.getAs[String]("path") == "people.csv")
     assert(math.abs(top.getAs[Double]("score") - 1.0) < 1e-12)
 
@@ -216,7 +216,7 @@ class IngestSpec extends AnyFunSuite {
     import spark.implicits._
     val out = Seq(html).toDF("raw")
       .select(graft.sources.FileIngest.routeText(lit("html"), col("raw"), lit("p.html")).as("t"))
-      .head.getString(0)
+      .head().getString(0)
     assert(out.startsWith("Title\nsome") && !out.contains("alert") && !out.contains("enable js"))
   }
 
@@ -235,7 +235,7 @@ class IngestSpec extends AnyFunSuite {
     assert(meta.filter(!col("ingested_at").endsWith("Z")).isEmpty)
 
     // plain file: filesystem / kind / kind / 1.0, source_ext with dot
-    val txt = meta.filter(col("path") === "notes.txt").head
+    val txt = meta.filter(col("path") === "notes.txt").head()
     assert(txt.getAs[String]("source_system") == "filesystem")
     assert(txt.getAs[String]("doc_type") == "text")
     assert(txt.getAs[String]("detected_as") == "text")
@@ -244,7 +244,7 @@ class IngestSpec extends AnyFunSuite {
     assert(!txt.isNullAt(txt.fieldIndex("mtime")))
 
     // chat export: chatgpt / chat / chatgpt / 0.95 + conversation timestamps
-    val chat = meta.filter(col("path") === "chatgpt/conv-1").head
+    val chat = meta.filter(col("path") === "chatgpt/conv-1").head()
     assert(chat.getAs[String]("source_system") == "chatgpt")
     assert(chat.getAs[String]("doc_type") == "chat")
     assert(chat.getAs[String]("detected_as") == "chatgpt")
@@ -254,7 +254,7 @@ class IngestSpec extends AnyFunSuite {
     assert(chat.getAs[Long]("created_at_ts") == 1704103260L)
 
     // transcript: transcript / chat / transcript / detector confidence
-    val tr = meta.filter(col("path") === "support_chat.txt").head
+    val tr = meta.filter(col("path") === "support_chat.txt").head()
     assert(tr.getAs[String]("source_system") == "transcript")
     assert(tr.getAs[String]("doc_type") == "chat")
     assert(tr.getAs[String]("detected_as") == "transcript")
@@ -583,7 +583,7 @@ class IngestSpec extends AnyFunSuite {
     ChunkStore.upsert(delta, store, numBuckets = 8)
     val stored = ChunkStore.read(spark, store)
     assert(stored.filter(col("path") === "notes.txt")
-      .head.getAs[String]("text").contains("just changed"))
+      .head().getAs[String]("text").contains("just changed"))
     assert(stored.filter(col("path") === "fresh.txt").count() == 1)
   }
 

@@ -78,7 +78,7 @@ class KernelsSpec extends AnyFunSuite {
     // double spaces included). Java String.trim/split(' ') would diverge.
     def sh(s: String, n: Int): Seq[String] = {
       val a = graft.operators.WordShingles.compute(UTF8String.fromString(s), n)
-      (0 until a.numElements).map(i => a.getUTF8String(i).toString)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
     }
     assert(sh(" a b c ", 2) == Seq("a b", "b c"))
     assert(sh("a  b c", 2) == Seq("a ", " b", "b c"))   // interior empty token kept
