@@ -68,5 +68,19 @@ object Registry {
       es => TranscriptParse(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("note2json",
       es => Note2JsonParse(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_cell",
+      es => {
+        val cs = centroidsArg(es(1))
+        NearestCell(es(0), cs, VectorFunctions.centroidNorm2(cs))
+      }, "scala_udf")
+  }
+
+  /** Literal (foldable) array<array<double>> argument → centroid matrix
+    * (`nearest_cell(vec, array(array(...), ...))`).
+    */
+  private def centroidsArg(e: Expression): Array[Array[Double]] = {
+    require(e.foldable, "nearest_cell expects literal centroids")
+    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
 }

@@ -43,12 +43,15 @@ class TelemetrySpec extends AnyFunSuite {
          cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cos,
          size(chunk_text('aaaa bbbb cccc', 10, 3)) AS n_chunks,
          dev_embed('hello', 4)[0] AS e0,
-         size(word_shingles('a b c d', 3)) AS n_shingles""").head
+         size(word_shingles('a b c d', 3)) AS n_shingles,
+         nearest_cell(array(0.9d, 0.1d),
+           array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS cell""").head
     assert(row.getAs[String]("id") == "6d64ace0-3d62-5690-995e-4e90e20c9aef")
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Int]("n_chunks") > 0)
     assert(row.getAs[Double]("e0") == 0.171875)
     assert(row.getAs[Int]("n_shingles") == 2)
+    assert(row.getAs[Int]("cell") == 0) // (0.9,0.1) is nearest the x-axis centroid
   }
 
   test("salted join equals plain join on skewed data") {
