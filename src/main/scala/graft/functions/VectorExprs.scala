@@ -111,6 +111,50 @@ case class NearestCell(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Symmetric int8 quantization kernels (`scale = max|x|/127`,
+  * `q = clamp(floor(x/scale + 0.5))`, `deq = q·scale`): 4× smaller
+  * embeddings at rest — the storage move a 100 TB vector corpus makes —
+  * with the SAME engine-portable arithmetic discipline as every other
+  * kernel (floor-based half-up rounding, clamp after floor), so a SQL
+  * oracle replays quantization bit-for-bit.
+  */
+case class I8Scale(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "i8_scale"
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.i8Scale(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.i8Scale($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class I8Quantize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "i8_quantize"
+  override protected def nullSafeEval(v: Any, s: Any): Any =
+    VectorKernels.i8Quantize(v.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"graft.functions.VectorKernels.i8Quantize($v, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class I8Dequant(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "i8_dequant"
+  override protected def nullSafeEval(q: Any, s: Any): Any =
+    VectorKernels.i8Dequant(q.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, s) => s"graft.functions.VectorKernels.i8Dequant($q, $s)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static (Java-callable) kernels referenced from generated code. */
 object VectorKernels {
   def l2Normalize(a: ArrayData): ArrayData = {
@@ -161,6 +205,36 @@ object VectorKernels {
     best
   }
 
+  def i8Scale(a: ArrayData): Double = {
+    val x = a.toDoubleArray()
+    var m = 0.0
+    var i = 0
+    while (i < x.length) { val v = math.abs(x(i)); if (v > m) m = v; i += 1 }
+    m / 127.0
+  }
+
+  def i8Quantize(a: ArrayData, scale: Double): ArrayData = {
+    val x = a.toDoubleArray()
+    val out = new Array[Any](x.length)
+    var i = 0
+    while (i < x.length) {
+      val q =
+        if (scale == 0.0) 0.0
+        else math.max(-127.0, math.min(127.0, math.floor(x(i) / scale + 0.5)))
+      out(i) = q.toByte
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def i8Dequant(q: ArrayData, scale: Double): ArrayData = {
+    val n = q.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = q.getByte(i) * scale; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
@@ -205,4 +279,15 @@ object VectorFunctions {
   /** Nearest spherical-k-means cell of an array<double> column. */
   def nearestCell(a: Column, centroids: Array[Array[Double]]): Column =
     GraftSql.column(NearestCell(toExpr(a), centroids, centroidNorm2(centroids)))
+
+  /** Symmetric int8 quantization scale (max|x|/127) of a vector column. */
+  def i8Scale(a: Column): Column = GraftSql.column(I8Scale(toExpr(a)))
+
+  /** Quantize a vector to array<tinyint> with a given scale. */
+  def i8Quantize(a: Column, scale: Column): Column =
+    GraftSql.column(I8Quantize(toExpr(a), toExpr(scale)))
+
+  /** Dequantize array<tinyint> back to array<double>. */
+  def i8Dequant(q: Column, scale: Column): Column =
+    GraftSql.column(I8Dequant(toExpr(q), toExpr(scale)))
 }

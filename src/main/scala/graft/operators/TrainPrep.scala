@@ -39,6 +39,26 @@ object TrainPrep {
       expr.fold(lit(weights.last._1))(_.otherwise(weights.last._1)))
   }
 
+  /** Deterministic stratified sample: the first `n` rows of each
+    * `groupCol` stratum in engine-portable hash order (the same
+    * [[TextAnalytics.hash60]] family as [[assignSplits]]) — the curation
+    * primitive that caps over-represented sources in a training mix.
+    * Membership depends only on (id, salt, the stratum's other ids):
+    * re-runs, partitioning and engine changes keep the same sample, and
+    * any SQL engine replays it. One shuffle (the per-stratum window).
+    */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      salt: String, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(
+        TextAnalytics.hash60(concat(col(idCol).cast("string"), lit(":" + salt))),
+        col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Greedy token-budget sequence packing: within each `groupCol` shard,
     * walk items in `orderCol` order and pack them into sequences whose
     * `nTokensCol` totals stay ≤ `budget`; an item alone over budget gets

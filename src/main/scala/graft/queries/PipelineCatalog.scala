@@ -1164,6 +1164,81 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q58: symmetric int8 embedding quantization — 4× smaller vectors at
+  // rest (the storage move a 100 TB corpus makes), with floor-based
+  // half-up rounding and clamp-after-floor so the oracle replays every
+  // quantized value and the retained cosine bit-for-bit.
+  // -------------------------------------------------------------------------
+
+  val q58QuantizeEmbeddings: Q = (s, d) => {
+    import graft.functions.VectorFunctions
+    tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale", VectorFunctions.i8Scale(col("v")))
+      .withColumn("q", VectorFunctions.i8Quantize(col("v"), col("scale")))
+      .withColumn("deq", VectorFunctions.i8Dequant(col("q"), col("scale")))
+      .select(col("vec_id"),
+        rnd(col("scale"), 9).as("scale"),
+        element_at(col("q"), 1).cast("int").as("q_first"),
+        element_at(col("q"), 33).cast("int").as("q_mid"),
+        rnd(VectorFunctions.cosine(col("deq"), col("v")), 6).as("cos_kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q58Sql =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), s AS (
+         SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         FROM e
+       ), q AS (
+         SELECT vec_id, v, scale,
+                list_transform(v, x ->
+                  greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) AS ql
+         FROM s
+       ), dq AS (
+         SELECT vec_id, v, scale, ql,
+                list_transform(ql, x -> x * scale) AS deq
+         FROM q
+       )
+       SELECT vec_id,
+              floor(scale * 1000000000 + 0.5) / 1000000000.0 AS scale,
+              CAST(ql[1] AS INT) AS q_first,
+              CAST(ql[33] AS INT) AS q_mid,
+              floor(list_cosine_similarity(deq, v) * 1000000 + 0.5) / 1000000.0
+                AS cos_kept
+       FROM dq ORDER BY vec_id"""
+
+  // -------------------------------------------------------------------------
+  // q59: deterministic stratified sample — first 20 documents per lang in
+  // engine-portable hash order (caps over-represented sources in a
+  // training mix; membership survives re-runs, partitioning and engines).
+  // -------------------------------------------------------------------------
+
+  val q59StratifiedSample: Q = (s, d) =>
+    graft.operators.TrainPrep.stratifiedSample(
+        docsWide(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", "mix-v1", 20)
+      .orderBy(col("lang"), col("sample_rank"))
+
+  private val q59Sql =
+    """WITH h AS (
+         SELECT doc_id, lang,
+                CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':mix-v1'), 1, 15)
+                     AS BIGINT) AS hk
+         FROM documents
+       ), r AS (
+         SELECT doc_id, lang,
+                CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                     AS INT) AS sample_rank
+         FROM h
+       )
+       SELECT doc_id, lang, sample_rank FROM r
+       WHERE sample_rank <= 20
+       ORDER BY lang, sample_rank"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1196,6 +1271,8 @@ object PipelineCatalog {
     "q55_line_dedup" -> q55LineDedup,
     "q56_token_freq" -> q56TokenFreq,
     "q57_decontaminate" -> q57Decontaminate,
+    "q58_quantize_embeddings" -> q58QuantizeEmbeddings,
+    "q59_stratified_sample" -> q59StratifiedSample,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1235,5 +1312,7 @@ object PipelineCatalog {
     "q55_line_dedup" -> q55Sql,
     "q56_token_freq" -> q56Sql,
     "q57_decontaminate" -> q57Sql,
+    "q58_quantize_embeddings" -> q58Sql,
+    "q59_stratified_sample" -> q59Sql,
   )
 }

@@ -133,6 +133,30 @@ class KernelsSpec extends AnyFunSuite {
     assert(decodeBytes(Array.emptyByteArray) == "")
   }
 
+  test("int8 quantization kernels: round-trip, clamp, zero vector") {
+    def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+    val v = arr(1.27, -1.27, 0.5, 0.0, 0.01)
+    val s = VectorKernels.i8Scale(v)
+    assert(s == 1.27 / 127.0) // = 0.01
+    val q = VectorKernels.i8Quantize(v, s)
+    assert((0 until q.numElements()).map(q.getByte) == Seq(127, -127, 50, 0, 1))
+    val dq = VectorKernels.i8Dequant(q, s).toDoubleArray()
+    assert(math.abs(dq(0) - 1.27) < 1e-12 && dq(3) == 0.0)
+    // max-magnitude element always lands exactly on ±127 (no overflow)
+    val w = arr(-3.0, 2.9)
+    val qw = VectorKernels.i8Quantize(w, VectorKernels.i8Scale(w))
+    assert(qw.getByte(0) == -127)
+    // zero vector: scale 0, all-zero codes
+    assert(VectorKernels.i8Scale(arr(0.0, 0.0)) == 0.0)
+    val qz = VectorKernels.i8Quantize(arr(0.0, 0.0), 0.0)
+    assert((0 until 2).forall(qz.getByte(_) == 0))
+    // quantized cosine stays close for a random-ish vector
+    val x = arr(0.3, -0.7, 0.11, 0.95, -0.02, 0.44)
+    val sx = VectorKernels.i8Scale(x)
+    val rt = VectorKernels.i8Dequant(VectorKernels.i8Quantize(x, sx), sx)
+    assert(VectorKernels.cosine(rt, x) > 0.9999)
+  }
+
   test("cosine kernel") {
     def arr(xs: Double*) = new GenericArrayData(xs.toArray)
     assert(VectorKernels.cosine(arr(1, 0), arr(1, 0)) == 1.0)
