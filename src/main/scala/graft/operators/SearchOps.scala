@@ -226,6 +226,57 @@ object SearchOps {
       minSynthScore = minSynthScore)
       .head().getString(3) == "synthesized"
 
+  /** Okapi BM25 keyword scores for a literal query-term set — the sparse
+    * half of hybrid retrieval (the reference provisions a hybrid text
+    * index by storing chunk text under `content`,
+    * qdrant_client.py:354-355). Returns `(doc, bm25)` unrounded.
+    *
+    * Scale shape = an inverted-index lookup expressed relationally: the
+    * term `isin` filter drops every non-query posting BEFORE any shuffle,
+    * so the tf aggregation and df join move only matching postings; corpus
+    * stats (N, Σdl as exact integer sums — no float-order sensitivity)
+    * and the per-term df table broadcast. No full-corpus exchange.
+    */
+  def bm25Scores(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+      split(trim(col(textCol)), " ").as("toks"))
+    val withDl = toks.select(col("doc"), col("toks"), size(col("toks")).as("dl"))
+    val stats = withDl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val postings = withDl
+      .select(col("doc"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = postings.groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy(col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+      .groupBy(col("doc"))
+      .agg(sum(col("score_t")).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion of rankings (`(doc, rank)` frames):
+    * `rrf = Σ 1/(kRrf + rank)` — the standard dense+sparse hybrid
+    * combiner, pure rational arithmetic (no score normalization games,
+    * deterministic across engines). Docs absent from a ranking simply
+    * contribute nothing.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60): DataFrame =
+    rankings
+      .map(_.select(col("doc"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("contrib")))
+      .reduce(_ unionByName _)
+      .groupBy(col("doc"))
+      .agg(sum(col("contrib")).as("rrf"))
+
   /** Grounded prompt text from selected snippets (ask.py:359-372); the LLM
     * call itself is an external service beyond the engine boundary.
     */

@@ -1239,6 +1239,105 @@ object PipelineCatalog {
        ORDER BY lang, sample_rank"""
 
   // -------------------------------------------------------------------------
+  // q60: Okapi BM25 keyword top-k — the sparse half of hybrid retrieval
+  // (the reference provisions a hybrid text index: qdrant_client.py:
+  // 354-355). k1=1.5 / b=0.75 keep every derived constant an exact dyadic
+  // double, so the only transcendental is ln (grid-rounded to 6dp).
+  // Postings filter to the literal query terms BEFORE any shuffle — the
+  // relational form of an inverted-index lookup.
+  // -------------------------------------------------------------------------
+
+  private val Bm25Terms = Seq("spark", "join", "hash")
+
+  val q60Bm25: Q = (s, d) =>
+    graft.operators.SearchOps.bm25Scores(
+        docsWide(s, d), "doc_id", "text", Bm25Terms, k1 = 1.5, b = 0.75)
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(15)
+      .select(col("doc").as("doc_id"), rnd(col("bm25"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+
+  private def bm25Ctes(limit: Int): String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH d AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+       ), wdl AS (
+         SELECT doc_id, len(toks) AS dl FROM d
+       ), stats AS (
+         SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         FROM wdl
+       ), p AS (
+         SELECT w.doc_id, w.dl, tok AS term
+         FROM d, wdl w, unnest(d.toks) AS u(tok)
+         WHERE d.doc_id = w.doc_id AND tok IN ($terms)
+       ), tf AS (
+         SELECT doc_id, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3
+       ), df AS (
+         SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1
+       ), sc AS (
+         SELECT tf.doc_id,
+                (ln(1.0 + (CAST(s.n - df.df AS DOUBLE) + 0.5)
+                          / (CAST(df.df AS DOUBLE) + 0.5))
+                 * (CAST(tf.tf AS DOUBLE) * 2.5)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.5 * (0.25 + 0.75 * (tf.dl / s.avgdl)))) AS st
+         FROM tf JOIN df USING (term), stats s
+       ), agg AS (
+         SELECT doc_id, sum(st) AS bm25 FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id LIMIT $limit
+       )"""
+  }
+
+  private val q60Sql =
+    s"""${bm25Ctes(15)}
+       SELECT doc_id, floor(bm25 * 1000000 + 0.5) / 1000000.0 AS bm25
+       FROM agg ORDER BY bm25 DESC, doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q61: hybrid retrieval via reciprocal-rank fusion — BM25 keyword
+  // ranking fused with a recency ranking (1/(60+rank) each, pure rational
+  // arithmetic: rank integers are bit-identical across engines, so the
+  // fusion is too). The standard way to combine sparse + dense/secondary
+  // signals without score normalization.
+  // -------------------------------------------------------------------------
+
+  val q61HybridRrf: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val bmTop = graft.operators.SearchOps.bm25Scores(
+        docs, "doc_id", "text", Bm25Terms, k1 = 1.5, b = 0.75)
+      .orderBy(col("bm25").desc, col("doc")).limit(50)
+    val bmRank = bmTop.select(col("doc"), row_number().over(
+      Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc"))).as("rank"))
+    val recRank = docs.select(col("doc_id").as("doc"))
+      .orderBy(col("doc").desc).limit(50)
+      .select(col("doc"), row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("doc").desc)).as("rank"))
+    graft.operators.SearchOps.rrfFuse(Seq(bmRank, recRank))
+      .orderBy(col("rrf").desc, col("doc"))
+      .limit(20)
+      .select(col("doc").as("doc_id"), rnd(col("rrf"), 9).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
+  private val q61Sql =
+    s"""${bm25Ctes(50)}, bmr AS (
+         SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r
+         FROM agg
+       ), rec AS (
+         SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id DESC) AS INT) AS r
+         FROM (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 50)
+       ), u AS (
+         SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM bmr
+         UNION ALL
+         SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM rec
+       ), f AS (
+         SELECT doc_id, sum(c) AS rrf FROM u GROUP BY doc_id
+         ORDER BY rrf DESC, doc_id LIMIT 20
+       )
+       SELECT doc_id, floor(rrf * 1000000000 + 0.5) / 1000000000.0 AS rrf
+       FROM f ORDER BY rrf DESC, doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1273,6 +1372,8 @@ object PipelineCatalog {
     "q57_decontaminate" -> q57Decontaminate,
     "q58_quantize_embeddings" -> q58QuantizeEmbeddings,
     "q59_stratified_sample" -> q59StratifiedSample,
+    "q60_bm25" -> q60Bm25,
+    "q61_hybrid_rrf" -> q61HybridRrf,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1314,5 +1415,7 @@ object PipelineCatalog {
     "q57_decontaminate" -> q57Sql,
     "q58_quantize_embeddings" -> q58Sql,
     "q59_stratified_sample" -> q59Sql,
+    "q60_bm25" -> q60Sql,
+    "q61_hybrid_rrf" -> q61Sql,
   )
 }

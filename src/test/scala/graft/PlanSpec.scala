@@ -131,6 +131,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p57.contains("SortMergeJoin"), "decontamination degraded to sort-merge")
   }
 
+  test("q60: BM25 stats and df tables broadcast — no sort-merge join") {
+    // postings are term-filtered before any shuffle (the inverted-index
+    // lookup shape); the per-term df table and corpus stats broadcast
+    val p = plan("q60_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df/stats not broadcast")
+    assert(!p.contains("SortMergeJoin"), "BM25 join degraded to sort-merge")
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost the short-circuit")
+  }
+
   test("q25/q27: ANN probes prune the persisted layout at the source") {
     // LSH: bucket probe list pushed into parquet (bucket-clustered files →
     // row-group skipping); IVF: cell probe prunes whole partitions.
