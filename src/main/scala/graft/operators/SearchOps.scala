@@ -245,7 +245,11 @@ object SearchOps {
     val withDl = toks.select(col("doc"), col("toks"), size(col("toks")).as("dl"))
     val stats = withDl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // arrays_overlap drops non-matching documents BEFORE the token explode
+    // (most of a 100 TB corpus for a selective query) — the generate then
+    // fans out only matching docs' tokens; the isin keeps query terms.
     val postings = withDl
+      .filter(arrays_overlap(col("toks"), array(terms.map(lit): _*)))
       .select(col("doc"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
     val tf = postings.groupBy(col("doc"), col("dl"), col("term"))
