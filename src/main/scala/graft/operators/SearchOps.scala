@@ -94,10 +94,25 @@ object SearchOps {
         when(length(col("text")) > 600,
           concat(substring(col("text"), 1, 600), lit("…")))
           .otherwise(col("text")).as("text"))
+    reduceTopKPerQuery(scored, k)
+      .select(col("query_id"), col("rank"), col("id"), col("document_id"),
+        col("kind"), col("path"), col("idx"), col("score"), col("text"))
+  }
+
+  /** Per-partition bounded-heap top-k per query over any scored frame
+    * carrying `(query_id, score, idCol[, payload…])`, followed by the
+    * exact ranking window over the k·nQueries·nPartitions survivors —
+    * the reduction [[batchSearch]] (brute force) and
+    * [[Similarity.ivfBatchTopK]] (ANN) share. Adds `rank`; preserves all
+    * input columns.
+    */
+  private[graft] def reduceTopKPerQuery(
+      scored: DataFrame, k: Int, idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     val schema = scored.schema
     val qIdx = schema.fieldIndex("query_id")
     val sIdx = schema.fieldIndex("score")
-    val iIdx = schema.fieldIndex("id")
+    val iIdx = schema.fieldIndex(idCol)
     val kk = k
     val reduced = scored.mapPartitions { rows =>
       // Worst-first ordering (head of the heap = the row to evict):
@@ -138,12 +153,11 @@ object SearchOps {
       heaps.values().forEach(h => h.foreach(out += _))
       out.result()
     }(Encoders.row(schema))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
     reduced
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("document_id"),
-        col("kind"), col("path"), col("idx"), col("score"), col("text"))
   }
 
   /** W7 snippet budget: from the top-`poolSize` hits with score ≥

@@ -141,6 +141,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH IVF search: N queries probe the persisted cell layout in ONE
+    * job. Probe selection is fully distributed (no driver collect of
+    * query vectors): each query's distance to every centroid is the SAME
+    * portable identity as write-time assignment ([[cellDistances]] /
+    * NearestCell), a per-query window keeps the `nProbe` nearest cells,
+    * and the tiny (query_id, cell) probe frame broadcasts into an
+    * equi-join against the cell-partitioned store — which Spark prunes at
+    * runtime via dynamic partition pruning (the join-key analogue of
+    * [[ivfTopK]]'s literal `isin`). Scoring + per-query top-k reuse the
+    * bounded-heap reduction batch brute-force search uses
+    * ([[SearchOps.reduceTopKPerQuery]]): only k·nQueries·nPartitions
+    * survivors ever shuffle.
+    */
+  def ivfBatchTopK(
+      indexed: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cn2 = VectorFunctions.centroidNorm2(centroids)
+    val distsOverNv = array(centroids.indices.map { i =>
+      lit(1.0) + lit(cn2(i)) - lit(2.0) * VectorFunctions.dot(
+        col("nv"), array(centroids(i).map(lit).toIndexedSeq: _*))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = queries
+      .withColumn("nv", VectorFunctions.l2Normalize(col("qv")))
+      .select(col("query_id"), col("qv"),
+        posexplode(distsOverNv).as(Seq("cell", "dist")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = indexed
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"), col("qv")))
+      .drop(vecCol, "qv")
+    graft.operators.SearchOps.reduceTopKPerQuery(scored, k, idCol = "vec_id")
+  }
+
   /** The query vector's sign bucket, computed driver-side — the same
     * plane-by-plane dot products as [[bucketCol]] (bit-identical IEEE
     * order), so probe enumeration matches at-rest bucket assignment.

@@ -1338,6 +1338,71 @@ object PipelineCatalog {
        FROM f ORDER BY rrf DESC, doc_id"""
 
   // -------------------------------------------------------------------------
+  // q62: BATCH ANN — N queries probe the persisted IVF store in one job
+  // (the eval-set shape of q46, but over the pruned layout instead of a
+  // full scan). Probe selection is distributed and uses the same portable
+  // cell-distance identity as q27, so the oracle replays every query's
+  // probe set AND the per-query top-k from the exported centroids.
+  // -------------------------------------------------------------------------
+
+  val q62BatchAnn: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    Similarity.ivfBatchTopK(store.vectors, "embedding", store.centroids,
+        queries, k = 10, nProbe = 8)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Same centroid-literal replay machinery as [[q27Sql]], generalized to
+    * N queries: per-query probe sets via the zipped-unnest window, hits
+    * restricted to probed cells, per-query rank.
+    */
+  private def q62Sql(cs: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${cn2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), d AS (
+         SELECT vec_id, label, v, $dExprs AS ds FROM n
+       ), a AS (
+         SELECT vec_id, label, v, list_position(ds, list_min(ds)) - 1 AS cell
+         FROM d WHERE vec_id <> 0
+       ), q AS (
+         SELECT vec_id AS query_id, v AS qv, ds FROM d WHERE vec_id < 5
+       ), probes AS (
+         SELECT query_id, qv, i AS cell FROM (
+           SELECT query_id, qv, unnest(range(${cs.length})) AS i, unnest(ds) AS dd
+           FROM q)
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dd, i) <= 8
+       ), hits AS (
+         SELECT p.query_id, a.vec_id, a.label,
+                list_cosine_similarity(a.v, p.qv) AS s,
+                row_number() OVER (PARTITION BY p.query_id
+                  ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rnk
+         FROM a JOIN probes p USING (cell)
+       )
+       SELECT query_id, CAST(rnk AS INT) AS "rank", vec_id, label,
+              floor(s * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits WHERE rnk <= 10
+       ORDER BY query_id, "rank""""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1374,6 +1439,7 @@ object PipelineCatalog {
     "q59_stratified_sample" -> q59StratifiedSample,
     "q60_bm25" -> q60Bm25,
     "q61_hybrid_rrf" -> q61HybridRrf,
+    "q62_batch_ann" -> q62BatchAnn,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1381,7 +1447,8 @@ object PipelineCatalog {
     * map after all queries, so the entry materializes exactly when valid.
     */
   def oracles: ListMap[String, String] = staticOracles ++
-    lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs))
+    lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
+    lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs))
 
   private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,

@@ -141,6 +141,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k lost the short-circuit")
   }
 
+  test("q62: batch ANN broadcasts probes and reduces via the bounded heap") {
+    val p = plan("q62_batch_ann")
+    assert(p.contains("BroadcastHashJoin"), "probe frame not broadcast")
+    val mp = p.indexOf("MapPartitions")
+    val win = p.indexOf("Window")
+    assert(mp >= 0 && win >= 0 && win < mp,
+      "per-query heap must sit below the exact ranking window")
+    // the cell equi-join against the partitioned store prunes at runtime
+    // (dynamic partition pruning on the partition column)
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      "cell join does not dynamically prune store partitions")
+  }
+
   test("q25/q27: ANN probes prune the persisted layout at the source") {
     // LSH: bucket probe list pushed into parquet (bucket-clustered files →
     // row-group skipping); IVF: cell probe prunes whole partitions.
