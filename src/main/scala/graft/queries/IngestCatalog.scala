@@ -727,6 +727,32 @@ object IngestCatalog {
        ORDER BY path, idx"""
 
   // -------------------------------------------------------------------------
+  // q63: PDF extraction driver row (S7) — a minimal valid PDF is
+  // assembled PER DOCUMENT in-query (literal string body, PDF string
+  // escaping applied) and pushed through the REAL BinaryDocs.pdfText
+  // content-stream walker; round-tripping 500 documents pins escape
+  // handling, stream walking and line normalization against the oracle's
+  // trivial expectation (the original text).
+  // -------------------------------------------------------------------------
+
+  val q63PdfIngest: Q = (s, d) => {
+    // PDF literal-string escaping: backslash first, then parens
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "\\\\", "\\\\\\\\"), "\\(", "\\\\("), "\\)", "\\\\)")
+    docs(s, d)
+      .withColumn("pdf", encode(concat(
+        lit("%PDF-1.4\n1 0 obj\n<< /Length 0 >>\nstream\nBT ("),
+        esc,
+        lit(") Tj ET\nendstream\nendobj\n%%EOF")), "ISO-8859-1"))
+      .select(col("doc_id"),
+        graft.sources.BinaryDocs.pdfTextCol(col("pdf")).as("pdf_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q63Sql =
+    """SELECT doc_id, trim(text) AS pdf_text FROM documents ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -744,6 +770,7 @@ object IngestCatalog {
     "q45_redact" -> q45Redact,
     "q52_media_ingest" -> q52MediaIngest,
     "q54_incremental_ingest" -> q54IncrementalIngest,
+    "q63_pdf_ingest" -> q63PdfIngest,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -762,5 +789,6 @@ object IngestCatalog {
     "q45_redact" -> q45Sql,
     "q52_media_ingest" -> q52Sql,
     "q54_incremental_ingest" -> q54Sql,
+    "q63_pdf_ingest" -> q63Sql,
   )
 }
