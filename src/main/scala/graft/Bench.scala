@@ -180,13 +180,23 @@ object Bench {
       val ratio = if (suite > 0) suite / math.max(iso, 0.5) else -1.0
       (name, suite, iso, ratio)
     }
-    val isolationOk = isolationChecks.nonEmpty && isolationChecks.forall(_._4 <= 2.0)
-    if (!isolationOk)
+    // three outcomes, not two: an empty check set means the fresh-context
+    // re-measurement itself failed — inconclusive, not contamination
+    val isolationStatus =
+      if (isolationChecks.isEmpty) "no_measurements"
+      else if (isolationChecks.forall(_._4 <= 2.0)) "ok"
+      else "contaminated"
+    val isolationOk = isolationStatus == "ok"
+    if (isolationStatus == "contaminated")
       System.err.println("[bench] ISOLATION CHECK FAILED: suite numbers are " +
         "contaminated vs fresh-context re-measurement: " +
         isolationChecks.filter(_._4 > 2.0)
           .map(c => f"${c._1} suite=${c._2}%.2fs isolated=${c._3}%.2fs")
           .mkString("; "))
+    else if (isolationStatus == "no_measurements")
+      System.err.println("[bench] ISOLATION CHECK INCONCLUSIVE: no isolated " +
+        "measurements obtained (every sample query failed in the fresh " +
+        "context) — suite numbers are unverified, not proven contaminated")
 
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -207,6 +217,6 @@ object Bench {
       "2xGC+200ms cooldown between queries (r3: one-JVM state accumulation " +
       "inflated late-suite numbers 3-17x); isolation_check re-measures a " +
       "3-query sample in a fresh SparkContext and must agree within 2x"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"notes":"$notes","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","notes":"$notes","sf":"$sfDir"}""")
   }
 }

@@ -79,8 +79,21 @@ object Registry {
     * (`nearest_cell(vec, array(array(...), ...))`).
     */
   private def centroidsArg(e: Expression): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
     require(e.foldable, "nearest_cell expects literal centroids")
-    val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // SQL literals type as array<array<int>> etc.; accept any numeric
+    // element by casting, and reject non-conforming shapes with the
+    // function's signature instead of a raw ClassCastException
+    val target = ArrayType(ArrayType(DoubleType))
+    val cast = e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => e
+      case ArrayType(ArrayType(_: NumericType, _), _) =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e, target)
+      case other => throw new IllegalArgumentException(
+        "nearest_cell(vec, centroids) expects centroids: array<array<double>>, " +
+          s"got ${other.catalogString}")
+    }
+    val ad = cast.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
   }
 }

@@ -194,9 +194,15 @@ object VectorKernels {
     var c = 0
     while (c < cs.length) {
       val cc = cs(c)
+      // dim drift between a store's vectors and its trained centroids must
+      // fail loudly — a truncated dot product silently assigns plausible
+      // but wrong cells, corrupting every probe of the store
+      if (x.length != cc.length)
+        throw new IllegalArgumentException(
+          s"nearest_cell: vector dim ${x.length} != centroid dim ${cc.length}")
       var dot = 0.0
       var j = 0
-      val m = math.min(x.length, cc.length)
+      val m = x.length
       while (j < m) { dot += (x(j) * inv) * cc(j); j += 1 }
       val d = 1.0 + cn2(c) - 2.0 * dot
       if (d < bestD) { bestD = d; best = c }

@@ -278,7 +278,16 @@ object SearchOps {
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
       .groupBy(col("doc"))
-      .agg(sum(col("score_t")).as("bm25"))
+      // float addition is non-associative, and sum()'s partial-aggregation
+      // order follows partitioning — fold the 2-3 per-term scores in term
+      // order instead, so the total is bit-stable across runs AND equals an
+      // oracle-side `sum(score_t ORDER BY term)` exactly (no 6dp-grid
+      // boundary flake). The array is |query terms|-sized; interpreted HOF
+      // cost is nil.
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("score_t")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("score_t")).as("bm25"))
   }
 
   /** Reciprocal-rank fusion of rankings (`(doc, rank)` frames):
@@ -288,12 +297,21 @@ object SearchOps {
     * contribute nothing.
     */
   def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60): DataFrame =
-    rankings
-      .map(_.select(col("doc"),
-        (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("contrib")))
+    rankings.zipWithIndex
+      .map { case (r, i) =>
+        r.select(col("doc"),
+          struct(lit(i).as("src"),
+            (lit(1.0) / (lit(kRrf.toDouble) + col("rank"))).as("contrib")).as("c"))
+      }
       .reduce(_ unionByName _)
       .groupBy(col("doc"))
-      .agg(sum(col("contrib")).as("rrf"))
+      // same determinism contract as bm25Scores: fold contributions in
+      // ranking order (≤ |rankings| elements) rather than sum() in
+      // partition order
+      .agg(aggregate(
+        sort_array(collect_list(col("c"))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("rrf"))
 
   /** Grounded prompt text from selected snippets (ask.py:359-372); the LLM
     * call itself is an external service beyond the engine boundary.

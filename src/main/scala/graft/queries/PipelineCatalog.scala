@@ -1275,7 +1275,7 @@ object PipelineCatalog {
        ), df AS (
          SELECT term, count(DISTINCT doc_id) AS df FROM p GROUP BY 1
        ), sc AS (
-         SELECT tf.doc_id,
+         SELECT tf.doc_id, term,
                 (ln(1.0 + (CAST(s.n - df.df AS DOUBLE) + 0.5)
                           / (CAST(df.df AS DOUBLE) + 0.5))
                  * (CAST(tf.tf AS DOUBLE) * 2.5)
@@ -1283,7 +1283,11 @@ object PipelineCatalog {
                     + 1.5 * (0.25 + 0.75 * (tf.dl / s.avgdl)))) AS st
          FROM tf JOIN df USING (term), stats s
        ), agg AS (
-         SELECT doc_id, sum(st) AS bm25 FROM sc GROUP BY doc_id
+         -- ordered aggregate: accumulate per-term scores in term order,
+         -- matching the engine's sort_array fold bit-for-bit (float
+         -- addition is non-associative; an unordered sum may land on the
+         -- other side of the 6dp rounding grid)
+         SELECT doc_id, sum(st ORDER BY term) AS bm25 FROM sc GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id LIMIT $limit
        )"""
   }
@@ -1327,11 +1331,12 @@ object PipelineCatalog {
          SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id DESC) AS INT) AS r
          FROM (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 50)
        ), u AS (
-         SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM bmr
+         SELECT doc_id, 0 AS src, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM bmr
          UNION ALL
-         SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM rec
+         SELECT doc_id, 1 AS src, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM rec
        ), f AS (
-         SELECT doc_id, sum(c) AS rrf FROM u GROUP BY doc_id
+         -- ordered aggregate mirrors rrfFuse's ranking-order fold
+         SELECT doc_id, sum(c ORDER BY src) AS rrf FROM u GROUP BY doc_id
          ORDER BY rrf DESC, doc_id LIMIT 20
        )
        SELECT doc_id, floor(rrf * 1000000000 + 0.5) / 1000000000.0 AS rrf

@@ -445,6 +445,13 @@ object FileIngest {
     val delta =
       if (storeExists) skipUnchanged(docs, ChunkStore.read(spark, storePath))
       else docs
-    chunkAndEmbed(delta, chunkSize, chunkOverlap, embedDim, ingestedAt)
+    val chunks = chunkAndEmbed(delta, chunkSize, chunkOverlap, embedDim, ingestedAt)
+    // the incremental delta's lineage reads storePath (the anti-join
+    // probe); callers upsert the result into that same path — cut the
+    // lineage so the dynamic overwrite never reads files it is replacing,
+    // and the chunk+embed stage runs once, not once per upsert job. The
+    // delta is small by definition (only changed files); first-time full
+    // ingests keep their lazy lineage.
+    if (storeExists) chunks.localCheckpoint() else chunks
   }
 }

@@ -50,8 +50,13 @@ object Dropzone {
       if (skipUnchangedFiles && storeExists)
         FileIngest.skipUnchanged(docs, ChunkStore.read(spark, storePath))
       else docs
+    // localCheckpoint before upsert: (a) the skipUnchanged delta's lineage
+    // reads the store parquet, and upsert dynamic-overwrites that same path
+    // (the read-while-write hazard ChunkStore guards its survivors side
+    // against); (b) upsert runs two jobs (bucket collect + write), which
+    // would otherwise recompute chunk+embed per micro-batch.
     val chunks = FileIngest.chunksFromDocuments(
-      delta, chunkSize, chunkOverlap, embedDim)
+      delta, chunkSize, chunkOverlap, embedDim).localCheckpoint()
     if (storeExists) ChunkStore.upsert(chunks, storePath) // empty delta no-ops inside
     else if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
   }
