@@ -753,6 +753,68 @@ object IngestCatalog {
     """SELECT doc_id, trim(text) AS pdf_text FROM documents ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q64: CSV dialect parity (S4) — three adversarial file families through
+  // the REAL router: quoted-comma CSV with doubled quotes, TSV with a
+  // quoted embedded tab, semicolon CSV with quoted delimiters. The oracle
+  // is written from EXPECTED VALUES (what the reference's
+  // extract_text_from_csv emits for these bytes — validated by executing
+  // parse_csv.py over all 500 (doc_id, lang) instantiations), NOT from a
+  // mirrored split, so it certifies reference parity, not self-agreement.
+  // -------------------------------------------------------------------------
+
+  private def csvDialectFiles(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    def f(path: org.apache.spark.sql.Column, body: org.apache.spark.sql.Column) =
+      base.select(path.as("path"), encode(body, "UTF-8").as("content"))
+    // quoted commas + doubled quotes; Sniffer → (',', dq=true)
+    val qc = f(concat(lit("dz/qc/"), col("doc_id"), lit(".csv")),
+      concat(lit("name,qty,note\n\"Doe, "), col("lang"), lit("\","),
+        col("doc_id"), lit(",\"say \"\"ok\"\" now\"\n\"x\",8,\"plain\"\n")))
+    // TSV with a quoted cell containing a literal tab; Sniffer → '\t'
+    val qt = f(concat(lit("dz/qt/"), col("doc_id"), lit(".tsv")),
+      concat(lit("id\tlang\tword\n"), col("doc_id"), lit("\t\"x\t"),
+        col("lang"), lit("\"\tz\n")))
+    // semicolon dialect, quoted delimiter + doubled quote; Sniffer → ';'
+    val sc = f(concat(lit("dz/sc/"), col("doc_id"), lit(".csv")),
+      concat(lit("x;y\n\"a;"), col("lang"), lit("\";c"), col("doc_id"),
+        lit("\n\"d\"\"e\";f\n")))
+    qc.unionByName(qt).unionByName(sc)
+      .withColumn("length", octet_length(col("content")).cast("long"))
+  }
+
+  val q64CsvDialects: Q = (s, d) =>
+    FileIngest.routeDocuments(FileIngest.scanFilesFrame(csvDialectFiles(s, d), "dz"))
+      .select(col("path"), col("kind"), col("text"), col("content_sig"),
+        col("bytes"), col("source_ext"))
+      .orderBy(col("path"))
+
+  private val q64Sql =
+    """WITH d AS (SELECT doc_id, lang FROM documents),
+       raw AS (
+         SELECT 'qc/' || doc_id || '.csv' AS path, '.csv' AS source_ext,
+                'name,qty,note' || chr(10) || '"Doe, ' || lang || '",' || doc_id
+                  || ',"say ""ok"" now"' || chr(10) || '"x",8,"plain"' || chr(10) AS content,
+                'name | qty | note' || chr(10) || 'Doe, ' || lang || ' | ' || doc_id
+                  || ' | say "ok" now' || chr(10) || 'x | 8 | plain' AS text
+         FROM d
+         UNION ALL
+         SELECT 'qt/' || doc_id || '.tsv', '.tsv',
+                'id' || chr(9) || 'lang' || chr(9) || 'word' || chr(10) || doc_id
+                  || chr(9) || '"x' || chr(9) || lang || '"' || chr(9) || 'z' || chr(10),
+                'id | lang | word' || chr(10) || doc_id || ' | x' || chr(9) || lang || ' | z'
+         FROM d
+         UNION ALL
+         SELECT 'sc/' || doc_id || '.csv', '.csv',
+                'x;y' || chr(10) || '"a;' || lang || '";c' || doc_id || chr(10)
+                  || '"d""e";f' || chr(10),
+                'x | y' || chr(10) || 'a;' || lang || ' | c' || doc_id || chr(10) || 'd"e | f'
+         FROM d)
+       SELECT path, 'csv' AS kind, text, sha256(content) AS content_sig,
+              CAST(strlen(content) AS BIGINT) AS bytes, source_ext
+       FROM raw
+       ORDER BY path"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -771,6 +833,7 @@ object IngestCatalog {
     "q52_media_ingest" -> q52MediaIngest,
     "q54_incremental_ingest" -> q54IncrementalIngest,
     "q63_pdf_ingest" -> q63PdfIngest,
+    "q64_csv_dialects" -> q64CsvDialects,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -790,5 +853,6 @@ object IngestCatalog {
     "q52_media_ingest" -> q52Sql,
     "q54_incremental_ingest" -> q54Sql,
     "q63_pdf_ingest" -> q63Sql,
+    "q64_csv_dialects" -> q64Sql,
   )
 }

@@ -75,21 +75,11 @@ object FileIngest {
     extOk && prefixOk
   }
 
-  /** S4: CSV text → `"v1 | v2"` lines (reference caps: 5000 rows, 50 cols,
-    * 2000 chars/cell — parse_csv.py:4-23, parsers_csv.py:6-26).
+  /** S4: CSV/TSV text → `"v1 | v2"` lines — dialect-sniffing quote-aware
+    * parse, reference parity with `extract_text_from_csv`
+    * (parse_csv.py:4-23). See [[CsvText]].
     */
-  def csvToLines(raw: Column): Column = {
-    val rows = slice(split(raw, "\r?\n"), 1, 5000)
-    array_join(
-      filter(
-        transform(rows, row =>
-          array_join(
-            transform(slice(split(row, ","), 1, 50), c =>
-              substring(trim(c), 1, 2000)),
-            " | ")),
-        l => trim(l) =!= ""),
-      "\n")
-  }
+  def csvToLines(raw: Column): Column = CsvText.csvTextCol(raw)
 
   /** S5/F14: flatten a parsed JSON value into `"a.b[0]: value"` lines.
     * Dynamic JSON (schema unknown at plan time) goes through a
@@ -150,7 +140,13 @@ object FileIngest {
       // cp1252 fallback (reference decode_bytes waterfall; a bare UTF-8
       // decode garbles BOM-prefixed and UTF-16 files silently)
       .withColumn("raw_text", graft.functions.DecodeText.decodeText(col("content")))
-      .withColumn("content_sig", sha2(col("raw_text"), 256)) // F3 provenance
+      // F3 provenance: sha256 of the RAW FILE BYTES — reference parity
+      // (ingest_dropzone.py:41-42 signs `path.read_bytes()`). Consequence
+      // for ST3 skip-unchanged: a byte-level change that decodes to
+      // identical text (UTF-8 → UTF-16 re-encode, BOM added) re-ingests,
+      // exactly as the reference watcher would. For UTF-8 fixtures this
+      // equals sha256 of the text, which is what every oracle computes.
+      .withColumn("content_sig", sha2(col("content"), 256))
       .withColumn("source_ext",
         lower(regexp_extract(basename(col("relpath")), "(\\.[^.]+)$", 1)))
       .withColumn("mtime", mtime)
