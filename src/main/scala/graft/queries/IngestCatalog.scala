@@ -815,6 +815,45 @@ object IngestCatalog {
        ORDER BY path"""
 
   // -------------------------------------------------------------------------
+  // q65: DOCX extraction driver row (S8) — a minimal DOCX container (ZIP
+  // with word/document.xml) is assembled PER DOCUMENT in-query and pushed
+  // through the REAL BinaryDocs.docxText walker. The fixture exercises the
+  // parse_docx.py:9-14 semantics end-to-end: body paragraphs stripped with
+  // empties skipped, table-cell paragraphs excluded from the paragraph
+  // pass, tables appended AFTER all paragraphs as " | "-joined cell texts,
+  // multi-paragraph cells newline-joined.
+  // -------------------------------------------------------------------------
+
+  val q65DocxIngest: Q = (s, d) => {
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><w:document xmlns:w=\"ns\"><w:body>" +
+        "<w:p><w:r><w:t>Doc "), col("doc_id"),
+      lit("</w:t></w:r></w:p><w:p/><w:p><w:r><w:t> </w:t></w:r></w:p>" +
+        "<w:p><w:r><w:t>L-"), col("lang"),
+      lit("</w:t></w:r><w:tab/><w:r><w:t>tail</w:t></w:r></w:p>" +
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>a"), col("doc_id"),
+      lit("</w:t></w:r></w:p></w:tc><w:tc><w:p><w:r><w:t>"), col("lang"),
+      lit("</w:t></w:r></w:p></w:tc></w:tr><w:tr>" +
+        "<w:tc><w:p><w:r><w:t>p1</w:t></w:r></w:p><w:p><w:r><w:t>p2</w:t></w:r></w:p></w:tc>" +
+        "<w:tc><w:p><w:r><w:t> y </w:t></w:r></w:p></w:tc></w:tr></w:tbl>" +
+        "<w:p><w:r><w:t>after "), col("doc_id"),
+      lit("</w:t></w:r></w:p></w:body></w:document>"))
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.sources.BinaryDocs.docxTextCol(
+          graft.sources.BinaryDocs.docxPackCol(xml)).as("docx_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q65Sql =
+    """SELECT doc_id,
+              'Doc ' || doc_id || chr(10) || 'L-' || lang || chr(9) || 'tail'
+                || chr(10) || 'after ' || doc_id
+                || chr(10) || 'a' || doc_id || ' | ' || lang
+                || chr(10) || 'p1' || chr(10) || 'p2 | y' AS docx_text
+       FROM documents ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -834,6 +873,7 @@ object IngestCatalog {
     "q54_incremental_ingest" -> q54IncrementalIngest,
     "q63_pdf_ingest" -> q63PdfIngest,
     "q64_csv_dialects" -> q64CsvDialects,
+    "q65_docx_ingest" -> q65DocxIngest,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -854,5 +894,6 @@ object IngestCatalog {
     "q54_incremental_ingest" -> q54Sql,
     "q63_pdf_ingest" -> q63Sql,
     "q64_csv_dialects" -> q64Sql,
+    "q65_docx_ingest" -> q65Sql,
   )
 }

@@ -31,17 +31,101 @@ object BinaryDocs {
 
   // ------------------------------------------------------------------ DOCX
 
-  private val WpRe = java.util.regex.Pattern.compile(
-    "<w:p[ >].*?</w:p>|<w:p/>", java.util.regex.Pattern.DOTALL)
   private val WtRe = java.util.regex.Pattern.compile(
-    "<w:t(?: [^>]*)?>(.*?)</w:t>|<w:br/>|<w:tab/>", java.util.regex.Pattern.DOTALL)
+    "<w:t(?: [^>]*)?>(.*?)</w:t>|<w:br/>|<w:tab/>|<w:cr/>", java.util.regex.Pattern.DOTALL)
 
   private def xmlUnescape(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&")
 
-  /** Paragraph texts of word/document.xml, joined with newlines — the
-    * reference's `"\n".join(p.text for p in doc.paragraphs)`.
+  /** Spans of the top-level `<tag …>…</tag>` / `<tag/>` blocks in `xml`
+    * (nested same-tag blocks stay inside their parent's span — the scan
+    * resumes after each block). Boundary-checked so `<w:p` never matches
+    * `<w:pPr`.
+    */
+  private def topBlocks(xml: String, tag: String): Seq[(Int, Int)] = {
+    val open = "<" + tag
+    val close = "</" + tag + ">"
+    def nextOpen(from: Int): Int = {
+      var i = xml.indexOf(open, from)
+      while (i >= 0) {
+        val b = i + open.length
+        if (b < xml.length) {
+          val c = xml.charAt(b)
+          if (c == ' ' || c == '>' || c == '/' || c == '\t' || c == '\n' || c == '\r')
+            return i
+        }
+        i = xml.indexOf(open, i + 1)
+      }
+      -1
+    }
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var pos = 0
+    var s = nextOpen(pos)
+    while (s >= 0) {
+      val gt0 = xml.indexOf('>', s)
+      if (gt0 < 0) return out.toSeq // malformed: stop
+      if (xml.charAt(gt0 - 1) == '/') { // self-closing, e.g. <w:p/>
+        out += ((s, gt0 + 1)); pos = gt0 + 1
+      } else {
+        var depth = 1
+        var p = gt0 + 1
+        var endPos = -1
+        while (endPos < 0) {
+          val no = nextOpen(p)
+          val nc = xml.indexOf(close, p)
+          if (nc < 0) { endPos = xml.length } // malformed: to end
+          else if (no >= 0 && no < nc) {
+            val gt = xml.indexOf('>', no)
+            if (gt < 0) { endPos = xml.length }
+            else { if (xml.charAt(gt - 1) != '/') depth += 1; p = gt + 1 }
+          } else {
+            depth -= 1
+            p = nc + close.length
+            if (depth == 0) endPos = p
+          }
+        }
+        out += ((s, endPos)); pos = endPos
+      }
+      s = nextOpen(pos)
+    }
+    out.toSeq
+  }
+
+  /** python-docx `Paragraph.text` over one `<w:p>` block: `<w:t>` runs
+    * concatenated, `<w:tab/>` → TAB, `<w:br/>`/`<w:cr/>` → newline.
+    */
+  private def paraText(pXml: String): String = {
+    val sb = new java.lang.StringBuilder
+    val tm = WtRe.matcher(pXml)
+    while (tm.find()) {
+      if (tm.group().startsWith("<w:br") || tm.group().startsWith("<w:cr")) sb.append('\n')
+      else if (tm.group().startsWith("<w:tab")) sb.append('\t')
+      else sb.append(xmlUnescape(tm.group(1)))
+    }
+    sb.toString
+  }
+
+  private def stripSpans(xml: String, spans: Seq[(Int, Int)]): String =
+    if (spans.isEmpty) xml
+    else {
+      val sb = new java.lang.StringBuilder
+      var last = 0
+      spans.foreach { case (s, e) => sb.append(xml, last, s); last = e }
+      sb.append(xml, last, xml.length)
+      sb.toString
+    }
+
+  /** `extract_text_from_docx` parity (parse_docx.py:9-14): body-level
+    * paragraph texts (stripped, empties skipped — table-cell paragraphs
+    * excluded exactly like `Document.paragraphs`, which walks only direct
+    * `<w:body>` children), then every top-level table's rows appended as
+    * `" | ".join(cell.text.strip())` where `cell.text` joins the cell's
+    * own paragraphs with newlines (nested tables contribute nothing, as
+    * in python-docx). Merged-cell repetition (gridSpan/vMerge row.cells
+    * padding) is not replicated — a documented fence; python-docx is not
+    * installable here, so the table semantics are pinned by constructed
+    * goldens derived from its public behavior.
     */
   def docxText(bytes: Array[Byte]): String = {
     val zin = new java.util.zip.ZipInputStream(
@@ -51,19 +135,32 @@ object BinaryDocs {
       while (entry != null) {
         if (entry.getName == "word/document.xml") {
           val xml = new String(zin.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          val paras = ArrayBuffer.empty[String]
-          val pm = WpRe.matcher(xml)
-          while (pm.find()) {
-            val sb = new java.lang.StringBuilder
-            val tm = WtRe.matcher(pm.group())
-            while (tm.find()) {
-              if (tm.group().startsWith("<w:br")) sb.append('\n')
-              else if (tm.group().startsWith("<w:tab")) sb.append('\t')
-              else sb.append(xmlUnescape(tm.group(1)))
+          val lines = ArrayBuffer.empty[String]
+          val tables = topBlocks(xml, "w:tbl")
+          // doc.paragraphs: body-level only — skip spans inside any table
+          topBlocks(xml, "w:p").foreach { case (s, e) =>
+            if (!tables.exists(t => s >= t._1 && s < t._2)) {
+              val t = CsvText.pyStrip(paraText(xml.substring(s, e)))
+              if (t.nonEmpty) lines += t
             }
-            paras += sb.toString
           }
-          return paras.mkString("\n")
+          // doc.tables: top-level tables, direct rows, direct cells
+          tables.foreach { case (ts, te) =>
+            val tXml = xml.substring(ts, te)
+            topBlocks(tXml, "w:tr").foreach { case (rs, re) =>
+              val rXml = tXml.substring(rs, re)
+              val cells = topBlocks(rXml, "w:tc").map { case (cs, ce) =>
+                val cXml0 = rXml.substring(cs, ce)
+                val cXml = stripSpans(cXml0, topBlocks(cXml0, "w:tbl"))
+                CsvText.pyStrip(
+                  topBlocks(cXml, "w:p")
+                    .map(p => paraText(cXml.substring(p._1, p._2)))
+                    .mkString("\n"))
+              }
+              lines += cells.mkString(" | ")
+            }
+          }
+          return lines.mkString("\n")
         }
         entry = zin.getNextEntry
       }
@@ -528,6 +625,39 @@ object BinaryDocs {
     GraftSql.column(DocxText(GraftSql.expression(content)))
   def pdfTextCol(content: Column): Column =
     GraftSql.column(PdfText(GraftSql.expression(content)))
+
+  /** Deterministic minimal DOCX container (a ZIP holding only
+    * `word/document.xml`) for in-query fixture assembly — q65 builds one
+    * per document and round-trips it through the real [[docxText]]
+    * walker. Fixed entry timestamp via `setTimeLocal` (timezone-free DOS
+    * time) keeps the bytes reproducible across executors.
+    */
+  def packDocx(xml: UTF8String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val e = new java.util.zip.ZipEntry("word/document.xml")
+    e.setTimeLocal(java.time.LocalDateTime.of(2020, 1, 1, 0, 0))
+    z.putNextEntry(e)
+    z.write(xml.getBytes)
+    z.closeEntry()
+    z.close()
+    bos.toByteArray
+  }
+
+  def docxPackCol(xml: Column): Column =
+    GraftSql.column(DocxPack(GraftSql.expression(xml)))
+}
+
+/** String (document.xml) → binary DOCX container, codegen'd. */
+case class DocxPack(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "docx_pack"
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryDocs.packDocx(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.BinaryDocs$$.MODULE$$.packDocx($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class DocxText(child: Expression) extends UnaryExpression {

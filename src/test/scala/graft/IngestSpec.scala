@@ -285,6 +285,35 @@ class IngestSpec extends AnyFunSuite {
     assert(BinaryDocs.docxText("not a zip".getBytes) == "")
   }
 
+  test("DOCX tables: rows ' | '-joined after paragraphs, empties skipped (S8)") {
+    import graft.sources.BinaryDocs
+    // parse_docx.py:9-14 semantics: doc.paragraphs excludes table-cell
+    // paragraphs and skips empties; doc.tables rows append afterwards as
+    // " | ".join(cell.text.strip()); cell.text joins its paragraphs with
+    // newlines; nested tables contribute nothing (not in doc.tables, not
+    // in cell.paragraphs).
+    val xml =
+      """<?xml version="1.0"?><w:document xmlns:w="ns"><w:body>
+        <w:p><w:r><w:t>Intro</w:t></w:r></w:p>
+        <w:p/>
+        <w:p><w:r><w:t>  </w:t></w:r></w:p>
+        <w:tbl>
+          <w:tr><w:tc><w:p><w:r><w:t> A </w:t></w:r></w:p></w:tc>
+                <w:tc><w:p><w:r><w:t>B</w:t></w:r></w:p></w:tc></w:tr>
+          <w:tr><w:tc><w:p><w:r><w:t>p1</w:t></w:r></w:p><w:p><w:r><w:t>p2</w:t></w:r></w:p></w:tc>
+                <w:tc><w:tbl><w:tr><w:tc><w:p><w:r><w:t>nested</w:t></w:r></w:p></w:tc></w:tr></w:tbl><w:p><w:r><w:t>outer</w:t></w:r></w:p></w:tc></w:tr>
+        </w:tbl>
+        <w:p><w:r><w:t>after</w:t></w:r><w:cr/><w:r><w:t>cr</w:t></w:r></w:p>
+        </w:body></w:document>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    zip.write(xml.getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    assert(BinaryDocs.docxText(bos.toByteArray)
+      == "Intro\nafter\ncr\nA | B\np1\np2 | outer")
+  }
+
   test("PDF extracts Tj/TJ text from raw and Flate streams (S7, JDK-native)") {
     import graft.sources.BinaryDocs
     def pdfWith(stream: Array[Byte], extra: String = ""): Array[Byte] = {
