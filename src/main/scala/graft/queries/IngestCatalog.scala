@@ -854,6 +854,45 @@ object IngestCatalog {
        FROM documents ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q66: DEEP PDF paths driver row (S7) — the layout modern writers emit,
+  // assembled per document in-query: a Flate-compressed content stream
+  // (in-query Deflater, deterministic bytes) showing the document text as
+  // TWO-BYTE hex codes under an Identity-style ToUnicode CMap, with the
+  // font and resource dictionaries packed inside a /ObjStm object stream
+  // (PDF 1.5 compressed layout). Text only extracts if ALL deep paths
+  // work: declared-filter Flate decode, ObjStm expansion, font-graph CMap
+  // resolution, two-byte hex decode. q63 keeps pinning the literal-string
+  // happy path; specs pin predictors/LZW/ASCII85.
+  // -------------------------------------------------------------------------
+
+  val q66PdfDeep: Q = (s, d) => {
+    import graft.sources.BinaryDocs
+    val fontObj = "<< /Type /Font /ToUnicode 3 0 R >>"
+    val resObj = "<< /Font << /F1 5 0 R >> >>"
+    val header = s"5 0 6 ${fontObj.length}\n"
+    val objStm = header + fontObj + resObj
+    val cmap =
+      "begincodespacerange <0000> <00FF> endcodespacerange\n" +
+        "beginbfrange\n<0000> <00FF> <0000>\nendbfrange"
+    val contentOps = concat(
+      lit("BT /F1 1 Tf <"), hex(encode(col("text"), "UTF-16BE")), lit("> Tj ET"))
+    val pdf = concat(
+      encode(lit("%PDF-1.5\n2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"), "ISO-8859-1"),
+      BinaryDocs.flateCompressCol(contentOps),
+      encode(lit("\nendstream\nendobj\n" +
+        "3 0 obj\n<< /CMapType 2 >>\nstream\n" + cmap + "\nendstream\nendobj\n" +
+        s"4 0 obj\n<< /Type /ObjStm /N 2 /First ${header.length} >>\nstream\n" +
+        objStm + "\nendstream\nendobj\n%%EOF"), "ISO-8859-1"))
+    docs(s, d)
+      .withColumn("pdf", pdf)
+      .select(col("doc_id"), BinaryDocs.pdfTextCol(col("pdf")).as("pdf_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q66Sql =
+    """SELECT doc_id, trim(text) AS pdf_text FROM documents ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -874,6 +913,7 @@ object IngestCatalog {
     "q63_pdf_ingest" -> q63PdfIngest,
     "q64_csv_dialects" -> q64CsvDialects,
     "q65_docx_ingest" -> q65DocxIngest,
+    "q66_pdf_deep" -> q66PdfDeep,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -895,5 +935,6 @@ object IngestCatalog {
     "q63_pdf_ingest" -> q63Sql,
     "q64_csv_dialects" -> q64Sql,
     "q65_docx_ingest" -> q65Sql,
+    "q66_pdf_deep" -> q66Sql,
   )
 }

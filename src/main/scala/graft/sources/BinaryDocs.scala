@@ -185,6 +185,116 @@ object BinaryDocs {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  /** PDF LZWDecode (PDF 32000-1 §7.4.4): MSB-first variable-width codes
+    * 9→12 bits, 256 = clear-table, 257 = EOD, EarlyChange=1 (the default:
+    * code width grows one code early, at table size 2^w − 1). Self-
+    * contained ~40 lines — the filter older PDF writers used before
+    * Flate became universal.
+    */
+  private def lzwDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val dict = new java.util.ArrayList[Array[Byte]](4096)
+      def reset(): Unit = {
+        dict.clear()
+        var i = 0
+        while (i < 256) { dict.add(Array(i.toByte)); i += 1 }
+        dict.add(null); dict.add(null) // 256 = clear, 257 = EOD
+      }
+      reset()
+      var width = 9
+      var prev: Array[Byte] = null
+      var acc = 0L
+      var nbits = 0
+      var bi = 0
+      var eod = false
+      while (bi < data.length && !eod) {
+        acc = (acc << 8) | (data(bi) & 0xffL); nbits += 8; bi += 1
+        while (nbits >= width && !eod) {
+          val code = ((acc >>> (nbits - width)) & ((1L << width) - 1)).toInt
+          nbits -= width
+          if (code == 256) { reset(); width = 9; prev = null }
+          else if (code == 257) eod = true
+          else {
+            val entry =
+              if (code < dict.size && dict.get(code) != null) dict.get(code)
+              else if (code == dict.size && prev != null) prev :+ prev(0) // KwKwK
+              else return None
+            out.write(entry)
+            if (prev != null) dict.add(prev :+ entry(0))
+            prev = entry
+            // EarlyChange=1 decoder: the table lags the encoder's by one
+            // entry (the KwKwK deferral), so widen at 2^w − 2 where the
+            // encoder widens at 2^w − 1
+            if (dict.size >= (1 << width) - 2 && width < 12) width += 1
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** ASCII85Decode (PDF 32000-1 §7.4.3): 5 chars `!`..`u` → 4 bytes,
+    * `z` = four zero bytes (only between groups), whitespace skipped,
+    * `~>` terminates, partial final group pads with `u` and yields
+    * count−1 bytes.
+    */
+  private def a85Decode(s: String): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var tuple = 0L
+      var count = 0
+      var i = 0
+      var done = false
+      while (i < s.length && !done) {
+        val c = s.charAt(i)
+        if (c == '~') done = true
+        else if (c == 'z' && count == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+        else if (c >= '!' && c <= 'u') {
+          tuple = tuple * 85 + (c - '!'); count += 1
+          if (count == 5) {
+            out.write(((tuple >>> 24) & 0xff).toInt); out.write(((tuple >>> 16) & 0xff).toInt)
+            out.write(((tuple >>> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
+            tuple = 0; count = 0
+          }
+        } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0) ()
+        else return None
+        i += 1
+      }
+      if (count > 0) {
+        if (count == 1) return None // a lone digit cannot encode a byte
+        var t = tuple
+        var j = count
+        while (j < 5) { t = t * 85 + 84; j += 1 }
+        val bs = Array(((t >>> 24) & 0xff).toByte, ((t >>> 16) & 0xff).toByte,
+          ((t >>> 8) & 0xff).toByte)
+        out.write(bs, 0, count - 1)
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** ASCIIHexDecode (PDF 32000-1 §7.4.2): hex pairs, whitespace skipped,
+    * `>` terminates, odd trailing digit pads with 0.
+    */
+  private def ahxDecode(s: String): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var hi = -1
+      var i = 0
+      var done = false
+      while (i < s.length && !done) {
+        val c = s.charAt(i)
+        if (c == '>') done = true
+        else if (Character.digit(c, 16) >= 0) {
+          val v = Character.digit(c, 16)
+          if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 }
+        } else if (Character.isWhitespace(c)) ()
+        else return None
+        i += 1
+      }
+      if (hi >= 0) out.write(hi << 4)
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
   /** Decode a PDF literal string body: escapes \n \r \t \b \f \( \) \\,
     * octal \ddd, and line continuations (PDF 32000-1 §7.3.4.2).
     */
@@ -391,26 +501,70 @@ object BinaryDocs {
     out
   }
 
-  /** Inflate + reverse any declared PNG predictor (dict's /DecodeParms). */
-  private def decodeStream(dict: String, data: String): String = {
-    val bytes = inflate(data.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-      .filter(_.nonEmpty)
-    bytes match {
-      case None => data
-      case Some(b) =>
-        val pm = PredictorRe.matcher(dict)
-        val decoded =
-          if (pm.find() && pm.group(1).toInt >= 10) {
-            val cm = ColumnsRe.matcher(dict)
-            val colm = ColorsRe.matcher(dict)
-            val bm = BpcRe.matcher(dict)
-            unpredictPng(b,
-              if (cm.find()) cm.group(1).toInt else 1,
-              if (colm.find()) colm.group(1).toInt else 1,
-              if (bm.find()) bm.group(1).toInt else 8)
-          } else b
-        new String(decoded, java.nio.charset.StandardCharsets.ISO_8859_1)
+  private val FilterRe = java.util.regex.Pattern.compile(
+    "/Filter\\s*(?:\\[([^\\]]*)\\]|/([A-Za-z0-9]+))", java.util.regex.Pattern.DOTALL)
+  private val FilterNameRe = java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
+
+  /** The /Filter chain declared by a stream dict, in application order
+    * (name or array form); empty when undeclared.
+    */
+  private def filterNames(dict: String): Seq[String] = {
+    val m = FilterRe.matcher(dict)
+    if (!m.find()) return Seq.empty
+    if (m.group(2) != null) Seq(m.group(2))
+    else {
+      val out = ArrayBuffer.empty[String]
+      val nm = FilterNameRe.matcher(m.group(1))
+      while (nm.find()) out += nm.group(1)
+      out.toSeq
     }
+  }
+
+  private def unpredictIfDeclared(dict: String, b: Array[Byte]): Array[Byte] = {
+    val pm = PredictorRe.matcher(dict)
+    if (pm.find() && pm.group(1).toInt >= 10) {
+      val cm = ColumnsRe.matcher(dict)
+      val colm = ColorsRe.matcher(dict)
+      val bm = BpcRe.matcher(dict)
+      unpredictPng(b,
+        if (cm.find()) cm.group(1).toInt else 1,
+        if (colm.find()) colm.group(1).toInt else 1,
+        if (bm.find()) bm.group(1).toInt else 8)
+    } else b
+  }
+
+  /** Decode a stream per its declared /Filter chain: Flate, LZW (both
+    * with PNG-predictor reversal when /DecodeParms declares one), ASCII85
+    * and ASCIIHex (plus the 1.2 abbreviations /Fl /LZW /A85 /AHx) are
+    * decoded; anything else (DCT/JPX images, CCITT, Crypt) degrades to
+    * empty — never to garbage bytes. Streams with NO declared filter keep
+    * the historical lenient behavior: try Flate (many fixtures and some
+    * writers omit the dict), fall back to the raw bytes.
+    */
+  private def decodeStream(dict: String, data: String): String = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val names = filterNames(dict)
+    if (names.isEmpty) {
+      val b = inflate(data.getBytes(iso)).filter(_.nonEmpty)
+      return b.map(x => new String(unpredictIfDeclared(dict, x), iso)).getOrElse(data)
+    }
+    var bytes = data.getBytes(iso)
+    names.foreach { n =>
+      val step: Option[Array[Byte]] = n match {
+        case "FlateDecode" | "Fl" =>
+          inflate(bytes).filter(_.nonEmpty).map(unpredictIfDeclared(dict, _))
+        case "LZWDecode" | "LZW" =>
+          lzwDecode(bytes).map(unpredictIfDeclared(dict, _))
+        case "ASCII85Decode" | "A85" => a85Decode(new String(bytes, iso))
+        case "ASCIIHexDecode" | "AHx" => ahxDecode(new String(bytes, iso))
+        case _ => None // unsupported filter: degrade to empty
+      }
+      step match {
+        case Some(b) => bytes = b
+        case None => return ""
+      }
+    }
+    new String(bytes, iso)
   }
 
   /** The dictionary part of an object body (text before the `stream`
@@ -494,11 +648,7 @@ object BinaryDocs {
       if (body == null) return None
       val sm = StreamRe.matcher(body)
       if (!sm.find()) return None
-      val data = sm.group(1)
-      val text = inflate(data.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-        .map(b => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-        .getOrElse(data)
-      parseCMap(text)
+      parseCMap(decodeStream(dictPart(body), sm.group(1)))
     }
 
     // font object number → its CMap
@@ -605,7 +755,7 @@ object BinaryDocs {
         if (!dict.contains("/ObjStm") && !dict.contains("/XRef"))
           streamData(body).foreach { data =>
             sawStream = true
-            val text = inflateOrRaw(data)
+            val text = decodeStream(dict, data) // declared filter chain
             if (looksLikeContent(text)) streamText(text, out, fonts)
           }
       }
@@ -646,6 +796,37 @@ object BinaryDocs {
 
   def docxPackCol(xml: Column): Column =
     GraftSql.column(DocxPack(GraftSql.expression(xml)))
+
+  /** Deterministic zlib-deflate of an (ASCII) string — q66 assembles
+    * Flate-compressed PDF content streams in-query with it. Fixed level,
+    * default strategy: same input → same bytes within a JVM, which is all
+    * the oracle round-trip needs (it checks decoded TEXT, not bytes).
+    */
+  def flateCompress(s: UTF8String): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(s.getBytes)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  def flateCompressCol(c: Column): Column =
+    GraftSql.column(FlateRaw(GraftSql.expression(c)))
+}
+
+/** String → deflated bytes, codegen'd (fixture assembly only). */
+case class FlateRaw(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "flate_compress"
+  override protected def nullSafeEval(input: Any): Any =
+    BinaryDocs.flateCompress(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sources.BinaryDocs$$.MODULE$$.flateCompress($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** String (document.xml) → binary DOCX container, codegen'd. */
