@@ -270,7 +270,21 @@ object SearchOps {
       .agg(count(lit(1)).as("tf"))
     val df = postings.groupBy(col("term"))
       .agg(countDistinct(col("doc")).as("df"))
-    tf.join(broadcast(df), Seq("term"))
+    bm25Formula(tf, df, stats, k1, b)
+  }
+
+  /** Okapi scoring tail shared by the inline and indexed paths:
+    * `(doc, dl, term, tf)` × broadcast `(term, df)` × broadcast stats.
+    * The per-doc total folds the 2-3 per-term scores in term order
+    * (float addition is non-associative and sum()'s partial-aggregation
+    * order follows partitioning) so it is bit-stable across runs AND
+    * equals an oracle-side `sum(score_t ORDER BY term)` exactly — no
+    * 6dp-grid boundary flake. The array is |query terms|-sized;
+    * interpreted HOF cost is nil.
+    */
+  private def bm25Formula(tf: DataFrame, dfT: DataFrame, stats: DataFrame,
+      k1: Double, b: Double): DataFrame =
+    tf.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
@@ -278,16 +292,34 @@ object SearchOps {
         col("idf") * (col("tf") * lit(k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
       .groupBy(col("doc"))
-      // float addition is non-associative, and sum()'s partial-aggregation
-      // order follows partitioning — fold the 2-3 per-term scores in term
-      // order instead, so the total is bit-stable across runs AND equals an
-      // oracle-side `sum(score_t ORDER BY term)` exactly (no 6dp-grid
-      // boundary flake). The array is |query terms|-sized; interpreted HOF
-      // cost is nil.
       .agg(aggregate(
         sort_array(collect_list(struct(col("term"), col("score_t")))),
         lit(0.0),
         (acc, x) => acc + x.getField("score_t")).as("bm25"))
+
+  /** BM25 over the persisted [[graft.sources.TextIndex]] — the SERVING
+    * path: literal query terms map to their portable term-hash buckets in
+    * the JVM, so the postings and df scans carry `term_bucket IN (…)`
+    * partition filters (source-level pruning: ≤|terms| of 64 partitions
+    * read) plus a `term IN (…)` pushed filter that parquet row-group
+    * min/max stats resolve against the in-partition term sort. Corpus
+    * stats come from the index manifest as exact integers. NO scan of the
+    * corpus, NO tokenization, identical scores to [[bm25Scores]] (same
+    * formula, same fold order, avgdl derived by the same single double
+    * division).
+    */
+  def bm25ScoresIndexed(index: graft.sources.TextIndex.Index,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val buckets = terms.map(graft.sources.TextIndex.bucketOf).distinct
+    val tf = index.postings
+      .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("doc"), col("dl"), col("term"), col("tf"))
+    val dfT = index.df
+      .filter(col("term_bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select(col("term"), col("df"))
+    val stats = index.postings.sparkSession.range(1)
+      .select(lit(index.n).as("n"), lit(index.avgdl).as("avgdl"))
+    bm25Formula(tf, dfT, stats, k1, b)
   }
 
   /** Reciprocal-rank fusion of rankings (`(doc, rank)` frames):

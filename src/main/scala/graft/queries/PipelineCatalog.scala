@@ -1298,25 +1298,35 @@ object PipelineCatalog {
        FROM agg ORDER BY bm25 DESC, doc_id"""
 
   // -------------------------------------------------------------------------
-  // q61: hybrid retrieval via reciprocal-rank fusion — BM25 keyword
-  // ranking fused with a recency ranking (1/(60+rank) each, pure rational
-  // arithmetic: rank integers are bit-identical across engines, so the
-  // fusion is too). The standard way to combine sparse + dense/secondary
-  // signals without score normalization.
+  // q61: TRUE dense+sparse hybrid retrieval via reciprocal-rank fusion —
+  // the BM25 keyword ranking fused with a dense cosine ranking over the
+  // embeddings table (1/(60+rank) each, pure rational arithmetic: rank
+  // integers are bit-identical across engines — the cosine doubles that
+  // produce them are engine-exact, the q16/q39 precedent — so the fusion
+  // is too). This is the standard RAG retrieval shape: sparse postings
+  // lookup + dense ANN, combined without score normalization.
   // -------------------------------------------------------------------------
 
   val q61HybridRrf: Q = (s, d) => {
     val docs = docsWide(s, d)
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>").as("qv"))
     val bmTop = graft.operators.SearchOps.bm25Scores(
         docs, "doc_id", "text", Bm25Terms, k1 = 1.5, b = 0.75)
       .orderBy(col("bm25").desc, col("doc")).limit(50)
     val bmRank = bmTop.select(col("doc"), row_number().over(
       Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc"))).as("rank"))
-    val recRank = docs.select(col("doc_id").as("doc"))
-      .orderBy(col("doc").desc).limit(50)
-      .select(col("doc"), row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("doc").desc)).as("rank"))
-    graft.operators.SearchOps.rrfFuse(Seq(bmRank, recRank))
+    val denseTop = emb.filter(col("vec_id") =!= 0)
+      .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id").as("doc"),
+        graft.functions.VectorFunctions.cosine(
+          col("embedding").cast("array<double>"), col("qv")).as("score"))
+      .orderBy(col("score").desc, col("doc")).limit(50)
+    val denseRank = denseTop.select(col("doc"), row_number().over(
+      Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc"))).as("rank"))
+    graft.operators.SearchOps.rrfFuse(Seq(bmRank, denseRank))
       .orderBy(col("rrf").desc, col("doc"))
       .limit(20)
       .select(col("doc").as("doc_id"), rnd(col("rrf"), 9).as("rrf"))
@@ -1327,13 +1337,21 @@ object PipelineCatalog {
     s"""${bm25Ctes(50)}, bmr AS (
          SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r
          FROM agg
-       ), rec AS (
-         SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id DESC) AS INT) AS r
-         FROM (SELECT doc_id FROM documents ORDER BY doc_id DESC LIMIT 50)
+       ), dns AS (
+         SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+         FROM embeddings e
+         JOIN documents dd ON e.vec_id = dd.doc_id,
+              (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+       ), dnr AS (
+         SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+         FROM (SELECT * FROM dns ORDER BY score DESC, doc_id LIMIT 50)
        ), u AS (
          SELECT doc_id, 0 AS src, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM bmr
          UNION ALL
-         SELECT doc_id, 1 AS src, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM rec
+         SELECT doc_id, 1 AS src, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + r) AS c FROM dnr
        ), f AS (
          -- ordered aggregate mirrors rrfFuse's ranking-order fold
          SELECT doc_id, sum(c ORDER BY src) AS rrf FROM u GROUP BY doc_id
@@ -1341,6 +1359,24 @@ object PipelineCatalog {
        )
        SELECT doc_id, floor(rrf * 1000000000 + 0.5) / 1000000000.0 AS rrf
        FROM f ORDER BY rrf DESC, doc_id"""
+
+  // -------------------------------------------------------------------------
+  // q68: BM25 over the PERSISTED text index (the serving path) — same
+  // top-15 as q60, but computed from the write-time postings/df/stats
+  // artifact (sources/TextIndex): term-bucket partition pruning + term
+  // row-group skipping, zero corpus scan, zero tokenization. The oracle
+  // is q60's full inline recomputation — green means the serving artifact
+  // is value-identical to scoring the corpus directly.
+  // -------------------------------------------------------------------------
+
+  val q68Bm25Indexed: Q = (s, d) => {
+    val idx = graft.sources.TextIndex.ensure(s, docsWide(s, d), "doc_id", "text", d)
+    graft.operators.SearchOps.bm25ScoresIndexed(idx, Bm25Terms, k1 = 1.5, b = 0.75)
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(15)
+      .select(col("doc").as("doc_id"), rnd(col("bm25"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
 
   // -------------------------------------------------------------------------
   // q62: BATCH ANN — N queries probe the persisted IVF store in one job
@@ -1444,6 +1480,7 @@ object PipelineCatalog {
     "q59_stratified_sample" -> q59StratifiedSample,
     "q60_bm25" -> q60Bm25,
     "q61_hybrid_rrf" -> q61HybridRrf,
+    "q68_bm25_indexed" -> q68Bm25Indexed,
     "q62_batch_ann" -> q62BatchAnn,
   )
 
@@ -1489,5 +1526,6 @@ object PipelineCatalog {
     "q59_stratified_sample" -> q59Sql,
     "q60_bm25" -> q60Sql,
     "q61_hybrid_rrf" -> q61Sql,
+    "q68_bm25_indexed" -> q60Sql,
   )
 }

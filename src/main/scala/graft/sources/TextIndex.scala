@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 serving artifact persisted at WRITE time — the text analog of
+  * [[VectorStore]] (reference: the Qdrant content text index is built at
+  * upsert, `worker/app/qdrant_client.py:206-297`; queries only probe it).
+  *
+  * `SearchOps.bm25Scores` recomputes corpus stats and postings per call —
+  * fine as the oracle path, wrong as a serving path at 100 TB (every
+  * query re-tokenizes the corpus). This store materializes, once per
+  * corpus version:
+  *
+  *   path/postings/term_bucket=<b>/…  — (term, doc, dl, tf), partitioned
+  *       by a 64-way portable term-hash bucket and sorted by term within
+  *       each partition: a query's literal terms map to ≤|terms| buckets
+  *       (partition pruning at the source) and the in-partition sort gives
+  *       parquet row-group min/max skipping on `term`;
+  *   path/df/                         — (term, df), same bucketing;
+  *   path/_graft_stats.json           — {n, sum_dl} as EXACT integers
+  *       (avgdl derives as one double division, identical to the inline
+  *       path's sum/count);
+  *   path/_graft_manifest.json        — source stamp + layout version,
+  *       [[ensure]] rebuilds on mismatch.
+  *
+  * A serving query therefore reads O(matching postings) bytes: no
+  * corpus scan, no tokenize, no full-index scan — the relational form of
+  * an inverted-index lookup with the index on disk.
+  */
+object TextIndex {
+
+  val TermBuckets = 64
+
+  case class Index(postings: DataFrame, df: DataFrame, n: Long, sumDl: Long) {
+    def avgdl: Double = sumDl.toDouble / n
+  }
+
+  /** Portable term bucket: first 60 bits of sha256, mod 64 — the same
+    * `hash60` family every other persisted layout uses, JVM-computable
+    * for literal query terms ([[bucketOf]]) so probes are plain literals.
+    */
+  def termBucketCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.operators.TextAnalytics.hash60(term), lit(TermBuckets.toLong))
+
+  def bucketOf(term: String): Long = {
+    val h = graft.functions.Sha256.hash60(term.getBytes("UTF-8"))
+    java.lang.Math.floorMod(h, TermBuckets.toLong)
+  }
+
+  def indexPath(sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val parent = src.getAbsoluteFile.getParentFile
+    if (parent != null && parent.canWrite)
+      new java.io.File(parent, "documents.parquet._graft_text_index").toString
+    else {
+      val root = sys.env.get("GRAFT_INDEX_DIR")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getAbsolutePath.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      new java.io.File(root, s"graft-tindex-$sig").toString
+    }
+  }
+
+  private def manifest(sfDir: String): String = {
+    val stamp = VectorStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
+    // tokenizer contract is part of the layout version: postings written
+    // under a different tokenization must rebuild, not silently mis-score
+    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v1"}"""
+  }
+
+  /** One tokenize pass over the corpus → postings + df + stats. The only
+    * corpus-wide work, paid at write time (the reference pays the same
+    * cost inside Qdrant's upsert-time text indexing).
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    val withDl = docs.select(
+        col(idCol).as("doc"),
+        split(trim(col(textCol)), " ").as("toks"))
+      .select(col("doc"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+    val stats = withDl.agg(
+      count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head()
+    val postings = withDl
+      .select(col("doc"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", termBucketCol(col("term")))
+    postings
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term_bucket"), col("term"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    // df from the WRITTEN postings (no corpus recompute, no lineage replay)
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/df")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_stats.json"),
+      s"""{"n":${stats.getLong(0)},"sum_dl":${stats.getLong(1)}}""")
+  }
+
+  def read(spark: SparkSession, path: String): Index = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_graft_stats.json")))
+    Index(
+      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"),
+      node.get("n").asLong(), node.get("sum_dl").asLong())
+  }
+
+  /** Load the index for a corpus, building it first if absent or stale —
+    * index-at-ingest for the dev loop, same contract as
+    * [[VectorStore.ensure]].
+    */
+  def ensure(spark: SparkSession, docs: => DataFrame, idCol: String,
+      textCol: String, sfDir: String): Index = {
+    val path = indexPath(sfDir)
+    val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
+    val expected = manifest(sfDir)
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      write(docs, idCol, textCol, path)
+      java.nio.file.Files.writeString(mfPath, expected)
+    }
+    read(spark, path)
+  }
+}

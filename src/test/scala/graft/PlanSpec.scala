@@ -164,4 +164,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p27.contains("PartitionFilters") && p27.contains("cell"),
       "IVF probe does not prune cell partitions at the source")
   }
+
+  test("q68: BM25 serving path scans the postings index, never the corpus") {
+    // The persisted-TextIndex path must read term_bucket-pruned postings
+    // (+ the small df side) and NOTHING else: no documents scan, no
+    // tokenize/explode of corpus text. That is the difference between an
+    // inverted-index lookup and re-indexing the corpus per query at 100 TB.
+    val p = plan("q68_bm25_indexed")
+    assert(p.contains("postings"), "serving path lost the postings scan")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      "postings scan not pruned by term_bucket partitions")
+    assert(!p.contains("documents.parquet]"), "serving path scans the corpus")
+    assert(!p.contains("Generate"), "serving path re-tokenizes (explode) at query time")
+  }
 }
