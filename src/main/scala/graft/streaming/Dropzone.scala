@@ -40,8 +40,18 @@ object Dropzone {
       chunkSize: Int,
       chunkOverlap: Int,
       embedDim: Int,
-      skipUnchangedFiles: Boolean): Unit = {
-    val docs = FileIngest.routeDocuments(FileIngest.scanFilesFrame(files, dropzone))
+      skipUnchangedFiles: Boolean,
+      media: Option[(graft.operators.MediaService.Config,
+        graft.operators.MediaService.Config)] = None): Unit = {
+    val scanned = FileIngest.scanFilesFrame(files, dropzone)
+    // media routing composes with the stream exactly like the batch path:
+    // the same scanned frame, STT/caption annotation (dev stubs or batched
+    // service transport) BEFORE the text router, then identical lineage
+    val docs = media match {
+      case Some((stt, caption)) =>
+        FileIngest.routeDocumentsWithMedia(scanned, stt, caption)
+      case None => FileIngest.routeDocuments(scanned)
+    }
     val storeExists = {
       val p = new org.apache.hadoop.fs.Path(storePath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -74,7 +84,9 @@ object Dropzone {
       chunkSize: Int = Chunker.DefaultSize,
       chunkOverlap: Int = Chunker.DefaultOverlap,
       embedDim: Int = 64,
-      skipUnchangedFiles: Boolean = true): StreamingQuery = {
+      skipUnchangedFiles: Boolean = true,
+      media: Option[(graft.operators.MediaService.Config,
+        graft.operators.MediaService.Config)] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -90,7 +102,7 @@ object Dropzone {
           batch.select(col("path"), col("content"), col("length"),
             col("modificationTime")),
           dropzone, storePath, chunkSize, chunkOverlap, embedDim,
-          skipUnchangedFiles)
+          skipUnchangedFiles, media)
       }
       .start()
   }

@@ -133,4 +133,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before)
     assert(parquetFiles < filesBefore, s"expected fewer files than $filesBefore")
   }
+
+  test("streaming media ingest: micro-batches route STT/caption in dev mode + skip unchanged") {
+    // The last untested operator composition: Dropzone micro-batches ->
+    // routeDocumentsWithMedia (dev mode, transport must never be called)
+    // -> skip-unchanged -> upsert. An unchanged re-trigger must rewrite
+    // nothing; a re-dropped CHANGED audio file must replace its chunks.
+    import graft.operators.MediaService
+    val dropzone: Path = Files.createTempDirectory("graft-med-dz")
+    val store = Files.createTempDirectory("graft-med-store").resolve("chunks").toString
+    val checkpoint = Files.createTempDirectory("graft-med-ckpt").toString
+    val mustNotCall = new MediaService.Transport {
+      override def post(paths: Seq[String], payloads: Seq[Array[Byte]]): String =
+        throw new IllegalStateException("dev mode must not call the media service")
+    }
+    val media = Some((
+      MediaService.Config(MediaService.Stt, mustNotCall, devMode = true),
+      MediaService.Config(MediaService.Caption, mustNotCall, devMode = true)))
+
+    Files.write(dropzone.resolve("talk.mp3"), Array[Byte](1, 2, 3))
+    Files.write(dropzone.resolve("pic.png"), Array[Byte](4, 5))
+    Files.writeString(dropzone.resolve("note.txt"), "plain text body here")
+
+    val query = Dropzone.start(spark, dropzone.toString, store, checkpoint,
+      chunkSize = 200, chunkOverlap = 40, media = media)
+    try {
+      query.processAllAvailable()
+      val rows = ChunkStore.read(spark, store)
+        .select("path", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set("talk.mp3", "pic.png", "note.txt"))
+      // dev-mode STT emits the reference's dev transcript; empty dev
+      // caption falls back to `image: {rel}` (process.py:911)
+      assert(rows("talk.mp3") == "[DEV] transcript of talk.mp3")
+      assert(rows("pic.png") == "image: pic.png")
+
+      // unchanged re-trigger: zero rewrites (file listings are stable, so
+      // prove via stable modification stamp of the store's bucket files)
+      def storeStamp() = {
+        val f = new java.io.File(store)
+        def walk(x: java.io.File): Seq[java.io.File] =
+          if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+          else Seq(x)
+        walk(f).filter(_.getName.endsWith(".parquet"))
+          .map(x => x.getPath -> x.lastModified()).sortBy(_._1)
+      }
+      val before = storeStamp()
+      // re-drop the SAME bytes under the same name: scanned as a new file
+      // event, content_sig matches -> skip-unchanged drops it pre-chunk
+      Files.write(dropzone.resolve("talk.mp3"), Array[Byte](1, 2, 3))
+      query.processAllAvailable()
+      assert(storeStamp() == before, "unchanged micro-batch rewrote store buckets")
+
+      // Spark's checkpointed file source identifies files BY PATH: an
+      // in-place rewrite is NOT re-delivered (unlike the reference's
+      // polling watcher — changed files re-enter via atomic-rename drops
+      // or the batch incremental path). Assert that actual contract:
+      Files.write(dropzone.resolve("talk.mp3"), Array[Byte](9, 9, 9, 9))
+      query.processAllAvailable()
+      def sigOf(name: String) = ChunkStore.read(spark, store)
+        .filter(col("path") === name).select("content_sig").head().getString(0)
+      def sha(bs: Array[Byte]) = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bs).map(b => f"$b%02x").mkString
+      assert(sigOf("talk.mp3") == sha(Array[Byte](1, 2, 3)),
+        "file source unexpectedly re-delivered an in-place rewrite")
+
+      // when a changed file IS delivered (a micro-batch containing the new
+      // bytes — the rename-drop/watcher shape), the same media + skip +
+      // upsert wiring re-ingests and REPLACES: drive processBatch directly
+      val newBytes = Array[Byte](9, 9, 9, 9)
+      val filesFrame = spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(s"$dropzone/talk.mp3", newBytes, 4L)),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "path STRING, content BINARY, length BIGINT"))
+      Dropzone.processBatch(spark, filesFrame, dropzone.toString, store,
+        chunkSize = 200, chunkOverlap = 40, embedDim = 64,
+        skipUnchangedFiles = true, media = media)
+      val after = ChunkStore.read(spark, store)
+      assert(after.filter(col("path") === "talk.mp3").count() == 1)
+      assert(after.count() == 3)
+      assert(sigOf("talk.mp3") == sha(newBytes),
+        "delivered changed media file was not re-ingested with byte-level sig")
+    } finally query.stop()
+  }
 }
