@@ -687,12 +687,17 @@ object BinaryDocs {
   private def streamText(
       content: String, out: java.lang.StringBuilder,
       fonts: java.util.HashMap[String, ToUnicodeCMap]): Unit = {
+    // possessive [^()\\]++ inside the literal-string loop: java.util.regex
+    // runs (?:a|b)* via Pattern$Loop RECURSION, one frame per iteration — a
+    // few-KB escape-free literal string overflows the stack; the possessive
+    // run collapses each escape-free span into one iteration (same language:
+    // the class can match neither '\' nor ')', so no backtracking is lost)
     val op = java.util.regex.Pattern.compile(
-      """/([A-Za-z0-9.]+)\s+[\d.]+\s+Tf|\(((?:[^()\\]|\\.)*)\)\s*(Tj|')|<([0-9A-Fa-f\s]*)>\s*(Tj|')|\]\s*TJ|T\*|\d[\d.\s-]*T[dD]""")
+      """/([A-Za-z0-9.]+)\s+[\d.]+\s+Tf|\(((?:[^()\\]++|\\.)*)\)\s*(Tj|')|<([0-9A-Fa-f\s]*)>\s*(Tj|')|\]\s*TJ|T\*|\d[\d.\s-]*T[dD]""")
     val m = op.matcher(content)
     // strings inside TJ arrays: literal or hex
     val str = java.util.regex.Pattern.compile(
-      """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>""")
+      """\(((?:[^()\\]++|\\.)*)\)|<([0-9A-Fa-f\s]+)>""")
     var cmap: ToUnicodeCMap = null
     def show(literal: String, hex: String): Unit = {
       val bytes =
