@@ -64,6 +64,8 @@ object Bench {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         graft.sources.VectorStore.ensure(
           spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
+        graft.sources.VectorStore.ensurePq(
+          spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }

@@ -155,6 +155,63 @@ case class I8Dequant(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization kernels: [[PqEncode]] maps an (L2-normalized)
+  * vector to `m` sub-codebook indices — `array<tinyint>`, dim·8 bytes →
+  * m bytes, 32× at (64 dims, m=8) — and [[PqAdc]] scores codes against a
+  * query's precomputed lookup table (asymmetric distance computation).
+  * The 100 TB shape: candidate generation scans ONLY the codes column
+  * (a ~3 % slice of the vector bytes), the exact rerank joins the few
+  * surviving ids back to full vectors. Assignment uses the portable
+  * per-subspace identity `argmin_c ‖c‖² − 2·(sub·c)` (the ‖sub‖² term is
+  * constant per row-subspace, so the argmin is the true nearest centroid)
+  * — replayable in SQL from the exported codebook literals, same contract
+  * as [[NearestCell]]. Ties keep the lowest code. Reference analog: the
+  * vector store's quantization config (qdrant_client.py collection
+  * schema); re-expressed as write-time columnar codes.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
+    cnorm2: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(input.asInstanceOf[ArrayData], codebooks, cnorm2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val n2Ref = ctx.addReferenceObj("cnorm2", cnorm2, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.pqEncode($c, $cbRef, $n2Ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `pq_adc(codes)` ➜ Σ_m lut[m][codes[m]], accumulated in ascending
+  * subspace order (the order the SQL replay's left-associative `+` chain
+  * uses). With `lut[m][c] = qn_m · codebook[m][c]` this approximates the
+  * query-to-vector inner product (= cosine, both sides normalized).
+  */
+case class PqAdc(child: Expression, lut: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqAdc(input.asInstanceOf[ArrayData], lut)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lut, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.pqAdc($c, $lutRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Static (Java-callable) kernels referenced from generated code. */
 object VectorKernels {
   def l2Normalize(a: ArrayData): ArrayData = {
@@ -241,6 +298,68 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-subspace nearest-codebook-entry indices of a pre-normalized
+    * vector. `codebooks(m)(c)` is the c-th centroid of subspace m;
+    * `cn2(m)(c) = ‖codebooks(m)(c)‖²` precomputed ascending-index (the
+    * literals the SQL replay embeds). Strict `<` keeps the FIRST minimum —
+    * DuckDB's `list_position(ds, list_min(ds))`.
+    */
+  def pqEncode(a: ArrayData, cbs: Array[Array[Array[Double]]],
+      cn2: Array[Array[Double]]): ArrayData = {
+    val x = a.toDoubleArray()
+    val m = cbs.length
+    val dsub = if (m == 0) 0 else cbs(0)(0).length
+    if (x.length != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${x.length} != m*dsub ${m * dsub}")
+    val out = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = cbs(mi)
+      val n2 = cn2(mi)
+      val off = mi * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var dot = 0.0
+        var j = 0
+        while (j < dsub) { dot += x(off + j) * cc(j); j += 1 }
+        val d = n2(c) - 2.0 * dot
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC score: ascending-m accumulation of the query LUT at each code. A
+    * code outside the trained codebook (layout drift between a codes table
+    * and its codebook artifact) fails loudly, like [[nearestCell]]'s dim
+    * check — a silent modulo would score plausible-but-wrong cells.
+    */
+  def pqAdc(codes: ArrayData, lut: Array[Array[Double]]): Double = {
+    val m = codes.numElements()
+    if (m != lut.length)
+      throw new IllegalArgumentException(
+        s"pq_adc: ${m} codes != ${lut.length} subspaces")
+    var s = 0.0
+    var mi = 0
+    while (mi < m) {
+      val c = codes.getByte(mi).toInt
+      val l = lut(mi)
+      if (c < 0 || c >= l.length)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c out of range [0, ${l.length}) in subspace $mi")
+      s += l(c)
+      mi += 1
+    }
+    s
+  }
+
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val x = a.toDoubleArray()
     val y = b.toDoubleArray()
@@ -285,6 +404,20 @@ object VectorFunctions {
   /** Nearest spherical-k-means cell of an array<double> column. */
   def nearestCell(a: Column, centroids: Array[Array[Double]]): Column =
     GraftSql.column(NearestCell(toExpr(a), centroids, centroidNorm2(centroids)))
+
+  /** Per-subspace codebook norms ‖c‖² (the [[PqEncode]] literals). */
+  def codebookNorm2(cbs: Array[Array[Array[Double]]]): Array[Array[Double]] =
+    cbs.map(centroidNorm2)
+
+  /** PQ codes (array<tinyint>, one per subspace) of a pre-normalized
+    * array<double> column.
+    */
+  def pqEncode(a: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqEncode(toExpr(a), codebooks, codebookNorm2(codebooks)))
+
+  /** ADC score of a codes column against a query lookup table. */
+  def pqAdc(codes: Column, lut: Array[Array[Double]]): Column =
+    GraftSql.column(PqAdc(toExpr(codes), lut))
 
   /** Symmetric int8 quantization scale (max|x|/127) of a vector column. */
   def i8Scale(a: Column): Column = GraftSql.column(I8Scale(toExpr(a)))

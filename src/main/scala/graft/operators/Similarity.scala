@@ -180,6 +180,46 @@ object Similarity {
     graft.operators.SearchOps.reduceTopKPerQuery(scored, k, idCol = "vec_id")
   }
 
+  /** PQ search: ADC candidate generation over the CODES table (m bytes per
+    * vector — the scan that stays cheap at 100 TB), then exact-cosine
+    * rerank of the `rerank` survivors against the full vectors. The query
+    * LUT `lut[m][c] = qn_m · codebook[m][c]` is m·ksub doubles computed
+    * driver-side; the candidate frame (ids only) broadcasts into the
+    * rerank join, so the full-vector table is probed, never scanned into a
+    * shuffle. Ties at the ADC cutoff and the final cutoff break on vec_id
+    * — the order the SQL replay pins.
+    */
+  def pqLut(queryVec: Array[Double],
+      codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val qn = l2Normalize(queryVec)
+    val dsub = codebooks(0)(0).length
+    Array.tabulate(codebooks.length, codebooks(0).length) { (mi, c) =>
+      var s = 0.0
+      var j = 0
+      while (j < dsub) { s += qn(mi * dsub + j) * codebooks(mi)(c)(j); j += 1 }
+      s
+    }
+  }
+
+  def pqTopK(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, vecCol: String,
+      queryVec: Array[Double], k: Int, rerank: Int): DataFrame = {
+    val cand = codes
+      .withColumn("adc", VectorFunctions.pqAdc(col("codes"),
+        pqLut(queryVec, codebooks)))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rerank)
+      .select("vec_id")
+    corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"),
+        array(queryVec.map(lit).toSeq: _*)))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The query vector's sign bucket, computed driver-side — the same
     * plane-by-plane dot products as [[bucketCol]] (bit-identical IEEE
     * order), so probe enumeration matches at-rest bucket assignment.

@@ -1444,6 +1444,92 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q69: product-quantization ANN — codes-only candidate generation + exact
+  // rerank. The PQ artifact (8 sub-codebooks × 16 centroids over the
+  // normalized 64-dim vectors → 8 bytes/vector, 32× smaller than the float
+  // embeddings) is built at WRITE time (VectorStore.ensurePq, once per
+  // sfDir); the query scans ONLY the codes table for ADC scoring, keeps the
+  // top-50 by (adc, vec_id), and broadcasts those ids into an exact-cosine
+  // rerank against the full vectors. Every arithmetic step — normalize,
+  // per-subspace argmin assignment (‖c‖²−2·sub·c, first-min ties), the
+  // query LUT, the ascending-m ADC sum — is replayed by the oracle from
+  // the exported codebook literals, so the row is a full hash-match like
+  // q27/q62. NOTE: near-uniform random test vectors are PQ's worst case
+  // (quantization error ≈ vector variance); recall vs exact top-k is
+  // asserted in PqSpec, and real clustered embeddings fare far better.
+  // -------------------------------------------------------------------------
+
+  /** Codebooks of the last q69 PQ build — same publish-after-run contract
+    * as [[lastIvfCentroids]].
+    */
+  @volatile private var lastPqCodebooks: Option[Array[Array[Array[Double]]]] = None
+
+  val q69AnnPq: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val pq = graft.sources.VectorStore.ensurePq(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastPqCodebooks = Some(pq.codebooks)
+    Similarity.pqTopK(pq.codes, pq.codebooks,
+        emb.filter(col("vec_id") =!= 0), "embedding", qv, 10, rerank = 50)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** DuckDB replay of the full PQ path from codebook literals: normalize →
+    * per-subspace first-min code assignment → query LUT → left-associative
+    * ascending-m ADC sum → top-50 candidate cutoff on (adc, vec_id) →
+    * exact cosine top-10. Mirrors VectorKernels.pqEncode/pqAdc op-for-op.
+    */
+  private def q69Sql(cbs: Array[Array[Array[Double]]]): String = {
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val dsub = cbs(0)(0).length
+    val cn2 = graft.functions.VectorFunctions.codebookNorm2(cbs)
+    def subSlice(c: String, mi: Int) =
+      s"list_slice($c, ${mi * dsub + 1}, ${(mi + 1) * dsub})"
+    val codeExprs = (0 until m).map { mi =>
+      val ds = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"(${cn2(mi)(ci)} - 2.0*list_inner_product(${subSlice("nv", mi)}, $cl::DOUBLE[]))"
+      }.mkString("[", ", ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS c$mi"
+    }.mkString(",\n                ")
+    val adcExpr = (0 until m).map { mi =>
+      val lut = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"list_inner_product(${subSlice("qn", mi)}, $cl::DOUBLE[])"
+      }.mkString("[", ", ", "]")
+      s"($lut[c$mi + 1])"
+    }.mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), q AS (
+         SELECT v AS qv, nv AS qn FROM n WHERE vec_id = 0
+       ), c AS (
+         SELECT vec_id, label, v, $codeExprs
+         FROM n WHERE vec_id <> 0
+       ), a AS (
+         SELECT c.vec_id, c.label, c.v, $adcExpr AS adc
+         FROM c, q
+       ), cand AS (
+         SELECT vec_id, label, v FROM a ORDER BY adc DESC, vec_id LIMIT 50
+       ), hits AS (
+         SELECT cand.vec_id, cand.label, list_cosine_similarity(cand.v, q.qv) AS s
+         FROM cand, q
+         ORDER BY s DESC, cand.vec_id LIMIT 10
+       )
+       SELECT vec_id, label, floor(s * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits ORDER BY score DESC, vec_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1482,6 +1568,7 @@ object PipelineCatalog {
     "q61_hybrid_rrf" -> q61HybridRrf,
     "q68_bm25_indexed" -> q68Bm25Indexed,
     "q62_batch_ann" -> q62BatchAnn,
+    "q69_ann_pq" -> q69AnnPq,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1490,7 +1577,8 @@ object PipelineCatalog {
     */
   def oracles: ListMap[String, String] = staticOracles ++
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
-    lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs))
+    lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
+    lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs))
 
   private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,

@@ -130,4 +130,97 @@ object VectorStore {
     }
     read(spark, path, planes, dim)
   }
+
+  // ---------------------------------------------------------------------
+  // Product-quantization artifact: a codes table (m bytes/vector) beside
+  // the vector table, + the trained sub-codebooks as an engine-portable
+  // JSON matrix. Candidate generation scans codes ONLY (32× fewer bytes
+  // at m=8 over 64 float dims); exact rerank joins survivors back to the
+  // full vectors. Same manifest/rebuild discipline as the IVF/LSH index.
+  // ---------------------------------------------------------------------
+
+  case class PqIndex(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      m: Int, dsub: Int, ksub: Int)
+
+  def pqPath(sfDir: String): String = {
+    val src = new java.io.File(s"$sfDir/embeddings.parquet")
+    val parent = src.getAbsoluteFile.getParentFile
+    if (parent != null && parent.canWrite)
+      new java.io.File(parent, "embeddings.parquet._graft_pq").toString
+    else {
+      val root = sys.env.get("GRAFT_INDEX_DIR")
+        .getOrElse(System.getProperty("java.io.tmpdir"))
+      val sig = java.security.MessageDigest.getInstance("MD5")
+        .digest((src.getAbsolutePath + "#pq").getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      new java.io.File(root, s"graft-pqstore-$sig").toString
+    }
+  }
+
+  private def pqManifest(sfDir: String, m: Int, ksub: Int): String = {
+    val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
+    s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"assign":"pq-portable-v1"}"""
+  }
+
+  /** Train per-subspace spherical sub-codebooks (seeded MLlib k-means over
+    * the L2-normalized vector's m equal slices) and persist every vector's
+    * codes. One fit per subspace — each over dsub-dim points, sampleable
+    * at scale — then ONE narrow labelling pass through the portable
+    * [[graft.functions.PqEncode]] argmin (`‖c‖² − 2·sub·c`), so code
+    * assignment is replayable from the exported codebook literals.
+    */
+  def writePq(emb: DataFrame, vecCol: String, path: String,
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val nv = emb.withColumn("nv",
+      graft.functions.VectorFunctions.l2Normalize(col(vecCol).cast("array<double>")))
+    val dim = nv.select(size(col("nv"))).head().getInt(0)
+    require(dim % m == 0, s"PQ: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val codebooks = Array.tabulate(m) { mi =>
+      val sub = nv.select(
+        array_to_vector(slice(col("nv"), mi * dsub + 1, dsub)).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(seed + mi).setMaxIter(5)
+        .fit(sub).clusterCenters.map(_.toArray)
+    }
+    nv.withColumn("codes",
+        graft.functions.VectorFunctions.pqEncode(col("nv"), codebooks))
+      .drop("nv", vecCol)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"), json)
+  }
+
+  def readPq(spark: SparkSession, path: String): PqIndex = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "_graft_pq_codebooks.json")))
+    val cbs = (0 until node.size()).map { mi =>
+      val cb = node.get(mi)
+      (0 until cb.size()).map { c =>
+        val row = cb.get(c)
+        Array.tabulate(row.size())(j => row.get(j).asDouble())
+      }.toArray
+    }.toArray
+    PqIndex(spark.read.parquet(s"$path/codes"), cbs,
+      cbs.length, cbs(0)(0).length, cbs(0).length)
+  }
+
+  def ensurePq(spark: SparkSession, emb: => DataFrame, vecCol: String,
+      sfDir: String, m: Int = 8, ksub: Int = 16, seed: Long = 42L): PqIndex = {
+    val path = pqPath(sfDir)
+    val mfPath = java.nio.file.Paths.get(path, "_graft_pq_manifest.json")
+    val expected = pqManifest(sfDir, m, ksub)
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      writePq(emb, vecCol, path, m, ksub, seed)
+      java.nio.file.Files.writeString(mfPath, expected)
+    }
+    readPq(spark, path)
+  }
 }

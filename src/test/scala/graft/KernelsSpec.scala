@@ -157,6 +157,31 @@ class KernelsSpec extends AnyFunSuite {
     assert(VectorKernels.cosine(rt, x) > 0.9999)
   }
 
+  test("pq_encode: portable per-subspace argmin, first-min ties, dim check") {
+    import graft.functions.VectorFunctions
+    val cbs = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), // subspace 0: distinct
+      Array(Array(0.5, 0.5), Array(0.5, 0.5))) // subspace 1: exact tie
+    val n2 = VectorFunctions.codebookNorm2(cbs)
+    val codes = VectorKernels.pqEncode(
+      new GenericArrayData(Array(0.9, 0.1, 0.3, 0.3)), cbs, n2)
+    assert(codes.getByte(0) == 0) // nearest sub-centroid
+    assert(codes.getByte(1) == 0) // tie keeps the FIRST code (oracle list_position)
+    // dim drift between vector and m*dsub fails loudly, not truncates
+    intercept[IllegalArgumentException](
+      VectorKernels.pqEncode(new GenericArrayData(Array(0.9, 0.1, 0.3)), cbs, n2))
+  }
+
+  test("pq_adc: ascending-subspace LUT sum; bad codes fail loudly") {
+    val lut = Array(Array(0.25, 0.5), Array(0.125, 0.0625))
+    def codes(bs: Byte*) = new GenericArrayData(bs.map(b => b: Any).toArray)
+    assert(VectorKernels.pqAdc(codes(1, 0), lut) == 0.5 + 0.125)
+    // code outside the trained codebook = layout drift, must throw
+    intercept[IllegalArgumentException](VectorKernels.pqAdc(codes(3, 0), lut))
+    // wrong subspace count = codes from a different layout, must throw
+    intercept[IllegalArgumentException](VectorKernels.pqAdc(codes(1), lut))
+  }
+
   test("cosine kernel") {
     def arr(xs: Double*) = new GenericArrayData(xs.toArray)
     assert(VectorKernels.cosine(arr(1, 0), arr(1, 0)) == 1.0)

@@ -119,6 +119,19 @@ class PlanSpec extends AnyFunSuite {
       "store probe reads payload bytes it must prune")
   }
 
+  test("q69: PQ candidates scan codes only; rerank broadcasts survivor ids") {
+    val p = plan("q69_ann_pq")
+    val codesRoot = graft.sources.VectorStore.pqPath(Sf).replace("\\", "")
+    val codesScan = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains(codesRoot)).mkString
+    assert(codesScan.nonEmpty, "no scan of the PQ codes artifact")
+    // the path itself contains "embeddings.parquet…", so test the ReadSchema
+    assert(codesScan.contains("ReadSchema: struct<vec_id:bigint,codes:array<tinyint>>"),
+      "ADC candidate stage reads more than (vec_id, codes) — byte saving lost")
+    assert(p.contains("BroadcastHashJoin"), "candidate ids not broadcast into rerank")
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost the short-circuit")
+  }
+
   test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
     // q56: frequency top-100 must be TakeOrderedAndProject over the
     // partially-aggregated tokens, never a global sort of the vocabulary

@@ -79,6 +79,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall too low: $recall")
   }
 
+  test("PQ ANN recall@10 >= 0.4 against exact KNN (random-vector worst case)") {
+    val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pq = SparkEntry.queries("q69_ann_pq")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall too low: $recall")
+  }
+
   test("LSH embedding near-dups are a subset of exact pairs with equal cosines") {
     val exact = SparkEntry.queries("q28_embedding_near_dup")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
