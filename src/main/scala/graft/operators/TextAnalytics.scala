@@ -110,6 +110,29 @@ object TextAnalytics {
   def wordListHits(tokens: Column, words: Seq[String]): Column =
     graft.functions.WordListHits.wordListHits(tokens, words)
 
+  /** Mode of a string array as `struct(cnt, value)`, computed per-row by
+    * folding adjacent runs of the SORTED array — no explode, no per-doc
+    * shuffle: the repetition metrics stay a narrow map at any corpus
+    * size. Strict `>` keeps the first max run in sorted order, so count
+    * ties resolve to the lexicographically smallest value — the order the
+    * oracle's `ORDER BY cnt DESC, value` replays. Empty array → (0, '').
+    */
+  def topRun(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("bestv"))
+    aggregate(sorted, init,
+      (s, x) => {
+        val run = when(x === s.getField("prev"), s.getField("run") + 1L)
+          .otherwise(lit(1L))
+        val isBest = run > s.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(isBest, run).otherwise(s.getField("best")).as("best"),
+          when(isBest, x).otherwise(s.getField("bestv")).as("bestv"))
+      },
+      s => struct(s.getField("best").as("cnt"), s.getField("bestv").as("value")))
+  }
+
   /** Heuristic language id from stopword hits, fixed tie-break order
     * en > de > es > fr, 'und' (undetermined) when all scores are zero.
     */

@@ -1530,6 +1530,137 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q70: Gopher-style repetition quality rules (Rae et al. 2021, Table A1)
+  // — the document-level gates a pretraining pipeline applies after the
+  // q22 lexical score and the q55 line cleaning: duplicate-line fraction,
+  // duplicate-line CHARACTER fraction, most-frequent-word-bigram character
+  // fraction, bullet-start / ellipsis-end line fractions, symbol-to-word
+  // ratio, mean word length, and the combined keep/drop flag. All metrics
+  // are per-row folds over the line/word arrays (topRun = sorted-adjacent-
+  // run mode, no explode) — a narrow map at any corpus size, like q22/q55.
+  // The test documents are single-line word soup, so (exactly like q55) a
+  // deterministic multi-line body is constructed in-query: repeated
+  // footer, a "- " bullet, an "..." ellipsis line, and a doc_id-dependent
+  // fifth line so the duplicate fractions vary across documents.
+  // -------------------------------------------------------------------------
+
+  val q70GopherQuality: Q = (s, d) => {
+    val body = concat_ws("\n",
+      substring(col("text"), 1, 40),
+      lit("boilerplate footer"),
+      concat(lit("- "), substring(col("text"), 41, 30)),
+      concat(substring(col("text"), 71, 40), lit("...")),
+      when(col("doc_id") % 3 === 0, lit("boilerplate footer"))
+        .otherwise(substring(col("text"), 111, 40)),
+      substring(col("text"), 1, 40))
+    val sumLen = (a: org.apache.spark.sql.Column) =>
+      aggregate(transform(a, x => length(x).cast("long")), lit(0L), _ + _)
+    docsWide(s, d)
+      .withColumn("body", body)
+      .withColumn("lines", split(col("body"), "\n"))
+      .withColumn("words", split(translate(col("body"), "\n", " "), " "))
+      .withColumn("n_lines", size(col("lines")))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("line_chars", sumLen(col("lines")))
+      .withColumn("uniq_chars", sumLen(array_distinct(col("lines"))))
+      .withColumn("word_chars", sumLen(col("words")))
+      .withColumn("bigrams", transform(
+        sequence(lit(1), size(col("words")) - 1),
+        i => concat_ws(" ", element_at(col("words"), i), element_at(col("words"), i + 1))))
+      .withColumn("top", TextAnalytics.topRun(col("bigrams")))
+      .withColumn("dup_line_frac_raw",
+        lit(1.0) - size(array_distinct(col("lines"))).cast("double") / col("n_lines"))
+      .withColumn("dup_char_frac_raw",
+        lit(1.0) - col("uniq_chars").cast("double") / col("line_chars"))
+      .withColumn("top_bigram_frac_raw",
+        col("top.cnt").cast("double") * length(col("top.value")) / length(col("body")))
+      .withColumn("bullet_frac_raw",
+        size(filter(col("lines"), l => l.startsWith("- "))).cast("double") / col("n_lines"))
+      .withColumn("ellipsis_frac_raw",
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("double") / col("n_lines"))
+      .withColumn("symbol_ratio_raw",
+        (regexp_count(col("body"), lit("#")) +
+          regexp_count(col("body"), lit("\\.\\.\\."))).cast("double") / col("n_words"))
+      .withColumn("mean_word_len_raw",
+        col("word_chars").cast("double") / col("n_words"))
+      .select(col("doc_id"), col("n_lines"), col("n_words"),
+        rnd(col("dup_line_frac_raw"), 6).as("dup_line_frac"),
+        rnd(col("dup_char_frac_raw"), 6).as("dup_char_frac"),
+        col("top.value").as("top_bigram"),
+        rnd(col("top_bigram_frac_raw"), 6).as("top_bigram_frac"),
+        rnd(col("bullet_frac_raw"), 6).as("bullet_frac"),
+        rnd(col("ellipsis_frac_raw"), 6).as("ellipsis_frac"),
+        rnd(col("symbol_ratio_raw"), 6).as("symbol_ratio"),
+        rnd(col("mean_word_len_raw"), 6).as("mean_word_len"),
+        (col("dup_line_frac_raw") <= 0.2 &&
+          col("dup_char_frac_raw") <= 0.2 &&
+          col("top_bigram_frac_raw") <= 0.08 &&
+          col("symbol_ratio_raw") <= 0.1 &&
+          col("mean_word_len_raw") >= 3.0 && col("mean_word_len_raw") <= 10.0)
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay: same body construction, list folds for the char sums,
+    * count+first-row window for the bigram mode (= the sorted-run fold's
+    * strict-> tie-break: max count, then smallest bigram).
+    */
+  private val q70Sql =
+    """WITH d AS (
+         SELECT doc_id,
+                substr(text, 1, 40) || chr(10) || 'boilerplate footer' || chr(10)
+                  || '- ' || substr(text, 41, 30) || chr(10)
+                  || substr(text, 71, 40) || '...' || chr(10)
+                  || (CASE WHEN doc_id % 3 = 0 THEN 'boilerplate footer'
+                           ELSE substr(text, 111, 40) END) || chr(10)
+                  || substr(text, 1, 40) AS body
+         FROM documents
+       ), base AS (
+         SELECT doc_id, body,
+                string_split(body, chr(10)) AS lines,
+                string_split(replace(body, chr(10), ' '), ' ') AS words
+         FROM d
+       ), bg AS (
+         SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+         FROM base, unnest(range(1, len(words))) AS t(i)
+       ), bgc AS (
+         SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+       ), top AS (
+         SELECT doc_id, bigram, c FROM bgc
+         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) = 1
+       ), m AS (
+         SELECT b.doc_id, b.body,
+                len(b.lines) AS n_lines, len(b.words) AS n_words,
+                1.0 - CAST(len(list_distinct(b.lines)) AS DOUBLE) / len(b.lines) AS dup_line_raw,
+                1.0 - CAST(list_aggregate(list_transform(list_distinct(b.lines), x -> length(x)), 'sum') AS DOUBLE)
+                  / list_aggregate(list_transform(b.lines, x -> length(x)), 'sum') AS dup_char_raw,
+                t.bigram AS top_bigram,
+                CAST(t.c AS DOUBLE) * length(t.bigram) / length(b.body) AS top_bigram_raw,
+                CAST(len(list_filter(b.lines, x -> starts_with(x, '- '))) AS DOUBLE)
+                  / len(b.lines) AS bullet_raw,
+                CAST(len(list_filter(b.lines, x -> suffix(x, '...'))) AS DOUBLE)
+                  / len(b.lines) AS ellipsis_raw,
+                CAST(len(regexp_extract_all(b.body, '#')) + len(regexp_extract_all(b.body, '\.\.\.')) AS DOUBLE)
+                  / len(b.words) AS symbol_raw,
+                CAST(list_aggregate(list_transform(b.words, x -> length(x)), 'sum') AS DOUBLE)
+                  / len(b.words) AS mean_word_raw
+         FROM base b JOIN top t USING (doc_id)
+       )
+       SELECT doc_id, CAST(n_lines AS INT) AS n_lines, CAST(n_words AS INT) AS n_words,
+              floor(dup_line_raw * 1000000 + 0.5) / 1000000.0 AS dup_line_frac,
+              floor(dup_char_raw * 1000000 + 0.5) / 1000000.0 AS dup_char_frac,
+              top_bigram,
+              floor(top_bigram_raw * 1000000 + 0.5) / 1000000.0 AS top_bigram_frac,
+              floor(bullet_raw * 1000000 + 0.5) / 1000000.0 AS bullet_frac,
+              floor(ellipsis_raw * 1000000 + 0.5) / 1000000.0 AS ellipsis_frac,
+              floor(symbol_raw * 1000000 + 0.5) / 1000000.0 AS symbol_ratio,
+              floor(mean_word_raw * 1000000 + 0.5) / 1000000.0 AS mean_word_len,
+              (dup_line_raw <= 0.2 AND dup_char_raw <= 0.2
+                 AND top_bigram_raw <= 0.08 AND symbol_raw <= 0.1
+                 AND mean_word_raw >= 3.0 AND mean_word_raw <= 10.0) AS keep
+       FROM m ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1569,6 +1700,7 @@ object PipelineCatalog {
     "q68_bm25_indexed" -> q68Bm25Indexed,
     "q62_batch_ann" -> q62BatchAnn,
     "q69_ann_pq" -> q69AnnPq,
+    "q70_gopher_quality" -> q70GopherQuality,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1615,5 +1747,6 @@ object PipelineCatalog {
     "q60_bm25" -> q60Sql,
     "q61_hybrid_rrf" -> q61Sql,
     "q68_bm25_indexed" -> q60Sql,
+    "q70_gopher_quality" -> q70Sql,
   )
 }

@@ -132,6 +132,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k lost the short-circuit")
   }
 
+  test("q70: repetition metrics stay a narrow map — no per-doc aggregation shuffle") {
+    val p = plan("q70_gopher_quality")
+    // the bigram mode is the sorted-run fold, not explode+groupBy
+    assert(!p.contains("HashAggregate"), "per-doc metrics degraded to a groupBy")
+    // only the scan fan-out repartition and the final orderBy may exchange
+    assert("Exchange".r.findAllIn(p).size <= 2, "unexpected extra shuffle")
+  }
+
   test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
     // q56: frequency top-100 must be TakeOrderedAndProject over the
     // partially-aggregated tokens, never a global sort of the vocabulary

@@ -79,6 +79,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"IVF recall too low: $recall")
   }
 
+  test("topRun mode: max count wins, ties take the smallest value, empty -> (0,'')") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq("b", "a", "b", "c", "a")), // tie a=2 b=2 -> lexicographically first
+      (2, Seq("z")),
+      (3, Seq.empty[String])
+    ).toDF("id", "arr")
+    val out = df.select(col("id"),
+      graft.operators.TextAnalytics.topRun(col("arr")).as("t")).orderBy("id").collect()
+    assert(out(0).getStruct(1).getLong(0) == 2 && out(0).getStruct(1).getString(1) == "a")
+    assert(out(1).getStruct(1).getLong(0) == 1 && out(1).getStruct(1).getString(1) == "z")
+    assert(out(2).getStruct(1).getLong(0) == 0 && out(2).getStruct(1).getString(1) == "")
+  }
+
   test("PQ ANN recall@10 >= 0.4 against exact KNN (random-vector worst case)") {
     val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
