@@ -1661,6 +1661,104 @@ object PipelineCatalog {
        FROM m ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q71: DSIR-style importance weights (Xie et al. 2023, "Data Selection
+  // via Importance Resampling"): score every document by how much more
+  // likely its hashed-token bag is under a TARGET distribution (here: the
+  // lang='en' slice) than under the raw corpus —
+  // logw(doc) = Σ_tokens [ln p_target(bucket) − ln p_raw(bucket)] with
+  // +1-smoothed counts over B=256 sha-hash buckets — then mark the top-100
+  // resample. 100 TB shape: ONE explode feeding a 256-key partial-agg
+  // (map-side combine bounds the shuffle at B rows/partition), a bounded
+  // 256-row collect (the centroid-training pattern), then a NARROW per-doc
+  // fold over the sorted bucket list against the log-ratio literal table —
+  // no per-doc shuffle. The fold adds identical values for same-bucket
+  // tokens, so ascending-bucket order pins the float sum on both engines
+  // (Spark sort_array fold == DuckDB sum(lr ORDER BY b)).
+  // -------------------------------------------------------------------------
+
+  private val DsirB = 256
+
+  val q71DsirWeights: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val bucketOf = (t: org.apache.spark.sql.Column) =>
+      (TextAnalytics.hash60(t) % DsirB).cast("int")
+    // corpus/target bucket histograms: integer counts, exact on both engines
+    val counts = docs
+      .select(col("lang"), explode(TextAnalytics.tokens(col("text"))).as("t"))
+      .select(col("lang"), bucketOf(col("t")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+      .collect()
+    val rc = new Array[Long](DsirB)
+    val tc = new Array[Long](DsirB)
+    counts.foreach { r => rc(r.getInt(0)) = r.getLong(1); tc(r.getInt(0)) = r.getLong(2) }
+    val rTot = rc.sum
+    val tTot = tc.sum
+    // ln of (+1-smoothed count / total+B): same exact rational inputs the
+    // oracle's ln() sees (q60 precedent for cross-engine ln parity)
+    val logratio = Array.tabulate(DsirB) { b =>
+      math.log((tc(b) + 1.0) / (tTot + DsirB.toDouble)) -
+        math.log((rc(b) + 1.0) / (rTot + DsirB.toDouble))
+    }
+    val lut = array(logratio.toIndexedSeq.map(lit): _*)
+    val scored = docs
+      .withColumn("toks", TextAnalytics.tokens(col("text")))
+      .withColumn("logw_raw", aggregate(
+        sort_array(transform(col("toks"), bucketOf)),
+        lit(0.0),
+        (acc, b) => acc + element_at(lut, b + 1)))
+    // the resample membership: top-100 ids via TakeOrdered (bounded heap),
+    // broadcast back as a flag — a global row_number window would drag the
+    // whole corpus into ONE partition at scale
+    val top = scored
+      .orderBy(col("logw_raw").desc, col("doc_id")).limit(100)
+      .select(col("doc_id"), lit(true).as("sel"))
+    scored
+      .join(broadcast(top), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tokens"),
+        rnd(col("logw_raw"), 6).as("dsir_logw"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full independent replay: bucket histograms, smoothing, ln ratios and
+    * the ascending-bucket ordered sum all recomputed from the parquet —
+    * the engine's driver-side LUT literals are NOT shared with the oracle.
+    */
+  private val q71Sql =
+    s"""WITH d AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents
+       ), tb AS (
+         SELECT doc_id, lang,
+                CAST(CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) % $DsirB AS INT) AS b
+         FROM d, unnest(d.toks) AS u(tok)
+       ), counts AS (
+         SELECT b, count(*) AS rc,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc
+         FROM tb GROUP BY b
+       ), tot AS (
+         SELECT sum(rc) AS r, sum(tc) AS t FROM counts
+       ), lr AS (
+         SELECT b,
+                ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(t AS DOUBLE) + $DsirB.0))
+                  - ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(r AS DOUBLE) + $DsirB.0)) AS lr
+         FROM counts, tot
+       ), docw AS (
+         SELECT tb.doc_id, sum(lr.lr ORDER BY tb.b) AS logw, count(*) AS n_tokens
+         FROM tb JOIN lr USING (b) GROUP BY tb.doc_id
+       ), ranked AS (
+         SELECT doc_id, logw, n_tokens,
+                row_number() OVER (ORDER BY logw DESC, doc_id) AS rk
+         FROM docw
+       )
+       SELECT d2.doc_id, d2.lang, CAST(r.n_tokens AS INT) AS n_tokens,
+              floor(r.logw * 1000000 + 0.5) / 1000000.0 AS dsir_logw,
+              (r.rk <= 100) AS selected
+       FROM ranked r JOIN documents d2 USING (doc_id)
+       ORDER BY d2.doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1701,6 +1799,7 @@ object PipelineCatalog {
     "q62_batch_ann" -> q62BatchAnn,
     "q69_ann_pq" -> q69AnnPq,
     "q70_gopher_quality" -> q70GopherQuality,
+    "q71_dsir_weights" -> q71DsirWeights,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1748,5 +1847,6 @@ object PipelineCatalog {
     "q61_hybrid_rrf" -> q61Sql,
     "q68_bm25_indexed" -> q60Sql,
     "q70_gopher_quality" -> q70Sql,
+    "q71_dsir_weights" -> q71Sql,
   )
 }

@@ -140,6 +140,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 2, "unexpected extra shuffle")
   }
 
+  test("q71: resample flag rides a TakeOrdered + broadcast, not a global window") {
+    val p = plan("q71_dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 lost the bounded heap")
+    assert(p.contains("BroadcastHashJoin"), "selected flag not broadcast")
+    assert(!p.contains("Window"), "global window single-partitions the corpus")
+  }
+
   test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
     // q56: frequency top-100 must be TakeOrderedAndProject over the
     // partially-aggregated tokens, never a global sort of the vocabulary

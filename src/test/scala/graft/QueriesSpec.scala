@@ -94,6 +94,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(2).getStruct(1).getLong(0) == 0 && out(2).getStruct(1).getString(1) == "")
   }
 
+  test("DSIR weights favor the target (en) slice; resample size is bounded") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q71_dsir_weights")(spark, Sf)
+    val Array(enMean, otherMean) = df
+      .groupBy((col("lang") === "en").as("t")).agg(avg("dsir_logw").as("m"))
+      .orderBy(col("t").desc).collect().map(_.getDouble(1))
+    assert(enMean > otherMean,
+      s"target slice not upweighted: en=$enMean other=$otherMean")
+    val total = df.count()
+    val selected = df.filter(col("selected")).count()
+    assert(selected == math.min(100L, total))
+  }
+
   test("PQ ANN recall@10 >= 0.4 against exact KNN (random-vector worst case)") {
     val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
