@@ -143,6 +143,25 @@ case class I8Quantize(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** `i8_dot(a, b)` ➜ exact integer dot product of two array<tinyint>
+  * vectors (≤ 127²·dim, far inside long range). The int8 scoring path:
+  * `approx_cos ≈ idot · scale_a · scale_b` over at-rest quantized
+  * vectors reads 4× fewer bytes than the float scan and its integer
+  * accumulation is EXACT — bit-identical on every engine, no float-order
+  * pinning needed.
+  */
+case class I8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "i8_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.i8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.i8Dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class I8Dequant(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "i8_dequant"
@@ -290,6 +309,14 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  def i8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    s
+  }
+
   def i8Dequant(q: ArrayData, scale: Double): ArrayData = {
     val n = q.numElements()
     val out = new Array[Double](n)
@@ -429,4 +456,8 @@ object VectorFunctions {
   /** Dequantize array<tinyint> back to array<double>. */
   def i8Dequant(q: Column, scale: Column): Column =
     GraftSql.column(I8Dequant(toExpr(q), toExpr(scale)))
+
+  /** Exact integer dot product of two array<tinyint> columns. */
+  def i8Dot(a: Column, b: Column): Column =
+    GraftSql.column(I8Dot(toExpr(a), toExpr(b)))
 }

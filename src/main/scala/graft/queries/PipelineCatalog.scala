@@ -1759,6 +1759,84 @@ object PipelineCatalog {
        ORDER BY d2.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q72: int8 quantized similarity search — the q58 quantization applied to
+  // scoring: approx_cos ≈ (i8dot(q_codes, v_codes) · v_scale) · q_scale.
+  // The integer dot is EXACT on every engine (no float-order pinning),
+  // only the two-scale product is floating — one pinned multiply chain.
+  // At rest the codes+scale columns are what a 100 TB deployment persists
+  // (4× fewer scan bytes than the float vectors); here they are computed
+  // inline so the oracle replays quantization + scoring end-to-end from
+  // the parquet alone. Top-50 int8 candidates then exact-cosine rerank,
+  // the q69 shape.
+  // -------------------------------------------------------------------------
+
+  val q72I8Search: Q = (s, d) => {
+    import graft.functions.VectorFunctions
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    // driver-side query quantization, same arithmetic as the i8 kernels
+    var mx = 0.0
+    qv.foreach(x => if (math.abs(x) > mx) mx = math.abs(x))
+    val qscale = mx / 127.0
+    val qcodes = qv.map { x =>
+      val q = if (qscale == 0.0) 0.0
+        else math.max(-127.0, math.min(127.0, math.floor(x / qscale + 0.5)))
+      q.toByte
+    }
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("scale", VectorFunctions.i8Scale(col("v")))
+      .withColumn("idot", VectorFunctions.i8Dot(
+        VectorFunctions.i8Quantize(col("v"), col("scale")),
+        array(qcodes.toIndexedSeq.map(lit): _*)))
+      .withColumn("approx",
+        col("idot").cast("double") * col("scale") * lit(qscale))
+      .orderBy(col("approx").desc, col("vec_id")).limit(50)
+      .select("vec_id")
+    emb.filter(col("vec_id") =!= 0)
+      .join(broadcast(cand), Seq("vec_id"))
+      .withColumn("score", VectorFunctions.cosine(
+        col("embedding").cast("array<double>"), array(qv.toIndexedSeq.map(lit): _*)))
+      .orderBy(col("score").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Replay: q58's quantization CTEs over every vector (query included),
+    * exact integer dot, the same (idot·scale)·qscale multiply order,
+    * (approx, vec_id) candidate cutoff, exact cosine top-10.
+    */
+  private val q72Sql =
+    """WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), s AS (
+         SELECT vec_id, label, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         FROM e
+       ), q8 AS (
+         SELECT vec_id, label, v, scale,
+                list_transform(v, x -> CAST(greatest(-127.0,
+                  least(127.0, floor(x / scale + 0.5))) AS BIGINT)) AS ql
+         FROM s
+       ), qq AS (
+         SELECT ql AS qlq, scale AS qscale, v AS qv FROM q8 WHERE vec_id = 0
+       ), a AS (
+         SELECT c.vec_id, c.label, c.v,
+                (CAST(list_aggregate(list_transform(range(1, len(c.ql) + 1),
+                    i -> c.ql[i] * qq.qlq[i]), 'sum') AS DOUBLE)
+                 * c.scale) * qq.qscale AS approx
+         FROM q8 c, qq WHERE c.vec_id <> 0
+       ), cand AS (
+         SELECT vec_id, label, v FROM a ORDER BY approx DESC, vec_id LIMIT 50
+       ), hits AS (
+         SELECT cand.vec_id, cand.label, list_cosine_similarity(cand.v, qq.qv) AS sc
+         FROM cand, qq ORDER BY sc DESC, cand.vec_id LIMIT 10
+       )
+       SELECT vec_id, label, floor(sc * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits ORDER BY score DESC, vec_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1800,6 +1878,7 @@ object PipelineCatalog {
     "q69_ann_pq" -> q69AnnPq,
     "q70_gopher_quality" -> q70GopherQuality,
     "q71_dsir_weights" -> q71DsirWeights,
+    "q72_i8_search" -> q72I8Search,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1848,5 +1927,6 @@ object PipelineCatalog {
     "q68_bm25_indexed" -> q60Sql,
     "q70_gopher_quality" -> q70Sql,
     "q71_dsir_weights" -> q71Sql,
+    "q72_i8_search" -> q72Sql,
   )
 }

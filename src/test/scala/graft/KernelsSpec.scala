@@ -182,6 +182,14 @@ class KernelsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VectorKernels.pqAdc(codes(1), lut))
   }
 
+  test("i8_dot: exact integer accumulation, length-min guard") {
+    def codes(bs: Int*) = new GenericArrayData(bs.map(b => b.toByte: Any).toArray)
+    assert(VectorKernels.i8Dot(codes(127, -127, 1), codes(127, 127, 2)) ==
+      127L * 127 - 127L * 127 + 2)
+    assert(VectorKernels.i8Dot(codes(5), codes(3, 9)) == 15L) // min length
+    assert(VectorKernels.i8Dot(codes(), codes()) == 0L)
+  }
+
   test("cosine kernel") {
     def arr(xs: Double*) = new GenericArrayData(xs.toArray)
     assert(VectorKernels.cosine(arr(1, 0), arr(1, 0)) == 1.0)

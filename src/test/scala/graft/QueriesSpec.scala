@@ -116,6 +116,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ recall too low: $recall")
   }
 
+  test("int8 search recall@10 >= 0.9 against exact KNN (99.99% cosine fidelity)") {
+    val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val i8 = SparkEntry.queries("q72_i8_search")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & i8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall too low: $recall")
+  }
+
   test("LSH embedding near-dups are a subset of exact pairs with equal cosines") {
     val exact = SparkEntry.queries("q28_embedding_near_dup")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
