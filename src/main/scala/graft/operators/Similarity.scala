@@ -220,6 +220,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCH PQ search: N queries score the codes table in ONE job — the
+    * eval-fleet shape over the compressed layout. Each query's 8×16 LUT is
+    * computed ONCE on the tiny query frame (sub-slice dots against the
+    * codebook literals, same kernel arithmetic as write-time assignment)
+    * and broadcast with it into the codes scan; per (vector, query) pair
+    * the ADC score is just m table lookups folded in ascending-subspace
+    * order. Candidates reduce through the shared bounded-heap
+    * ([[SearchOps.reduceTopKPerQuery]] — only rerank·nQueries·nPartitions
+    * survivors shuffle), then broadcast back into an exact-cosine rerank
+    * of the full vectors.
+    */
+  def pqBatchTopK(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, vecCol: String,
+      queries: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val lutCol = array((0 until m).map { mi =>
+      array((0 until ksub).map { c =>
+        VectorFunctions.dot(
+          slice(col("nv"), mi * dsub + 1, dsub),
+          array(codebooks(mi)(c).map(lit).toIndexedSeq: _*))
+      }: _*)
+    }: _*)
+    val qlut = queries
+      .withColumn("nv", VectorFunctions.l2Normalize(col("qv")))
+      .select(col("query_id"), lutCol.as("lut"))
+    val scored = codes
+      .crossJoin(broadcast(qlut))
+      .withColumn("score", aggregate(
+        sequence(lit(0), lit(m - 1)),
+        lit(0.0),
+        (acc, mi) => acc + element_at(
+          element_at(col("lut"), mi + 1),
+          element_at(col("codes"), mi + 1).cast("int") + 1)))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    val cand = graft.operators.SearchOps
+      .reduceTopKPerQuery(scored, rerank, idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"))
+    val rr = corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"))
+    graft.operators.SearchOps.reduceTopKPerQuery(rr, k, idCol = "vec_id")
+  }
+
   /** The query vector's sign bucket, computed driver-side — the same
     * plane-by-plane dot products as [[bucketCol]] (bit-identical IEEE
     * order), so probe enumeration matches at-rest bucket assignment.

@@ -1837,6 +1837,83 @@ object PipelineCatalog {
        FROM hits ORDER BY score DESC, vec_id"""
 
   // -------------------------------------------------------------------------
+  // q73: BATCH PQ ANN — N queries over the codes artifact in one job (the
+  // q62 eval-fleet shape on the 32×-compressed layout). Per-query LUTs are
+  // built once on the query frame and broadcast; ADC per (vector, query)
+  // is m lookups; candidates reduce via the shared bounded heap and
+  // broadcast into the exact rerank. Oracle: q69's codebook replay
+  // generalized with a per-query partition window, like q62 vs q27.
+  // -------------------------------------------------------------------------
+
+  val q73BatchPq: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val pq = graft.sources.VectorStore.ensurePq(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastPqCodebooks = Some(pq.codebooks)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    Similarity.pqBatchTopK(pq.codes, pq.codebooks,
+        emb.filter(col("vec_id") =!= 0), "embedding", queries,
+        k = 10, rerank = 20)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("label"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def q73Sql(cbs: Array[Array[Array[Double]]]): String = {
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val dsub = cbs(0)(0).length
+    val cn2 = graft.functions.VectorFunctions.codebookNorm2(cbs)
+    def subSlice(c: String, mi: Int) =
+      s"list_slice($c, ${mi * dsub + 1}, ${(mi + 1) * dsub})"
+    val codeExprs = (0 until m).map { mi =>
+      val ds = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"(${cn2(mi)(ci)} - 2.0*list_inner_product(${subSlice("nv", mi)}, $cl::DOUBLE[]))"
+      }.mkString("[", ", ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS c$mi"
+    }.mkString(",\n                ")
+    val adcExpr = (0 until m).map { mi =>
+      val lut = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"list_inner_product(${subSlice("q.qn", mi)}, $cl::DOUBLE[])"
+      }.mkString("[", ", ", "]")
+      s"($lut[c.c$mi + 1])"
+    }.mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), q AS (
+         SELECT vec_id AS query_id, v AS qv, nv AS qn FROM n WHERE vec_id < 5
+       ), c AS (
+         SELECT vec_id, label, v, $codeExprs
+         FROM n WHERE vec_id <> 0
+       ), a AS (
+         SELECT q.query_id, q.qv, c.vec_id, c.label, c.v, $adcExpr AS adc
+         FROM c, q
+       ), cand AS (
+         SELECT query_id, qv, vec_id, label, v FROM a
+         QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) <= 20
+       ), hits AS (
+         SELECT query_id, vec_id, label,
+                list_cosine_similarity(v, qv) AS sc,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rnk
+         FROM cand
+       )
+       SELECT query_id, CAST(rnk AS INT) AS "rank", vec_id, label,
+              floor(sc * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits WHERE rnk <= 10
+       ORDER BY query_id, "rank""""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1879,6 +1956,7 @@ object PipelineCatalog {
     "q70_gopher_quality" -> q70GopherQuality,
     "q71_dsir_weights" -> q71DsirWeights,
     "q72_i8_search" -> q72I8Search,
+    "q73_batch_pq" -> q73BatchPq,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -1888,7 +1966,8 @@ object PipelineCatalog {
   def oracles: ListMap[String, String] = staticOracles ++
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
     lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
-    lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs))
+    lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs)) ++
+    lastPqCodebooks.map(cbs => "q73_batch_pq" -> q73Sql(cbs))
 
   private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,

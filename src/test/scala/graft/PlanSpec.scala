@@ -147,6 +147,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "global window single-partitions the corpus")
   }
 
+  test("q73: batch PQ broadcasts query LUTs over the codes scan, no SMJ") {
+    val p = plan("q73_batch_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query LUT frame not broadcast")
+    assert(!p.contains("SortMergeJoin"), "batch PQ degraded to a sort-merge join")
+  }
+
   test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
     // q56: frequency top-100 must be TakeOrderedAndProject over the
     // partially-aggregated tokens, never a global sort of the vocabulary

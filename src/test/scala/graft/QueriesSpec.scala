@@ -125,6 +125,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 recall too low: $recall")
   }
 
+  test("batch PQ: 10 rows per query; in-corpus queries self-hit at rank 1") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q73_batch_pq")(spark, Sf).cache()
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 10L))
+    // queries 1..4 are corpus members: exact rerank must surface them first
+    val selfHits = df.filter(col("rank") === 1 && col("query_id") =!= 0)
+      .select("query_id", "vec_id").collect()
+    assert(selfHits.forall(r => r.getLong(0) == r.getLong(1)),
+      s"self-hit missing: ${selfHits.mkString(",")}")
+    df.unpersist()
+  }
+
   test("LSH embedding near-dups are a subset of exact pairs with equal cosines") {
     val exact = SparkEntry.queries("q28_embedding_near_dup")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
