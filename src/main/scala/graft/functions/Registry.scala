@@ -70,30 +70,72 @@ object Registry {
       es => Note2JsonParse(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_cell",
       es => {
-        val cs = centroidsArg(es(1))
+        val cs = matrixArg(es(1),
+          "nearest_cell(vec, centroids) expects centroids: array<array<double>>")
         NearestCell(es(0), cs, VectorFunctions.centroidNorm2(cs))
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("i8_scale",
+      es => I8Scale(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("i8_quantize",
+      es => I8Quantize(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("i8_dequant",
+      es => I8Dequant(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("i8_dot",
+      es => I8Dot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      es => {
+        val cbs = cubeArg(es(1),
+          "pq_encode(vec, codebooks) expects codebooks: array<array<array<double>>>")
+        PqEncode(es(0), cbs, VectorFunctions.codebookNorm2(cbs))
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc",
+      es => {
+        val lut = matrixArg(es(1),
+          "pq_adc(codes, lut) expects lut: array<array<double>>")
+        PqAdc(es(0), lut)
       }, "scala_udf")
   }
 
-  /** Literal (foldable) array<array<double>> argument → centroid matrix
+  /** Literal (foldable) numeric-array argument cast to `target`, with the
+    * function's signature in the error instead of a raw ClassCastException
+    * (SQL literals type as array<array<int>> etc.).
+    */
+  private def foldableCast(e: Expression,
+      target: org.apache.spark.sql.types.DataType, sig: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, sig + " as a LITERAL")
+    def numericShapeOf(t: org.apache.spark.sql.types.DataType,
+        tgt: org.apache.spark.sql.types.DataType): Boolean = (t, tgt) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+            org.apache.spark.sql.types.ArrayType(tt, _)) => numericShapeOf(et, tt)
+      case (n: org.apache.spark.sql.types.NumericType, _) => true
+      case _ => false
+    }
+    val cast =
+      if (e.dataType == target) e
+      else if (numericShapeOf(e.dataType, target))
+        org.apache.spark.sql.catalyst.expressions.Cast(e, target)
+      else throw new IllegalArgumentException(
+        s"$sig, got ${e.dataType.catalogString}")
+    cast.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+
+  /** Literal array<array<double>> argument → matrix
     * (`nearest_cell(vec, array(array(...), ...))`).
     */
-  private def centroidsArg(e: Expression): Array[Array[Double]] = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, NumericType}
-    require(e.foldable, "nearest_cell expects literal centroids")
-    // SQL literals type as array<array<int>> etc.; accept any numeric
-    // element by casting, and reject non-conforming shapes with the
-    // function's signature instead of a raw ClassCastException
-    val target = ArrayType(ArrayType(DoubleType))
-    val cast = e.dataType match {
-      case ArrayType(ArrayType(DoubleType, _), _) => e
-      case ArrayType(ArrayType(_: NumericType, _), _) =>
-        org.apache.spark.sql.catalyst.expressions.Cast(e, target)
-      case other => throw new IllegalArgumentException(
-        "nearest_cell(vec, centroids) expects centroids: array<array<double>>, " +
-          s"got ${other.catalogString}")
-    }
-    val ad = cast.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  private def matrixArg(e: Expression, sig: String): Array[Array[Double]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ad = foldableCast(e, ArrayType(ArrayType(DoubleType)), sig)
     Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+
+  /** Literal array<array<array<double>>> argument → PQ codebooks. */
+  private def cubeArg(e: Expression, sig: String): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val ad = foldableCast(e, ArrayType(ArrayType(ArrayType(DoubleType))), sig)
+    Array.tabulate(ad.numElements()) { i =>
+      val m = ad.getArray(i)
+      Array.tabulate(m.numElements())(j => m.getArray(j).toDoubleArray())
+    }
   }
 }

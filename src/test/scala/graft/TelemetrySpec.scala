@@ -52,6 +52,25 @@ class TelemetrySpec extends AnyFunSuite {
     assert(row.getAs[Double]("e0") == 0.171875)
     assert(row.getAs[Int]("n_shingles") == 2)
     assert(row.getAs[Int]("cell") == 0) // (0.9,0.1) is nearest the x-axis centroid
+    // quantization + PQ surface: int literals cast to the declared shapes
+    val row2 = spark.sql(
+      """SELECT
+         i8_dot(i8_quantize(array(1.0d, -1.0d), i8_scale(array(1.0d, -1.0d))),
+                i8_quantize(array(1.0d,  1.0d), i8_scale(array(1.0d,  1.0d)))) AS idot,
+         pq_encode(array(0.9d, 0.1d, 0.1d, 0.9d),
+           array(array(array(1, 0), array(0, 1)),
+                 array(array(1, 0), array(0, 1)))) AS codes,
+         pq_adc(pq_encode(array(0.9d, 0.1d, 0.1d, 0.9d),
+                  array(array(array(1, 0), array(0, 1)),
+                        array(array(1, 0), array(0, 1)))),
+                array(array(0.25d, 0.5d), array(0.125d, 0.0625d))) AS adc""").head
+    assert(row2.getAs[Long]("idot") == 0L) // 127*127 - 127*127
+    assert(row2.getSeq[Byte](row2.fieldIndex("codes")).toSeq == Seq(0.toByte, 1.toByte))
+    assert(row2.getAs[Double]("adc") == 0.25 + 0.0625)
+    // malformed literal shape fails with the signature, not a ClassCastException
+    val err = intercept[Exception](
+      spark.sql("SELECT pq_adc(array(cast(0 as tinyint)), array('x'))").head)
+    assert(err.getMessage.contains("pq_adc(codes, lut)"), err.getMessage)
   }
 
   test("salted join equals plain join on skewed data") {
