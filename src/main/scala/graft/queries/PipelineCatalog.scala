@@ -1914,6 +1914,69 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q74: CROSS-document boilerplate line removal — the C4 global rule
+  // (lines occurring in more than one document are dropped corpus-wide),
+  // complementing q55's within-document pass. Scale shape: explode →
+  // distinct (line, doc) → per-line doc-frequency partial agg (map-side
+  // combine bounds the shuffle at distinct-line count); the frequent-line
+  // set is SMALL by construction (it IS the boilerplate) so it broadcasts
+  // into a LEFT ANTI join against the exploded lines; reassembly is one
+  // groupBy(doc) with an idx-sorted fold. All-integer/string arithmetic —
+  // the oracle replays it with plain SQL aggregation, no float pinning.
+  // -------------------------------------------------------------------------
+
+  val q74GlobalLineDedup: Q = (s, d) => {
+    val body = concat_ws("\n",
+      substring(col("text"), 1, 40), lit("boilerplate footer"),
+      substring(col("text"), 41, 40), lit("generated by pipeline v2"),
+      substring(col("text"), 81, 40))
+    val lines = docsWide(s, d)
+      .withColumn("body", body)
+      .select(col("doc_id"),
+        posexplode(split(col("body"), "\n")).as(Seq("idx", "line")))
+    val frequent = lines
+      .select(col("doc_id"), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > 1)
+      .select(col("line"))
+    lines
+      .join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("line")))),
+          x => x.getField("line")), "\n").as("clean_text"))
+      .withColumn("n_removed", lit(5) - col("n_kept"))
+      .select(col("doc_id"), col("n_kept"), col("n_removed"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q74Sql =
+    """WITH d AS (
+         SELECT doc_id,
+                substr(text, 1, 40) || chr(10) || 'boilerplate footer' || chr(10)
+                  || substr(text, 41, 40) || chr(10) || 'generated by pipeline v2'
+                  || chr(10) || substr(text, 81, 40) AS body
+         FROM documents
+       ), ls AS (
+         SELECT doc_id, string_split(body, chr(10)) AS lines FROM d
+       ), l AS (
+         SELECT doc_id, i - 1 AS idx, lines[i] AS line
+         FROM ls, unnest(range(1, len(lines) + 1)) AS t(i)
+       ), freq AS (
+         SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+         GROUP BY line HAVING count(*) > 1
+       ), kept AS (
+         SELECT doc_id, idx, line FROM l
+         WHERE line NOT IN (SELECT line FROM freq)
+       )
+       SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+              CAST(5 - count(*) AS INT) AS n_removed,
+              string_agg(line, chr(10) ORDER BY idx) AS clean_text
+       FROM kept GROUP BY doc_id ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -1957,6 +2020,7 @@ object PipelineCatalog {
     "q71_dsir_weights" -> q71DsirWeights,
     "q72_i8_search" -> q72I8Search,
     "q73_batch_pq" -> q73BatchPq,
+    "q74_global_line_dedup" -> q74GlobalLineDedup,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -2007,5 +2071,6 @@ object PipelineCatalog {
     "q70_gopher_quality" -> q70Sql,
     "q71_dsir_weights" -> q71Sql,
     "q72_i8_search" -> q72Sql,
+    "q74_global_line_dedup" -> q74Sql,
   )
 }

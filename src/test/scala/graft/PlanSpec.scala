@@ -154,6 +154,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "batch PQ degraded to a sort-merge join")
   }
 
+  test("q74: frequent-line set broadcasts into a left-anti join") {
+    val p = plan("q74_global_line_dedup")
+    assert(p.contains("LeftAnti"), "global removal lost the anti-join")
+    assert(p.contains("BroadcastHashJoin"), "frequent-line set not broadcast")
+  }
+
   test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
     // q56: frequency top-100 must be TakeOrderedAndProject over the
     // partially-aggregated tokens, never a global sort of the vocabulary

@@ -138,6 +138,16 @@ class QueriesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("global line dedup removes the cross-document boilerplate everywhere") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q74_global_line_dedup")(spark, Sf)
+    val leaked = df.filter(col("clean_text").contains("boilerplate footer") ||
+      col("clean_text").contains("generated by pipeline v2")).count()
+    assert(leaked == 0, s"$leaked docs still carry boilerplate lines")
+    assert(df.filter(col("n_removed") >= 2).count() == df.count(),
+      "every doc carries at least the two injected boilerplate lines")
+  }
+
   test("LSH embedding near-dups are a subset of exact pairs with equal cosines") {
     val exact = SparkEntry.queries("q28_embedding_near_dup")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
