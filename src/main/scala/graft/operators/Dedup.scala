@@ -242,4 +242,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
         graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Connected components over a near-duplicate pair list — the step a
+    * dedup pipeline runs AFTER pair finding: transitive closure groups
+    * a~b, b~c into one cluster whose id is the smallest member, and the
+    * smallest member is the canonical survivor (deterministic, engine-
+    * portable: pure integer mins).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbours' labels; rounds needed = graph
+    * diameter, and near-dup components are short chains in practice
+    * (maxIters caps pathology). Per round: ONE equi-join edges⋈labels +
+    * ONE min-aggregation — the standard large-scale CC shape — with a
+    * `localCheckpoint` truncating the iterative lineage (an unchecked
+    * loop builds an exponentially deep plan) and a driver-side converged?
+    * count on the CHANGED rows only.
+    */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionByName(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("y"), col("label").as("ylabel")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("ylabel")).as("nl"))
+        .select(col("x").as("node"), col("nl"))
+      val updated = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
+        .filter(col("label") < col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"),
+      (col("node") === col("label")).as("is_canonical"))
+  }
 }

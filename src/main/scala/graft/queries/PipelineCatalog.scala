@@ -1977,6 +1977,42 @@ object PipelineCatalog {
        FROM kept GROUP BY doc_id ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q75: duplicate-cluster canonicalization — connected components over
+  // the q19 MinHash near-dup pairs (transitive closure: a~b, b~c → one
+  // cluster), cluster id = smallest member = the canonical survivor.
+  // Iterative min-label propagation (diameter-bounded rounds of equi-join
+  // + min-agg, lineage-checkpointed); the oracle computes the same
+  // closure with a RECURSIVE reachability CTE over the independently
+  // replayed pair list — pure integer mins, engine-exact.
+  // -------------------------------------------------------------------------
+
+  val q75DupClusters: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q75Sql =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) p
+       ), edges AS (
+         SELECT a_id AS x, b_id AS y FROM pairs
+         UNION
+         SELECT b_id, a_id FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT x FROM edges
+       ), reach(x, r) AS (
+         SELECT x, x FROM nodes
+         UNION
+         SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       )
+       SELECT x AS doc_id, min(r) AS cluster_id,
+              (x = min(r)) AS is_canonical
+       FROM reach GROUP BY x ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -2021,6 +2057,7 @@ object PipelineCatalog {
     "q72_i8_search" -> q72I8Search,
     "q73_batch_pq" -> q73BatchPq,
     "q74_global_line_dedup" -> q74GlobalLineDedup,
+    "q75_dup_clusters" -> q75DupClusters,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -2072,5 +2109,6 @@ object PipelineCatalog {
     "q71_dsir_weights" -> q71Sql,
     "q72_i8_search" -> q72Sql,
     "q74_global_line_dedup" -> q74Sql,
+    "q75_dup_clusters" -> q75Sql,
   )
 }

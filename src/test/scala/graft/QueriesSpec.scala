@@ -148,6 +148,23 @@ class QueriesSpec extends AnyFunSuite {
       "every doc carries at least the two injected boilerplate lines")
   }
 
+  test("dup clusters: every near-dup pair lands in one cluster, one canonical each") {
+    import org.apache.spark.sql.functions._
+    val clusters = SparkEntry.queries("q75_dup_clusters")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val pairs = SparkEntry.queries("q19_minhash_lsh")(spark, Sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      val canon = members.filter(_._2._2).keys.toSeq
+      assert(canon == Seq(cid), s"cluster $cid canonical set: $canon")
+      assert(members.keys.min == cid, s"cluster id $cid is not the min member")
+    }
+  }
+
   test("LSH embedding near-dups are a subset of exact pairs with equal cosines") {
     val exact = SparkEntry.queries("q28_embedding_near_dup")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
