@@ -220,6 +220,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ search — the two prunings composed, the standard billion-scale
+    * layout: the query's `nProbe` nearest cells prune WHOLE PARTITIONS of
+    * the cell-partitioned codes table (probe selection = the same portable
+    * identity as write-time assignment), ADC ranks only the surviving
+    * codes (m bytes each), and the top-`rerank` ids broadcast into an
+    * exact-cosine rerank. Scan cost ≈ corpus · (nProbe/k) · (m/dim·8) of
+    * the float-vector bytes — two multiplicative reductions before any
+    * full vector is touched.
+    */
+  def ivfPqTopK(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      centroids: Array[Array[Double]],
+      corpus: DataFrame, vecCol: String,
+      queryVec: Array[Double], k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    val qn = l2Normalize(queryVec)
+    val probes = cellDistances(qn, centroids).zipWithIndex
+      .map { case (dist, i) => (i, dist) }
+      .sortBy { case (i, dist) => (dist, i) }.take(nProbe).map(_._1)
+    val cand = codes
+      .filter(col("cell").isin(probes.toSeq: _*)) // partition pruning
+      .withColumn("adc", VectorFunctions.pqAdc(col("codes"),
+        pqLut(queryVec, codebooks)))
+      .orderBy(col("adc").desc, col("vec_id")).limit(rerank)
+      .select("vec_id")
+    corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"),
+        array(queryVec.map(lit).toSeq: _*)))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** BATCH PQ search: N queries score the codes table in ONE job — the
     * eval-fleet shape over the compressed layout. Each query's 8×16 LUT is
     * computed ONCE on the tiny query frame (sub-slice dots against the

@@ -2013,6 +2013,94 @@ object PipelineCatalog {
        FROM reach GROUP BY x ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q76: IVF-PQ — the two prunings composed (the standard billion-scale
+  // ANN layout): nProbe cell partitions of the cell-partitioned CODES
+  // table survive (PartitionFilters at the source), ADC ranks only those
+  // codes, the top-50 broadcast into the exact rerank. Scan bytes ≈
+  // corpus · nProbe/k · 1/32 of the float vectors. Oracle = q27's
+  // cell/probe replay composed with q69's code/ADC replay, both from
+  // exported literals.
+  // -------------------------------------------------------------------------
+
+  val q76IvfPq: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    val pq = graft.sources.VectorStore.ensurePq(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
+    lastPqCodebooks = Some(pq.codebooks)
+    Similarity.ivfPqTopK(pq.codes, pq.codebooks, store.centroids,
+        emb.filter(col("vec_id") =!= 0), "embedding", qv,
+        k = 10, nProbe = 8, rerank = 50)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  private def q76Sql(cs: Array[Array[Double]],
+      cbs: Array[Array[Array[Double]]]): String = {
+    val ivfN2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${ivfN2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val dsub = cbs(0)(0).length
+    val cn2 = graft.functions.VectorFunctions.codebookNorm2(cbs)
+    def subSlice(c: String, mi: Int) =
+      s"list_slice($c, ${mi * dsub + 1}, ${(mi + 1) * dsub})"
+    val codeExprs = (0 until m).map { mi =>
+      val ds = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"(${cn2(mi)(ci)} - 2.0*list_inner_product(${subSlice("nv", mi)}, $cl::DOUBLE[]))"
+      }.mkString("[", ", ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS c$mi"
+    }.mkString(",\n                ")
+    val adcExpr = (0 until m).map { mi =>
+      val lut = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"list_inner_product(${subSlice("q.qn", mi)}, $cl::DOUBLE[])"
+      }.mkString("[", ", ", "]")
+      s"($lut[c.c$mi + 1])"
+    }.mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), d AS (
+         SELECT vec_id, label, v, nv, $dExprs AS ds FROM n
+       ), a AS (
+         SELECT vec_id, label, v, nv, list_position(ds, list_min(ds)) - 1 AS cell
+         FROM d WHERE vec_id <> 0
+       ), probes AS (
+         SELECT i AS cell FROM (
+           SELECT unnest(range(${cs.length})) AS i, unnest(ds) AS dd
+           FROM d WHERE vec_id = 0)
+         ORDER BY dd, i LIMIT 8
+       ), q AS (
+         SELECT v AS qv, nv AS qn FROM n WHERE vec_id = 0
+       ), c AS (
+         SELECT vec_id, label, v, $codeExprs
+         FROM a JOIN probes USING (cell)
+       ), adc AS (
+         SELECT c.vec_id, c.label, c.v, $adcExpr AS adc FROM c, q
+       ), cand AS (
+         SELECT vec_id, label, v FROM adc ORDER BY adc DESC, vec_id LIMIT 50
+       ), hits AS (
+         SELECT cand.vec_id, cand.label, list_cosine_similarity(cand.v, q.qv) AS s
+         FROM cand, q ORDER BY s DESC, cand.vec_id LIMIT 10
+       )
+       SELECT vec_id, label, floor(s * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits ORDER BY score DESC, vec_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -2058,6 +2146,7 @@ object PipelineCatalog {
     "q73_batch_pq" -> q73BatchPq,
     "q74_global_line_dedup" -> q74GlobalLineDedup,
     "q75_dup_clusters" -> q75DupClusters,
+    "q76_ivf_pq" -> q76IvfPq,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -2068,7 +2157,9 @@ object PipelineCatalog {
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
     lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
     lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs)) ++
-    lastPqCodebooks.map(cbs => "q73_batch_pq" -> q73Sql(cbs))
+    lastPqCodebooks.map(cbs => "q73_batch_pq" -> q73Sql(cbs)) ++
+    (for { cs <- lastIvfCentroids; cbs <- lastPqCodebooks }
+      yield "q76_ivf_pq" -> q76Sql(cs, cbs))
 
   private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,

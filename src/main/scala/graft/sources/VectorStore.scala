@@ -159,7 +159,8 @@ object VectorStore {
 
   private def pqManifest(sfDir: String, m: Int, ksub: Int): String = {
     val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
-    s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"assign":"pq-portable-v1"}"""
+    // v2: codes carry the IVF `cell` partition column (IVF-PQ layout)
+    s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"assign":"pq-portable-v2"}"""
   }
 
   /** Train per-subspace spherical sub-codebooks (seeded MLlib k-means over
@@ -170,7 +171,8 @@ object VectorStore {
     * assignment is replayable from the exported codebook literals.
     */
   def writePq(emb: DataFrame, vecCol: String, path: String,
-      m: Int = 8, ksub: Int = 16, seed: Long = 42L): Unit = {
+      m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      centroids: Array[Array[Double]]): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     val nv = emb.withColumn("nv",
       graft.functions.VectorFunctions.l2Normalize(col(vecCol).cast("array<double>")))
@@ -184,10 +186,16 @@ object VectorStore {
         .setK(ksub).setSeed(seed + mi).setMaxIter(5)
         .fit(sub).clusterCenters.map(_.toArray)
     }
+    // IVF-PQ layout: codes partitioned by the SAME portable cell
+    // assignment as the vector store, so a probed search prunes code
+    // partitions at the source before any ADC arithmetic
     nv.withColumn("codes",
         graft.functions.VectorFunctions.pqEncode(col("nv"), codebooks))
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCell(
+        col(vecCol).cast("array<double>"), centroids))
       .drop("nv", vecCol)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
@@ -218,7 +226,10 @@ object VectorStore {
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
     if (!fresh) {
-      writePq(emb, vecCol, path, m, ksub, seed)
+      // the cell layout comes from the SAME IVF index queries probe —
+      // one shared centroid set, one portable assignment identity
+      val centroids = ensure(spark, emb, vecCol, sfDir).centroids
+      writePq(emb, vecCol, path, m, ksub, seed, centroids)
       java.nio.file.Files.writeString(mfPath, expected)
     }
     readPq(spark, path)

@@ -160,6 +160,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "frequent-line set not broadcast")
   }
 
+  test("q76: IVF-PQ prunes code partitions at the source, reads codes only") {
+    val p = plan("q76_ivf_pq")
+    val codesRoot = graft.sources.VectorStore.pqPath(Sf).replace("\\", "")
+    val codesScan = p.linesIterator.filter(l =>
+      l.contains(codesRoot) && l.contains("PartitionFilters")).mkString
+    assert(codesScan.contains("cell#") && codesScan.contains(" IN ("),
+      "probe set lost partition pruning on the codes table")
+    assert(codesScan.contains("ReadSchema: struct<vec_id:bigint,codes:array<tinyint>>"),
+      "ADC stage reads more than (vec_id, codes)")
+    assert(p.contains("BroadcastHashJoin"), "rerank ids not broadcast")
+  }
+
   test("q56/q57: top-k short-circuits; benchmark shingle set broadcasts") {
     // q56: frequency top-100 must be TakeOrderedAndProject over the
     // partially-aggregated tokens, never a global sort of the vocabulary

@@ -116,6 +116,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"PQ recall too low: $recall")
   }
 
+  test("IVF-PQ results stay inside the IVF probe set (subset of probed cells)") {
+    val ivf = SparkEntry.queries("q27_ann_ivf")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfpq = SparkEntry.queries("q76_ivf_pq")(spark, Sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // same probe set, ADC-approximated ranking: overlap must be substantial
+    val overlap = (ivf & ivfpq).size.toDouble / ivf.size
+    assert(overlap >= 0.4, s"IVF-PQ diverged from IVF within identical probes: $overlap")
+  }
+
   test("int8 search recall@10 >= 0.9 against exact KNN (99.99% cosine fidelity)") {
     val exact = SparkEntry.queries("q16_knn_cosine")(spark, Sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
