@@ -108,7 +108,12 @@ object Registry {
         tgt: org.apache.spark.sql.types.DataType): Boolean = (t, tgt) match {
       case (org.apache.spark.sql.types.ArrayType(et, _),
             org.apache.spark.sql.types.ArrayType(tt, _)) => numericShapeOf(et, tt)
-      case (n: org.apache.spark.sql.types.NumericType, _) => true
+      // both sides must bottom out together: a numeric leaf against an
+      // array target is a DEPTH mismatch (e.g. array<int> passed where
+      // array<array<array<double>>> is expected) and must take the
+      // friendly signature error, not build an invalid Cast
+      case (_: org.apache.spark.sql.types.NumericType,
+            _: org.apache.spark.sql.types.NumericType) => true
       case _ => false
     }
     val cast =

@@ -249,14 +249,21 @@ object Dedup {
     * smallest member is the canonical survivor (deterministic, engine-
     * portable: pure integer mins).
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its own label and its neighbours' labels; rounds needed = graph
-    * diameter, and near-dup components are short chains in practice
-    * (maxIters caps pathology). Per round: ONE equi-join edges⋈labels +
-    * ONE min-aggregation — the standard large-scale CC shape — with a
-    * `localCheckpoint` truncating the iterative lineage (an unchecked
-    * loop builds an exponentially deep plan) and a driver-side converged?
-    * count on the CHANGED rows only.
+    * Iterative min-label propagation WITH pointer jumping: each round every
+    * node takes the min of (its own label, its neighbours' labels, its
+    * label's label). The neighbour step alone needs diameter rounds; the
+    * label-of-label hop halves the remaining pointer chains each round, so
+    * convergence is O(log diameter) — a 1M-long chain settles in ~20
+    * rounds instead of 1M. Per round: TWO equi-joins (edges⋈labels,
+    * labels⋈labels) + ONE min-aggregation — still the standard large-scale
+    * CC shape — with a `localCheckpoint` truncating the iterative lineage
+    * (an unchecked loop builds an exponentially deep plan) and a
+    * driver-side converged? count on the CHANGED rows only.
+    *
+    * If the loop exits at `maxIters` with rows still changing, the labels
+    * are WRONG (one component reported as several, each with a fake
+    * canonical survivor — silent under-deduplication), so this THROWS
+    * rather than returning them.
     */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
@@ -274,10 +281,18 @@ object Dedup {
         .join(labels.select(col("node").as("y"), col("label").as("ylabel")), Seq("y"))
         .groupBy(col("x")).agg(min(col("ylabel")).as("nl"))
         .select(col("x").as("node"), col("nl"))
+      // pointer jump: my label's current label (label is always a node id,
+      // so the self-join always hits; min keeps it monotone-decreasing)
+      val jump = labels
+        .join(labels.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"))
+        .select(col("node"), col("ll"))
       val updated = labels
         .join(nbrMin, Seq("node"), "left")
+        .join(jump, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label")),
+            coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       val changed = updated
         .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
@@ -286,6 +301,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: not converged after $maxIters rounds (labels " +
+        "still changing) — component diameter exceeds 2^maxIters; raise " +
+        "maxIters rather than use these labels")
     labels.select(col("node"), col("label").as("cluster_id"),
       (col("node") === col("label")).as("is_canonical"))
   }

@@ -1564,9 +1564,12 @@ object PipelineCatalog {
       .withColumn("line_chars", sumLen(col("lines")))
       .withColumn("uniq_chars", sumLen(array_distinct(col("lines"))))
       .withColumn("word_chars", sumLen(col("words")))
-      .withColumn("bigrams", transform(
+      .withColumn("bigrams", when(size(col("words")) >= 2, transform(
         sequence(lit(1), size(col("words")) - 1),
         i => concat_ws(" ", element_at(col("words"), i), element_at(col("words"), i + 1))))
+        // one-word body: sequence(1, 0) would step DOWN to [1, 0] and
+        // element_at(words, 0) throws; DuckDB's range(1, 1) is empty
+        .otherwise(array().cast("array<string>")))
       .withColumn("top", TextAnalytics.topRun(col("bigrams")))
       .withColumn("dup_line_frac_raw",
         lit(1.0) - size(array_distinct(col("lines"))).cast("double") / col("n_lines"))

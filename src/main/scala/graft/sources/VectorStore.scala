@@ -157,10 +157,19 @@ object VectorStore {
     }
   }
 
-  private def pqManifest(sfDir: String, m: Int, ksub: Int): String = {
+  private def pqManifest(sfDir: String, m: Int, ksub: Int, seed: Long,
+      centroids: Array[Array[Double]]): String = {
     val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
-    // v2: codes carry the IVF `cell` partition column (IVF-PQ layout)
-    s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"assign":"pq-portable-v2"}"""
+    // Fingerprint the IVF centroids the codes are cell-partitioned by:
+    // a rebuilt IVF index (different params/seed) must invalidate the PQ
+    // artifact too, or q76-style probes would prune the WRONG partitions.
+    val cfp = java.security.MessageDigest.getInstance("MD5")
+      .digest(centroids.map(_.mkString(",")).mkString(";").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    // v3: codes carry the IVF `cell` partition column (IVF-PQ layout);
+    // manifest pins the k-means seed + the exact centroid set
+    s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"seed":$seed,""" +
+      s""""centroid_fp":"$cfp","assign":"pq-portable-v3"}"""
   }
 
   /** Train per-subspace spherical sub-codebooks (seeded MLlib k-means over
@@ -222,13 +231,14 @@ object VectorStore {
       sfDir: String, m: Int = 8, ksub: Int = 16, seed: Long = 42L): PqIndex = {
     val path = pqPath(sfDir)
     val mfPath = java.nio.file.Paths.get(path, "_graft_pq_manifest.json")
-    val expected = pqManifest(sfDir, m, ksub)
+    // the cell layout comes from the SAME IVF index queries probe —
+    // one shared centroid set, one portable assignment identity; its
+    // fingerprint is part of the manifest, so resolve it first
+    val centroids = ensure(spark, emb, vecCol, sfDir).centroids
+    val expected = pqManifest(sfDir, m, ksub, seed, centroids)
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
     if (!fresh) {
-      // the cell layout comes from the SAME IVF index queries probe —
-      // one shared centroid set, one portable assignment identity
-      val centroids = ensure(spark, emb, vecCol, sfDir).centroids
       writePq(emb, vecCol, path, m, ksub, seed, centroids)
       java.nio.file.Files.writeString(mfPath, expected)
     }

@@ -71,6 +71,12 @@ class TelemetrySpec extends AnyFunSuite {
     val err = intercept[Exception](
       spark.sql("SELECT pq_adc(array(cast(0 as tinyint)), array('x'))").head)
     assert(err.getMessage.contains("pq_adc(codes, lut)"), err.getMessage)
+    // DEPTH-mismatched numeric literal (array<int> where a 3-deep codebook
+    // cube is expected) must also take the signature error, not an
+    // unresolved-cast/ClassCast failure from building an invalid Cast
+    val err2 = intercept[Exception](
+      spark.sql("SELECT pq_encode(array(0.9d, 0.1d), array(1, 2))").head)
+    assert(err2.getMessage.contains("pq_encode(vec, codebooks)"), err2.getMessage)
   }
 
   test("salted join equals plain join on skewed data") {
