@@ -255,7 +255,7 @@ object SearchOps {
       docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = docs.select(col(idCol).as("doc"),
-      split(trim(col(textCol)), " ").as("toks"))
+      graft.operators.TextAnalytics.tokens(col(textCol)).as("toks"))
     val withDl = toks.select(col("doc"), col("toks"), size(col("toks")).as("dl"))
     val stats = withDl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))

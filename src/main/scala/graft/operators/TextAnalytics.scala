@@ -25,8 +25,15 @@ object TextAnalytics {
   val EsStopwords: Seq[String] = Seq("el", "la", "de", "que", "los")
   val FrStopwords: Seq[String] = Seq("le", "la", "les", "des", "est")
 
-  /** Whitespace tokens of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), " ")
+  /** Whitespace tokens, CPython `str.split()` semantics (`ws-split-v2`):
+    * split on runs of whitespace, NO empty tokens — leading/trailing
+    * whitespace yields leading/trailing empties from the regex split and
+    * the filter drops them, so no trim is needed. v1 (`split(trim, " ")`)
+    * emitted `""` terms on consecutive spaces, a real (if tiny) reference
+    * divergence since the reference tokenizes with no-arg `str.split()`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
 
   /** Distinct word 3-gram shingles (empty for texts under 3 words). */
   def shingles(words: Column): Column =

@@ -300,7 +300,8 @@ object PipelineCatalog {
 
   private val q21Sql = {
     def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH w AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks FROM documents),
+    s"""WITH w AS (SELECT doc_id, list_distinct(list_filter(
+           regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS toks FROM documents),
        s AS (SELECT doc_id,
          len(list_intersect(toks, ${arr(TextAnalytics.EnStopwords)})) AS s_en,
          len(list_intersect(toks, ${arr(TextAnalytics.DeStopwords)})) AS s_de,
@@ -346,7 +347,8 @@ object PipelineCatalog {
   private val q22Sql = {
     val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH w AS (
-         SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents
+         SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> t <> '') AS toks FROM documents
        ), m AS (
          SELECT doc_id, text, len(toks) AS n_tokens,
            CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
@@ -972,7 +974,8 @@ object PipelineCatalog {
     // itself contains (contraction tails)
     val re = TextAnalytics.BpeTokenRe.replace("'", "''")
     s"""SELECT doc_id,
-       CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+         AS INT) AS n_ws_tokens,
        CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_bpe_tokens,
        floor((CAST(length(text) AS DOUBLE) /
          CAST(greatest(len(regexp_extract_all(text, '$re')), 1) AS DOUBLE)) * 10000 + 0.5) / 10000.0
@@ -1260,7 +1263,10 @@ object PipelineCatalog {
   private def bm25Ctes(limit: Int): String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH d AS (
-         SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+         -- ws-split-v2: whitespace-run split, empty tokens dropped
+         -- (CPython str.split() semantics, same as the engine's tokens())
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '') AS toks FROM documents
        ), wdl AS (
          SELECT doc_id, len(toks) AS dl FROM d
        ), stats AS (
@@ -1731,7 +1737,8 @@ object PipelineCatalog {
     */
   private val q71Sql =
     s"""WITH d AS (
-         SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents
+         SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> t <> '') AS toks FROM documents
        ), tb AS (
          SELECT doc_id, lang,
                 CAST(CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) % $DsirB AS INT) AS b

@@ -67,7 +67,7 @@ object TextIndex {
     val stamp = VectorStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
     // tokenizer contract is part of the layout version: postings written
     // under a different tokenization must rebuild, not silently mis-score
-    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v1"}"""
+    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2"}"""
   }
 
   /** One tokenize pass over the corpus → postings + df + stats. The only
@@ -78,7 +78,7 @@ object TextIndex {
     val spark = docs.sparkSession
     val withDl = docs.select(
         col(idCol).as("doc"),
-        split(trim(col(textCol)), " ").as("toks"))
+        graft.operators.TextAnalytics.tokens(col(textCol)).as("toks"))
       .select(col("doc"), col("toks"), size(col("toks")).cast("long").as("dl"))
 
     val stats = withDl.agg(
