@@ -1385,6 +1385,77 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q77: INCREMENTALLY maintained text index — the q54 skip-unchanged
+  // contract extended to the serving artifact (reference: Qdrant indexes
+  // points incrementally at upsert, qdrant_client.py:303-407, and never
+  // rebuilds the collection on new data). Scenario: the BASE build holds
+  // the even documents — 50 of them with STALE text (extra 'spark'
+  // occurrences, so a failed replacement shifts tf/df) — plus 5 transient
+  // docs containing query terms (so a failed delete shifts df/n). ONE
+  // upsert then delivers the odd documents (add), the corrected stale
+  // documents (replace) and the transient deletions; the index update
+  // reads the delta + the affected ids' doclens rows, never the unchanged
+  // corpus (PlanSpec-guarded). Serving the same BM25 top-15 as q68
+  // against q60's FULL INLINE oracle proves the incrementally-updated
+  // artifact is value-identical to an index of the true corpus — n, Σdl,
+  // postings, tf, df all repaired by exact delta arithmetic.
+  // -------------------------------------------------------------------------
+
+  private def q77Path(d: String): String = {
+    val root = sys.env.get("GRAFT_INDEX_DIR")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(s"$d/documents.parquet").getAbsolutePath
+        .concat("#tindex-inc").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(root, s"graft-tindex-inc-$sig").toString
+  }
+
+  /** Build-base + upsert-delta once per corpus version (the manifest
+    * records the final state); every later call only serves.
+    */
+  private[graft] def q77EnsureIncremental(s: SparkSession, d: String): String = {
+    val path = q77Path(d)
+    val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
+    val expected = {
+      val stamp = graft.sources.VectorStore.sourceStamp(
+        new java.io.File(s"$d/documents.parquet"))
+      s"""{"source_stamp":"$stamp","scenario":"base+delta-v1","tokenize":"ws-split-v2","layout":"seg-v3"}"""
+    }
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      val dir = new java.io.File(path)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      val docs = docsWide(s, d).select(col("doc_id"), col("text"))
+      val stale = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" spark spark stale draft")))
+      val extras = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("transient spark join hash filler "),
+            substring(col("text"), 1, 40)).as("text"))
+      val base = docs
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 0)
+        .unionByName(stale).unionByName(extras)
+      graft.sources.TextIndex.write(base, "doc_id", "text", path)
+      val delta = docs.filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+      val deleted = extras.select(col("doc_id"))
+      graft.sources.TextIndex.upsert(s, delta, "doc_id", "text", deleted, path)
+      java.nio.file.Files.writeString(mfPath, expected)
+    }
+    path
+  }
+
+  val q77IncTextIndex: Q = (s, d) => {
+    val idx = graft.sources.TextIndex.read(s, q77EnsureIncremental(s, d))
+    graft.operators.SearchOps.bm25ScoresIndexed(idx, Bm25Terms, k1 = 1.5, b = 0.75)
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(15)
+      .select(col("doc").as("doc_id"), rnd(col("bm25"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q62: BATCH ANN — N queries probe the persisted IVF store in one job
   // (the eval-set shape of q46, but over the pruned layout instead of a
   // full scan). Probe selection is distributed and uses the same portable
@@ -2148,6 +2219,7 @@ object PipelineCatalog {
     "q60_bm25" -> q60Bm25,
     "q61_hybrid_rrf" -> q61HybridRrf,
     "q68_bm25_indexed" -> q68Bm25Indexed,
+    "q77_inc_text_index" -> q77IncTextIndex,
     "q62_batch_ann" -> q62BatchAnn,
     "q69_ann_pq" -> q69AnnPq,
     "q70_gopher_quality" -> q70GopherQuality,
@@ -2206,6 +2278,7 @@ object PipelineCatalog {
     "q60_bm25" -> q60Sql,
     "q61_hybrid_rrf" -> q61Sql,
     "q68_bm25_indexed" -> q60Sql,
+    "q77_inc_text_index" -> q60Sql,
     "q70_gopher_quality" -> q70Sql,
     "q71_dsir_weights" -> q71Sql,
     "q72_i8_search" -> q72Sql,

@@ -3,34 +3,55 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** BM25 serving artifact persisted at WRITE time — the text analog of
-  * [[VectorStore]] (reference: the Qdrant content text index is built at
-  * upsert, `worker/app/qdrant_client.py:206-297`; queries only probe it).
+/** BM25 serving artifact persisted at WRITE time and maintained
+  * INCREMENTALLY at upsert — the text analog of [[VectorStore]]
+  * (reference: the Qdrant content text index is built at upsert and
+  * updated per point batch, `worker/app/services/qdrant_client.py:206-297`
+  * index creation, `:303-407` upsert; it never rebuilds the collection on
+  * new data — neither does this store).
   *
   * `SearchOps.bm25Scores` recomputes corpus stats and postings per call —
   * fine as the oracle path, wrong as a serving path at 100 TB (every
   * query re-tokenizes the corpus). This store materializes, once per
-  * corpus version:
+  * corpus, and then maintains per delta batch:
   *
-  *   path/postings/term_bucket=<b>/…  — (term, doc, dl, tf), partitioned
-  *       by a 64-way portable term-hash bucket and sorted by term within
-  *       each partition: a query's literal terms map to ≤|terms| buckets
-  *       (partition pruning at the source) and the in-partition sort gives
-  *       parquet row-group min/max skipping on `term`;
-  *   path/df/                         — (term, df), same bucketing;
-  *   path/_graft_stats.json           — {n, sum_dl} as EXACT integers
-  *       (avgdl derives as one double division, identical to the inline
-  *       path's sum/count);
+  *   path/postings/term_bucket=<b>/…  — (term, doc, dl, tf, gen),
+  *       partitioned by a 64-way portable term-hash bucket and sorted by
+  *       term within each file: a query's literal terms map to ≤|terms|
+  *       buckets (partition pruning at the source) and the in-file sort
+  *       gives parquet row-group min/max skipping on `term`. `gen` is the
+  *       segment generation the row was written in (0 = initial build).
+  *   path/doclens/doc_bucket=<b>/…    — (doc, dl, gen): one row per doc
+  *       VERSION, the delta-sized bookkeeping table an upsert consults to
+  *       find replaced/deleted docs' lengths (never the postings, never
+  *       the corpus).
+  *   path/tombstones/                 — (doc, gen): "rows of `doc` with a
+  *       generation BELOW `gen` are dead". A replaced doc is tombstoned
+  *       at the SAME generation its new rows carry, so the new version
+  *       survives the filter; a deleted doc simply has no new rows.
+  *   path/_graft_stats.json           — {n, sum_dl, gen} as EXACT
+  *       integers, adjusted incrementally (avgdl derives as one double
+  *       division, identical to the inline path's sum/count).
   *   path/_graft_manifest.json        — source stamp + layout version,
   *       [[ensure]] rebuilds on mismatch.
   *
-  * A serving query therefore reads O(matching postings) bytes: no
-  * corpus scan, no tokenize, no full-index scan — the relational form of
-  * an inverted-index lookup with the index on disk.
+  * Per-term document frequency is NOT stored: df for a query term is
+  * `countDistinct(doc)` over that term's LIVE postings — the rows the
+  * query already reads — so it stays exact under any upsert/delete
+  * history at zero extra scan cost. (A stored df table cannot be
+  * delta-maintained without knowing a replaced doc's OLD terms, which
+  * would force a postings scan per upsert.)
+  *
+  * A serving query therefore reads O(matching postings) bytes + the
+  * (small) tombstone list; an UPSERT reads O(delta) + the doc-bucket
+  * rows of the affected ids in `doclens` — at no point does maintenance
+  * re-tokenize or re-scan the unchanged corpus. Tombstones accumulate
+  * with churn; [[compact]] folds them back to a clean gen-0 layout.
   */
 object TextIndex {
 
   val TermBuckets = 64
+  val DocBuckets = 64
 
   case class Index(postings: DataFrame, df: DataFrame, n: Long, sumDl: Long) {
     def avgdl: Double = sumDl.toDouble / n
@@ -47,6 +68,14 @@ object TextIndex {
     val h = graft.functions.Sha256.hash60(term.getBytes("UTF-8"))
     java.lang.Math.floorMod(h, TermBuckets.toLong)
   }
+
+  /** Doc-id bucket for the doclens bookkeeping table: an upsert's
+    * affected-id frame joins on (doc_bucket, doc), so dynamic partition
+    * pruning restricts the lookup to the buckets the delta actually
+    * touches.
+    */
+  def docBucketCol(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(graft.operators.TextAnalytics.hash60(doc.cast("string")), lit(DocBuckets.toLong))
 
   def indexPath(sfDir: String): String = {
     val src = new java.io.File(s"$sfDir/documents.parquet")
@@ -67,52 +96,183 @@ object TextIndex {
     val stamp = VectorStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
     // tokenizer contract is part of the layout version: postings written
     // under a different tokenization must rebuild, not silently mis-score
-    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2"}"""
+    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2","layout":"seg-v3"}"""
   }
 
-  /** One tokenize pass over the corpus → postings + df + stats. The only
-    * corpus-wide work, paid at write time (the reference pays the same
-    * cost inside Qdrant's upsert-time text indexing).
+  // --- stats sidecar (exact integers; gen = last segment written) -------
+
+  private def writeStats(path: String, n: Long, sumDl: Long, gen: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_stats.json"),
+      s"""{"n":$n,"sum_dl":$sumDl,"gen":$gen}""")
+
+  private def readStats(path: String): (Long, Long, Long) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_graft_stats.json")))
+    (node.get("n").asLong(), node.get("sum_dl").asLong(),
+      if (node.has("gen")) node.get("gen").asLong() else 0L)
+  }
+
+  // --- tokenize + shared delta frames -----------------------------------
+
+  /** `(doc, toks, dl)` under the ws-split-v2 contract — the ONLY
+    * tokenization in the store; write and upsert both go through it.
     */
-  def write(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
-    val spark = docs.sparkSession
-    val withDl = docs.select(
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
         col(idCol).as("doc"),
         graft.operators.TextAnalytics.tokens(col(textCol)).as("toks"))
       .select(col("doc"), col("toks"), size(col("toks")).cast("long").as("dl"))
 
-    val stats = withDl.agg(
-      count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")).head()
-    val postings = withDl
+  /** Postings rows for one segment — reads NOTHING but `withDl`'s own
+    * lineage (test-guarded: an index update must not scan the base
+    * postings or the unchanged corpus).
+    */
+  private[graft] def segmentPostings(withDl: DataFrame, gen: Long): DataFrame =
+    withDl
       .select(col("doc"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("gen", lit(gen))
       .withColumn("term_bucket", termBucketCol(col("term")))
-    postings
+
+  private def segmentDoclens(withDl: DataFrame, gen: Long): DataFrame =
+    withDl.select(col("doc"), col("dl"))
+      .withColumn("gen", lit(gen))
+      .withColumn("doc_bucket", docBucketCol(col("doc")))
+
+  private def writeSegment(withDl: DataFrame, gen: Long, path: String,
+      mode: String): Unit = {
+    segmentPostings(withDl, gen)
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term_bucket"), col("term"))
+      .write.mode(mode).partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    segmentDoclens(withDl, gen)
+      .repartition(col("doc_bucket"))
+      .write.mode(mode).partitionBy("doc_bucket")
+      .parquet(s"$path/doclens")
+  }
+
+  // --- tombstones -------------------------------------------------------
+
+  private def tombstonesDir(path: String) = new java.io.File(s"$path/tombstones")
+
+  /** Tombstone-filter `rows` (which carry (doc, gen)): a row is dead iff
+    * some tombstone for its doc has a STRICTLY higher generation. The
+    * tombstone list is replaced/deleted docs only — small next to the
+    * index, broadcast. No tombstone dir (pure initial build) → no-op, the
+    * plan stays identical to the non-incremental layout.
+    */
+  private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
+    if (!tombstonesDir(path).exists()) rows
+    else {
+      val tomb = spark.read.parquet(s"$path/tombstones")
+        .groupBy(col("doc")).agg(max(col("gen")).as("tomb_gen"))
+      rows.join(broadcast(tomb), Seq("doc"), "left")
+        .filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
+        .drop("tomb_gen")
+    }
+
+  /** The LIVE doclens rows of the affected ids — the upsert's only read
+    * of pre-existing state: (doc_bucket, doc) equi-join so partition
+    * pruning bounds it by the delta's bucket spread, never the corpus.
+    */
+  private[graft] def liveAffectedDoclens(spark: SparkSession, path: String,
+      affected: DataFrame): DataFrame = {
+    val keyed = affected.select(col("doc"))
+      .withColumn("doc_bucket", docBucketCol(col("doc")))
+    liveRows(spark, path, spark.read.parquet(s"$path/doclens"))
+      .join(broadcast(keyed), Seq("doc_bucket", "doc"))
+  }
+
+  /** One tokenize pass over the corpus → postings + doclens + stats, all
+    * at generation 0. The only corpus-wide work, paid at write time (the
+    * reference pays the same cost inside Qdrant's upsert-time indexing).
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val withDl = tokenized(docs, idCol, textCol)
+    val stats = withDl.agg(
+      count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    writeSegment(withDl, gen = 0L, path, mode = "overwrite")
+    writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L)
+  }
+
+  /** Incremental maintenance: merge a delta of new/changed documents and
+    * a set of deleted ids into the stored index WITHOUT touching the
+    * unchanged corpus — the q54 skip-unchanged contract extended to the
+    * serving artifact.
+    *
+    * Reads: the delta itself (tokenized once) and the affected ids' rows
+    * in `doclens` (bucket-joined). Writes: one appended postings/doclens
+    * segment at the next generation, tombstones for the replaced/deleted
+    * live versions, and the stats sidecar adjusted by exact integer
+    * arithmetic (n/Σdl: − removed live versions + delta). Changed docs
+    * are tombstone-then-readd at the same generation; `delta` must be
+    * unique on `idCol`.
+    */
+  def upsert(spark: SparkSession, delta: DataFrame, idCol: String,
+      textCol: String, deletedIds: DataFrame, path: String): Unit = {
+    val (n0, sumDl0, gen0) = readStats(path)
+    val nextGen = gen0 + 1
+    // materialize the delta tokenization once: it feeds stats, tombstone
+    // lookup, postings AND doclens (and must not be recomputed after the
+    // appends below start changing what the path contains)
+    val withDl = tokenized(delta, idCol, textCol).localCheckpoint()
+    val dStats = withDl.agg(
+      count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    val affected = withDl.select(col("doc"))
+      .unionByName(deletedIds.select(col(deletedIds.columns.head).as("doc")))
+      .distinct()
+    val liveOld = liveAffectedDoclens(spark, path, affected)
+      .select(col("doc"), col("dl"))
+      .localCheckpoint() // snapshot BEFORE appending to doclens
+    val rStats = liveOld.agg(
+      count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    liveOld.select(col("doc"), lit(nextGen).as("gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    writeSegment(withDl, nextGen, path, mode = "append")
+    writeStats(path,
+      n0 - rStats.getLong(0) + dStats.getLong(0),
+      sumDl0 - rStats.getLong(1) + dStats.getLong(1),
+      nextGen)
+  }
+
+  /** Fold accumulated segments + tombstones back into a clean gen-0
+    * layout (the LSM compaction step — run when the tombstone list or
+    * dead-row fraction grows past taste; serving correctness never
+    * depends on it).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (n, sumDl, _) = readStats(path)
+    val live = liveRows(spark, path, spark.read.parquet(s"$path/postings"))
+      .localCheckpoint()
+    val doclens = liveRows(spark, path, spark.read.parquet(s"$path/doclens"))
+      .localCheckpoint()
+    live.withColumn("gen", lit(0L))
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$path/postings")
-    // df from the WRITTEN postings (no corpus recompute, no lineage replay)
-    spark.read.parquet(s"$path/postings")
-      .groupBy(col("term_bucket"), col("term"))
-      .agg(countDistinct(col("doc")).as("df"))
-      .repartition(col("term_bucket"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$path/df")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_stats.json"),
-      s"""{"n":${stats.getLong(0)},"sum_dl":${stats.getLong(1)}}""")
+    doclens.withColumn("gen", lit(0L))
+      .repartition(col("doc_bucket"))
+      .write.mode("overwrite").partitionBy("doc_bucket")
+      .parquet(s"$path/doclens")
+    org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
+    writeStats(path, n, sumDl, gen = 0L)
   }
 
   def read(spark: SparkSession, path: String): Index = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_graft_stats.json")))
-    Index(
-      spark.read.parquet(s"$path/postings"),
-      spark.read.parquet(s"$path/df"),
-      node.get("n").asLong(), node.get("sum_dl").asLong())
+    val (n, sumDl, _) = readStats(path)
+    val postings = liveRows(spark, path, spark.read.parquet(s"$path/postings"))
+    // df as a view over LIVE postings: a filter on (term_bucket, term) —
+    // both grouping keys — pushes below the aggregate to the pruned scan,
+    // so a query's df costs the same rows it already reads for tf
+    val df = postings
+      .groupBy(col("term_bucket"), col("term"))
+      .agg(countDistinct(col("doc")).as("df"))
+    Index(postings, df, n, sumDl)
   }
 
   /** Load the index for a corpus, building it first if absent or stale —

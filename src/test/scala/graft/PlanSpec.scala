@@ -230,4 +230,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet]"), "serving path scans the corpus")
     assert(!p.contains("Generate"), "serving path re-tokenizes (explode) at query time")
   }
+
+  test("q77: incremental index — serving scans the index, update reads only the delta") {
+    // Serving side: same contract as q68, over the base+delta artifact —
+    // term_bucket-pruned postings (+ small broadcast tombstones), never
+    // the corpus, no query-time tokenization.
+    val p = plan("q77_inc_text_index")
+    assert(p.contains("postings"), "serving path lost the postings scan")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      "postings scan not pruned by term_bucket partitions")
+    assert(!p.contains("documents.parquet]"), "serving path scans the corpus")
+    assert(!p.contains("Generate"), "serving path re-tokenizes (explode) at query time")
+
+    // Update side: the q77 artifact exists after plan() above. (a) The
+    // new-segment postings frame reads NOTHING from the stored index —
+    // its only scan is the delta's own source; a maintenance pass that
+    // re-reads base postings is a rebuild in disguise at 100 TB.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = graft.queries.PipelineCatalog.q77EnsureIncremental(spark, Sf)
+    val delta = Seq((9000001L, "spark delta doc")).toDF("doc_id", "text")
+      .select(col("doc_id").as("doc"),
+        graft.operators.TextAnalytics.tokens(col("text")).as("toks"))
+      .select(col("doc"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val segPlan = graft.sources.TextIndex.segmentPostings(delta, gen = 9L)
+      .queryExecution.executedPlan.toString
+    assert(!segPlan.contains("postings") && !segPlan.contains("parquet"),
+      "delta segment build reads stored state")
+    // (b) The replaced/deleted lookup touches ONLY the doclens
+    // bookkeeping table (one row per doc version), never the postings or
+    // the corpus.
+    val lookPlan = graft.sources.TextIndex
+      .liveAffectedDoclens(spark, path, Seq(0L).toDF("doc"))
+      .queryExecution.executedPlan.toString
+    assert(lookPlan.contains("doclens"), "affected lookup lost the doclens scan")
+    assert(!lookPlan.contains("/postings"), "affected lookup scans postings")
+    assert(!lookPlan.contains("documents.parquet]"), "affected lookup scans the corpus")
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TextIndex
+
+/** Incremental maintenance semantics of the BM25 serving artifact:
+  * upserts merge add/replace/delete deltas without touching unchanged
+  * postings, stats stay exact integers, and compaction is a no-op for
+  * serving values. (q77 pins end-to-end value parity against the DuckDB
+  * inline-BM25 oracle; these tests pin the state machine.)
+  */
+class TextIndexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def ids(rows: Long*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id")
+  }
+
+  private def freshPath(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-tindex-spec-$tag").toFile
+    dir.deleteOnExit()
+    new java.io.File(dir, "idx").toString
+  }
+
+  private def liveState(path: String): (Map[(String, Long), Long], Long, Long) = {
+    val idx = TextIndex.read(spark, path)
+    val posts = idx.postings.select(col("term"), col("doc"), col("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (posts, idx.n, idx.sumDl)
+  }
+
+  test("upsert add/replace/delete repairs postings, df and exact stats") {
+    val path = freshPath("upd")
+    TextIndex.write(docsDF(
+      1L -> "spark join",          // unchanged
+      2L -> "spark spark stale",   // will be replaced
+      3L -> "hash transient"),     // will be deleted
+      "doc_id", "text", path)
+    TextIndex.upsert(spark,
+      docsDF(2L -> "spark hash", 4L -> "join join hash"),
+      "doc_id", "text", ids(3L), path)
+
+    val (posts, n, sumDl) = liveState(path)
+    assert(n == 3, "n = unchanged + replaced + added")
+    assert(sumDl == 2 + 2 + 3, "sum_dl over live versions only")
+    assert(posts == Map(
+      ("spark", 1L) -> 1L, ("join", 1L) -> 1L,
+      ("spark", 2L) -> 1L, ("hash", 2L) -> 1L,
+      ("join", 4L) -> 2L, ("hash", 4L) -> 1L),
+      "stale/deleted versions must be dead, new versions live")
+
+    // df derives from live postings: 'spark' in docs 1,2 (NOT the dead
+    // gen-0 version of 2); 'hash' in 2,4 (NOT deleted 3)
+    val df = TextIndex.read(spark, path).df
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("spark" -> 2L, "join" -> 2L, "hash" -> 2L))
+  }
+
+  test("deleted doc can be re-added by a later upsert") {
+    val path = freshPath("readd")
+    TextIndex.write(docsDF(1L -> "alpha", 2L -> "beta"), "doc_id", "text", path)
+    TextIndex.upsert(spark, docsDF(), "doc_id", "text", ids(1L), path)
+    val (afterDel, n1, _) = liveState(path)
+    assert(n1 == 1 && afterDel.keySet == Set(("beta", 2L)))
+    TextIndex.upsert(spark, docsDF(1L -> "alpha reborn"), "doc_id", "text",
+      ids(), path)
+    val (afterAdd, n2, sumDl2) = liveState(path)
+    assert(n2 == 2 && sumDl2 == 3)
+    assert(afterAdd.keySet == Set(("beta", 2L), ("alpha", 1L), ("reborn", 1L)))
+  }
+
+  test("deleting a non-existent id is a no-op on stats") {
+    val path = freshPath("noop")
+    TextIndex.write(docsDF(1L -> "one token"), "doc_id", "text", path)
+    TextIndex.upsert(spark, docsDF(), "doc_id", "text", ids(99L), path)
+    val (_, n, sumDl) = liveState(path)
+    assert(n == 1 && sumDl == 2)
+  }
+
+  test("compact folds segments+tombstones into gen-0 with identical serving state") {
+    val path = freshPath("compact")
+    TextIndex.write(docsDF(1L -> "spark join", 2L -> "spark stale"),
+      "doc_id", "text", path)
+    TextIndex.upsert(spark, docsDF(2L -> "hash fresh", 3L -> "join hash"),
+      "doc_id", "text", ids(), path)
+    val before = liveState(path)
+    TextIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists(), "tombstones not cleared")
+    val after = liveState(path)
+    assert(after == before, "compaction changed serving state")
+    val gens = spark.read.parquet(s"$path/postings")
+      .select(col("gen")).distinct().collect().map(_.getLong(0)).toSet
+    assert(gens == Set(0L), "compaction must rewrite everything at gen 0")
+  }
+}
