@@ -1456,6 +1456,115 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q78/q79: incrementally maintained VECTOR artifacts — same contract as
+  // q77 for the IVF store and the PQ codes. The base build trains
+  // centroids/codebooks; the upsert assigns its delta with the STORED
+  // literals (no retrain, no scan of stored vectors), appends into the
+  // cell partitions at the next generation and tombstones replaced/
+  // deleted ids. Stale vectors are REVERSED embeddings (so an unapplied
+  // replacement lands in wrong cells with wrong codes → hash mismatch);
+  // transient vectors are deleted by the upsert. The final live state is
+  // exactly the corpus, so the oracles are the full q27/q69 replays from
+  // the PUBLISHED base-trained literals — proving the incremental
+  // artifact is value-identical to assignment of the true corpus.
+  // -------------------------------------------------------------------------
+
+  @volatile private var lastIncIvfCentroids: Option[Array[Array[Double]]] = None
+  @volatile private var lastIncPqCodebooks: Option[Array[Array[Array[Double]]]] = None
+
+  private def incVecPath(d: String, tag: String): String = {
+    val root = sys.env.get("GRAFT_INDEX_DIR")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(s"$d/embeddings.parquet").getAbsolutePath
+        .concat("#" + tag).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(root, s"graft-$tag-$sig").toString
+  }
+
+  /** The add/replace/delete frames shared by the IVF and PQ scenarios. */
+  private def incVecScenario(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val emb = tbl(s, d, "embeddings").filter(col("vec_id") =!= 0)
+    val stale = emb.filter(col("vec_id") % 10 === 2)
+      .withColumn("embedding", reverse(col("embedding")))
+    val extras = emb.filter(col("vec_id") >= 1 && col("vec_id") <= 5)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", reverse(col("embedding")))
+    val base = emb
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 =!= 2)
+      .unionByName(stale).unionByName(extras)
+    val delta = emb.filter(col("vec_id") % 2 === 1 || col("vec_id") % 10 === 2)
+    (base, delta, extras.select(col("vec_id")))
+  }
+
+  private def incScenarioFresh(path: String, d: String, tag: String): Boolean = {
+    val mfPath = java.nio.file.Paths.get(path, "_graft_scenario.json")
+    val stamp = graft.sources.VectorStore.sourceStamp(
+      new java.io.File(s"$d/embeddings.parquet"))
+    val expected = s"""{"source_stamp":"$stamp","scenario":"$tag-v1"}"""
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      val dir = new java.io.File(path)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      dir.mkdirs()
+      java.nio.file.Files.writeString(mfPath, expected)
+      false
+    } else true
+  }
+
+  private[graft] def q78EnsureIncremental(s: SparkSession, d: String): String = {
+    val path = incVecPath(d, "vstore-inc")
+    if (!incScenarioFresh(path, d, "vstore-inc")) {
+      val (base, delta, deleted) = incVecScenario(s, d)
+      graft.sources.VectorStore.write(base, "embedding", path)
+      graft.sources.VectorStore.upsertVectors(
+        s, delta, "vec_id", "embedding", deleted, path)
+    }
+    path
+  }
+
+  val q78IncIvf: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val store = graft.sources.VectorStore.read(
+      s, q78EnsureIncremental(s, d), planes = 8, dim = 64)
+    lastIncIvfCentroids = Some(store.centroids)
+    Similarity.ivfTopK(store.vectors, "embedding", store.centroids, qv, 10, nProbe = 8)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  private[graft] def q79EnsureIncremental(s: SparkSession, d: String): String = {
+    val ivfPath = q78EnsureIncremental(s, d)
+    val path = incVecPath(d, "pqstore-inc")
+    if (!incScenarioFresh(path, d, "pqstore-inc")) {
+      val centroids = graft.sources.VectorStore
+        .read(s, ivfPath, planes = 8, dim = 64).centroids
+      val (base, delta, deleted) = incVecScenario(s, d)
+      graft.sources.VectorStore.writePq(
+        base, "embedding", path, centroids = centroids)
+      graft.sources.VectorStore.upsertPqCodes(
+        s, delta, "vec_id", "embedding", deleted, path, centroids)
+    }
+    path
+  }
+
+  val q79IncPq: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val pq = graft.sources.VectorStore.readPq(s, q79EnsureIncremental(s, d))
+    lastIncPqCodebooks = Some(pq.codebooks)
+    Similarity.pqTopK(pq.codes, pq.codebooks,
+        emb.filter(col("vec_id") =!= 0), "embedding", qv, 10, rerank = 50)
+      .select(col("vec_id"), col("label"), rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q62: BATCH ANN — N queries probe the persisted IVF store in one job
   // (the eval-set shape of q46, but over the pruned layout instead of a
   // full scan). Probe selection is distributed and uses the same portable
@@ -2220,6 +2329,8 @@ object PipelineCatalog {
     "q61_hybrid_rrf" -> q61HybridRrf,
     "q68_bm25_indexed" -> q68Bm25Indexed,
     "q77_inc_text_index" -> q77IncTextIndex,
+    "q78_inc_ivf" -> q78IncIvf,
+    "q79_inc_pq" -> q79IncPq,
     "q62_batch_ann" -> q62BatchAnn,
     "q69_ann_pq" -> q69AnnPq,
     "q70_gopher_quality" -> q70GopherQuality,
@@ -2241,7 +2352,11 @@ object PipelineCatalog {
     lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs)) ++
     lastPqCodebooks.map(cbs => "q73_batch_pq" -> q73Sql(cbs)) ++
     (for { cs <- lastIvfCentroids; cbs <- lastPqCodebooks }
-      yield "q76_ivf_pq" -> q76Sql(cs, cbs))
+      yield "q76_ivf_pq" -> q76Sql(cs, cbs)) ++
+    // incremental artifacts: final live state = the corpus, so the full
+    // q27/q69 replays apply verbatim — just from the BASE-trained literals
+    lastIncIvfCentroids.map(cs => "q78_inc_ivf" -> q27Sql(cs)) ++
+    lastIncPqCodebooks.map(cbs => "q79_inc_pq" -> q69Sql(cbs))
 
   private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,

@@ -73,7 +73,8 @@ object VectorStore {
     // so indexes written by an older build rebuild instead of silently
     // mixing assignment families ("portable-v1" = NearestCell identity
     // assignment replacing MLlib model.transform)
-    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v1"}"""
+    // v2: rows carry the segment generation (incremental-upsert layout)
+    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v2"}"""
   }
 
   /** Write-time indexing: label every vector with `cell` (IVF) and
@@ -90,6 +91,7 @@ object VectorStore {
     indexed.drop("features")
       .withColumn("bucket",
         Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
+      .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("bucket"))
       .write.mode("overwrite").partitionBy("cell")
@@ -98,18 +100,138 @@ object VectorStore {
       .map(_.toArray.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_centroids.json"), json)
+    writeIncStats(path,
+      emb.sparkSession.read.parquet(s"$path/vectors").count(), 0L, 0L)
   }
 
-  def read(spark: SparkSession, path: String, planes: Int, dim: Int): Index = {
+  private def readCentroids(path: String): Array[Array[Double]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(path, "_graft_centroids.json")))
-    val centroids = (0 until node.size()).map { i =>
+    (0 until node.size()).map { i =>
       val row = node.get(i)
       Array.tabulate(row.size())(j => row.get(j).asDouble())
     }.toArray
-    Index(spark.read.parquet(s"$path/vectors"), centroids, planes, dim)
+  }
+
+  def read(spark: SparkSession, path: String, planes: Int, dim: Int,
+      idCol: String = "vec_id"): Index =
+    Index(liveRows(spark, path, spark.read.parquet(s"$path/vectors"), idCol),
+      readCentroids(path), planes, dim)
+
+  // ---------------------------------------------------------------------
+  // Incremental maintenance (reference: Qdrant indexes points per upsert
+  // batch, worker/app/services/qdrant_client.py:303-407, and never
+  // rebuilds the collection on new data). New/changed vectors are
+  // assigned with the STORED centroids/hyperplanes — pure literal
+  // arithmetic, no read of stored vectors — and appended into their cell
+  // partitions at the next segment generation; replaced/deleted ids get
+  // tombstones ("rows of this id below gen g are dead"). Centroids only
+  // retrain when drift (appended fraction, tracked in the stats sidecar)
+  // passes taste — the probe identity stays replayable from the SAME
+  // exported literals across any number of upserts.
+  // ---------------------------------------------------------------------
+
+  private def writeIncStats(path: String, baseN: Long, appendedN: Long,
+      gen: Long): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_graft_inc_stats.json"),
+      s"""{"base_n":$baseN,"appended_n":$appendedN,"gen":$gen}""")
+
+  private[graft] def readIncStats(path: String): (Long, Long, Long) = {
+    val p = java.nio.file.Paths.get(path, "_graft_inc_stats.json")
+    if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L)
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      (node.get("base_n").asLong(), node.get("appended_n").asLong(),
+        node.get("gen").asLong())
+    }
+  }
+
+  /** Appended-since-train fraction — the retrain trigger a maintenance
+    * job compares against its drift budget (the cells stay CORRECT under
+    * any drift — stale centroids only cost recall, never wrong results,
+    * because probe selection and assignment use the same literals).
+    */
+  def driftFraction(path: String): Double = {
+    val (baseN, appendedN, _) = readIncStats(path)
+    if (baseN <= 0L) 0.0 else appendedN.toDouble / baseN.toDouble
+  }
+
+  private def tombstonesDir(path: String) = new java.io.File(s"$path/tombstones")
+
+  /** Tombstone-filter segment rows: dead iff some tombstone for the id
+    * has a strictly higher generation (a replaced id's new rows share the
+    * tombstone's generation and survive). No tombstone dir — the pure
+    * full-build layout — is a no-op, keeping the q25/q27 plans untouched.
+    */
+  private def liveRows(spark: SparkSession, path: String, rows: DataFrame,
+      idCol: String): DataFrame =
+    if (!tombstonesDir(path).exists()) rows
+    else {
+      val tomb = spark.read.parquet(s"$path/tombstones")
+        .groupBy(col("id")).agg(max(col("gen")).as("tomb_gen"))
+      rows.join(broadcast(tomb), rows(idCol) === tomb("id"), "left")
+        .filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
+        .drop("id", "tomb_gen")
+    }
+
+  /** The delta's labelled segment rows — cell/bucket assignment from the
+    * stored centroid literals ONLY (test-guarded: no scan of the stored
+    * vectors, the corpus, or anything else).
+    */
+  private[graft] def assignDelta(delta: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], planes: Int, dim: Int,
+      gen: Long): DataFrame =
+    delta
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCell(
+        col(vecCol).cast("array<double>"), centroids))
+      .withColumn("bucket",
+        Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
+      .withColumn("gen", lit(gen))
+
+  /** Merge a delta of new/changed vectors and a set of deleted ids into
+    * the stored index without touching stored vectors: one assignment
+    * pass over the delta (stored-literal arithmetic), one partitioned
+    * append, one tombstone append. `delta` must be unique on `idCol`.
+    */
+  def upsertVectors(spark: SparkSession, delta: DataFrame, idCol: String,
+      vecCol: String, deletedIds: DataFrame, path: String,
+      planes: Int = 8, dim: Int = 64): Unit = {
+    val centroids = readCentroids(path)
+    val (baseN, appendedN, gen0) = readIncStats(path)
+    val nextGen = gen0 + 1
+    val nDelta = delta.count()
+    // tombstone EVERY affected id (replaced, deleted, or absent — the
+    // last is harmless): no read of stored state is needed at all
+    delta.select(col(idCol).as("id"))
+      .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
+      .distinct()
+      .withColumn("gen", lit(nextGen))
+      .write.mode("append").parquet(s"$path/tombstones")
+    assignDelta(delta, vecCol, centroids, planes, dim, nextGen)
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("bucket"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/vectors")
+    writeIncStats(path, baseN, appendedN + nDelta, nextGen)
+  }
+
+  /** Fold segments + tombstones back to a clean gen-0 layout (LSM
+    * compaction; serving correctness never depends on it). Works on both
+    * the vectors and the codes artifact (`sub` = which table to rewrite).
+    */
+  def compactVectors(spark: SparkSession, path: String,
+      idCol: String = "vec_id", sub: String = "vectors"): Unit = {
+    val live = liveRows(spark, path, spark.read.parquet(s"$path/$sub"), idCol)
+      .withColumn("gen", lit(0L))
+      .localCheckpoint()
+    live.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$sub")
+    org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
+    writeIncStats(path, live.count(), 0L, 0L)
   }
 
   /** Load the index for `emb`, building it first if absent — the dev-loop
@@ -166,10 +288,11 @@ object VectorStore {
     val cfp = java.security.MessageDigest.getInstance("MD5")
       .digest(centroids.map(_.mkString(",")).mkString(";").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
-    // v3: codes carry the IVF `cell` partition column (IVF-PQ layout);
-    // manifest pins the k-means seed + the exact centroid set
+    // v4: codes carry the IVF `cell` partition column (IVF-PQ layout) AND
+    // the segment generation (incremental-upsert layout); manifest pins
+    // the k-means seed + the exact centroid set
     s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"seed":$seed,""" +
-      s""""centroid_fp":"$cfp","assign":"pq-portable-v3"}"""
+      s""""centroid_fp":"$cfp","assign":"pq-portable-v4"}"""
   }
 
   /** Train per-subspace spherical sub-codebooks (seeded MLlib k-means over
@@ -203,28 +326,67 @@ object VectorStore {
       .withColumn("cell", graft.functions.VectorFunctions.nearestCell(
         col(vecCol).cast("array<double>"), centroids))
       .drop("nv", vecCol)
+      .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"), json)
+    writeIncStats(path,
+      emb.sparkSession.read.parquet(s"$path/codes").count(), 0L, 0L)
   }
 
-  def readPq(spark: SparkSession, path: String): PqIndex = {
+  private def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(
       java.nio.file.Files.readString(
         java.nio.file.Paths.get(path, "_graft_pq_codebooks.json")))
-    val cbs = (0 until node.size()).map { mi =>
+    (0 until node.size()).map { mi =>
       val cb = node.get(mi)
       (0 until cb.size()).map { c =>
         val row = cb.get(c)
         Array.tabulate(row.size())(j => row.get(j).asDouble())
       }.toArray
     }.toArray
-    PqIndex(spark.read.parquet(s"$path/codes"), cbs,
-      cbs.length, cbs(0)(0).length, cbs(0).length)
+  }
+
+  /** Incremental PQ maintenance: encode the delta with the STORED
+    * sub-codebooks (pure literal arithmetic — codebooks only retrain on
+    * drift, like centroids) and append into the cell partitions; same
+    * tombstone contract as the vector segments.
+    */
+  def upsertPqCodes(spark: SparkSession, delta: DataFrame, idCol: String,
+      vecCol: String, deletedIds: DataFrame, path: String,
+      centroids: Array[Array[Double]]): Unit = {
+    val codebooks = readPqCodebooks(path)
+    val (baseN, appendedN, gen0) = readIncStats(path)
+    val nextGen = gen0 + 1
+    val nDelta = delta.count()
+    delta.select(col(idCol).as("id"))
+      .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
+      .distinct()
+      .withColumn("gen", lit(nextGen))
+      .write.mode("append").parquet(s"$path/tombstones")
+    delta
+      .withColumn("nv", graft.functions.VectorFunctions.l2Normalize(
+        col(vecCol).cast("array<double>")))
+      .withColumn("codes",
+        graft.functions.VectorFunctions.pqEncode(col("nv"), codebooks))
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCell(
+        col(vecCol).cast("array<double>"), centroids))
+      .drop("nv", vecCol)
+      .withColumn("gen", lit(nextGen))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    writeIncStats(path, baseN, appendedN + nDelta, nextGen)
+  }
+
+  def readPq(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): PqIndex = {
+    val cbs = readPqCodebooks(path)
+    PqIndex(liveRows(spark, path, spark.read.parquet(s"$path/codes"), idCol),
+      cbs, cbs.length, cbs(0)(0).length, cbs(0).length)
   }
 
   def ensurePq(spark: SparkSession, emb: => DataFrame, vecCol: String,

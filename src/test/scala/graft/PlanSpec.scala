@@ -267,4 +267,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!lookPlan.contains("/postings"), "affected lookup scans postings")
     assert(!lookPlan.contains("documents.parquet]"), "affected lookup scans the corpus")
   }
+
+  test("q78/q79: incremental vector artifacts keep pruning; delta assignment reads nothing stored") {
+    // Serving side: cell probes must still prune partitions THROUGH the
+    // tombstone filter, and the tombstone list rides a broadcast join.
+    val p78 = plan("q78_inc_ivf")
+    assert(p78.contains("PartitionFilters") && p78.contains("cell"),
+      "IVF probe lost cell partition pruning under the live view")
+    assert(p78.contains("tombstones"), "live view lost the tombstone filter")
+    assert(p78.contains("BroadcastHashJoin"), "tombstone filter not broadcast")
+    val p79 = plan("q79_inc_pq")
+    assert(p79.contains("codes"), "PQ candidates lost the codes scan")
+    assert(p79.contains("tombstones"), "codes live view lost the tombstone filter")
+
+    // Update side: labelling a delta is stored-literal arithmetic only —
+    // no scan of stored vectors/codes/corpus (a maintenance pass that
+    // re-reads them is a rebuild in disguise).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = graft.queries.PipelineCatalog.q78EnsureIncremental(spark, Sf)
+    val cs = graft.sources.VectorStore.read(spark, path, 8, 64).centroids
+    val delta = Seq((9000001L, Array.fill(64)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val assignPlan = graft.sources.VectorStore
+      .assignDelta(delta, "embedding", cs, planes = 8, dim = 64, gen = 9L)
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("parquet"),
+      "delta assignment scans stored state")
+  }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.VectorStore
+
+/** Incremental maintenance semantics of the vector store: upserts assign
+  * with the STORED centroids (cells stay replayable from one literal
+  * set), tombstones kill replaced/deleted versions, drift is tracked for
+  * the retrain trigger, and compaction is serving-invariant. (q78/q79
+  * pin end-to-end value parity against the DuckDB replays; these tests
+  * pin the state machine.)
+  */
+class VectorStoreIncSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Dim = 4
+
+  private def vecsDF(rows: (Long, Array[Double])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def freshPath(tag: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-vstore-spec-$tag").toFile
+    dir.deleteOnExit()
+    new java.io.File(dir, "idx").toString
+  }
+
+  private def v(xs: Double*): Array[Double] = xs.toArray
+
+  private def liveIds(path: String): Set[Long] =
+    VectorStore.read(spark, path, planes = 2, dim = Dim)
+      .vectors.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+
+  test("upsert add/replace/delete with stored-centroid assignment") {
+    val path = freshPath("upd")
+    VectorStore.write(vecsDF(
+      1L -> v(1, 0, 0, 0),
+      2L -> v(0, 1, 0, 0),   // will be replaced
+      3L -> v(0, 0, 1, 0)),  // will be deleted
+      "embedding", path, planes = 2, dim = Dim, k = 2)
+    val csBefore = VectorStore.read(spark, path, 2, Dim).centroids
+    VectorStore.upsertVectors(spark,
+      vecsDF(2L -> v(0, 0, 0, 1), 4L -> v(1, 1, 0, 0)),
+      "vec_id", "embedding",
+      vecsDF(3L -> v(0, 0, 0, 0)).select(col("vec_id")), path,
+      planes = 2, dim = Dim)
+
+    assert(liveIds(path) == Set(1L, 2L, 4L))
+    // replaced vector serves its NEW embedding
+    val e2 = VectorStore.read(spark, path, 2, Dim).vectors
+      .filter(col("vec_id") === 2L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    assert(e2 == Seq(0.0, 0.0, 0.0, 1.0))
+    // centroids untouched by the upsert (no silent retrain)
+    val csAfter = VectorStore.read(spark, path, 2, Dim).centroids
+    assert(csAfter.map(_.toSeq).toSeq == csBefore.map(_.toSeq).toSeq)
+    // cell of the appended rows = nearest STORED centroid (replayable)
+    val cells = VectorStore.read(spark, path, 2, Dim).vectors
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = vecsDF(2L -> v(0, 0, 0, 1), 4L -> v(1, 1, 0, 0))
+      .withColumn("cell", graft.functions.VectorFunctions.nearestCell(
+        col("embedding"), csBefore))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    expected.foreach { case (id, c) => assert(cells(id) == c, s"cell of $id") }
+  }
+
+  test("drift fraction tracks appended volume for the retrain trigger") {
+    val path = freshPath("drift")
+    VectorStore.write(vecsDF(
+      1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0), 3L -> v(0, 0, 1, 0),
+      4L -> v(0, 0, 0, 1)), "embedding", path, planes = 2, dim = Dim, k = 2)
+    assert(VectorStore.driftFraction(path) == 0.0)
+    VectorStore.upsertVectors(spark, vecsDF(5L -> v(1, 1, 1, 1)),
+      "vec_id", "embedding", vecsDF().select(lit(0L).as("vec_id")).limit(0),
+      path, planes = 2, dim = Dim)
+    assert(VectorStore.driftFraction(path) == 0.25)
+  }
+
+  test("compaction clears tombstones without changing the served rows") {
+    val path = freshPath("compact")
+    VectorStore.write(vecsDF(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0)),
+      "embedding", path, planes = 2, dim = Dim, k = 2)
+    VectorStore.upsertVectors(spark,
+      vecsDF(2L -> v(0, 0, 1, 0), 3L -> v(0, 0, 0, 1)),
+      "vec_id", "embedding",
+      vecsDF(1L -> v(0, 0, 0, 0)).select(col("vec_id")), path,
+      planes = 2, dim = Dim)
+    val before = VectorStore.read(spark, path, 2, Dim).vectors
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
+    VectorStore.compactVectors(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val after = VectorStore.read(spark, path, 2, Dim).vectors
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
+    assert(after == before)
+    assert(VectorStore.driftFraction(path) == 0.0)
+  }
+}
