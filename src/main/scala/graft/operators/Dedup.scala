@@ -243,6 +243,37 @@ object Dedup {
         graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-document frequent-line removal — the C4 global rule: a line
+    * occurring in ≥ `minDocs` distinct documents is boilerplate and is
+    * dropped corpus-wide (reference scope: jsonify2ai normalizes per
+    * document; this is the corpus-level companion every pretraining
+    * pipeline adds).
+    *
+    * Scale gate: on curated corpora the frequent-line set is tiny (it IS
+    * the boilerplate) and broadcasts into the LEFT ANTI join; on a
+    * web-scale crawl the >1-doc line set is itself huge (C4's global rule
+    * famously needs a shuffle), and broadcasting it is the OOM. The set
+    * is therefore materialized ONCE (`localCheckpoint` — the agg is not
+    * recomputed by the join), counted, and the anti join picks its
+    * strategy: broadcast at or below `maxBroadcastLines`, shuffled hash
+    * join on the line key above it (both sides exchange on `line`; no
+    * sort — the build side is the smaller frequent set).
+    */
+  def removeFrequentLines(lines: DataFrame, lineCol: String, docCol: String,
+      minDocs: Long = 2L, maxBroadcastLines: Long = 4000000L): DataFrame = {
+    val frequent = lines.select(col(docCol), col(lineCol)).distinct()
+      .groupBy(col(lineCol)).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col(lineCol))
+      .localCheckpoint()
+    val n = frequent.count()
+    if (n <= maxBroadcastLines)
+      lines.join(broadcast(frequent), Seq(lineCol), "left_anti")
+    else
+      lines.hint("shuffle_hash")
+        .join(frequent.hint("shuffle_hash"), Seq(lineCol), "left_anti")
+  }
+
   /** Connected components over a near-duplicate pair list — the step a
     * dedup pipeline runs AFTER pair finding: transitive closure groups
     * a~b, b~c into one cluster whose id is the smallest member, and the

@@ -2109,8 +2109,10 @@ object PipelineCatalog {
   // complementing q55's within-document pass. Scale shape: explode →
   // distinct (line, doc) → per-line doc-frequency partial agg (map-side
   // combine bounds the shuffle at distinct-line count); the frequent-line
-  // set is SMALL by construction (it IS the boilerplate) so it broadcasts
-  // into a LEFT ANTI join against the exploded lines; reassembly is one
+  // set is materialized once and SIZE-GATED (Dedup.removeFrequentLines):
+  // small sets — this corpus — broadcast into the LEFT ANTI join, while a
+  // web-scale set falls back to a shuffled hash anti join (broadcasting
+  // C4's global line set is the OOM at 100 TB); reassembly is one
   // groupBy(doc) with an idx-sorted fold. All-integer/string arithmetic —
   // the oracle replays it with plain SQL aggregation, no float pinning.
   // -------------------------------------------------------------------------
@@ -2124,13 +2126,7 @@ object PipelineCatalog {
       .withColumn("body", body)
       .select(col("doc_id"),
         posexplode(split(col("body"), "\n")).as(Seq("idx", "line")))
-    val frequent = lines
-      .select(col("doc_id"), col("line")).distinct()
-      .groupBy(col("line")).agg(count(lit(1)).as("docs"))
-      .filter(col("docs") > 1)
-      .select(col("line"))
-    lines
-      .join(broadcast(frequent), Seq("line"), "left_anti")
+    Dedup.removeFrequentLines(lines, "line", "doc_id")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("int").as("n_kept"),

@@ -160,6 +160,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "frequent-line set not broadcast")
   }
 
+  test("q74 operator: oversized frequent-line set falls back to a shuffled anti join") {
+    // Above the gate the anti join must exchange on the line key instead
+    // of broadcasting (C4's global set does not fit one executor at web
+    // scale) — and must stay a HASH join, not degrade to sort-merge.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val lines = Seq((1L, 0, "common"), (1L, 1, "only-a"),
+      (2L, 0, "common"), (2L, 1, "only-b"))
+      .toDF("doc_id", "idx", "line")
+    val gated = graft.operators.Dedup.removeFrequentLines(
+      lines, "line", "doc_id", maxBroadcastLines = 0L)
+    val p = gated.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "gated removal lost the anti-join")
+    assert(!p.contains("BroadcastHashJoin"), "oversized set still broadcasts")
+    assert(p.contains("ShuffledHashJoin"), "fallback degraded from hash join")
+    // both strategies keep the same answer
+    val kept = gated.select(col("line")).collect().map(_.getString(0)).toSet
+    assert(kept == Set("only-a", "only-b"))
+  }
+
   test("q76: IVF-PQ prunes code partitions at the source, reads codes only") {
     val p = plan("q76_ivf_pq")
     val codesRoot = graft.sources.VectorStore.pqPath(Sf).replace("\\", "")
