@@ -50,20 +50,26 @@ object FileIngest {
   }
 
   /** F11: canonical POSIX relpath under the dropzone root
-    * (docids.py:28-41): strip the root prefix, `./`, and the historical
-    * `data/dropzone/` prefix.
+    * (docids.py:28-41): strip the `file:` scheme, root prefix, `./`, and
+    * the historical `data/dropzone/` prefix. A compact codegen kernel
+    * ([[graft.functions.PathKernels]]) — pushdown copies this expression
+    * into every ignore/guard filter, and the former regexp_replace chain
+    * inflated the fused ingest stage past Janino's 64 KB method limit
+    * (whole stage fell back to interpreted).
     */
   def canonicalRelpath(path: Column, root: String): Column = {
     val rootNorm = root.stripSuffix("/") + "/"
-    val stripped = regexp_replace(path, "^file:", "")
-    val rel = regexp_replace(stripped, "^" + java.util.regex.Pattern.quote(rootNorm), "")
-    val noDot = regexp_replace(rel, "^\\./", "")
-    regexp_replace(noDot, "^data/dropzone/", "")
+    org.apache.spark.sql.GraftSql.column(
+      graft.functions.CanonicalRelpath(
+        org.apache.spark.sql.GraftSql.expression(path), rootNorm))
   }
 
-  private def basename(path: Column): Column = element_at(split(path, "/"), -1)
+  private def basename(path: Column): Column =
+    org.apache.spark.sql.GraftSql.column(graft.functions.PathBasename(
+      org.apache.spark.sql.GraftSql.expression(path)))
   private def extension(path: Column): Column =
-    lower(regexp_extract(basename(path), "\\.([^.]+)$", 1))
+    org.apache.spark.sql.GraftSql.column(graft.functions.PathExt(
+      org.apache.spark.sql.GraftSql.expression(path), withDot = false))
 
   /** P4: ignore-filter predicate over the canonical relpath. */
   def keepFile(relpath: Column): Column = {
@@ -148,7 +154,8 @@ object FileIngest {
       // equals sha256 of the text, which is what every oracle computes.
       .withColumn("content_sig", sha2(col("content"), 256))
       .withColumn("source_ext",
-        lower(regexp_extract(basename(col("relpath")), "(\\.[^.]+)$", 1)))
+        org.apache.spark.sql.GraftSql.column(graft.functions.PathExt(
+          org.apache.spark.sql.GraftSql.expression(col("relpath")), withDot = true)))
       .withColumn("mtime", mtime)
       .select(col("relpath"), col("kind"), col("raw_text"), col("content"),
         col("content_sig"), col("length").as("bytes"),

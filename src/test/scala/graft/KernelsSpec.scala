@@ -53,6 +53,34 @@ class KernelsSpec extends AnyFunSuite {
     assert(fp(0x1L, 0x3L, 0x4L) == 0x1L)
   }
 
+  test("path kernels match the regex-chain semantics they replaced") {
+    import graft.functions.PathKernels
+    // canonical_relpath = sequential anchored prefix strips
+    // (file: → root → ./ → data/dropzone/), exactly the old
+    // regexp_replace chain including its strip ORDER
+    def rel(p: String) = PathKernels.canonicalRelpath(u(p), "dz/").toString
+    assert(rel("file:dz/docs/a.txt") == "docs/a.txt")
+    assert(rel("./x/y.md") == "x/y.md")
+    assert(rel("data/dropzone/k.csv") == "k.csv")
+    assert(rel("dz/data/dropzone/k.csv") == "k.csv")
+    assert(rel("docs/a.txt") == "docs/a.txt")
+    // basename = element_at(split(p, "/"), -1), trailing slash → empty
+    assert(PathKernels.basename(u("a/b/c.txt")).toString == "c.txt")
+    assert(PathKernels.basename(u("c.txt")).toString == "c.txt")
+    assert(PathKernels.basename(u("a/b/")).toString == "")
+    // ext = lower(regexp_extract(basename, "\.([^.]+)$" / "(\.[^.]+)$", 1)):
+    // empty on no dot / trailing dot, lowercased, last dot wins
+    def e(p: String) = PathKernels.ext(u(p), withDot = false).toString
+    assert(e("a/b/C.TXT") == "txt")
+    assert(e("a/b.tar.gz") == "gz")
+    assert(e("noext") == "")
+    assert(e("a/name.") == "")
+    assert(e(".hidden") == "hidden")
+    assert(e("dir.v2/file") == "") // dot in a DIRECTORY must not count
+    assert(PathKernels.ext(u("a/b/Q.JSON"), withDot = true).toString == ".json")
+    assert(PathKernels.ext(u("a/plain"), withDot = true).toString == "")
+  }
+
   test("band_minhash portable family is frozen (drift golden)") {
     // The q19 DuckDB oracle replays this family bit-for-bit from the
     // published constants — any change to the hash derivation silently

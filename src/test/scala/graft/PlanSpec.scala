@@ -288,6 +288,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!lookPlan.contains("documents.parquet]"), "affected lookup scans the corpus")
   }
 
+  test("ingest lineage stays inside whole-stage codegen (no Janino 64 KB fallback)") {
+    // The round-5 regression: pushdown copies path/guard expressions into
+    // the fused ingest stage many times over; if any stage's generated
+    // method outgrows the JVM 64 KB limit, Janino fails and the WHOLE
+    // stage silently drops to interpreted execution (q33/q34/q54 ran
+    // ~60% slower). codegenStringSeq compiles every stage and reports
+    // UNAVAILABLE (-1) bytecode stats on failure — assert none do.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    for (q <- Seq("q33_ingest_text", "q34_ingest_route", "q54_incremental_ingest")) {
+      val df = SparkEntry.queries(q)(s2, Sf)
+      val stages = org.apache.spark.sql.execution.debug.codegenStringSeq(
+        df.queryExecution.executedPlan)
+      assert(stages.nonEmpty, s"$q: no whole-stage codegen at all")
+      stages.foreach { case (subtree, _, stats) =>
+        assert(stats.maxMethodCodeSize > 0,
+          s"$q: a codegen stage failed to compile (interpreted fallback): " +
+            subtree.linesIterator.next().take(120))
+      }
+    }
+  }
+
   test("q78/q79: incremental vector artifacts keep pruning; delta assignment reads nothing stored") {
     // Serving side: cell probes must still prune partitions THROUGH the
     // tombstone filter, and the tombstone list rides a broadcast join.
