@@ -874,12 +874,28 @@ object IngestCatalog {
     val cmap =
       "begincodespacerange <0000> <00FF> endcodespacerange\n" +
         "beginbfrange\n<0000> <00FF> <0000>\nendbfrange"
+    // THREE text segments with observable assembly structure (the oracle
+    // recomputes the exact composition, so dropped segments, wrong stream
+    // order, lost line breaks or doc_id mix-ups all hash-fail — round-5
+    // advice: assert the expected extraction literally, not trim(text)):
+    //   line 1: chars 1-40 as two-byte hex under the ObjStm-resolved CMap
+    //   line 2: a doc_id-interpolated marker, same deep path
+    //   line 3: chars 41-120 as a LITERAL string in a SECOND, uncompressed
+    //           content stream (multi-stream file-order concatenation)
+    val marker = concat(lit("[deep "), col("doc_id"), lit("]"))
     val contentOps = concat(
-      lit("BT /F1 1 Tf <"), hex(encode(col("text"), "UTF-16BE")), lit("> Tj ET"))
+      lit("BT /F1 1 Tf <"),
+      hex(encode(substring(col("text"), 1, 40), "UTF-16BE")),
+      lit("> Tj T* <"), hex(encode(marker, "UTF-16BE")), lit("> Tj T* ET"))
+    val seg3 = regexp_replace(regexp_replace(regexp_replace(
+      substring(col("text"), 41, 80),
+      "\\\\", "\\\\\\\\"), "\\(", "\\\\("), "\\)", "\\\\)")
     val pdf = concat(
       encode(lit("%PDF-1.5\n2 0 obj\n<< /Filter /FlateDecode >>\nstream\n"), "ISO-8859-1"),
       BinaryDocs.flateCompressCol(contentOps),
-      encode(lit("\nendstream\nendobj\n" +
+      encode(lit("\nendstream\nendobj\n6 0 obj\n<< >>\nstream\nBT ("), "ISO-8859-1"),
+      encode(seg3, "ISO-8859-1"),
+      encode(lit(") Tj ET\nendstream\nendobj\n" +
         "3 0 obj\n<< /CMapType 2 >>\nstream\n" + cmap + "\nendstream\nendobj\n" +
         s"4 0 obj\n<< /Type /ObjStm /N 2 /First ${header.length} >>\nstream\n" +
         objStm + "\nendstream\nendobj\n%%EOF"), "ISO-8859-1"))
@@ -889,8 +905,16 @@ object IngestCatalog {
       .orderBy(col("doc_id"))
   }
 
+  /** The walker trims each output line and drops empties before joining
+    * with newlines — `concat_ws` over NULLIF'd trimmed segments replays
+    * that assembly exactly.
+    */
   private val q66Sql =
-    """SELECT doc_id, trim(text) AS pdf_text FROM documents ORDER BY doc_id"""
+    """SELECT doc_id, concat_ws(chr(10),
+         nullif(trim(substr(text, 1, 40)), ''),
+         '[deep ' || doc_id || ']',
+         nullif(trim(substr(text, 41, 80)), '')) AS pdf_text
+       FROM documents ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
 
