@@ -298,7 +298,7 @@ object BinaryDocs {
   /** Decode a PDF literal string body: escapes \n \r \t \b \f \( \) \\,
     * octal \ddd, and line continuations (PDF 32000-1 §7.3.4.2).
     */
-  private def pdfString(s: String): String = {
+  private[sources] def pdfStringBody(s: String): String = {
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i < s.length) {
@@ -597,22 +597,26 @@ object BinaryDocs {
     * one expansion level is complete by construction). Insertion order =
     * file order, so content-stream assembly stays document-ordered.
     */
-  private def objectBodies(raw: String): java.util.LinkedHashMap[Int, String] = {
+  private def objectBodies(raw: String,
+      dec: (Int, String) => String = (_, s) => s)
+      : java.util.LinkedHashMap[Int, String] = {
     val bodies = new java.util.LinkedHashMap[Int, String]()
     val om = ObjRe.matcher(raw)
     while (om.find()) bodies.put(om.group(1).toInt, om.group(2))
 
-    val containers = new java.util.ArrayList[String]()
-    bodies.forEach { (_, body) =>
-      if (dictPart(body).contains("/ObjStm")) containers.add(body)
+    val containers = new java.util.ArrayList[(Int, String)]()
+    bodies.forEach { (num, body) =>
+      if (dictPart(body).contains("/ObjStm")) containers.add((num, body))
     }
-    containers.forEach { body =>
+    containers.forEach { case (num, body) =>
       try {
         val dict = dictPart(body)
         val nm = ObjStmNRe.matcher(dict)
         val fm = ObjStmFirstRe.matcher(dict)
+        // encrypted files encrypt the CONTAINER stream; the packed
+        // objects inside are stored in the clear once it is decrypted
         if (nm.find() && fm.find()) streamData(body).foreach { data =>
-          val text = decodeStream(dict, data)
+          val text = decodeStream(dict, dec(num, data))
           val n = nm.group(1).toInt
           val first = fm.group(1).toInt
           if (first <= text.length) {
@@ -641,14 +645,17 @@ object BinaryDocs {
     * font and resource dicts included.
     */
   private def documentCMaps(
-      bodies: java.util.LinkedHashMap[Int, String]): java.util.HashMap[String, ToUnicodeCMap] = {
+      bodies: java.util.LinkedHashMap[Int, String],
+      dec: (Int, String) => String = (_, s) => s)
+      : java.util.HashMap[String, ToUnicodeCMap] = {
 
     def cmapOfObject(num: Int): Option[ToUnicodeCMap] = {
       val body = bodies.get(num)
       if (body == null) return None
       val sm = StreamRe.matcher(body)
       if (!sm.find()) return None
-      parseCMap(decodeStream(dictPart(body), sm.group(1)))
+      // ToUnicode CMap streams are encrypted like any other stream
+      parseCMap(decodeStream(dictPart(body), dec(num, sm.group(1))))
     }
 
     // font object number → its CMap
@@ -701,7 +708,7 @@ object BinaryDocs {
     var cmap: ToUnicodeCMap = null
     def show(literal: String, hex: String): Unit = {
       val bytes =
-        if (literal != null) pdfString(literal)
+        if (literal != null) pdfStringBody(literal)
         else {
           val h = hex.replaceAll("\\s", "")
           val sb = new java.lang.StringBuilder
@@ -751,16 +758,24 @@ object BinaryDocs {
   def pdfText(bytes: Array[Byte]): String = {
     try {
       val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val bodies = objectBodies(raw)
-      val fonts = documentCMaps(bodies)
+      // standard security handler: empty-user-password files (owner-only
+      // restrictions) decrypt transparently; a real user password -> ""
+      // (degrade like the reference's unreadable-input skip)
+      val dec: (Int, String) => String = PdfCrypt.access(raw) match {
+        case PdfCrypt.Denied => return ""
+        case PdfCrypt.Granted(f) => f
+        case _ => (_, s) => s
+      }
+      val bodies = objectBodies(raw, dec)
+      val fonts = documentCMaps(bodies, dec)
       val out = new java.lang.StringBuilder
       var sawStream = false
-      bodies.forEach { (_, body) =>
+      bodies.forEach { (num, body) =>
         val dict = dictPart(body)
         if (!dict.contains("/ObjStm") && !dict.contains("/XRef"))
           streamData(body).foreach { data =>
             sawStream = true
-            val text = decodeStream(dict, data) // declared filter chain
+            val text = decodeStream(dict, dec(num, data)) // decrypt, then filters
             if (looksLikeContent(text)) streamText(text, out, fonts)
           }
       }

@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standard-security-handler goldens: fixtures are ENCRYPTED here by
+  * running the published spec algorithms forward (O/U entries, per-object
+  * keys, AES stream layout computed independently of the decrypt path),
+  * then pushed through the real `BinaryDocs.pdfText`. Empty-user-password
+  * files (owner-only restrictions) must decrypt transparently; a real
+  * user password must degrade to empty — pypdf-parity behavior.
+  */
+class PdfCryptSpec extends AnyFunSuite {
+
+  private def b(s: String): Array[Byte] = PdfCrypt.bytesOf(s)
+  private def hex(a: Array[Byte]): String = a.map(x => f"${x & 0xff}%02X").mkString
+  private val id0 = Array.tabulate(16)(i => (i * 7 + 3).toByte)
+  private val P = -44 // print allowed, modify/copy denied — the common case
+
+  private def pdfBytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = s.charAt(i).toByte; i += 1 }
+    out
+  }
+
+  private def assemble(encDict: String, cipherStream: Array[Byte]): Array[Byte] = {
+    val head = "%PDF-1.6\n1 0 obj\n<< /Length " + cipherStream.length +
+      " >>\nstream\n"
+    val tail = "\nendstream\nendobj\n9 0 obj\n" + encDict + "\nendobj\n" +
+      s"trailer << /Root 2 0 R /Encrypt 9 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF"
+    pdfBytes(head) ++ cipherStream ++ pdfBytes(tail)
+  }
+
+  private def rc4Pdf(text: String, userPwd: String, ownerPwd: String,
+      r: Int, lengthBits: Int): Array[Byte] = {
+    val o = PdfCrypt.ownerEntry(b(ownerPwd), b(userPwd), r, lengthBits)
+    val key = PdfCrypt.rc4FileKey(b(userPwd), o, P, id0, r, lengthBits,
+      encryptMetadata = true)
+    val u = PdfCrypt.userEntry(key, id0, r)
+    val v = if (r == 2) 1 else 2
+    val cipher = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 1, 0, aes = false), b(s"BT ($text) Tj ET"))
+    assemble(
+      s"<< /Filter /Standard /V $v /R $r /Length $lengthBits /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", cipher)
+  }
+
+  private def aesV2Pdf(text: String, userPwd: String, ownerPwd: String): Array[Byte] = {
+    val o = PdfCrypt.ownerEntry(b(ownerPwd), b(userPwd), r = 4, 128)
+    val key = PdfCrypt.rc4FileKey(b(userPwd), o, P, id0, r = 4, 128,
+      encryptMetadata = true)
+    val u = PdfCrypt.userEntry(key, id0, r = 4)
+    val iv = Array.tabulate(16)(i => (i * 13 + 1).toByte)
+    val cipher = PdfCrypt.aesEncryptStream(
+      PdfCrypt.objectKey(key, 1, 0, aes = true), iv, b(s"BT ($text) Tj ET"))
+    assemble(
+      "<< /Filter /Standard /V 4 /R 4 /Length 128 /P " + P +
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
+        s" /StmF /StdCF /StrF /StdCF /O <${hex(o)}> /U <${hex(u)}> >>", cipher)
+  }
+
+  private def aesV3Pdf(text: String, userPwd: String, ownerPwd: String,
+      r: Int): Array[Byte] = {
+    val none = Array.emptyByteArray
+    val valSalt = Array.tabulate(8)(i => (i + 1).toByte)
+    val keySalt = Array.tabulate(8)(i => (i + 101).toByte)
+    val fileKey = Array.tabulate(32)(i => (i * 11 + 5).toByte)
+    val u = PdfCrypt.hash2b(b(userPwd), valSalt, none, r) ++ valSalt ++ keySalt
+    val ue = PdfCrypt.aesWrapKey(PdfCrypt.hash2b(b(userPwd), keySalt, none, r), fileKey)
+    val oValSalt = Array.tabulate(8)(i => (i + 51).toByte)
+    val oKeySalt = Array.tabulate(8)(i => (i + 151).toByte)
+    val o = PdfCrypt.hash2b(b(ownerPwd), oValSalt, u, r) ++ oValSalt ++ oKeySalt
+    val oe = PdfCrypt.aesWrapKey(PdfCrypt.hash2b(b(ownerPwd), oKeySalt, u, r), fileKey)
+    val iv = Array.tabulate(16)(i => (i * 17 + 9).toByte)
+    val cipher = PdfCrypt.aesEncryptStream(fileKey, iv, b(s"BT ($text) Tj ET"))
+    assemble(
+      s"<< /Filter /Standard /V 5 /R $r /Length 256 /P $P" +
+        " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF" +
+        s" /O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> >>",
+      cipher)
+  }
+
+  test("RC4 40-bit (V1/R2) empty user password decrypts transparently") {
+    assert(BinaryDocs.pdfText(rc4Pdf("Forty bit secret", "", "owner", 2, 40))
+      == "Forty bit secret")
+  }
+
+  test("RC4 128-bit (V2/R3) owner-restricted file decrypts with empty user password") {
+    assert(BinaryDocs.pdfText(rc4Pdf("Print-restricted text", "", "hunter2", 3, 128))
+      == "Print-restricted text")
+  }
+
+  test("AES-128 (V4/AESV2) empty user password decrypts transparently") {
+    assert(BinaryDocs.pdfText(aesV2Pdf("AESV2 body", "", "owner-pass"))
+      == "AESV2 body")
+  }
+
+  test("AES-256 (V5/R6) hard-hash validation + UE key unwrap") {
+    assert(BinaryDocs.pdfText(aesV3Pdf("Modern AES256 text", "", "owner!", 6))
+      == "Modern AES256 text")
+  }
+
+  test("AES-256 (V5/R5) simple-hash variant") {
+    assert(BinaryDocs.pdfText(aesV3Pdf("Legacy R5 text", "", "owner!", 5))
+      == "Legacy R5 text")
+  }
+
+  test("real user password degrades to empty, never garbage") {
+    assert(BinaryDocs.pdfText(rc4Pdf("hidden", "secret", "owner", 3, 128)) == "")
+    assert(BinaryDocs.pdfText(aesV2Pdf("hidden", "secret", "owner")) == "")
+    assert(BinaryDocs.pdfText(aesV3Pdf("hidden", "secret", "owner", 6)) == "")
+  }
+
+  test("unsupported security handler degrades to empty") {
+    val weird = assemble(
+      "<< /Filter /AcmeSecure /V 2 /R 3 /Length 128 /P -44 /O <00> /U <00> >>",
+      b("BT (x) Tj ET"))
+    assert(BinaryDocs.pdfText(weird) == "")
+  }
+}
