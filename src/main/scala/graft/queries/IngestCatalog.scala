@@ -917,6 +917,42 @@ object IngestCatalog {
        FROM documents ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q80: the worker HTTP path's SECOND CSV parser (S4 companion;
+  // services/parsers_csv.py:6-26) — plain csv.reader with NO sniffing,
+  // rows truncated at 50 cells, cells stripped, " | "-joined, each row
+  // string hard-capped at 2000 chars, one CHUNK per surviving row. The
+  // in-query corpus exercises every cap: a 55-column row, a padded cell
+  // ahead of a 2100-char cell (strip + hard cap interplay), blank rows,
+  // and quoted cells. The oracle composes the EXPECTED chunks
+  // independently; 76 reference-executed goldens pin the kernel itself.
+  // -------------------------------------------------------------------------
+
+  val q80CsvRowChunks: Q = (s, d) => {
+    val content = concat(
+      lit("h"), repeat(lit(",x"), 54), lit("\n"),
+      lit("  pad"), col("lang"), lit("  ,"), repeat(lit("w"), 2100), lit("\n"),
+      lit("\n\"a "), col("lang"), lit("\",b\n\nc,"),
+      col("doc_id").cast("string"), lit("\n"))
+    docs(s, d)
+      .select(col("doc_id"),
+        posexplode(graft.sources.CsvText.csvRowChunksCol(content))
+          .as(Seq("idx", "chunk")))
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
+  private val q80Sql =
+    """WITH d AS (SELECT doc_id, lang FROM documents),
+       e AS (
+         SELECT doc_id, 0 AS idx, 'h' || repeat(' | x', 49) AS chunk FROM d
+         UNION ALL
+         SELECT doc_id, 1, substr('pad' || lang || ' | ' || repeat('w', 2100), 1, 2000) FROM d
+         UNION ALL
+         SELECT doc_id, 2, 'a ' || lang || ' | b' FROM d
+         UNION ALL
+         SELECT doc_id, 3, 'c | ' || CAST(doc_id AS VARCHAR) FROM d)
+       SELECT doc_id, idx, chunk FROM e ORDER BY doc_id, idx"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -938,6 +974,7 @@ object IngestCatalog {
     "q64_csv_dialects" -> q64CsvDialects,
     "q65_docx_ingest" -> q65DocxIngest,
     "q66_pdf_deep" -> q66PdfDeep,
+    "q80_csv_row_chunks" -> q80CsvRowChunks,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -960,5 +997,6 @@ object IngestCatalog {
     "q64_csv_dialects" -> q64Sql,
     "q65_docx_ingest" -> q65Sql,
     "q66_pdf_deep" -> q66Sql,
+    "q80_csv_row_chunks" -> q80Sql,
   )
 }

@@ -39,6 +39,28 @@ class CsvSpec extends AnyFunSuite {
     }
   }
 
+  test("parsers_csv.py variant: all reference-executed row-chunk goldens match") {
+    // The worker HTTP path's SECOND parser (no sniffing, 50-col/2000-char
+    // caps, per-row chunks) — goldens from tools/gen_csv_rowchunk_goldens.py
+    val in = getClass.getResourceAsStream("/csv_rowchunk_goldens.json")
+    require(in != null, "csv_rowchunk_goldens.json missing from test resources")
+    val raw = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(raw)
+    assert(root.size() >= 70)
+    val bad = (0 until root.size()).flatMap { i =>
+      val n = root.get(i)
+      val expected = (0 until n.get("expected").size())
+        .map(j => n.get("expected").get(j).asText())
+      val got = CsvText.csvRowChunks(n.get("content").asText()).toSeq
+      if (got != expected) Some((n.get("name").asText(), expected, got)) else None
+    }
+    withClue(bad.take(3).map { case (n, e, g) =>
+      s"$n:\n  expected ${e.mkString("⏎").take(200)}\n  got      ${g.mkString("⏎").take(200)}"
+    }.mkString("\n")) {
+      assert(bad.isEmpty, s"${bad.size} goldens diverge: ${bad.map(_._1).mkString(", ")}")
+    }
+  }
+
   test("row cap matches the reference off-by-one (5001 rows)") {
     val (_, _, expected) = goldens.find(_._1 == "many_rows").get
     assert(expected.linesIterator.size == 5001)
