@@ -439,6 +439,81 @@ object BinaryDocs {
     else Some(new ToUnicodeCMap(if (codeLen == 0) 2 else codeLen, map))
   }
 
+  // ---- no-ToUnicode fallback: /Encoding /Differences glyph names ------
+
+  private val EncodingRefRe = java.util.regex.Pattern.compile(
+    "/Encoding\\s+(\\d+)\\s+\\d+\\s+R")
+  private val DifferencesRe = java.util.regex.Pattern.compile(
+    "/Differences\\s*\\[(.*?)\\]", java.util.regex.Pattern.DOTALL)
+  private val DiffTokenRe = java.util.regex.Pattern.compile(
+    "(\\d+)|/([A-Za-z0-9.]+)")
+
+  /** Adobe Glyph List subset covering the printable-ASCII names subset
+    * fonts actually emit, plus `uniXXXX` direct code points.
+    */
+  private val GlyphNames: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    for (c <- 'A' to 'Z') m.put(c.toString, c.toString)
+    for (c <- 'a' to 'z') m.put(c.toString, c.toString)
+    val named = Seq(
+      "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+      "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+      "eight" -> "8", "nine" -> "9",
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+", "comma" -> ",",
+      "hyphen" -> "-", "period" -> ".", "slash" -> "/", "colon" -> ":",
+      "semicolon" -> ";", "less" -> "<", "equal" -> "=", "greater" -> ">",
+      "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+      "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+      "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+      "braceright" -> "}", "asciitilde" -> "~",
+      "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotedblleft" -> "“", "quotedblright" -> "”",
+      "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+      "fi" -> "ﬁ", "fl" -> "ﬂ")
+    named.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  private def glyphChar(name: String): Option[String] = {
+    val hit = GlyphNames.get(name)
+    if (hit != null) Some(hit)
+    else if (name.startsWith("uni") && name.length >= 7)
+      try Some(Integer.parseInt(name.substring(3, 7), 16).toChar.toString)
+      catch { case _: NumberFormatException => None }
+    else None
+  }
+
+  /** Single-byte code table from an /Encoding dict with /Differences:
+    * Latin-1 identity base (≈ Standard/WinAnsi on printable ASCII, the
+    * dominant case), remapped entries overlaid from glyph names; names
+    * outside the AGL subset DROP their code (pypdf emits nothing for
+    * unmappable glyphs). Fonts without /Differences keep byte-wise
+    * Latin-1 via the no-CMap path, same as before.
+    */
+  private def encodingCMap(encBody: String): Option[ToUnicodeCMap] = {
+    val dm = DifferencesRe.matcher(encBody)
+    if (!dm.find()) return None
+    val map = new java.util.HashMap[Int, String]()
+    var c = 0
+    while (c < 256) { map.put(c, c.toChar.toString); c += 1 }
+    val tm = DiffTokenRe.matcher(dm.group(1))
+    var code = 0
+    while (tm.find()) {
+      if (tm.group(1) != null) code = tm.group(1).toInt
+      else {
+        glyphChar(tm.group(2)) match {
+          case Some(ch) => map.put(code, ch)
+          case None => map.remove(code)
+        }
+        code += 1
+      }
+    }
+    Some(new ToUnicodeCMap(1, map))
+  }
+
   private val ObjRe = java.util.regex.Pattern.compile(
     "(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj", java.util.regex.Pattern.DOTALL)
   private val ToUnicodeRefRe = java.util.regex.Pattern.compile(
@@ -658,12 +733,24 @@ object BinaryDocs {
       parseCMap(decodeStream(dictPart(body), dec(num, sm.group(1))))
     }
 
-    // font object number → its CMap
+    // font object number → its CMap; fonts WITHOUT a ToUnicode CMap fall
+    // back to the /Encoding /Differences glyph-name heuristic (pypdf's
+    // charmap fallback): subset fonts remap codes arbitrarily, so raw
+    // byte-wise extraction would be wrong exactly there
     val byFontObj = new java.util.HashMap[Int, ToUnicodeCMap]()
     bodies.forEach { (num, body) =>
       val tm = ToUnicodeRefRe.matcher(body)
       if (tm.find())
         cmapOfObject(tm.group(1).toInt).foreach(byFontObj.put(num, _))
+      else if (body.contains("/Font")) {
+        // /Encoding may be inline or an indirect object
+        val encBody = {
+          val er = EncodingRefRe.matcher(body)
+          if (er.find()) Option(bodies.get(er.group(1).toInt)).getOrElse(body)
+          else body
+        }
+        encodingCMap(encBody).foreach(byFontObj.put(num, _))
+      }
     }
     // resource font name → font object → CMap
     val byName = new java.util.HashMap[String, ToUnicodeCMap]()

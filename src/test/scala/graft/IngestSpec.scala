@@ -388,6 +388,45 @@ class IngestSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText(bad.getBytes("ISO-8859-1")) == "Ho\nel")
   }
 
+  test("PDF no-ToUnicode fonts: /Encoding /Differences glyph names remap codes (S7)") {
+    import graft.sources.BinaryDocs
+    // A subset font with NO ToUnicode CMap remaps codes arbitrarily: here
+    // 65→/b, 66→/a (sequential), 48→/space, 49→/uni0058 ('X'), 50→/bogus
+    // (outside the AGL subset: dropped). Codes NOT in /Differences keep
+    // the Latin-1 base ('C' stays 'C').
+    def pdfWith(fontObj: String, extra: String = ""): String = {
+      val content = "BT /F1 12 Tf (AB C01 2z) Tj ET"
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Page /Resources << /Font << /F1 2 0 R >> >> /Contents 4 0 R >>
+         |endobj
+         |2 0 obj
+         |$fontObj
+         |endobj
+         |${extra}4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |trailer
+         |%%EOF""".stripMargin
+    }
+    val inline = pdfWith(
+      "<< /Type /Font /Subtype /TrueType /Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 65 /b /a 48 /space 49 /uni0058 50 /bogus ] >> >>")
+    // 'A'(65)→b 'B'(66)→a ' '→' ' 'C'→C '0'(48)→' ' '1'(49)→X ' '→' ' '2'(50)→dropped 'z'→z
+    assert(BinaryDocs.pdfText(inline.getBytes("ISO-8859-1")) == "ba C X z")
+    // same /Differences via an INDIRECT /Encoding object resolves too
+    val indirect = pdfWith(
+      "<< /Type /Font /Subtype /TrueType /Encoding 5 0 R >>",
+      "5 0 obj\n<< /Type /Encoding /Differences [ 65 /b /a 48 /space 49 /uni0058 50 /bogus ] >>\nendobj\n")
+    assert(BinaryDocs.pdfText(indirect.getBytes("ISO-8859-1")) == "ba C X z")
+    // a font with NEITHER ToUnicode nor Differences keeps byte-wise latin-1
+    val plain = pdfWith("<< /Type /Font /Subtype /TrueType >>")
+    assert(BinaryDocs.pdfText(plain.getBytes("ISO-8859-1")) == "AB C01 2z")
+  }
+
   test("PDF 1.5 object streams: ObjStm-packed font dicts resolve, XRef payloads excluded (S7)") {
     import graft.sources.BinaryDocs
     def deflate(s: String): String = {
