@@ -1949,6 +1949,167 @@ object PipelineCatalog {
        ORDER BY d2.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q81: CCNet-style LM quality scoring — a bigram language model with
+  // add-one smoothing trained on the 'en' slice (the "clean reference
+  // corpus" role KenLM plays in CCNet), scoring EVERY document by mean
+  // negative log-likelihood; low NLL ≈ target-like text. Scale shape:
+  // unigram/bigram counts are map-side-combined aggregations bounded by
+  // vocab size; scoring is the exploded-bigram frame joined to the count
+  // tables on token keys (hash joins — the counts table of a 100 TB LM
+  // does NOT broadcast, exactly like q74's gate rationale) and ONE
+  // per-doc position-ordered fold pins the float sum. V (distinct LM
+  // unigrams) is the single bounded driver-side scalar (DSIR pattern);
+  // the keep gate is a FIXED threshold — CCNet thresholds come from the
+  // LM's validation set, not a global percentile sort of the corpus.
+  // -------------------------------------------------------------------------
+
+  // -------------------------------------------------------------------------
+  // q82: SemDeDup-style semantic deduplication (Abbas et al. 2023) — the
+  // embedding-space companion to MinHash/SimHash: cluster the corpus,
+  // then drop near-identical items WITHIN each cluster, keeping the
+  // lowest id. The clusters ARE the persisted IVF cells (one shared
+  // centroid set with q27/q62/q76 — no extra training, and the pairwise
+  // stage is an equi-join on the cell partition key, so the quadratic
+  // work is bounded per cell ≈ (N/k)² instead of N² — exactly the
+  // SemDeDup design point). Output: every vector's cell, its count of
+  // lower-id near-duplicates (cos ≥ τ) and the keep flag.
+  // -------------------------------------------------------------------------
+
+  private val SemDedupTau = 0.4
+
+  val q82SemDedup: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
+    val m = store.vectors.select(col("vec_id"), col("cell"),
+      col("embedding").cast("array<double>").as("v"))
+    val dups = m
+      .join(m.select(col("cell"), col("vec_id").as("o_id"), col("v").as("ov")),
+        Seq("cell"))
+      .filter(col("o_id") < col("vec_id"))
+      .filter(graft.functions.VectorFunctions.cosine(col("v"), col("ov"))
+        >= SemDedupTau)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("nd"))
+    m.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        coalesce(col("nd"), lit(0L)).cast("int").as("n_lower_dups"),
+        (coalesce(col("nd"), lit(0L)) === 0).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cell assignment replayed from the published centroid literals (the
+    * q27 machinery), then the within-cell lower-id pair count in SQL.
+    */
+  private def q82Sql(cs: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${cn2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         WHERE vec_id <> 0
+       ), n AS (
+         SELECT vec_id, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), a AS (
+         SELECT vec_id, v, list_position($dExprs, list_min($dExprs)) - 1 AS cell
+         FROM n
+       ), p AS (
+         SELECT x.vec_id, count(*) AS nd
+         FROM a x JOIN a y ON x.cell = y.cell AND y.vec_id < x.vec_id
+         WHERE list_cosine_similarity(x.v, y.v) >= $SemDedupTau
+         GROUP BY x.vec_id
+       )
+       SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+              CAST(COALESCE(p.nd, 0) AS INT) AS n_lower_dups,
+              COALESCE(p.nd, 0) = 0 AS keep
+       FROM a LEFT JOIN p USING (vec_id)
+       ORDER BY a.vec_id"""
+  }
+
+  private val LmNllKeep = 6.5
+
+  val q81BigramLm: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"), col("lang"),
+      TextAnalytics.tokens(col("text")).as("toks"))
+    val bigramsOf = (t: org.apache.spark.sql.Column) =>
+      when(size(t) >= 2, transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val lm = toks.filter(col("lang") === "en")
+    val uniCounts = lm.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = uniCounts.count() // bounded: ONE scalar (vocab size)
+    val biCounts = lm.select(explode(bigramsOf(col("toks"))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        posexplode(bigramsOf(col("toks"))).as(Seq("idx", "bg")))
+      .select(col("doc_id"), col("lang"), col("idx"),
+        col("bg.w1"), col("bg.w2"))
+      .join(biCounts, Seq("w1", "w2"), "left")
+      .join(uniCounts, Seq("w1"), "left")
+      .withColumn("lp", log(
+        (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(v)).cast("double")))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("idx"), col("lp")))),
+          lit(0.0), (acc, x) => acc + x.getField("lp")).as("lp_sum"))
+      .withColumn("nll_raw", -col("lp_sum") / col("n_bigrams"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        rnd(col("nll_raw"), 6).as("mean_nll"),
+        (col("nll_raw") <= LmNllKeep).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Full independent replay: counts, vocab size, smoothing, ln and the
+    * position-ordered sum all recomputed in DuckDB; the engine's
+    * driver-side V literal is NOT shared.
+    */
+  private val q81Sql =
+    s"""WITH t AS (
+         SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          x -> x <> '') AS toks FROM documents
+       ), lm AS (
+         SELECT toks FROM t WHERE lang = 'en'
+       ), u AS (
+         SELECT w1, count(*) AS c1
+         FROM (SELECT unnest(toks) AS w1 FROM lm) GROUP BY w1
+       ), vocab AS (
+         SELECT count(*) AS v FROM u
+       ), b AS (
+         SELECT w1, w2, count(*) AS c12 FROM (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM lm, unnest(range(1, len(toks))) AS r(i))
+         GROUP BY w1, w2
+       ), pos AS (
+         SELECT doc_id, lang, i AS idx, toks[i] AS w1, toks[i + 1] AS w2
+         FROM t, unnest(range(1, len(toks))) AS r(i)
+         WHERE len(toks) >= 2
+       ), sc AS (
+         SELECT p.doc_id, p.lang, p.idx,
+                ln((COALESCE(b.c12, 0) + 1.0)
+                   / (COALESCE(u.c1, 0) + (SELECT v FROM vocab))) AS lp
+         FROM pos p
+         LEFT JOIN b ON p.w1 = b.w1 AND p.w2 = b.w2
+         LEFT JOIN u ON p.w1 = u.w1
+       ), agg AS (
+         SELECT doc_id, lang, count(*) AS n_bigrams,
+                sum(lp ORDER BY idx) AS lp_sum
+         FROM sc GROUP BY doc_id, lang
+       )
+       SELECT doc_id, lang, n_bigrams,
+              floor((-lp_sum / n_bigrams) * 1000000 + 0.5) / 1000000.0 AS mean_nll,
+              ((-lp_sum / n_bigrams) <= $LmNllKeep) AS keep
+       FROM agg ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
   // q72: int8 quantized similarity search — the q58 quantization applied to
   // scoring: approx_cos ≈ (i8dot(q_codes, v_codes) · v_scale) · q_scale.
   // The integer dot is EXACT on every engine (no float-order pinning),
@@ -2331,6 +2492,8 @@ object PipelineCatalog {
     "q69_ann_pq" -> q69AnnPq,
     "q70_gopher_quality" -> q70GopherQuality,
     "q71_dsir_weights" -> q71DsirWeights,
+    "q81_bigram_lm" -> q81BigramLm,
+    "q82_sem_dedup" -> q82SemDedup,
     "q72_i8_search" -> q72I8Search,
     "q73_batch_pq" -> q73BatchPq,
     "q74_global_line_dedup" -> q74GlobalLineDedup,
@@ -2351,6 +2514,7 @@ object PipelineCatalog {
       yield "q76_ivf_pq" -> q76Sql(cs, cbs)) ++
     // incremental artifacts: final live state = the corpus, so the full
     // q27/q69 replays apply verbatim — just from the BASE-trained literals
+    lastIvfCentroids.map(cs => "q82_sem_dedup" -> q82Sql(cs)) ++
     lastIncIvfCentroids.map(cs => "q78_inc_ivf" -> q27Sql(cs)) ++
     lastIncPqCodebooks.map(cbs => "q79_inc_pq" -> q69Sql(cbs))
 
@@ -2392,6 +2556,7 @@ object PipelineCatalog {
     "q77_inc_text_index" -> q60Sql,
     "q70_gopher_quality" -> q70Sql,
     "q71_dsir_weights" -> q71Sql,
+    "q81_bigram_lm" -> q81Sql,
     "q72_i8_search" -> q72Sql,
     "q74_global_line_dedup" -> q74Sql,
     "q75_dup_clusters" -> q75Sql,

@@ -288,6 +288,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!lookPlan.contains("documents.parquet]"), "affected lookup scans the corpus")
   }
 
+  test("q81/q82: LM scoring joins hash on token keys; sem-dedup pairs stay cell-local") {
+    // q81: the count-table joins must be hash joins on the token keys —
+    // never a nested loop (the LM counts of a 100 TB corpus do not
+    // broadcast) — and the per-doc fold must not be a global Window.
+    val p81 = plan("q81_bigram_lm")
+    assert(!p81.contains("BroadcastNestedLoopJoin") && !p81.contains("CartesianProduct"),
+      "LM scoring degenerated to a non-equi join")
+    assert(!p81.contains("Window"), "per-doc fold became a window")
+    // q82: the quadratic stage must be an equi-join on the cell key (the
+    // SemDeDup boundedness argument), not a corpus cross product.
+    val p82 = plan("q82_sem_dedup")
+    assert(!p82.contains("BroadcastNestedLoopJoin") && !p82.contains("CartesianProduct"),
+      "sem-dedup pairs degenerated to a cross product")
+    assert(p82.contains("cell"), "pair join lost the cell key")
+  }
+
   test("ingest lineage stays inside whole-stage codegen (no Janino 64 KB fallback)") {
     // The round-5 regression: pushdown copies path/guard expressions into
     // the fused ingest stage many times over; if any stage's generated
