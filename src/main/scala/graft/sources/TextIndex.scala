@@ -101,18 +101,24 @@ object TextIndex {
 
   // --- stats sidecar (exact integers; gen = last segment written) -------
 
-  private def writeStats(path: String, n: Long, sumDl: Long, gen: Long): Unit =
+  private def writeStats(path: String, n: Long, sumDl: Long, gen: Long,
+      lastBatch: Long = -1L): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_stats.json"),
-      s"""{"n":$n,"sum_dl":$sumDl,"gen":$gen}""")
+      s"""{"n":$n,"sum_dl":$sumDl,"gen":$gen,"last_batch":$lastBatch}""")
 
-  private def readStats(path: String): (Long, Long, Long) = {
+  private def readStats(path: String): (Long, Long, Long, Long) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_graft_stats.json")))
     (node.get("n").asLong(), node.get("sum_dl").asLong(),
-      if (node.has("gen")) node.get("gen").asLong() else 0L)
+      if (node.has("gen")) node.get("gen").asLong() else 0L,
+      if (node.has("last_batch")) node.get("last_batch").asLong() else -1L)
   }
+
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_stats.json"))
 
   // --- tokenize + shared delta frames -----------------------------------
 
@@ -191,12 +197,13 @@ object TextIndex {
     * at generation 0. The only corpus-wide work, paid at write time (the
     * reference pays the same cost inside Qdrant's upsert-time indexing).
     */
-  def write(docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String,
+      batchId: Long = -1L): Unit = {
     val withDl = tokenized(docs, idCol, textCol)
     val stats = withDl.agg(
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
     writeSegment(withDl, gen = 0L, path, mode = "overwrite")
-    writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L)
+    writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L, batchId)
   }
 
   /** Incremental maintenance: merge a delta of new/changed documents and
@@ -213,8 +220,14 @@ object TextIndex {
     * unique on `idCol`.
     */
   def upsert(spark: SparkSession, delta: DataFrame, idCol: String,
-      textCol: String, deletedIds: DataFrame, path: String): Unit = {
-    val (n0, sumDl0, gen0) = readStats(path)
+      textCol: String, deletedIds: DataFrame, path: String,
+      batchId: Long = -1L): Unit = {
+    val (n0, sumDl0, gen0, lastBatch) = readStats(path)
+    // foreachBatch replay safety: a restarted stream re-delivers the last
+    // uncommitted batch; re-appending its postings would DOUBLE every tf.
+    // Tracked batch ids make the upsert idempotent (the standard
+    // idempotent-sink pattern); ad-hoc callers pass no id and always apply.
+    if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
     // materialize the delta tokenization once: it feeds stats, tombstone
     // lookup, postings AND doclens (and must not be recomputed after the
@@ -236,7 +249,7 @@ object TextIndex {
     writeStats(path,
       n0 - rStats.getLong(0) + dStats.getLong(0),
       sumDl0 - rStats.getLong(1) + dStats.getLong(1),
-      nextGen)
+      nextGen, if (batchId >= 0) batchId else lastBatch)
   }
 
   /** Fold accumulated segments + tombstones back into a clean gen-0
@@ -245,7 +258,7 @@ object TextIndex {
     * depends on it).
     */
   def compact(spark: SparkSession, path: String): Unit = {
-    val (n, sumDl, _) = readStats(path)
+    val (n, sumDl, _, lastBatch) = readStats(path)
     val live = liveRows(spark, path, spark.read.parquet(s"$path/postings"))
       .localCheckpoint()
     val doclens = liveRows(spark, path, spark.read.parquet(s"$path/doclens"))
@@ -260,11 +273,11 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("doc_bucket")
       .parquet(s"$path/doclens")
     org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
-    writeStats(path, n, sumDl, gen = 0L)
+    writeStats(path, n, sumDl, gen = 0L, lastBatch)
   }
 
   def read(spark: SparkSession, path: String): Index = {
-    val (n, sumDl, _) = readStats(path)
+    val (n, sumDl, _, _) = readStats(path)
     val postings = liveRows(spark, path, spark.read.parquet(s"$path/postings"))
     // df as a view over LIVE postings: a filter on (term_bucket, term) —
     // both grouping keys — pushes below the aggregate to the pruned scan,

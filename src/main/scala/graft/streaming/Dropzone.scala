@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.Uuid5
 import graft.operators.{Chunker, DevEmbed}
-import graft.sources.{ChunkStore, FileIngest}
+import graft.sources.{ChunkStore, FileIngest, TextIndex}
 
 /** Streaming dropzone ingestion — the reference's watcher daemon
   * (SURVEY §2.9) re-expressed as Structured Streaming:
@@ -42,7 +42,9 @@ object Dropzone {
       embedDim: Int,
       skipUnchangedFiles: Boolean,
       media: Option[(graft.operators.MediaService.Config,
-        graft.operators.MediaService.Config)] = None): Unit = {
+        graft.operators.MediaService.Config)] = None,
+      textIndexPath: Option[String] = None,
+      batchId: Long = -1L): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
     // media routing composes with the stream exactly like the batch path:
     // the same scanned frame, STT/caption annotation (dev stubs or batched
@@ -57,9 +59,9 @@ object Dropzone {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
     val delta =
-      if (skipUnchangedFiles && storeExists)
+      (if (skipUnchangedFiles && storeExists)
         FileIngest.skipUnchanged(docs, ChunkStore.read(spark, storePath))
-      else docs
+      else docs).localCheckpoint() // consumed by BOTH sinks below
     // localCheckpoint before upsert: (a) the skipUnchanged delta's lineage
     // reads the store parquet, and upsert dynamic-overwrites that same path
     // (the read-while-write hazard ChunkStore guards its survivors side
@@ -69,6 +71,19 @@ object Dropzone {
       delta, chunkSize, chunkOverlap, embedDim).localCheckpoint()
     if (storeExists) ChunkStore.upsert(chunks, storePath) // empty delta no-ops inside
     else if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
+    // the BM25 serving artifact is maintained PER MICRO-BATCH beside the
+    // chunk store (the reference's watcher upserts into Qdrant's indexes
+    // per file event): document-level delta in, segment append + tombstone
+    // out. The stream's batchId makes replays after a restart no-ops —
+    // re-appending a delivered batch would double every tf.
+    textIndexPath.foreach { tip =>
+      val docDelta = delta.select(col("path"), col("text"))
+      if (TextIndex.exists(tip))
+        TextIndex.upsert(spark, docDelta, "path", "text",
+          docDelta.select(col("path")).limit(0), tip, batchId)
+      else if (!docDelta.isEmpty)
+        TextIndex.write(docDelta, "path", "text", tip, batchId)
+    }
   }
 
   /** Start the streaming ingest; returns the query (caller manages
@@ -86,7 +101,8 @@ object Dropzone {
       embedDim: Int = 64,
       skipUnchangedFiles: Boolean = true,
       media: Option[(graft.operators.MediaService.Config,
-        graft.operators.MediaService.Config)] = None): StreamingQuery = {
+        graft.operators.MediaService.Config)] = None,
+      textIndexPath: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -97,12 +113,12 @@ object Dropzone {
     stream.writeStream
       .trigger(Trigger.ProcessingTime(triggerInterval))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(spark,
           batch.select(col("path"), col("content"), col("length"),
             col("modificationTime")),
           dropzone, storePath, chunkSize, chunkOverlap, embedDim,
-          skipUnchangedFiles, media)
+          skipUnchangedFiles, media, textIndexPath, batchId)
       }
       .start()
   }

@@ -52,6 +52,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming ingest maintains the BM25 serving index per micro-batch") {
+    import graft.sources.TextIndex
+    val dropzone: Path = Files.createTempDirectory("graft-stream-tidz")
+    val store = Files.createTempDirectory("graft-stream-tistore").resolve("chunks").toString
+    val checkpoint = Files.createTempDirectory("graft-stream-tickpt").toString
+    val tindex = Files.createTempDirectory("graft-stream-tindex").resolve("idx").toString
+
+    Files.writeString(dropzone.resolve("a.txt"), "spark join engine")
+    val query = Dropzone.start(spark, dropzone.toString, store, checkpoint,
+      chunkSize = 200, chunkOverlap = 40, textIndexPath = Some(tindex))
+    try {
+      query.processAllAvailable()
+      val idx1 = TextIndex.read(spark, tindex)
+      assert(idx1.n == 1 && idx1.sumDl == 3)
+
+      // a second file lands: the index must gain its postings via a DELTA
+      // upsert (no rebuild), stats adjusted exactly
+      Files.writeString(dropzone.resolve("b.txt"), "hash table probe build")
+      query.processAllAvailable()
+      val idx2 = TextIndex.read(spark, tindex)
+      assert(idx2.n == 2 && idx2.sumDl == 3 + 4)
+      val docsOfSpark = idx2.postings.filter(col("term") === "spark")
+        .select("doc").collect().map(_.getString(0)).toSet
+      assert(docsOfSpark == Set("a.txt"))
+      val gens = spark.read.parquet(s"$tindex/postings")
+        .select(col("gen")).distinct().count()
+      assert(gens >= 2, "second batch must land as a NEW segment generation")
+
+      // an empty trigger must not touch the index
+      query.processAllAvailable()
+      val idx3 = TextIndex.read(spark, tindex)
+      assert(idx3.n == 2 && idx3.sumDl == 7)
+    } finally query.stop()
+  }
+
+  test("replayed micro-batch is a no-op on the text index (foreachBatch idempotency)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.TextIndex
+    val path = Files.createTempDirectory("graft-tindex-replay").resolve("idx").toString
+    val b0 = Seq(("a", "spark join")).toDF("doc_id", "text")
+    TextIndex.write(b0, "doc_id", "text", path, batchId = 0L)
+    val b1 = Seq(("b", "hash probe")).toDF("doc_id", "text")
+    val none = b1.select(col("doc_id")).limit(0)
+    TextIndex.upsert(spark, b1, "doc_id", "text", none, path, batchId = 1L)
+    val before = TextIndex.read(spark, path)
+    assert(before.n == 2 && before.sumDl == 4)
+    // restart re-delivers batch 1: re-appending would DOUBLE b's tf
+    TextIndex.upsert(spark, b1, "doc_id", "text", none, path, batchId = 1L)
+    val after = TextIndex.read(spark, path)
+    assert(after.n == 2 && after.sumDl == 4, "replay changed stats")
+    val tf = after.postings.filter(col("term") === "hash")
+      .select("tf").collect().map(_.getLong(0))
+    assert(tf.toSeq == Seq(1L), s"replay duplicated postings: ${tf.toSeq}")
+    // a NEW batch id still applies
+    TextIndex.upsert(spark, Seq(("c", "more text")).toDF("doc_id", "text"),
+      "doc_id", "text", none, path, batchId = 2L)
+    assert(TextIndex.read(spark, path).n == 3)
+  }
+
   test("ST4: restart from checkpoint resumes without duplicating processed files") {
     val dropzone: Path = Files.createTempDirectory("graft-restart-dz")
     val store = Files.createTempDirectory("graft-restart-store").resolve("chunks").toString
