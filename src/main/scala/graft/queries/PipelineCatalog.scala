@@ -1975,6 +1975,77 @@ object PipelineCatalog {
   // lower-id near-duplicates (cos ≥ τ) and the keep flag.
   // -------------------------------------------------------------------------
 
+  // -------------------------------------------------------------------------
+  // q83: cross-corpus duplicated-SPAN detection — the bounded relational
+  // form of exact-substring dedup (Lee et al. 2022 use suffix arrays; at
+  // 100 TB the practical shape is fixed-width span fingerprints): every
+  // document's distinct word 8-grams, a corpus-wide doc-frequency over
+  // them (map-side-combined agg bounded by distinct-shingle count), and
+  // per-doc shared-span counts/fractions. Documents sharing any 8-gram
+  // with ANOTHER document surface with dup_frac > 0; the in-query corpus
+  // appends two boilerplate tails (%3, %5) so real shared spans exist.
+  // Same 8-gram construction as q57's decontamination — there against a
+  // benchmark set, here corpus-against-itself.
+  // -------------------------------------------------------------------------
+
+  val q83DupSpans: Q = (s, d) => {
+    val tail3 = " the quick brown fox jumps over the lazy dog archive footer"
+    val tail5 = " all rights reserved by the automated pipeline export system"
+    val body = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(tail3)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(tail5)).otherwise(lit("")))
+    val spans = docsWide(s, d)
+      .select(col("doc_id"),
+        explode(graft.operators.WordShingles.wordShingles(body, 8)).as("shingle"))
+    val df8 = spans.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("shingle"))
+    spans
+      .join(df8, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        col("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        rnd(coalesce(col("n_shared"), lit(0L)).cast("double") /
+          col("n_spans"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q83Sql = {
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    """WITH b AS (
+         SELECT doc_id,
+                text || (CASE WHEN doc_id % 3 = 0 THEN '<T3>' ELSE '' END)
+                     || (CASE WHEN doc_id % 5 = 0 THEN '<T5>' ELSE '' END) AS body
+         FROM documents
+       ), words AS (
+         SELECT doc_id, string_split(trim(body), ' ') AS w FROM b
+       ), sp AS (
+         SELECT DISTINCT doc_id, <G8> AS shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> i)) AS u(i)
+         WHERE i + 7 <= len(w)
+       ), freq AS (
+         SELECT shingle FROM sp GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+       ), shared AS (
+         SELECT doc_id, count(*) AS n_shared
+         FROM sp JOIN freq USING (shingle) GROUP BY doc_id
+       ), tot AS (
+         SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id
+       )
+       SELECT t.doc_id, t.n_spans, COALESCE(s.n_shared, 0) AS n_shared,
+              floor((CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / t.n_spans)
+                * 1000000 + 0.5) / 1000000.0 AS dup_frac
+       FROM tot t LEFT JOIN shared s USING (doc_id)
+       ORDER BY t.doc_id"""
+      .replace("<T3>", " the quick brown fox jumps over the lazy dog archive footer")
+      .replace("<T5>", " all rights reserved by the automated pipeline export system")
+      .replace("<G8>", g8)
+  }
+
   private val SemDedupTau = 0.4
 
   val q82SemDedup: Q = (s, d) => {
@@ -2030,6 +2101,64 @@ object PipelineCatalog {
        FROM a LEFT JOIN p USING (vec_id)
        ORDER BY a.vec_id"""
   }
+
+  // -------------------------------------------------------------------------
+  // q84: temperature-based mixture sampling across language shards — the
+  // multilingual-pretraining rebalancer (sample lang l with probability ∝
+  // c_l^α, α < 1 upweights low-resource shards; XLM-R/mT5 recipe). α=1/2
+  // keeps the only transcendental at sqrt, which IEEE-754 rounds
+  // correctly on every engine — unlike pow(x, 0.3), whose libm results
+  // differ across platforms and would flake the oracle. Per-doc
+  // membership is deterministic portable-hash thresholding
+  // (hash60(doc_id) < rate·2^60): no RNG, replayable anywhere, and the
+  // whole plan is one tiny per-lang agg broadcast back over the corpus —
+  // nothing global moves. The Σ over shards is an ordered fold (few
+  // shards, float determinism).
+  // -------------------------------------------------------------------------
+
+  private val MixTarget = 200L // total docs the mixture should yield
+
+  val q84MixtureSample: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val total = perLang
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("lang"), sqrt(col("c").cast("double")).as("sq")))),
+        lit(0.0), (acc, x) => acc + x.getField("sq")).as("z"))
+    val rates = perLang.crossJoin(broadcast(total))
+      .withColumn("weight_raw", sqrt(col("c").cast("double")) / col("z"))
+      .withColumn("rate_raw",
+        least(lit(1.0), lit(MixTarget.toDouble) * col("weight_raw") / col("c")))
+      .select(col("lang"), col("c"), col("weight_raw"), col("rate_raw"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("h", TextAnalytics.hash60(col("doc_id").cast("string")))
+      .select(col("doc_id"), col("lang"), col("c").as("lang_docs"),
+        rnd(col("weight_raw"), 6).as("weight"),
+        rnd(col("rate_raw"), 6).as("rate"),
+        (col("h").cast("double") < col("rate_raw") * lit(1152921504606846976.0))
+          .as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q84Sql =
+    s"""WITH c AS (
+         SELECT lang, count(*) AS c FROM documents GROUP BY lang
+       ), z AS (
+         SELECT sum(sqrt(CAST(c AS DOUBLE)) ORDER BY lang) AS z FROM c
+       ), r AS (
+         SELECT lang, c,
+                sqrt(CAST(c AS DOUBLE)) / (SELECT z FROM z) AS weight_raw,
+                least(1.0, $MixTarget.0 * (sqrt(CAST(c AS DOUBLE)) / (SELECT z FROM z)) / c)
+                  AS rate_raw
+         FROM c
+       )
+       SELECT d.doc_id, d.lang, r.c AS lang_docs,
+              floor(r.weight_raw * 1000000 + 0.5) / 1000000.0 AS weight,
+              floor(r.rate_raw * 1000000 + 0.5) / 1000000.0 AS rate,
+              (CAST(CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                 AS DOUBLE) < r.rate_raw * 1152921504606846976.0) AS selected
+       FROM documents d JOIN r USING (lang)
+       ORDER BY d.doc_id"""
 
   private val LmNllKeep = 6.5
 
@@ -2494,6 +2623,8 @@ object PipelineCatalog {
     "q71_dsir_weights" -> q71DsirWeights,
     "q81_bigram_lm" -> q81BigramLm,
     "q82_sem_dedup" -> q82SemDedup,
+    "q83_dup_spans" -> q83DupSpans,
+    "q84_mixture_sample" -> q84MixtureSample,
     "q72_i8_search" -> q72I8Search,
     "q73_batch_pq" -> q73BatchPq,
     "q74_global_line_dedup" -> q74GlobalLineDedup,
@@ -2557,6 +2688,8 @@ object PipelineCatalog {
     "q70_gopher_quality" -> q70Sql,
     "q71_dsir_weights" -> q71Sql,
     "q81_bigram_lm" -> q81Sql,
+    "q83_dup_spans" -> q83Sql,
+    "q84_mixture_sample" -> q84Sql,
     "q72_i8_search" -> q72Sql,
     "q74_global_line_dedup" -> q74Sql,
     "q75_dup_clusters" -> q75Sql,

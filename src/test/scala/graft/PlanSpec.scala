@@ -304,6 +304,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p82.contains("cell"), "pair join lost the cell key")
   }
 
+  test("q83/q84: span dedup joins on shingle hash; mixture rates broadcast over the corpus") {
+    val p83 = plan("q83_dup_spans")
+    assert(!p83.contains("CartesianProduct") && !p83.contains("BroadcastNestedLoopJoin"),
+      "span dedup degenerated to a cross product")
+    val p84 = plan("q84_mixture_sample")
+    assert(p84.contains("BroadcastHashJoin"),
+      "per-lang rates must broadcast over the corpus scan")
+    assert(!p84.contains("SortMergeJoin"), "tiny rates dim degraded to sort-merge")
+  }
+
   test("ingest lineage stays inside whole-stage codegen (no Janino 64 KB fallback)") {
     // The round-5 regression: pushdown copies path/guard expressions into
     // the fused ingest stage many times over; if any stage's generated
