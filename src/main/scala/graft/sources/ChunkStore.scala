@@ -73,9 +73,13 @@ object ChunkStore {
     val buckets0 = if (exists) readTableBuckets(spark, path).getOrElse(numBuckets) else numBuckets
     val incoming = withBucket(chunks, buckets0)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-WRITER option, never session conf: a session-level "dynamic"
+    // would leak into every later overwrite in the same session (a static
+    // compaction rewrite under leaked dynamic mode silently KEEPS the
+    // partitions it meant to drop)
     if (!exists) {
-      incoming.write.partitionBy("doc_bucket").mode("overwrite").parquet(path)
+      incoming.write.partitionBy("doc_bucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
       writeTableBuckets(spark, path, buckets0)
     } else {
       val buckets = incoming.select("doc_bucket").distinct()
@@ -93,7 +97,8 @@ object ChunkStore {
         .join(docs, Seq("document_id"), "left_anti")
         .localCheckpoint()
       survivors.unionByName(incoming)
-        .write.partitionBy("doc_bucket").mode("overwrite").parquet(path)
+        .write.partitionBy("doc_bucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
       writeTableBuckets(spark, path, buckets0) // re-assert, cheap
     }
   }
@@ -106,10 +111,10 @@ object ChunkStore {
   def compact(spark: SparkSession, path: String, filesPerBucket: Int = 1): Unit = {
     val buckets = readTableBuckets(spark, path).getOrElse(DefaultBuckets)
     val all = spark.read.parquet(path).localCheckpoint()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     all
       .repartition(buckets * filesPerBucket, col("doc_bucket"))
-      .write.partitionBy("doc_bucket").mode("overwrite").parquet(path)
+      .write.partitionBy("doc_bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(path)
     writeTableBuckets(spark, path, buckets)
   }
 }

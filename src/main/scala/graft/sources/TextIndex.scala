@@ -150,14 +150,18 @@ object TextIndex {
 
   private def writeSegment(withDl: DataFrame, gen: Long, path: String,
       mode: String): Unit = {
+    // overwrite here means FULL replace — pin static per-writer so a
+    // session-level dynamic overwrite mode cannot leave dead partitions
     segmentPostings(withDl, gen)
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
-      .write.mode(mode).partitionBy("term_bucket")
+      .write.mode(mode).option("partitionOverwriteMode", "static")
+      .partitionBy("term_bucket")
       .parquet(s"$path/postings")
     segmentDoclens(withDl, gen)
       .repartition(col("doc_bucket"))
-      .write.mode(mode).partitionBy("doc_bucket")
+      .write.mode(mode).option("partitionOverwriteMode", "static")
+      .partitionBy("doc_bucket")
       .parquet(s"$path/doclens")
   }
 
@@ -266,11 +270,13 @@ object TextIndex {
     live.withColumn("gen", lit(0L))
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
-      .write.mode("overwrite").partitionBy("term_bucket")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("term_bucket")
       .parquet(s"$path/postings")
     doclens.withColumn("gen", lit(0L))
       .repartition(col("doc_bucket"))
-      .write.mode("overwrite").partitionBy("doc_bucket")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("doc_bucket")
       .parquet(s"$path/doclens")
     org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
     writeStats(path, n, sumDl, gen = 0L, lastBatch)

@@ -86,7 +86,8 @@ object VectorStore {
     * cell×bucket partition grid would mean k·2^planes tiny partitions).
     */
   def write(emb: DataFrame, vecCol: String, path: String,
-      planes: Int = 8, dim: Int = 64, k: Int = 16, seed: Long = 42L): Unit = {
+      planes: Int = 8, dim: Int = 64, k: Int = 16, seed: Long = 42L,
+      batchId: Long = -1L): Unit = {
     val (model, indexed) = Similarity.ivfIndex(emb, vecCol, k, seed)
     indexed.drop("features")
       .withColumn("bucket",
@@ -94,14 +95,15 @@ object VectorStore {
       .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("bucket"))
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cell")
       .parquet(s"$path/vectors")
     val json = model.clusterCenters
       .map(_.toArray.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_centroids.json"), json)
     writeIncStats(path,
-      emb.sparkSession.read.parquet(s"$path/vectors").count(), 0L, 0L)
+      emb.sparkSession.read.parquet(s"$path/vectors").count(), 0L, 0L, batchId)
   }
 
   private def readCentroids(path: String): Array[Array[Double]] = {
@@ -134,21 +136,26 @@ object VectorStore {
   // ---------------------------------------------------------------------
 
   private def writeIncStats(path: String, baseN: Long, appendedN: Long,
-      gen: Long): Unit =
+      gen: Long, lastBatch: Long = -1L): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_inc_stats.json"),
-      s"""{"base_n":$baseN,"appended_n":$appendedN,"gen":$gen}""")
+      s"""{"base_n":$baseN,"appended_n":$appendedN,"gen":$gen,"last_batch":$lastBatch}""")
 
-  private[graft] def readIncStats(path: String): (Long, Long, Long) = {
+  private[graft] def readIncStats(path: String): (Long, Long, Long, Long) = {
     val p = java.nio.file.Paths.get(path, "_graft_inc_stats.json")
-    if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L)
+    if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L, -1L)
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(p))
       (node.get("base_n").asLong(), node.get("appended_n").asLong(),
-        node.get("gen").asLong())
+        node.get("gen").asLong(),
+        if (node.has("last_batch")) node.get("last_batch").asLong() else -1L)
     }
   }
+
+  def vectorsExist(path: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_centroids.json"))
 
   /** Appended-since-train fraction — the retrain trigger a maintenance
     * job compares against its drift budget (the cells stay CORRECT under
@@ -156,7 +163,7 @@ object VectorStore {
     * because probe selection and assignment use the same literals).
     */
   def driftFraction(path: String): Double = {
-    val (baseN, appendedN, _) = readIncStats(path)
+    val (baseN, appendedN, _, _) = readIncStats(path)
     if (baseN <= 0L) 0.0 else appendedN.toDouble / baseN.toDouble
   }
 
@@ -199,9 +206,12 @@ object VectorStore {
     */
   def upsertVectors(spark: SparkSession, delta: DataFrame, idCol: String,
       vecCol: String, deletedIds: DataFrame, path: String,
-      planes: Int = 8, dim: Int = 64): Unit = {
+      planes: Int = 8, dim: Int = 64, batchId: Long = -1L): Unit = {
     val centroids = readCentroids(path)
-    val (baseN, appendedN, gen0) = readIncStats(path)
+    val (baseN, appendedN, gen0, lastBatch) = readIncStats(path)
+    // foreachBatch replay safety (same contract as TextIndex.upsert):
+    // re-appending a delivered batch would duplicate its vectors
+    if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
     val nDelta = delta.count()
     // tombstone EVERY affected id (replaced, deleted, or absent — the
@@ -216,7 +226,8 @@ object VectorStore {
       .sortWithinPartitions(col("cell"), col("bucket"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/vectors")
-    writeIncStats(path, baseN, appendedN + nDelta, nextGen)
+    writeIncStats(path, baseN, appendedN + nDelta, nextGen,
+      if (batchId >= 0) batchId else lastBatch)
   }
 
   /** Fold segments + tombstones back to a clean gen-0 layout (LSM
@@ -229,9 +240,11 @@ object VectorStore {
       .withColumn("gen", lit(0L))
       .localCheckpoint()
     live.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$sub")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/$sub")
     org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
-    writeIncStats(path, live.count(), 0L, 0L)
+    val (_, _, _, lastBatch) = readIncStats(path)
+    writeIncStats(path, live.count(), 0L, 0L, lastBatch)
   }
 
   /** Load the index for `emb`, building it first if absent — the dev-loop
@@ -328,7 +341,8 @@ object VectorStore {
       .drop("nv", vecCol)
       .withColumn("gen", lit(0L))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/codes")
     val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
@@ -358,9 +372,10 @@ object VectorStore {
     */
   def upsertPqCodes(spark: SparkSession, delta: DataFrame, idCol: String,
       vecCol: String, deletedIds: DataFrame, path: String,
-      centroids: Array[Array[Double]]): Unit = {
+      centroids: Array[Array[Double]], batchId: Long = -1L): Unit = {
     val codebooks = readPqCodebooks(path)
-    val (baseN, appendedN, gen0) = readIncStats(path)
+    val (baseN, appendedN, gen0, lastBatch) = readIncStats(path)
+    if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
     val nDelta = delta.count()
     delta.select(col(idCol).as("id"))
@@ -379,7 +394,8 @@ object VectorStore {
       .withColumn("gen", lit(nextGen))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-    writeIncStats(path, baseN, appendedN + nDelta, nextGen)
+    writeIncStats(path, baseN, appendedN + nDelta, nextGen,
+      if (batchId >= 0) batchId else lastBatch)
   }
 
   def readPq(spark: SparkSession, path: String,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.functions.Uuid5
 import graft.operators.{Chunker, DevEmbed}
-import graft.sources.{ChunkStore, FileIngest, TextIndex}
+import graft.sources.{ChunkStore, FileIngest, TextIndex, VectorStore}
 
 /** Streaming dropzone ingestion — the reference's watcher daemon
   * (SURVEY §2.9) re-expressed as Structured Streaming:
@@ -44,6 +44,8 @@ object Dropzone {
       media: Option[(graft.operators.MediaService.Config,
         graft.operators.MediaService.Config)] = None,
       textIndexPath: Option[String] = None,
+      vectorStorePath: Option[String] = None,
+      vectorStoreK: Int = 16,
       batchId: Long = -1L): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
     // media routing composes with the stream exactly like the batch path:
@@ -84,6 +86,21 @@ object Dropzone {
       else if (!docDelta.isEmpty)
         TextIndex.write(docDelta, "path", "text", tip, batchId)
     }
+    // the ANN store is maintained the same way: the first non-empty batch
+    // trains the cells, every later batch is assigned with the STORED
+    // centroids and appended (replaced chunk ids tombstone themselves via
+    // the upsert's affected-id list); retrain is a drift-triggered
+    // maintenance job, never an inline rebuild
+    vectorStorePath.foreach { vsp =>
+      val vecDelta = chunks.select(col("id"), col("vector"))
+      if (VectorStore.vectorsExist(vsp))
+        VectorStore.upsertVectors(spark, vecDelta, "id", "vector",
+          vecDelta.select(col("id")).limit(0), vsp,
+          dim = embedDim, batchId = batchId)
+      else if (!vecDelta.isEmpty)
+        VectorStore.write(vecDelta, "vector", vsp,
+          dim = embedDim, k = vectorStoreK, batchId = batchId)
+    }
   }
 
   /** Start the streaming ingest; returns the query (caller manages
@@ -102,7 +119,9 @@ object Dropzone {
       skipUnchangedFiles: Boolean = true,
       media: Option[(graft.operators.MediaService.Config,
         graft.operators.MediaService.Config)] = None,
-      textIndexPath: Option[String] = None): StreamingQuery = {
+      textIndexPath: Option[String] = None,
+      vectorStorePath: Option[String] = None,
+      vectorStoreK: Int = 16): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -118,7 +137,8 @@ object Dropzone {
           batch.select(col("path"), col("content"), col("length"),
             col("modificationTime")),
           dropzone, storePath, chunkSize, chunkOverlap, embedDim,
-          skipUnchangedFiles, media, textIndexPath, batchId)
+          skipUnchangedFiles, media, textIndexPath, vectorStorePath,
+          vectorStoreK, batchId)
       }
       .start()
   }

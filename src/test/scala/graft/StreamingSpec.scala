@@ -53,26 +53,30 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming ingest maintains the BM25 serving index per micro-batch") {
-    import graft.sources.TextIndex
+    import graft.sources.{TextIndex, VectorStore}
     val dropzone: Path = Files.createTempDirectory("graft-stream-tidz")
     val store = Files.createTempDirectory("graft-stream-tistore").resolve("chunks").toString
     val checkpoint = Files.createTempDirectory("graft-stream-tickpt").toString
     val tindex = Files.createTempDirectory("graft-stream-tindex").resolve("idx").toString
+    val vstore = Files.createTempDirectory("graft-stream-vstore").resolve("idx").toString
 
     Files.writeString(dropzone.resolve("a.txt"), "spark join engine")
+    Files.writeString(dropzone.resolve("a2.txt"), "filter scan pushdown code")
     val query = Dropzone.start(spark, dropzone.toString, store, checkpoint,
-      chunkSize = 200, chunkOverlap = 40, textIndexPath = Some(tindex))
+      chunkSize = 200, chunkOverlap = 40, embedDim = 8,
+      textIndexPath = Some(tindex),
+      vectorStorePath = Some(vstore), vectorStoreK = 2)
     try {
       query.processAllAvailable()
       val idx1 = TextIndex.read(spark, tindex)
-      assert(idx1.n == 1 && idx1.sumDl == 3)
+      assert(idx1.n == 2 && idx1.sumDl == 3 + 4)
 
-      // a second file lands: the index must gain its postings via a DELTA
+      // a third file lands: the index must gain its postings via a DELTA
       // upsert (no rebuild), stats adjusted exactly
       Files.writeString(dropzone.resolve("b.txt"), "hash table probe build")
       query.processAllAvailable()
       val idx2 = TextIndex.read(spark, tindex)
-      assert(idx2.n == 2 && idx2.sumDl == 3 + 4)
+      assert(idx2.n == 3 && idx2.sumDl == 3 + 4 + 4)
       val docsOfSpark = idx2.postings.filter(col("term") === "spark")
         .select("doc").collect().map(_.getString(0)).toSet
       assert(docsOfSpark == Set("a.txt"))
@@ -83,7 +87,16 @@ class StreamingSpec extends AnyFunSuite {
       // an empty trigger must not touch the index
       query.processAllAvailable()
       val idx3 = TextIndex.read(spark, tindex)
-      assert(idx3.n == 2 && idx3.sumDl == 7)
+      assert(idx3.n == 3 && idx3.sumDl == 11)
+
+      // the ANN store grew the same way: batch 1 trained the cells, batch
+      // 2 was assigned with the STORED centroids and appended
+      val vs = VectorStore.read(spark, vstore, planes = 8, dim = 8, idCol = "id")
+      assert(vs.vectors.count() == 3, "vector store missing a batch's chunks")
+      val vGens = spark.read.parquet(s"$vstore/vectors")
+        .select(col("gen")).distinct().count()
+      assert(vGens >= 2, "second batch must append a NEW vector segment")
+      assert(vs.centroids.length == 2, "inline retrain happened (k changed)")
     } finally query.stop()
   }
 
