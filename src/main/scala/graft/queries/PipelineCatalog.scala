@@ -2489,6 +2489,52 @@ object PipelineCatalog {
        FROM reach GROUP BY x ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q85: dedup APPLY — the deliverable a dedup pipeline actually ships:
+  // every document mapped to its canonical survivor. Composes the whole
+  // near-dup stack end-to-end (MinHash banding → candidate verification →
+  // connected-component canonicalization) and left-joins the cluster
+  // labels back over the corpus: unclustered docs are their own
+  // canonical and kept; clustered docs keep only the smallest member.
+  // `SELECT * WHERE kept` IS the deduplicated corpus.
+  // -------------------------------------------------------------------------
+
+  val q85DedupApply: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("is_canonical"))
+    docsWide(s, d).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+        coalesce(col("is_canonical"), lit(true)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) p
+       ), edges AS (
+         SELECT a_id AS x, b_id AS y FROM pairs
+         UNION
+         SELECT b_id, a_id FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT x FROM edges
+       ), reach(x, r) AS (
+         SELECT x, x FROM nodes
+         UNION
+         SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       ), cl AS (
+         SELECT x AS doc_id, min(r) AS cluster_id, (x = min(r)) AS is_canonical
+         FROM reach GROUP BY x
+       )
+       SELECT d.doc_id,
+              COALESCE(cl.cluster_id, d.doc_id) AS canonical_id,
+              COALESCE(cl.is_canonical, TRUE) AS kept
+       FROM documents d LEFT JOIN cl USING (doc_id)
+       ORDER BY d.doc_id"""
+
+  // -------------------------------------------------------------------------
   // q76: IVF-PQ — the two prunings composed (the standard billion-scale
   // ANN layout): nProbe cell partitions of the cell-partitioned CODES
   // table survive (PartitionFilters at the source), ADC ranks only those
@@ -2629,6 +2675,7 @@ object PipelineCatalog {
     "q73_batch_pq" -> q73BatchPq,
     "q74_global_line_dedup" -> q74GlobalLineDedup,
     "q75_dup_clusters" -> q75DupClusters,
+    "q85_dedup_apply" -> q85DedupApply,
     "q76_ivf_pq" -> q76IvfPq,
   )
 
@@ -2693,5 +2740,6 @@ object PipelineCatalog {
     "q72_i8_search" -> q72Sql,
     "q74_global_line_dedup" -> q74Sql,
     "q75_dup_clusters" -> q75Sql,
+    "q85_dedup_apply" -> q85Sql,
   )
 }
