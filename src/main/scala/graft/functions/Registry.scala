@@ -23,6 +23,12 @@ object Registry {
       s"$name expects a literal int, got $other")
   }
 
+  private def stringArg(e: Expression, sig: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$sig expects a literal string, got $other")
+  }
+
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
 
@@ -54,6 +60,14 @@ object Registry {
       es => SimHashText(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("pdf_text",
       es => graft.sources.PdfText(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("csv_lines",
+      es => graft.sources.CsvLines(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("csv_row_chunks",
+      es => graft.sources.CsvRowChunks(es(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("canonical_relpath",
+      es => CanonicalRelpath(es(0), stringArg(es(1), "canonical_relpath(path, root)")), "scala_udf")
+    reg.createOrReplaceTempFunction("path_ext",
+      es => PathExt(es(0), withDot = false), "scala_udf")
     reg.createOrReplaceTempFunction("docx_text",
       es => graft.sources.DocxText(es(0)), "scala_udf")
     reg.createOrReplaceTempFunction("sum_char_lengths",

@@ -77,6 +77,16 @@ class TelemetrySpec extends AnyFunSuite {
     val err2 = intercept[Exception](
       spark.sql("SELECT pq_encode(array(0.9d, 0.1d), array(1, 2))").head)
     assert(err2.getMessage.contains("pq_encode(vec, codebooks)"), err2.getMessage)
+    // round-6 additions: parser + path kernels on the SQL surface
+    val row3 = spark.sql(
+      """SELECT csv_lines('a,b' || chr(10) || '"x,y",2') AS joined,
+                csv_row_chunks('a,b' || chr(10) || ',,') AS chunks,
+                canonical_relpath('file:dz/docs/a.txt', 'dz/') AS rel,
+                path_ext('dir/Q.JSON') AS ext""").head
+    assert(row3.getAs[String]("joined") == "a | b\nx,y | 2")
+    assert(row3.getSeq[String](row3.fieldIndex("chunks")) == Seq("a | b", " |  | "))
+    assert(row3.getAs[String]("rel") == "docs/a.txt")
+    assert(row3.getAs[String]("ext") == "json")
   }
 
   test("salted join equals plain join on skewed data") {
