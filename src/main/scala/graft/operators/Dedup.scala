@@ -313,18 +313,23 @@ object Dedup {
         .groupBy(col("x")).agg(min(col("ylabel")).as("nl"))
         .select(col("x").as("node"), col("nl"))
       // pointer jump: my label's current label (label is always a node id,
-      // so the self-join always hits; min keeps it monotone-decreasing)
-      val jump = labels
-        .join(labels.select(col("node").as("label"), col("label").as("ll")),
-          Seq("label"))
-        .select(col("node"), col("ll"))
-      val updated = labels
-        .join(nbrMin, Seq("node"), "left")
-        .join(jump, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label")),
-            coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+      // so the self-join always hits; min keeps it monotone-decreasing).
+      // Round 0 skips it — every label is still its own node there, so
+      // label-of-label is the identity and the join would be a no-op.
+      val withNbr = labels.join(nbrMin, Seq("node"), "left")
+      val updated = (if (i == 0)
+          withNbr.select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        else {
+          val jump = labels
+            .join(labels.select(col("node").as("label"), col("label").as("ll")),
+              Seq("label"))
+            .select(col("node"), col("ll"))
+          withNbr.join(jump, Seq("node"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nl"), col("label")),
+                coalesce(col("ll"), col("label"))).as("label"))
+        }).localCheckpoint()
       val changed = updated
         .join(labels.select(col("node"), col("label").as("old")), Seq("node"))
         .filter(col("label") < col("old")).count()
