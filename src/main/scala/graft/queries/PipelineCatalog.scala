@@ -2535,6 +2535,49 @@ object PipelineCatalog {
        ORDER BY d.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q86: training-shard plan — the LAST pipeline step: every document
+  // deterministically assigned to one of N output shards (portable
+  // hash60 of the id — no RNG, any engine/worker re-derives the same
+  // plan), with a per-shard manifest of doc/token/char counts and an
+  // order-independent content fingerprint (XOR of per-doc text hashes —
+  // commutative, so the manifest is partition-order-proof; the writer's
+  // check after shuffling shards to 1000 executors). One narrow map +
+  // one N-group aggregation; nothing global moves.
+  // -------------------------------------------------------------------------
+
+  private val ShardCount = 8
+
+  val q86ShardPlan: Q = (s, d) =>
+    docsWide(s, d)
+      .select(
+        pmod(TextAnalytics.hash60(col("doc_id").cast("string")),
+          lit(ShardCount.toLong)).as("shard"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"),
+        TextAnalytics.hash60(col("text")).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        expr("bit_xor(h)").as("content_sig"))
+      .orderBy(col("shard"))
+
+  private val q86Sql =
+    s"""WITH a AS (
+         SELECT CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % $ShardCount AS BIGINT) AS shard,
+                len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS nt,
+                length(text) AS nc,
+                CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS h
+         FROM documents
+       )
+       SELECT shard, count(*) AS n_docs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens,
+              CAST(sum(nc) AS BIGINT) AS n_chars,
+              bit_xor(h) AS content_sig
+       FROM a GROUP BY shard ORDER BY shard"""
+
+  // -------------------------------------------------------------------------
   // q76: IVF-PQ — the two prunings composed (the standard billion-scale
   // ANN layout): nProbe cell partitions of the cell-partitioned CODES
   // table survive (PartitionFilters at the source), ADC ranks only those
@@ -2676,6 +2719,7 @@ object PipelineCatalog {
     "q74_global_line_dedup" -> q74GlobalLineDedup,
     "q75_dup_clusters" -> q75DupClusters,
     "q85_dedup_apply" -> q85DedupApply,
+    "q86_shard_plan" -> q86ShardPlan,
     "q76_ivf_pq" -> q76IvfPq,
   )
 
@@ -2741,5 +2785,6 @@ object PipelineCatalog {
     "q74_global_line_dedup" -> q74Sql,
     "q75_dup_clusters" -> q75Sql,
     "q85_dedup_apply" -> q85Sql,
+    "q86_shard_plan" -> q86Sql,
   )
 }
