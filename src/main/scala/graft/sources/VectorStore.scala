@@ -230,6 +230,35 @@ object VectorStore {
       if (batchId >= 0) batchId else lastBatch)
   }
 
+  /** Drift-triggered retrain — the maintenance job that completes the
+    * incremental story: when the appended fraction passes `threshold`,
+    * re-run the FULL build over the live rows (one k-means fit + one
+    * relabel pass, the same cost as the original build — but now a
+    * scheduled maintenance event, not an inline rebuild on every source
+    * change) and clear drift + tombstones. Below the threshold it is a
+    * no-op. Returns whether a retrain ran. NOTE: retraining changes the
+    * centroid literals — downstream PQ codes keyed to them must rebuild
+    * too (their manifest fingerprints the centroid set exactly for this).
+    */
+  def retrainIfDrifted(spark: SparkSession, path: String, vecCol: String,
+      idCol: String = "vec_id", planes: Int = 8, dim: Int = 64,
+      k: Int = 16, seed: Long = 42L, threshold: Double = 0.2): Boolean = {
+    if (driftFraction(path) <= threshold) false
+    else {
+      val (_, _, _, lastBatch) = readIncStats(path)
+      val live = read(spark, path, planes, dim, idCol).vectors
+        .drop("cell", "bucket", "gen")
+        .localCheckpoint() // snapshot BEFORE the overwrite below
+      write(live, vecCol, path, planes, dim, k, seed)
+      // stale tombstones would kill the fresh gen-0 rows — clear them,
+      // then restore the replay watermark the rebuild reset
+      org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
+      val (baseN, _, _, _) = readIncStats(path)
+      writeIncStats(path, baseN, 0L, 0L, lastBatch)
+      true
+    }
+  }
+
   /** Fold segments + tombstones back to a clean gen-0 layout (LSM
     * compaction; serving correctness never depends on it). Works on both
     * the vectors and the codes artifact (`sub` = which table to rewrite).

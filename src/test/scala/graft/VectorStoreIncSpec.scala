@@ -87,6 +87,38 @@ class VectorStoreIncSpec extends AnyFunSuite {
     assert(VectorStore.driftFraction(path) == 0.25)
   }
 
+  test("drift-triggered retrain: no-op below threshold, full refit above") {
+    val path = freshPath("retrain")
+    VectorStore.write(vecsDF(
+      1L -> v(1, 0, 0, 0), 2L -> v(0.9, 0.1, 0, 0),
+      3L -> v(0, 0, 1, 0), 4L -> v(0, 0.1, 0.9, 0)),
+      "embedding", path, planes = 2, dim = Dim, k = 2)
+    val csBefore = VectorStore.read(spark, path, 2, Dim).centroids
+    // small delta: drift 0.25 <= 0.3 threshold -> untouched
+    VectorStore.upsertVectors(spark, vecsDF(5L -> v(0, 1, 0, 0)),
+      "vec_id", "embedding", vecsDF().select(col("vec_id")), path,
+      planes = 2, dim = Dim)
+    assert(!VectorStore.retrainIfDrifted(spark, path, "embedding",
+      planes = 2, dim = Dim, k = 2, threshold = 0.3))
+    assert(VectorStore.read(spark, path, 2, Dim).centroids.map(_.toSeq).toSeq
+      == csBefore.map(_.toSeq).toSeq)
+    // second delta passes the threshold -> refit over the LIVE rows
+    VectorStore.upsertVectors(spark,
+      vecsDF(6L -> v(0, 0, 0, 1), 2L -> v(0, 0, 0.2, 0.8)),
+      "vec_id", "embedding", vecsDF().select(col("vec_id")), path,
+      planes = 2, dim = Dim)
+    assert(VectorStore.retrainIfDrifted(spark, path, "embedding",
+      planes = 2, dim = Dim, k = 2, threshold = 0.3))
+    val after = VectorStore.read(spark, path, 2, Dim)
+    assert(after.vectors.count() == 6, "retrain must keep exactly the live rows")
+    // replaced vec 2 keeps its NEW embedding through the rebuild
+    val e2 = after.vectors.filter(col("vec_id") === 2L)
+      .select(col("embedding")).head().getSeq[Double](0)
+    assert(e2 == Seq(0.0, 0.0, 0.2, 0.8))
+    assert(!new java.io.File(s"$path/tombstones").exists(), "tombstones not cleared")
+    assert(VectorStore.driftFraction(path) == 0.0, "drift not reset")
+  }
+
   test("compaction clears tombstones without changing the served rows") {
     val path = freshPath("compact")
     VectorStore.write(vecsDF(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0)),
