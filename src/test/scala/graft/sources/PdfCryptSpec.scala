@@ -111,6 +111,30 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText(aesV3Pdf("hidden", "secret", "owner", 6)) == "")
   }
 
+  test("property: random content and owner passwords round-trip; any user password denies") {
+    val rng = new scala.util.Random(20260813L)
+    def word(): String = {
+      val chars = "abcdefghijklmnopqrstuvwxyz0123456789 .,:-!?"
+      (0 until (3 + rng.nextInt(40))).map(_ => chars(rng.nextInt(chars.length))).mkString
+    }
+    for (i <- 0 until 25) {
+      // the walker trims each output line; no parens/backslashes in the
+      // alphabet, so no literal-string escaping is needed
+      val text = word().trim
+      val owner = s"own${rng.nextInt(1000000)}"
+      val (builder, tag) = (i % 4: @unchecked) match {
+        case 0 => ((t: String, u: String) => rc4Pdf(t, u, owner, 2, 40), "rc4-40")
+        case 1 => ((t: String, u: String) => rc4Pdf(t, u, owner, 3, 128), "rc4-128")
+        case 2 => ((t: String, u: String) => aesV2Pdf(t, u, owner), "aesv2")
+        case 3 => ((t: String, u: String) => aesV3Pdf(t, u, owner, 6), "aesv3")
+      }
+      assert(BinaryDocs.pdfText(builder(text, "")) == text,
+        s"[$tag] empty-user round-trip failed for ${text.take(40)}")
+      assert(BinaryDocs.pdfText(builder(text, s"pw${rng.nextInt(1000000)}")) == "",
+        s"[$tag] a real user password must deny")
+    }
+  }
+
   test("unsupported security handler degrades to empty") {
     val weird = assemble(
       "<< /Filter /AcmeSecure /V 2 /R 3 /Length 128 /P -44 /O <00> /U <00> >>",
