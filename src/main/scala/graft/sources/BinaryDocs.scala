@@ -516,6 +516,8 @@ object BinaryDocs {
 
   private val ObjRe = java.util.regex.Pattern.compile(
     "(\\d+)\\s+\\d+\\s+obj\\b(.*?)endobj", java.util.regex.Pattern.DOTALL)
+  private val ObjHeaderRe = java.util.regex.Pattern.compile(
+    "(\\d+)\\s+(\\d+)\\s+obj\\b")
   private val ToUnicodeRefRe = java.util.regex.Pattern.compile(
     "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R")
   private val FontDictRe = java.util.regex.Pattern.compile(
@@ -850,7 +852,15 @@ object BinaryDocs {
       // (degrade like the reference's unreadable-input skip)
       val dec: (Int, String) => String = PdfCrypt.access(raw) match {
         case PdfCrypt.Denied => return ""
-        case PdfCrypt.Granted(f) => f
+        case PdfCrypt.Granted(f) =>
+          // Algorithm 1 mixes the object's GENERATION into the per-object
+          // key, so capture each top-level "num gen obj" header (last
+          // occurrence wins, matching objectBodies' put order); objects
+          // packed in /ObjStm are generation 0 by spec — the map default
+          val gens = new java.util.HashMap[Int, Int]()
+          val gm = ObjHeaderRe.matcher(raw)
+          while (gm.find()) gens.put(gm.group(1).toInt, gm.group(2).toInt)
+          (n, s) => f(n, gens.getOrDefault(n, 0), s)
         case _ => (_, s) => s
       }
       val bodies = objectBodies(raw, dec)

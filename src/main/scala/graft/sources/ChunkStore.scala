@@ -61,6 +61,25 @@ object ChunkStore {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The stored chunks of `docIds` (a frame with a `document_id` column)
+    * ONLY: the same isin bucket pruning the upsert's survivor scan uses,
+    * so a delta-sized lookup of existing state reads the delta's buckets,
+    * never the table. Callers that will overwrite the store afterwards
+    * must snapshot (localCheckpoint) the result first.
+    */
+  def chunksOfDocuments(spark: SparkSession, path: String,
+      docIds: DataFrame): DataFrame = {
+    val n = readTableBuckets(spark, path).getOrElse(DefaultBuckets)
+    val keyed = withBucket(docIds.select(col("document_id")).distinct(), n)
+    val buckets = keyed.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0)) // small: ≤ n values
+    if (buckets.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(path)
+      .filter(col("doc_bucket").isin(buckets.toIndexedSeq: _*))
+      .join(broadcast(keyed.select(col("document_id"))),
+        Seq("document_id"), "left_semi")
+  }
+
   /** Idempotent replace-by-document upsert. */
   def upsert(chunks: DataFrame, path: String, numBuckets: Int = DefaultBuckets): Unit = {
     val spark = chunks.sparkSession

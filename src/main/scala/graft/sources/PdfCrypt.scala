@@ -31,8 +31,12 @@ object PdfCrypt {
     * handler/filter is unsupported) — callers degrade to empty text.
     */
   case object Denied extends Access
-  /** Empty user password validated: `decrypt(objNum, rawStreamData)`. */
-  final case class Granted(decrypt: (Int, String) => String) extends Access
+  /** Empty user password validated: `decrypt(objNum, gen, rawStreamData)`.
+    * Algorithm 1 mixes the low 2 generation bytes into the per-object MD5,
+    * so R<=4 objects at nonzero generations need the real generation —
+    * hard-coding 0 decrypts them to garbage.
+    */
+  final case class Granted(decrypt: (Int, Int, String) => String) extends Access
 
   // 32-byte password pad, ISO 32000 table Algorithm 2
   private val Pad: Array[Byte] = Array(
@@ -274,8 +278,10 @@ object PdfCrypt {
       val ue = strField(dict, "UE").getOrElse(return Denied)
       val ik = hash2b(empty, keySalt, empty, r)
       val fileKey = aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), ue.take(32))
-      if (stmfIdentity) Granted((_, s) => s)
-      else Granted((_, s) => strOf(aesDecryptStream(fileKey, bytesOf(s))))
+      // AESV3 uses the file key directly — no per-object derivation, the
+      // generation number does not participate (ISO 32000-2 §7.6.3.3)
+      if (stmfIdentity) Granted((_, _, s) => s)
+      else Granted((_, _, s) => strOf(aesDecryptStream(fileKey, bytesOf(s))))
     } else {
       val p = intField(dict, "P", -1)
       val lengthBits = intField(dict, "Length", 40)
@@ -289,12 +295,12 @@ object PdfCrypt {
       }
       val key = rc4FileKey(empty, o, p, id0, r, lengthBits, encryptMetadata)
       if (!userValidates(key, id0, r, u)) return Denied
-      if (stmfIdentity) Granted((_, s) => s)
+      if (stmfIdentity) Granted((_, _, s) => s)
       else if (cfm == "AESV2")
-        Granted((n, s) =>
-          strOf(aesDecryptStream(objectKey(key, n, 0, aes = true), bytesOf(s))))
+        Granted((n, g, s) =>
+          strOf(aesDecryptStream(objectKey(key, n, g, aes = true), bytesOf(s))))
       else
-        Granted((n, s) => strOf(rc4(objectKey(key, n, 0, aes = false), bytesOf(s))))
+        Granted((n, g, s) => strOf(rc4(objectKey(key, n, g, aes = false), bytesOf(s))))
     }
   } catch { case _: Exception => Denied }
 }

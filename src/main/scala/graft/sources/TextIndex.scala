@@ -96,7 +96,10 @@ object TextIndex {
     val stamp = VectorStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
     // tokenizer contract is part of the layout version: postings written
     // under a different tokenization must rebuild, not silently mis-score
-    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2","layout":"seg-v3"}"""
+    // seg-v4: gen is a top-level partition directory (gen=N/term_bucket=B/)
+    // so a crashed upsert's partial segment is deletable wholesale — the
+    // piece that makes the batch-replay guard crash-atomic
+    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2","layout":"seg-v4"}"""
   }
 
   // --- stats sidecar (exact integers; gen = last segment written) -------
@@ -156,12 +159,12 @@ object TextIndex {
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
       .write.mode(mode).option("partitionOverwriteMode", "static")
-      .partitionBy("term_bucket")
+      .partitionBy("gen", "term_bucket")
       .parquet(s"$path/postings")
     segmentDoclens(withDl, gen)
       .repartition(col("doc_bucket"))
       .write.mode(mode).option("partitionOverwriteMode", "static")
-      .partitionBy("doc_bucket")
+      .partitionBy("gen", "doc_bucket")
       .parquet(s"$path/doclens")
   }
 
@@ -170,18 +173,27 @@ object TextIndex {
   private def tombstonesDir(path: String) = new java.io.File(s"$path/tombstones")
 
   /** Tombstone-filter `rows` (which carry (doc, gen)): a row is dead iff
-    * some tombstone for its doc has a STRICTLY higher generation. The
-    * tombstone list is replaced/deleted docs only — small next to the
-    * index, broadcast. No tombstone dir (pure initial build) → no-op, the
-    * plan stays identical to the non-incremental layout.
+    * some tombstone for its doc has a STRICTLY higher generation. No
+    * tombstone dir (pure initial build) → no-op, the plan stays identical
+    * to the non-incremental layout. The tombstone list is replaced/deleted
+    * docs only — small BETWEEN COMPACTIONS, so it broadcasts; but churn
+    * grows it without bound, so past a size gate (driver-side file-stat
+    * only) the filter falls back to a shuffled hash join instead of
+    * feeding an ever-growing broadcast (same gate as
+    * Dedup.removeFrequentLines).
     */
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
-    if (!tombstonesDir(path).exists()) rows
+    if (!VectorStore.hasParquetData(tombstonesDir(path))) rows
     else {
-      val tomb = spark.read.parquet(s"$path/tombstones")
+      val tomb = VectorStore.seg(spark, s"$path/tombstones")
         .groupBy(col("doc")).agg(max(col("gen")).as("tomb_gen"))
-      rows.join(broadcast(tomb), Seq("doc"), "left")
-        .filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
+      val joined =
+        if (VectorStore.dirBytes(tombstonesDir(path)) <=
+            VectorStore.MaxTombstoneBroadcastBytes)
+          rows.join(broadcast(tomb), Seq("doc"), "left")
+        else rows.hint("shuffle_hash")
+          .join(tomb.hint("shuffle_hash"), Seq("doc"), "left")
+      joined.filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
         .drop("tomb_gen")
     }
 
@@ -193,7 +205,7 @@ object TextIndex {
       affected: DataFrame): DataFrame = {
     val keyed = affected.select(col("doc"))
       .withColumn("doc_bucket", docBucketCol(col("doc")))
-    liveRows(spark, path, spark.read.parquet(s"$path/doclens"))
+    liveRows(spark, path, VectorStore.seg(spark, s"$path/doclens"))
       .join(broadcast(keyed), Seq("doc_bucket", "doc"))
   }
 
@@ -203,11 +215,15 @@ object TextIndex {
     */
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
       batchId: Long = -1L): Unit = {
+    // a rebuild must not reset the streaming replay watermark (same
+    // contract as VectorStore.write)
+    val prevLast = if (exists(path)) readStats(path)._4 else -1L
     val withDl = tokenized(docs, idCol, textCol)
     val stats = withDl.agg(
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
     writeSegment(withDl, gen = 0L, path, mode = "overwrite")
-    writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L, batchId)
+    writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L,
+      if (batchId >= 0) batchId else prevLast)
   }
 
   /** Incremental maintenance: merge a delta of new/changed documents and
@@ -233,6 +249,15 @@ object TextIndex {
     // idempotent-sink pattern); ad-hoc callers pass no id and always apply.
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
+    // crash atomicity: stats (carrying the watermark) are written LAST,
+    // so a crash mid-append leaves lastBatch at its old value and the
+    // replay re-enters here — delete the partial gen=N directories first
+    // and the redo runs against the exact pre-batch state (liveRows and
+    // liveAffectedDoclens see no gen-N rows after the cleanup)
+    Seq("postings", "doclens", "tombstones").foreach { sub =>
+      val d = new java.io.File(s"$path/$sub/gen=$nextGen")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
     // materialize the delta tokenization once: it feeds stats, tombstone
     // lookup, postings AND doclens (and must not be recomputed after the
     // appends below start changing what the path contains)
@@ -247,8 +272,11 @@ object TextIndex {
       .localCheckpoint() // snapshot BEFORE appending to doclens
     val rStats = liveOld.agg(
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    liveOld.select(col("doc"), lit(nextGen).as("gen"))
-      .write.mode("append").parquet(s"$path/tombstones")
+    // zero replaced/deleted live versions → no tombstones (a partitioned
+    // write of an empty frame leaves a schemaless dir that poisons reads)
+    if (rStats.getLong(0) > 0)
+      liveOld.select(col("doc"), lit(nextGen).as("gen"))
+        .write.mode("append").partitionBy("gen").parquet(s"$path/tombstones")
     writeSegment(withDl, nextGen, path, mode = "append")
     writeStats(path,
       n0 - rStats.getLong(0) + dStats.getLong(0),
@@ -263,20 +291,20 @@ object TextIndex {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val (n, sumDl, _, lastBatch) = readStats(path)
-    val live = liveRows(spark, path, spark.read.parquet(s"$path/postings"))
+    val live = liveRows(spark, path, VectorStore.seg(spark, s"$path/postings"))
       .localCheckpoint()
-    val doclens = liveRows(spark, path, spark.read.parquet(s"$path/doclens"))
+    val doclens = liveRows(spark, path, VectorStore.seg(spark, s"$path/doclens"))
       .localCheckpoint()
     live.withColumn("gen", lit(0L))
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("term_bucket")
+      .partitionBy("gen", "term_bucket")
       .parquet(s"$path/postings")
     doclens.withColumn("gen", lit(0L))
       .repartition(col("doc_bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("doc_bucket")
+      .partitionBy("gen", "doc_bucket")
       .parquet(s"$path/doclens")
     org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
     writeStats(path, n, sumDl, gen = 0L, lastBatch)
@@ -284,7 +312,7 @@ object TextIndex {
 
   def read(spark: SparkSession, path: String): Index = {
     val (n, sumDl, _, _) = readStats(path)
-    val postings = liveRows(spark, path, spark.read.parquet(s"$path/postings"))
+    val postings = liveRows(spark, path, VectorStore.seg(spark, s"$path/postings"))
     // df as a view over LIVE postings: a filter on (term_bucket, term) —
     // both grouping keys — pushes below the aggregate to the pruned scan,
     // so a query's df costs the same rows it already reads for tf

@@ -74,7 +74,10 @@ object VectorStore {
     // mixing assignment families ("portable-v1" = NearestCell identity
     // assignment replacing MLlib model.transform)
     // v2: rows carry the segment generation (incremental-upsert layout)
-    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v2"}"""
+    // v3: gen is a TOP-LEVEL partition column (gen=N/cell=C/): a crashed
+    //     upsert's partial segment is identifiable and deletable by
+    //     directory, which is what makes batch replay crash-atomic
+    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v3"}"""
   }
 
   /** Write-time indexing: label every vector with `cell` (IVF) and
@@ -96,14 +99,20 @@ object VectorStore {
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("cell")
+      .partitionBy("gen", "cell")
       .parquet(s"$path/vectors")
     val json = model.clusterCenters
       .map(_.toArray.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_centroids.json"), json)
+    // a rebuild (ensure on a changed source, retrain) must not reset the
+    // streaming replay watermark: with no explicit batchId, carry the
+    // stored one forward so a restarted stream cannot re-apply a
+    // delivered batch to the fresh artifact
+    val prevLast = readIncStats(path)._4
     writeIncStats(path,
-      emb.sparkSession.read.parquet(s"$path/vectors").count(), 0L, 0L, batchId)
+      emb.sparkSession.read.parquet(s"$path/vectors").count(), 0L, 0L,
+      if (batchId >= 0) batchId else prevLast)
   }
 
   private def readCentroids(path: String): Array[Array[Double]] = {
@@ -119,7 +128,7 @@ object VectorStore {
 
   def read(spark: SparkSession, path: String, planes: Int, dim: Int,
       idCol: String = "vec_id"): Index =
-    Index(liveRows(spark, path, spark.read.parquet(s"$path/vectors"), idCol),
+    Index(liveRows(spark, path, seg(spark, s"$path/vectors"), idCol),
       readCentroids(path), planes, dim)
 
   // ---------------------------------------------------------------------
@@ -169,20 +178,65 @@ object VectorStore {
 
   private def tombstonesDir(path: String) = new java.io.File(s"$path/tombstones")
 
+  /** On-disk bytes of a local artifact directory — driver-side metadata
+    * only (no Spark job), the broadcast-vs-shuffle gate below reads it.
+    */
+  private[graft] def dirBytes(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(dirBytes).sum
+
+  /** Whether a directory holds any parquet DATA — an empty delta's
+    * partitioned write (or a crash-cleanup that removed the only gen dir)
+    * can leave a directory with no files, which schema inference rejects.
+    */
+  private[graft] def hasParquetData(dir: java.io.File): Boolean = {
+    def walk(f: java.io.File): Boolean =
+      if (f.isFile) f.getName.endsWith(".parquet")
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).exists(walk)
+    dir.exists() && walk(dir)
+  }
+
+  /** Read a gen-partitioned segment table with its canonical schema: the
+    * gen partition DIRECTORY round-trips through partition-type inference
+    * as int — normalize back to the long the rows were written with so
+    * caller schemas are layout-independent.
+    */
+  private[graft] def seg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).withColumn("gen", col("gen").cast("long"))
+
+  /** Churned-but-uncompacted tombstones above this many on-disk bytes
+    * stop broadcasting and fall back to a shuffled hash join — the same
+    * size gate as Dedup.removeFrequentLines: a broadcast that grows with
+    * churn is an executor OOM at 100 TB, not a hint.
+    */
+  private[graft] val MaxTombstoneBroadcastBytes: Long = 64L << 20
+
   /** Tombstone-filter segment rows: dead iff some tombstone for the id
     * has a strictly higher generation (a replaced id's new rows share the
     * tombstone's generation and survive). No tombstone dir — the pure
     * full-build layout — is a no-op, keeping the q25/q27 plans untouched.
+    * The tombstone key is aliased to a reserved name before the join:
+    * drop-by-name("id") removes EVERY column called "id", including the
+    * caller's when idCol == "id" (the streaming integration's case).
     */
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame,
       idCol: String): DataFrame =
-    if (!tombstonesDir(path).exists()) rows
+    if (!hasParquetData(tombstonesDir(path))) rows
     else {
-      val tomb = spark.read.parquet(s"$path/tombstones")
-        .groupBy(col("id")).agg(max(col("gen")).as("tomb_gen"))
-      rows.join(broadcast(tomb), rows(idCol) === tomb("id"), "left")
-        .filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
-        .drop("id", "tomb_gen")
+      val tomb = seg(spark, s"$path/tombstones")
+        .groupBy(col("id")).agg(max(col("gen")).as("__tomb_gen"))
+        .select(col("id").as("__tomb_id"), col("__tomb_gen"))
+      val joined =
+        if (dirBytes(tombstonesDir(path)) <= MaxTombstoneBroadcastBytes)
+          rows.join(broadcast(tomb), rows(idCol) === col("__tomb_id"), "left")
+        else
+          rows.hint("shuffle_hash")
+            .join(tomb.hint("shuffle_hash"),
+              rows(idCol) === col("__tomb_id"), "left")
+      joined.filter(col("__tomb_gen").isNull || col("gen") >= col("__tomb_gen"))
+        .drop("__tomb_id", "__tomb_gen")
     }
 
   /** The delta's labelled segment rows — cell/bucket assignment from the
@@ -199,6 +253,22 @@ object VectorStore {
         Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
       .withColumn("gen", lit(gen))
 
+  /** Delete any partial generation-`gen` directories a crashed upsert
+    * left behind. Plain-parquet appends across several directories are
+    * not atomic; what makes the replay guard crash-PROOF (not just
+    * crash-likely-fine) is that every appended row lands under a
+    * `gen=N/` partition directory, so an interrupted attempt is
+    * identifiable and removable wholesale before the redo. Stats (and
+    * the batch watermark they carry) are written LAST, so a replay
+    * either sees the watermark (fully applied → no-op) or re-runs
+    * against the exact pre-batch state after this cleanup.
+    */
+  private def dropPartialGen(path: String, subs: Seq[String], gen: Long): Unit =
+    subs.foreach { sub =>
+      val d = new java.io.File(s"$path/$sub/gen=$gen")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+
   /** Merge a delta of new/changed vectors and a set of deleted ids into
     * the stored index without touching stored vectors: one assignment
     * pass over the delta (stored-literal arithmetic), one partitioned
@@ -213,18 +283,23 @@ object VectorStore {
     // re-appending a delivered batch would duplicate its vectors
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
+    dropPartialGen(path, Seq("vectors", "tombstones"), nextGen)
     val nDelta = delta.count()
     // tombstone EVERY affected id (replaced, deleted, or absent — the
-    // last is harmless): no read of stored state is needed at all
-    delta.select(col(idCol).as("id"))
+    // last is harmless): no read of stored state is needed at all. An
+    // empty frame is SKIPPED — a partitioned write of zero rows leaves a
+    // schemaless directory that poisons later reads.
+    val tombs = delta.select(col(idCol).as("id"))
       .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
       .distinct()
-      .withColumn("gen", lit(nextGen))
-      .write.mode("append").parquet(s"$path/tombstones")
+      .localCheckpoint()
+    if (tombs.count() > 0)
+      tombs.withColumn("gen", lit(nextGen))
+        .write.mode("append").partitionBy("gen").parquet(s"$path/tombstones")
     assignDelta(delta, vecCol, centroids, planes, dim, nextGen)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("bucket"))
-      .write.mode("append").partitionBy("cell")
+      .write.mode("append").partitionBy("gen", "cell")
       .parquet(s"$path/vectors")
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
@@ -265,12 +340,12 @@ object VectorStore {
     */
   def compactVectors(spark: SparkSession, path: String,
       idCol: String = "vec_id", sub: String = "vectors"): Unit = {
-    val live = liveRows(spark, path, spark.read.parquet(s"$path/$sub"), idCol)
+    val live = liveRows(spark, path, seg(spark, s"$path/$sub"), idCol)
       .withColumn("gen", lit(0L))
       .localCheckpoint()
     live.repartition(col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$path/$sub")
+      .partitionBy("gen", "cell").parquet(s"$path/$sub")
     org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
     val (_, _, _, lastBatch) = readIncStats(path)
     writeIncStats(path, live.count(), 0L, 0L, lastBatch)
@@ -333,8 +408,10 @@ object VectorStore {
     // v4: codes carry the IVF `cell` partition column (IVF-PQ layout) AND
     // the segment generation (incremental-upsert layout); manifest pins
     // the k-means seed + the exact centroid set
+    // v5: gen is a top-level partition directory (crash-atomic replay,
+    // see dropPartialGen)
     s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"seed":$seed,""" +
-      s""""centroid_fp":"$cfp","assign":"pq-portable-v4"}"""
+      s""""centroid_fp":"$cfp","assign":"pq-portable-v5"}"""
   }
 
   /** Train per-subspace spherical sub-codebooks (seeded MLlib k-means over
@@ -371,13 +448,17 @@ object VectorStore {
       .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("cell").parquet(s"$path/codes")
+      .partitionBy("gen", "cell").parquet(s"$path/codes")
     val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"), json)
+    // an ensurePq-triggered rebuild must not erase the streaming replay
+    // watermark (retrainIfDrifted restores it explicitly; this path now
+    // preserves it by default)
+    val prevLast = readIncStats(path)._4
     writeIncStats(path,
-      emb.sparkSession.read.parquet(s"$path/codes").count(), 0L, 0L)
+      emb.sparkSession.read.parquet(s"$path/codes").count(), 0L, 0L, prevLast)
   }
 
   private def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
@@ -406,12 +487,15 @@ object VectorStore {
     val (baseN, appendedN, gen0, lastBatch) = readIncStats(path)
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
+    dropPartialGen(path, Seq("codes", "tombstones"), nextGen)
     val nDelta = delta.count()
-    delta.select(col(idCol).as("id"))
+    val tombs = delta.select(col(idCol).as("id"))
       .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
       .distinct()
-      .withColumn("gen", lit(nextGen))
-      .write.mode("append").parquet(s"$path/tombstones")
+      .localCheckpoint()
+    if (tombs.count() > 0)
+      tombs.withColumn("gen", lit(nextGen))
+        .write.mode("append").partitionBy("gen").parquet(s"$path/tombstones")
     delta
       .withColumn("nv", graft.functions.VectorFunctions.l2Normalize(
         col(vecCol).cast("array<double>")))
@@ -422,7 +506,7 @@ object VectorStore {
       .drop("nv", vecCol)
       .withColumn("gen", lit(nextGen))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("gen", "cell").parquet(s"$path/codes")
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
   }
@@ -430,7 +514,7 @@ object VectorStore {
   def readPq(spark: SparkSession, path: String,
       idCol: String = "vec_id"): PqIndex = {
     val cbs = readPqCodebooks(path)
-    PqIndex(liveRows(spark, path, spark.read.parquet(s"$path/codes"), idCol),
+    PqIndex(liveRows(spark, path, seg(spark, s"$path/codes"), idCol),
       cbs, cbs.length, cbs(0)(0).length, cbs(0).length)
   }
 

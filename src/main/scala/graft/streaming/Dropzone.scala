@@ -71,6 +71,23 @@ object Dropzone {
     // would otherwise recompute chunk+embed per micro-batch.
     val chunks = FileIngest.chunksFromDocuments(
       delta, chunkSize, chunkOverlap, embedDim).localCheckpoint()
+    // Chunk ids are uuid5(document_id, "chunk:{idx}"): a re-dropped file
+    // that now chunks SHORTER leaves its old tail ids in neither the new
+    // delta nor anything downstream — ChunkStore.upsert drops those rows,
+    // but the ANN store would keep serving their vectors unless they are
+    // deleted EXPLICITLY. Compute the replaced documents' removed chunk
+    // ids (stored chunks of affected documents, anti-joined against the
+    // new ids) from pre-upsert state, snapshotted before the upsert
+    // rewrites the buckets this reads. (The text index needs no analog:
+    // its doc grain is the file path, and the delta tombstones it whole.)
+    val removedChunkIds =
+      if (storeExists && vectorStorePath.isDefined)
+        ChunkStore.chunksOfDocuments(spark, storePath,
+            chunks.select(col("document_id")))
+          .select(col("id"))
+          .join(chunks.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint()
+      else chunks.select(col("id")).limit(0)
     if (storeExists) ChunkStore.upsert(chunks, storePath) // empty delta no-ops inside
     else if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
     // the BM25 serving artifact is maintained PER MICRO-BATCH beside the
@@ -95,7 +112,7 @@ object Dropzone {
       val vecDelta = chunks.select(col("id"), col("vector"))
       if (VectorStore.vectorsExist(vsp))
         VectorStore.upsertVectors(spark, vecDelta, "id", "vector",
-          vecDelta.select(col("id")).limit(0), vsp,
+          removedChunkIds, vsp,
           dim = embedDim, batchId = batchId)
       else if (!vecDelta.isEmpty)
         VectorStore.write(vecDelta, "vector", vsp,

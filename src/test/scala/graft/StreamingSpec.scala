@@ -183,6 +183,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!texts.exists(_.contains("first version")))
   }
 
+  test("re-dropped file that chunks SHORTER deletes its tail vectors from the ANN store") {
+    // chunk ids are uuid5(document_id, "chunk:{idx}"): a shorter re-drop
+    // produces a PREFIX of the old id set, so the removed tail ids appear
+    // in no delta — they must be deleted explicitly or the serving ANN
+    // index diverges from the chunk store (r6 advice)
+    import org.apache.spark.sql.DataFrame
+    import graft.sources.VectorStore
+    val store = Files.createTempDirectory("graft-shrink-store").resolve("chunks").toString
+    val vstore = Files.createTempDirectory("graft-shrink-vstore").resolve("idx").toString
+    def files(body: String): DataFrame = {
+      import spark.implicits._
+      Seq(("dz/a.txt", body.getBytes("UTF-8")))
+        .toDF("path", "content")
+        .withColumn("length", octet_length(col("content")).cast("long"))
+    }
+    def run(body: String, batchId: Long): Unit = Dropzone.processBatch(
+      spark, files(body), "dz", store, 40, 0, 8, skipUnchangedFiles = true,
+      vectorStorePath = Some(vstore), vectorStoreK = 2, batchId = batchId)
+
+    run("a long first version of this document body, " +
+      "long enough to produce a handful of chunks at size forty", 0L)
+    val before = ChunkStore.read(spark, store).count()
+    assert(before >= 3, s"fixture should chunk into several pieces, got $before")
+
+    run("a tiny rewrite", 1L)
+    val storedIds = ChunkStore.read(spark, store)
+      .select("id").collect().map(_.getString(0)).toSet
+    val liveVecIds = VectorStore.read(spark, vstore, planes = 8, dim = 8,
+      idCol = "id").vectors.select("id").collect().map(_.getString(0)).toSet
+    assert(liveVecIds == storedIds,
+      s"ANN store diverged from chunk store: extra=${liveVecIds -- storedIds}, missing=${storedIds -- liveVecIds}")
+  }
+
   test("store compaction preserves content and reduces file count") {
     val dropzone: Path = Files.createTempDirectory("graft-compact-dz")
     val store = Files.createTempDirectory("graft-compact-store").resolve("chunks").toString

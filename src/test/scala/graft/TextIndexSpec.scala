@@ -93,6 +93,28 @@ class TextIndexSpec extends AnyFunSuite {
     assert(n == 1 && sumDl == 2)
   }
 
+  test("crashed upsert replay: partial generation dropped before redo (no tf doubling)") {
+    val path = freshPath("crashreplay")
+    TextIndex.write(docsDF(1L -> "spark join", 2L -> "spark stale"),
+      "doc_id", "text", path, batchId = 0L)
+    val statsPath = java.nio.file.Paths.get(path, "_graft_stats.json")
+    val statsBefore = java.nio.file.Files.readString(statsPath)
+    val delta = docsDF(2L -> "hash fresh probe")
+    TextIndex.upsert(spark, delta, "doc_id", "text", ids(), path, batchId = 1L)
+    val expected = liveState(path)
+    // crash between the gen-1 appends and the stats write: the watermark
+    // still says batch 0, so the restarted stream re-delivers batch 1 —
+    // without gen-dir cleanup this re-append doubles every tf
+    java.nio.file.Files.writeString(statsPath, statsBefore)
+    TextIndex.upsert(spark, delta, "doc_id", "text", ids(), path, batchId = 1L)
+    assert(liveState(path) == expected, "replay after crash changed serving state")
+    val idx = TextIndex.read(spark, path)
+    assert(idx.n == 2 && idx.sumDl == 2 + 3)
+    val tf = idx.postings.filter(col("term") === "hash")
+      .select("tf").collect().map(_.getLong(0)).toSeq
+    assert(tf == Seq(1L), "replayed batch doubled tf")
+  }
+
   test("compact folds segments+tombstones into gen-0 with identical serving state") {
     val path = freshPath("compact")
     TextIndex.write(docsDF(1L -> "spark join", 2L -> "spark stale"),
@@ -104,8 +126,9 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/tombstones").exists(), "tombstones not cleared")
     val after = liveState(path)
     assert(after == before, "compaction changed serving state")
+    // raw layout read on purpose (gen is a partition dir, inferred int)
     val gens = spark.read.parquet(s"$path/postings")
-      .select(col("gen")).distinct().collect().map(_.getLong(0)).toSet
+      .select(col("gen").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(gens == Set(0L), "compaction must rewrite everything at gen 0")
   }
 }

@@ -75,6 +75,50 @@ class VectorStoreIncSpec extends AnyFunSuite {
     expected.foreach { case (id, c) => assert(cells(id) == c, s"cell of $id") }
   }
 
+  test("idCol == \"id\": tombstone filter keeps the caller's id column") {
+    // the streaming integration reads with idCol = "id"; the tombstone
+    // key is also called "id", and a drop-by-name would silently remove
+    // BOTH — serving vectors that can't be mapped back to chunks
+    import spark.implicits._
+    val path = freshPath("idcol")
+    val base = Seq((1L, v(1, 0, 0, 0)), (2L, v(0, 1, 0, 0))).toDF("id", "embedding")
+    VectorStore.write(base, "embedding", path, planes = 2, dim = Dim, k = 2)
+    VectorStore.upsertVectors(spark,
+      Seq((2L, v(0, 0, 1, 0))).toDF("id", "embedding"), "id", "embedding",
+      Seq.empty[Long].toDF("id"), path, planes = 2, dim = Dim)
+    val vecs = VectorStore.read(spark, path, 2, Dim, idCol = "id").vectors
+    assert(vecs.columns.contains("id"),
+      "tombstone join dropped the caller's id column")
+    val ids = vecs.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L))
+  }
+
+  test("crashed upsert replay: partial generation dropped, no duplicates") {
+    val path = freshPath("crash")
+    VectorStore.write(vecsDF(1L -> v(1, 0, 0, 0), 2L -> v(0, 1, 0, 0)),
+      "embedding", path, planes = 2, dim = Dim, k = 2, batchId = 0L)
+    val statsPath = java.nio.file.Paths.get(path, "_graft_inc_stats.json")
+    val statsBefore = java.nio.file.Files.readString(statsPath)
+    val delta = vecsDF(2L -> v(0, 0, 1, 0), 3L -> v(0, 0, 0, 1))
+    val none = vecsDF().select(lit(0L).as("vec_id")).limit(0)
+    VectorStore.upsertVectors(spark, delta, "vec_id", "embedding", none,
+      path, planes = 2, dim = Dim, batchId = 1L)
+    val expected = VectorStore.read(spark, path, 2, Dim).vectors
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    // simulate a crash BETWEEN the segment appends and the stats write:
+    // gen-1 files are on disk but the watermark still says batch 0 — the
+    // window the r6 advice flagged as doubling the replayed batch
+    java.nio.file.Files.writeString(statsPath, statsBefore)
+    VectorStore.upsertVectors(spark, delta, "vec_id", "embedding", none,
+      path, planes = 2, dim = Dim, batchId = 1L)
+    val after = VectorStore.read(spark, path, 2, Dim).vectors
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(after.length == 3, "replay after crash duplicated segment rows")
+    assert(after.toSet == expected)
+  }
+
   test("drift fraction tracks appended volume for the retrain trigger") {
     val path = freshPath("drift")
     VectorStore.write(vecsDF(

@@ -23,8 +23,9 @@ class PdfCryptSpec extends AnyFunSuite {
     out
   }
 
-  private def assemble(encDict: String, cipherStream: Array[Byte]): Array[Byte] = {
-    val head = "%PDF-1.6\n1 0 obj\n<< /Length " + cipherStream.length +
+  private def assemble(encDict: String, cipherStream: Array[Byte],
+      objGen: Int = 0): Array[Byte] = {
+    val head = s"%PDF-1.6\n1 $objGen obj\n<< /Length " + cipherStream.length +
       " >>\nstream\n"
     val tail = "\nendstream\nendobj\n9 0 obj\n" + encDict + "\nendobj\n" +
       s"trailer << /Root 2 0 R /Encrypt 9 0 R /ID [<${hex(id0)}> <${hex(id0)}>] >>\n%%EOF"
@@ -78,6 +79,22 @@ class PdfCryptSpec extends AnyFunSuite {
         " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF" +
         s" /O <${hex(o)}> /U <${hex(u)}> /OE <${hex(oe)}> /UE <${hex(ue)}> >>",
       cipher)
+  }
+
+  test("RC4 object at NONZERO generation mixes the generation into its key") {
+    // Algorithm 1 appends the low 2 generation bytes to the MD5 input; a
+    // decrypt path that hard-codes generation 0 turns this into garbage
+    val gen = 2
+    val o = PdfCrypt.ownerEntry(b("owner"), b(""), r = 3, 128)
+    val key = PdfCrypt.rc4FileKey(b(""), o, P, id0, r = 3, 128,
+      encryptMetadata = true)
+    val u = PdfCrypt.userEntry(key, id0, r = 3)
+    val cipher = PdfCrypt.rc4(
+      PdfCrypt.objectKey(key, 1, gen, aes = false), b("BT (Updated revision) Tj ET"))
+    val bytes = assemble(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $P " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>", cipher, objGen = gen)
+    assert(BinaryDocs.pdfText(bytes) == "Updated revision")
   }
 
   test("RC4 40-bit (V1/R2) empty user password decrypts transparently") {
