@@ -1420,7 +1420,7 @@ object PipelineCatalog {
     val expected = {
       val stamp = graft.sources.VectorStore.sourceStamp(
         new java.io.File(s"$d/documents.parquet"))
-      s"""{"source_stamp":"$stamp","scenario":"base+delta-v1","tokenize":"ws-split-v2","layout":"seg-v3"}"""
+      s"""{"source_stamp":"$stamp","scenario":"base+delta-v1","tokenize":"ws-split-v2","layout":"seg-v5"}"""
     }
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
@@ -1502,7 +1502,8 @@ object PipelineCatalog {
     val mfPath = java.nio.file.Paths.get(path, "_graft_scenario.json")
     val stamp = graft.sources.VectorStore.sourceStamp(
       new java.io.File(s"$d/embeddings.parquet"))
-    val expected = s"""{"source_stamp":"$stamp","scenario":"$tag-v1"}"""
+    // -v2: epoch-pointer layout (stale -v1 artifacts have no e<K> dirs)
+    val expected = s"""{"source_stamp":"$stamp","scenario":"$tag-v2"}"""
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
     if (!fresh) {

@@ -99,24 +99,83 @@ object TextIndex {
     // seg-v4: gen is a top-level partition directory (gen=N/term_bucket=B/)
     // so a crashed upsert's partial segment is deletable wholesale — the
     // piece that makes the batch-replay guard crash-atomic
-    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2","layout":"seg-v4"}"""
+    // seg-v5: tables live under an atomic-pointer-committed epoch dir
+    // (crash-atomic compaction/rebuild; see VectorStore epoch section)
+    s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2","layout":"seg-v5"}"""
   }
 
-  // --- stats sidecar (exact integers; gen = last segment written) -------
+  // --- stats sidecar (exact integers; gen = last segment written;
+  //     dead_n = dead doc VERSIONS awaiting compaction — each upsert
+  //     tombstones exactly the live versions it replaces/deletes, so the
+  //     count maintains incrementally with no scan) --------------------
 
   private def writeStats(path: String, n: Long, sumDl: Long, gen: Long,
-      lastBatch: Long = -1L): Unit =
+      lastBatch: Long = -1L, deadN: Long = 0L): Unit =
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_stats.json"),
-      s"""{"n":$n,"sum_dl":$sumDl,"gen":$gen,"last_batch":$lastBatch}""")
+      s"""{"n":$n,"sum_dl":$sumDl,"gen":$gen,"last_batch":$lastBatch,"dead_n":$deadN}""")
 
   private def readStats(path: String): (Long, Long, Long, Long) = {
+    val s = readStatsFull(path)
+    (s._1, s._2, s._3, s._4)
+  }
+
+  private def readStatsFull(path: String): (Long, Long, Long, Long, Long) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(path, "_graft_stats.json")))
     (node.get("n").asLong(), node.get("sum_dl").asLong(),
       if (node.has("gen")) node.get("gen").asLong() else 0L,
-      if (node.has("last_batch")) node.get("last_batch").asLong() else -1L)
+      if (node.has("last_batch")) node.get("last_batch").asLong() else -1L,
+      if (node.has("dead_n")) node.get("dead_n").asLong() else 0L)
+  }
+
+  // --- maintenance policy ----------------------------------------------
+  // The reference's serving store runs background optimizers that merge
+  // segments and clean deleted points without operator intervention
+  // (Qdrant's optimizer config, worker/app/services/qdrant_client.py:
+  // 303-407 relies on it; scripts/dev/tools/reindex_collection.py:8 even
+  // tunes indexing_threshold). Graft's analog: every upsert evaluates a
+  // sidecar-recorded policy from METADATA ONLY (segment count, exact
+  // dead-version count) and folds the index back to gen-0 when churn
+  // crosses it — so read amplification and the tombstone list stay
+  // bounded under any churn history with zero human intervention. The
+  // compaction cost is amortized: it runs every ~maxSegments upserts,
+  // each of which stayed O(delta).
+
+  /** Compaction trigger thresholds, recorded beside the artifact at
+    * write time so every later writer maintains the same contract.
+    */
+  case class Policy(maxSegments: Long = 8L, maxDeadFraction: Double = 0.25)
+
+  private def policyFile(path: String) =
+    java.nio.file.Paths.get(path, "_graft_policy.json")
+
+  private def writePolicy(path: String, p: Policy): Unit =
+    java.nio.file.Files.writeString(policyFile(path),
+      s"""{"max_segments":${p.maxSegments},"max_dead_fraction":${p.maxDeadFraction}}""")
+
+  private[graft] def readPolicy(path: String): Policy =
+    if (!java.nio.file.Files.exists(policyFile(path))) Policy()
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(policyFile(path)))
+      Policy(node.get("max_segments").asLong(),
+        node.get("max_dead_fraction").asDouble())
+    }
+
+  /** Run [[compact]] iff the recorded policy says the artifact crossed
+    * its churn budget. Driver-side metadata decision only (no job);
+    * serving state is compaction-invariant (spec-pinned), so the trigger
+    * can fire inside any upsert, including a streaming micro-batch.
+    */
+  private def maybeCompact(spark: SparkSession, path: String): Unit = {
+    val (n, _, gen, _, deadN) = readStatsFull(path)
+    val p = readPolicy(path)
+    val deadFrac =
+      if (n + deadN <= 0L) 0.0 else deadN.toDouble / (n + deadN).toDouble
+    if (gen >= p.maxSegments || deadFrac >= p.maxDeadFraction)
+      compact(spark, path)
   }
 
   def exists(path: String): Boolean =
@@ -151,8 +210,14 @@ object TextIndex {
       .withColumn("gen", lit(gen))
       .withColumn("doc_bucket", docBucketCol(col("doc")))
 
+  /** Current-epoch directory of a table under the index root (the
+    * `_graft_epoch` pointer resolves which `e<K>` dir is live).
+    */
+  private[graft] def tableDir(path: String, name: String): String =
+    s"$path/$name/e${VectorStore.epochOf(path)}"
+
   private def writeSegment(withDl: DataFrame, gen: Long, path: String,
-      mode: String): Unit = {
+      mode: String, epoch: Long): Unit = {
     // overwrite here means FULL replace — pin static per-writer so a
     // session-level dynamic overwrite mode cannot leave dead partitions
     segmentPostings(withDl, gen)
@@ -160,17 +225,18 @@ object TextIndex {
       .sortWithinPartitions(col("term_bucket"), col("term"))
       .write.mode(mode).option("partitionOverwriteMode", "static")
       .partitionBy("gen", "term_bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings/e$epoch")
     segmentDoclens(withDl, gen)
       .repartition(col("doc_bucket"))
       .write.mode(mode).option("partitionOverwriteMode", "static")
       .partitionBy("gen", "doc_bucket")
-      .parquet(s"$path/doclens")
+      .parquet(s"$path/doclens/e$epoch")
   }
 
   // --- tombstones -------------------------------------------------------
 
-  private def tombstonesDir(path: String) = new java.io.File(s"$path/tombstones")
+  private def tombstonesDir(path: String) =
+    new java.io.File(tableDir(path, "tombstones"))
 
   /** Tombstone-filter `rows` (which carry (doc, gen)): a row is dead iff
     * some tombstone for its doc has a STRICTLY higher generation. No
@@ -185,7 +251,7 @@ object TextIndex {
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
     if (!VectorStore.hasParquetData(tombstonesDir(path))) rows
     else {
-      val tomb = VectorStore.seg(spark, s"$path/tombstones")
+      val tomb = VectorStore.seg(spark, tableDir(path, "tombstones"))
         .groupBy(col("doc")).agg(max(col("gen")).as("tomb_gen"))
       val joined =
         if (VectorStore.dirBytes(tombstonesDir(path)) <=
@@ -205,7 +271,7 @@ object TextIndex {
       affected: DataFrame): DataFrame = {
     val keyed = affected.select(col("doc"))
       .withColumn("doc_bucket", docBucketCol(col("doc")))
-    liveRows(spark, path, VectorStore.seg(spark, s"$path/doclens"))
+    liveRows(spark, path, VectorStore.seg(spark, tableDir(path, "doclens")))
       .join(broadcast(keyed), Seq("doc_bucket", "doc"))
   }
 
@@ -214,16 +280,23 @@ object TextIndex {
     * reference pays the same cost inside Qdrant's upsert-time indexing).
     */
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, policy: Policy = Policy()): Unit = {
     // a rebuild must not reset the streaming replay watermark (same
     // contract as VectorStore.write)
     val prevLast = if (exists(path)) readStats(path)._4 else -1L
+    // full rebuilds land in the NEXT epoch and commit via the atomic
+    // pointer flip — a crash mid-rebuild leaves the old epoch serving,
+    // and the flip retires old segments AND old tombstones together
+    val next = VectorStore.epochOf(path) + 1
     val withDl = tokenized(docs, idCol, textCol)
     val stats = withDl.agg(
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
-    writeSegment(withDl, gen = 0L, path, mode = "overwrite")
+    writeSegment(withDl, gen = 0L, path, mode = "overwrite", epoch = next)
+    VectorStore.setEpoch(path, next)
+    writePolicy(path, policy)
     writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L,
       if (batchId >= 0) batchId else prevLast)
+    VectorStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)
   }
 
   /** Incremental maintenance: merge a delta of new/changed documents and
@@ -242,7 +315,7 @@ object TextIndex {
   def upsert(spark: SparkSession, delta: DataFrame, idCol: String,
       textCol: String, deletedIds: DataFrame, path: String,
       batchId: Long = -1L): Unit = {
-    val (n0, sumDl0, gen0, lastBatch) = readStats(path)
+    val (n0, sumDl0, gen0, lastBatch, dead0) = readStatsFull(path)
     // foreachBatch replay safety: a restarted stream re-delivers the last
     // uncommitted batch; re-appending its postings would DOUBLE every tf.
     // Tracked batch ids make the upsert idempotent (the standard
@@ -254,9 +327,15 @@ object TextIndex {
     // replay re-enters here — delete the partial gen=N directories first
     // and the redo runs against the exact pre-batch state (liveRows and
     // liveAffectedDoclens see no gen-N rows after the cleanup)
+    val epoch = VectorStore.epochOf(path)
     Seq("postings", "doclens", "tombstones").foreach { sub =>
-      val d = new java.io.File(s"$path/$sub/gen=$nextGen")
-      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+      val d = new java.io.File(s"$path/$sub/e$epoch/gen=$nextGen")
+      if (d.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+        // the delete is out-of-band for Spark: drop any cached file
+        // listing or the redo below still "sees" the partial segment
+        spark.catalog.refreshByPath(s"$path/$sub/e$epoch")
+      }
     }
     // materialize the delta tokenization once: it feeds stats, tombstone
     // lookup, postings AND doclens (and must not be recomputed after the
@@ -276,43 +355,56 @@ object TextIndex {
     // write of an empty frame leaves a schemaless dir that poisons reads)
     if (rStats.getLong(0) > 0)
       liveOld.select(col("doc"), lit(nextGen).as("gen"))
-        .write.mode("append").partitionBy("gen").parquet(s"$path/tombstones")
-    writeSegment(withDl, nextGen, path, mode = "append")
+        .write.mode("append").partitionBy("gen")
+        .parquet(s"$path/tombstones/e$epoch")
+    writeSegment(withDl, nextGen, path, mode = "append", epoch = epoch)
     writeStats(path,
       n0 - rStats.getLong(0) + dStats.getLong(0),
       sumDl0 - rStats.getLong(1) + dStats.getLong(1),
-      nextGen, if (batchId >= 0) batchId else lastBatch)
+      nextGen, if (batchId >= 0) batchId else lastBatch,
+      dead0 + rStats.getLong(0))
+    // zero-touch maintenance: fold back to gen-0 when the policy says
+    // churn crossed its budget (bounded segments + tombstones forever)
+    maybeCompact(spark, path)
   }
 
   /** Fold accumulated segments + tombstones back into a clean gen-0
-    * layout (the LSM compaction step — run when the tombstone list or
-    * dead-row fraction grows past taste; serving correctness never
-    * depends on it).
+    * layout (the LSM compaction step — run by the policy trigger when
+    * churn crosses its budget; serving correctness never depends on it).
+    * The folded tables land in the NEXT epoch and the atomic pointer
+    * flip commits them: there is no window where stale tombstones can
+    * kill freshly folded rows, and a crash mid-fold leaves the old
+    * epoch serving untouched.
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val (n, sumDl, _, lastBatch) = readStats(path)
-    val live = liveRows(spark, path, VectorStore.seg(spark, s"$path/postings"))
+    val next = VectorStore.epochOf(path) + 1
+    val live = liveRows(spark, path,
+      VectorStore.seg(spark, tableDir(path, "postings")))
       .localCheckpoint()
-    val doclens = liveRows(spark, path, VectorStore.seg(spark, s"$path/doclens"))
+    val doclens = liveRows(spark, path,
+      VectorStore.seg(spark, tableDir(path, "doclens")))
       .localCheckpoint()
     live.withColumn("gen", lit(0L))
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term_bucket"), col("term"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "term_bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings/e$next")
     doclens.withColumn("gen", lit(0L))
       .repartition(col("doc_bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "doc_bucket")
-      .parquet(s"$path/doclens")
-    org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
+      .parquet(s"$path/doclens/e$next")
+    VectorStore.setEpoch(path, next)
     writeStats(path, n, sumDl, gen = 0L, lastBatch)
+    VectorStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)
   }
 
   def read(spark: SparkSession, path: String): Index = {
     val (n, sumDl, _, _) = readStats(path)
-    val postings = liveRows(spark, path, VectorStore.seg(spark, s"$path/postings"))
+    val postings = liveRows(spark, path,
+      VectorStore.seg(spark, tableDir(path, "postings")))
     // df as a view over LIVE postings: a filter on (term_bucket, term) —
     // both grouping keys — pushes below the aggregate to the pruned scan,
     // so a query's df costs the same rows it already reads for tf

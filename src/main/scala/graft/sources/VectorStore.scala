@@ -77,7 +77,10 @@ object VectorStore {
     // v3: gen is a TOP-LEVEL partition column (gen=N/cell=C/): a crashed
     //     upsert's partial segment is identifiable and deletable by
     //     directory, which is what makes batch replay crash-atomic
-    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v3"}"""
+    // v4: tables live under an epoch directory committed by the atomic
+    //     `_graft_epoch` pointer — compaction/retrain rewrites are
+    //     crash-atomic too (see the epoch-pointer section)
+    s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v4"}"""
   }
 
   /** Write-time indexing: label every vector with `cell` (IVF) and
@@ -90,8 +93,11 @@ object VectorStore {
     */
   def write(emb: DataFrame, vecCol: String, path: String,
       planes: Int = 8, dim: Int = 64, k: Int = 16, seed: Long = 42L,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, policy: Policy = Policy()): Unit = {
     val (model, indexed) = Similarity.ivfIndex(emb, vecCol, k, seed)
+    // full rebuilds land in the NEXT epoch and commit via the atomic
+    // pointer flip: a crash mid-rebuild leaves the old epoch serving
+    val next = epochOf(path) + 1
     indexed.drop("features")
       .withColumn("bucket",
         Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
@@ -100,19 +106,22 @@ object VectorStore {
       .sortWithinPartitions(col("cell"), col("bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "cell")
-      .parquet(s"$path/vectors")
+      .parquet(s"$path/vectors/e$next")
     val json = model.clusterCenters
       .map(_.toArray.mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_centroids.json"), json)
+    setEpoch(path, next) // commit: retires old vectors AND old tombstones
     // a rebuild (ensure on a changed source, retrain) must not reset the
     // streaming replay watermark: with no explicit batchId, carry the
     // stored one forward so a restarted stream cannot re-apply a
     // delivered batch to the fresh artifact
     val prevLast = readIncStats(path)._4
+    writePolicy(path, policy)
     writeIncStats(path,
-      emb.sparkSession.read.parquet(s"$path/vectors").count(), 0L, 0L,
+      emb.sparkSession.read.parquet(s"$path/vectors/e$next").count(), 0L, 0L,
       if (batchId >= 0) batchId else prevLast)
+    gcEpochs(path, Seq("vectors", "tombstones"), next)
   }
 
   private def readCentroids(path: String): Array[Array[Double]] = {
@@ -128,7 +137,7 @@ object VectorStore {
 
   def read(spark: SparkSession, path: String, planes: Int, dim: Int,
       idCol: String = "vec_id"): Index =
-    Index(liveRows(spark, path, seg(spark, s"$path/vectors"), idCol),
+    Index(liveRows(spark, path, seg(spark, tableDir(path, "vectors")), idCol),
       readCentroids(path), planes, dim)
 
   // ---------------------------------------------------------------------
@@ -166,6 +175,49 @@ object VectorStore {
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_graft_centroids.json"))
 
+  // --- maintenance policy ----------------------------------------------
+  // Same zero-touch contract as TextIndex: the reference's store runs
+  // background optimizers that merge segments and clean deleted points
+  // (Qdrant optimizers; worker/app/services/qdrant_client.py:303-407
+  // upserts rely on them) — here every upsert evaluates a recorded
+  // policy from driver-side metadata only (segment generation count,
+  // tombstone bytes) and folds back to gen-0 when churn crosses it.
+  // Compaction does NOT retrain: it preserves the drift counters, so
+  // retrainIfDrifted still fires on schedule for a churn-heavy store.
+
+  /** Compaction thresholds, recorded beside the artifact at write time.
+    * `maxTombstoneBytes` doubles as the bound that keeps the liveRows
+    * broadcast gate from ever being the long-term plan: past it the
+    * store compacts and the tombstone list returns to zero.
+    */
+  case class Policy(maxSegments: Long = 8L,
+      maxTombstoneBytes: Long = MaxTombstoneBroadcastBytes)
+
+  private def policyFile(path: String) =
+    java.nio.file.Paths.get(path, "_graft_policy.json")
+
+  private def writePolicy(path: String, p: Policy): Unit =
+    java.nio.file.Files.writeString(policyFile(path),
+      s"""{"max_segments":${p.maxSegments},"max_tombstone_bytes":${p.maxTombstoneBytes}}""")
+
+  private[graft] def readPolicy(path: String): Policy =
+    if (!java.nio.file.Files.exists(policyFile(path))) Policy()
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(policyFile(path)))
+      Policy(node.get("max_segments").asLong(),
+        node.get("max_tombstone_bytes").asLong())
+    }
+
+  private def maybeCompact(spark: SparkSession, path: String,
+      idCol: String, sub: String): Unit = {
+    val (_, _, gen, _) = readIncStats(path)
+    val p = readPolicy(path)
+    if (gen >= p.maxSegments ||
+        dirBytes(tombstonesDir(path)) > p.maxTombstoneBytes)
+      compactVectors(spark, path, idCol, sub)
+  }
+
   /** Appended-since-train fraction — the retrain trigger a maintenance
     * job compares against its drift budget (the cells stay CORRECT under
     * any drift — stale centroids only cost recall, never wrong results,
@@ -176,7 +228,12 @@ object VectorStore {
     if (baseN <= 0L) 0.0 else appendedN.toDouble / baseN.toDouble
   }
 
-  private def tombstonesDir(path: String) = new java.io.File(s"$path/tombstones")
+  /** Current-epoch directory of a table under a store root. */
+  private[graft] def tableDir(path: String, name: String): String =
+    s"$path/$name/e${epochOf(path)}"
+
+  private def tombstonesDir(path: String) =
+    new java.io.File(tableDir(path, "tombstones"))
 
   /** On-disk bytes of a local artifact directory — driver-side metadata
     * only (no Spark job), the broadcast-vs-shuffle gate below reads it.
@@ -186,6 +243,51 @@ object VectorStore {
     else if (f.isFile) f.length()
     else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       .map(dirBytes).sum
+
+  // --- epoch pointer: the atomic commit for rewrite maintenance --------
+  // Plain-parquet OVERWRITES (compaction, retrain rebuilds) are not
+  // crash-atomic: a crash mid-rewrite leaves a mix of old and new files,
+  // and a crash between the table rewrite and the tombstone cleanup
+  // serves WRONG rows (stale tombstones kill the freshly folded
+  // versions). The standard fix — what Iceberg/Delta snapshots are — is
+  // an atomic pointer: rewrites land in a NEW `e<K>` directory beside
+  // the live one, and a single atomic rename of the `_graft_epoch`
+  // pointer file commits the swap. Readers resolve the pointer first, so
+  // they see entirely-old or entirely-new, never a mix; old epochs are
+  // garbage-collected after the flip (leaks from a crashed GC are
+  // invisible and re-collected later). Tombstones are epoch-scoped: a
+  // flip retires them wholesale.
+
+  private[graft] def epochOf(path: String): Long = {
+    val p = java.nio.file.Paths.get(path, "_graft_epoch")
+    if (!java.nio.file.Files.exists(p)) 0L
+    else java.nio.file.Files.readString(p).trim.toLong
+  }
+
+  private[graft] def setEpoch(path: String, e: Long): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve("._graft_epoch.tmp")
+    java.nio.file.Files.writeString(tmp, e.toString)
+    java.nio.file.Files.move(tmp, dir.resolve("_graft_epoch"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Best-effort removal of every epoch directory below `current` under
+    * each named table — crash-safe because nothing ever reads them.
+    */
+  private[graft] def gcEpochs(path: String, names: Seq[String],
+      current: Long): Unit =
+    names.foreach { name =>
+      val root = new java.io.File(s"$path/$name")
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { d =>
+        if (d.isDirectory && d.getName.matches("e\\d+") &&
+            d.getName.drop(1).toLong < current)
+          try org.apache.commons.io.FileUtils.deleteDirectory(d)
+          catch { case _: java.io.IOException => () } // re-collected later
+      }
+    }
 
   /** Whether a directory holds any parquet DATA — an empty delta's
     * partitioned write (or a crash-cleanup that removed the only gen dir)
@@ -225,7 +327,7 @@ object VectorStore {
       idCol: String): DataFrame =
     if (!hasParquetData(tombstonesDir(path))) rows
     else {
-      val tomb = seg(spark, s"$path/tombstones")
+      val tomb = seg(spark, tableDir(path, "tombstones"))
         .groupBy(col("id")).agg(max(col("gen")).as("__tomb_gen"))
         .select(col("id").as("__tomb_id"), col("__tomb_gen"))
       val joined =
@@ -263,11 +365,19 @@ object VectorStore {
     * either sees the watermark (fully applied → no-op) or re-runs
     * against the exact pre-batch state after this cleanup.
     */
-  private def dropPartialGen(path: String, subs: Seq[String], gen: Long): Unit =
+  private def dropPartialGen(spark: SparkSession, path: String,
+      subs: Seq[String], gen: Long): Unit = {
+    val e = epochOf(path)
     subs.foreach { sub =>
-      val d = new java.io.File(s"$path/$sub/gen=$gen")
-      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+      val d = new java.io.File(s"$path/$sub/e$e/gen=$gen")
+      if (d.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(d)
+        // out-of-band delete: drop Spark's cached file listing, or the
+        // redo still "sees" the partial segment
+        spark.catalog.refreshByPath(s"$path/$sub/e$e")
+      }
     }
+  }
 
   /** Merge a delta of new/changed vectors and a set of deleted ids into
     * the stored index without touching stored vectors: one assignment
@@ -283,7 +393,7 @@ object VectorStore {
     // re-appending a delivered batch would duplicate its vectors
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
-    dropPartialGen(path, Seq("vectors", "tombstones"), nextGen)
+    dropPartialGen(spark, path, Seq("vectors", "tombstones"), nextGen)
     val nDelta = delta.count()
     // tombstone EVERY affected id (replaced, deleted, or absent — the
     // last is harmless): no read of stored state is needed at all. An
@@ -295,14 +405,16 @@ object VectorStore {
       .localCheckpoint()
     if (tombs.count() > 0)
       tombs.withColumn("gen", lit(nextGen))
-        .write.mode("append").partitionBy("gen").parquet(s"$path/tombstones")
+        .write.mode("append").partitionBy("gen")
+        .parquet(tableDir(path, "tombstones"))
     assignDelta(delta, vecCol, centroids, planes, dim, nextGen)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("bucket"))
       .write.mode("append").partitionBy("gen", "cell")
-      .parquet(s"$path/vectors")
+      .parquet(tableDir(path, "vectors"))
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
+    maybeCompact(spark, path, idCol, sub = "vectors")
   }
 
   /** Drift-triggered retrain — the maintenance job that completes the
@@ -320,16 +432,12 @@ object VectorStore {
       k: Int = 16, seed: Long = 42L, threshold: Double = 0.2): Boolean = {
     if (driftFraction(path) <= threshold) false
     else {
-      val (_, _, _, lastBatch) = readIncStats(path)
       val live = read(spark, path, planes, dim, idCol).vectors
         .drop("cell", "bucket", "gen")
-        .localCheckpoint() // snapshot BEFORE the overwrite below
+        .localCheckpoint() // snapshot BEFORE the rebuild below
+      // write() commits into the next epoch: stale tombstones retire with
+      // the old one atomically, drift resets, the watermark is preserved
       write(live, vecCol, path, planes, dim, k, seed)
-      // stale tombstones would kill the fresh gen-0 rows — clear them,
-      // then restore the replay watermark the rebuild reset
-      org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
-      val (baseN, _, _, _) = readIncStats(path)
-      writeIncStats(path, baseN, 0L, 0L, lastBatch)
       true
     }
   }
@@ -337,18 +445,28 @@ object VectorStore {
   /** Fold segments + tombstones back to a clean gen-0 layout (LSM
     * compaction; serving correctness never depends on it). Works on both
     * the vectors and the codes artifact (`sub` = which table to rewrite).
+    * Drift counters are PRESERVED: compaction rewrites files, it does not
+    * retrain — the fraction of rows assigned with stale centroids is
+    * unchanged, and resetting it would let a churn-heavy store (which
+    * auto-compacts often) evade retrainIfDrifted forever.
     */
   def compactVectors(spark: SparkSession, path: String,
       idCol: String = "vec_id", sub: String = "vectors"): Unit = {
-    val live = liveRows(spark, path, seg(spark, s"$path/$sub"), idCol)
+    val next = epochOf(path) + 1
+    val live = liveRows(spark, path, seg(spark, tableDir(path, sub)), idCol)
       .withColumn("gen", lit(0L))
       .localCheckpoint()
+    // fold into the NEXT epoch (overwrite clears any orphan of a crashed
+    // prior attempt), then the pointer flip retires the old epoch AND its
+    // tombstones in one atomic step — no window where stale tombstones
+    // can kill freshly folded rows
     live.repartition(col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "cell").parquet(s"$path/$sub")
-    org.apache.commons.io.FileUtils.deleteDirectory(tombstonesDir(path))
-    val (_, _, _, lastBatch) = readIncStats(path)
-    writeIncStats(path, live.count(), 0L, 0L, lastBatch)
+      .partitionBy("gen", "cell").parquet(s"$path/$sub/e$next")
+    setEpoch(path, next)
+    val (baseN, appendedN, _, lastBatch) = readIncStats(path)
+    writeIncStats(path, baseN, appendedN, 0L, lastBatch)
+    gcEpochs(path, Seq(sub, "tombstones"), next)
   }
 
   /** Load the index for `emb`, building it first if absent — the dev-loop
@@ -409,9 +527,9 @@ object VectorStore {
     // the segment generation (incremental-upsert layout); manifest pins
     // the k-means seed + the exact centroid set
     // v5: gen is a top-level partition directory (crash-atomic replay,
-    // see dropPartialGen)
+    // see dropPartialGen); v6: epoch-pointer committed rewrites
     s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"seed":$seed,""" +
-      s""""centroid_fp":"$cfp","assign":"pq-portable-v5"}"""
+      s""""centroid_fp":"$cfp","assign":"pq-portable-v6"}"""
   }
 
   /** Train per-subspace spherical sub-codebooks (seeded MLlib k-means over
@@ -423,8 +541,9 @@ object VectorStore {
     */
   def writePq(emb: DataFrame, vecCol: String, path: String,
       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
-      centroids: Array[Array[Double]]): Unit = {
+      centroids: Array[Array[Double]], policy: Policy = Policy()): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
+    val next = epochOf(path) + 1
     val nv = emb.withColumn("nv",
       graft.functions.VectorFunctions.l2Normalize(col(vecCol).cast("array<double>")))
     val dim = nv.select(size(col("nv"))).head().getInt(0)
@@ -448,17 +567,20 @@ object VectorStore {
       .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "cell").parquet(s"$path/codes")
+      .partitionBy("gen", "cell").parquet(s"$path/codes/e$next")
     val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"), json)
+    setEpoch(path, next)
     // an ensurePq-triggered rebuild must not erase the streaming replay
     // watermark (retrainIfDrifted restores it explicitly; this path now
     // preserves it by default)
     val prevLast = readIncStats(path)._4
+    writePolicy(path, policy)
     writeIncStats(path,
-      emb.sparkSession.read.parquet(s"$path/codes").count(), 0L, 0L, prevLast)
+      emb.sparkSession.read.parquet(s"$path/codes/e$next").count(), 0L, 0L, prevLast)
+    gcEpochs(path, Seq("codes", "tombstones"), next)
   }
 
   private def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
@@ -487,7 +609,7 @@ object VectorStore {
     val (baseN, appendedN, gen0, lastBatch) = readIncStats(path)
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
-    dropPartialGen(path, Seq("codes", "tombstones"), nextGen)
+    dropPartialGen(spark, path, Seq("codes", "tombstones"), nextGen)
     val nDelta = delta.count()
     val tombs = delta.select(col(idCol).as("id"))
       .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
@@ -495,7 +617,8 @@ object VectorStore {
       .localCheckpoint()
     if (tombs.count() > 0)
       tombs.withColumn("gen", lit(nextGen))
-        .write.mode("append").partitionBy("gen").parquet(s"$path/tombstones")
+        .write.mode("append").partitionBy("gen")
+        .parquet(tableDir(path, "tombstones"))
     delta
       .withColumn("nv", graft.functions.VectorFunctions.l2Normalize(
         col(vecCol).cast("array<double>")))
@@ -506,15 +629,17 @@ object VectorStore {
       .drop("nv", vecCol)
       .withColumn("gen", lit(nextGen))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("gen", "cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("gen", "cell")
+      .parquet(tableDir(path, "codes"))
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
+    maybeCompact(spark, path, idCol, sub = "codes")
   }
 
   def readPq(spark: SparkSession, path: String,
       idCol: String = "vec_id"): PqIndex = {
     val cbs = readPqCodebooks(path)
-    PqIndex(liveRows(spark, path, seg(spark, s"$path/codes"), idCol),
+    PqIndex(liveRows(spark, path, seg(spark, tableDir(path, "codes")), idCol),
       cbs, cbs.length, cbs(0)(0).length, cbs(0).length)
   }
 

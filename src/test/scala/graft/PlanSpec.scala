@@ -17,6 +17,10 @@ class PlanSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // plan-string assertions match on scan LOCATION paths; the default
+    // 100-char metadata truncation can cut the table dir name off deep
+    // artifact paths (".../postings/e1" -> ".../postin...")
+    .config("spark.sql.maxMetadataStringLength", "1000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -95,8 +95,12 @@ class TextIndexSpec extends AnyFunSuite {
 
   test("crashed upsert replay: partial generation dropped before redo (no tf doubling)") {
     val path = freshPath("crashreplay")
+    // auto-compaction off: this test pins the raw upsert replay window,
+    // and a policy-triggered compact between the appends and the
+    // simulated crash would make the restored stats an impossible state
     TextIndex.write(docsDF(1L -> "spark join", 2L -> "spark stale"),
-      "doc_id", "text", path, batchId = 0L)
+      "doc_id", "text", path, batchId = 0L,
+      policy = TextIndex.Policy(maxSegments = 100L, maxDeadFraction = 1.1))
     val statsPath = java.nio.file.Paths.get(path, "_graft_stats.json")
     val statsBefore = java.nio.file.Files.readString(statsPath)
     val delta = docsDF(2L -> "hash fresh probe")
@@ -123,12 +127,92 @@ class TextIndexSpec extends AnyFunSuite {
       "doc_id", "text", ids(), path)
     val before = liveState(path)
     TextIndex.compact(spark, path)
-    assert(!new java.io.File(s"$path/tombstones").exists(), "tombstones not cleared")
+    assert(!graft.sources.VectorStore.hasParquetData(
+      new java.io.File(TextIndex.tableDir(path, "tombstones"))),
+      "tombstones not retired by the epoch flip")
     val after = liveState(path)
     assert(after == before, "compaction changed serving state")
     // raw layout read on purpose (gen is a partition dir, inferred int)
-    val gens = spark.read.parquet(s"$path/postings")
+    val gens = spark.read.parquet(TextIndex.tableDir(path, "postings"))
       .select(col("gen").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(gens == Set(0L), "compaction must rewrite everything at gen 0")
+    // post-compact the serving plan is the pure-build plan again: no
+    // tombstone scan, no live-filter join — reads gen-0 files only
+    val plan = TextIndex.read(spark, path).postings
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("tombstones"),
+      "post-compact serving plan still scans tombstones")
+  }
+
+  test("crashed compaction: orphaned next-epoch files are invisible and recovered") {
+    val path = freshPath("epochcrash")
+    TextIndex.write(docsDF(1L -> "alpha beta", 2L -> "gamma"),
+      "doc_id", "text", path,
+      policy = TextIndex.Policy(maxSegments = 100L, maxDeadFraction = 1.1))
+    TextIndex.upsert(spark, docsDF(2L -> "delta gamma"), "doc_id", "text",
+      ids(), path)
+    val before = liveState(path)
+    // a compaction that crashed mid-rewrite leaves partial files in the
+    // NEXT epoch dir with the pointer still on the old epoch: serving
+    // must not see them, and the next compact must recover over them
+    val e = graft.sources.VectorStore.epochOf(path)
+    val junk = new java.io.File(s"$path/postings/e${e + 1}/gen=0")
+    junk.mkdirs()
+    java.nio.file.Files.writeString(
+      junk.toPath.resolve("part-00000-junk.parquet"), "not parquet at all")
+    assert(liveState(path) == before, "orphan next-epoch files leaked into serving")
+    TextIndex.compact(spark, path)
+    assert(graft.sources.VectorStore.epochOf(path) == e + 1, "compact did not advance the epoch")
+    assert(liveState(path) == before, "compact over orphaned junk changed serving state")
+  }
+
+  test("auto-maintenance: 60 churn cycles stay policy-bounded with exact serving state") {
+    // the zero-touch story: no caller ever invokes compact(), yet read
+    // amplification (segment count) and the tombstone list stay bounded
+    // by the recorded policy, and serving state is EXACT after every
+    // cycle — including the cycles where a compaction fired
+    val path = freshPath("churn")
+    var model = Map(1L -> "alpha base doc", 2L -> "beta base doc")
+    TextIndex.write(docsDF(model.toSeq: _*), "doc_id", "text", path,
+      policy = TextIndex.Policy(maxSegments = 4L, maxDeadFraction = 0.5))
+
+    def statGen(): Long = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path, "_graft_stats.json")))
+      node.get("gen").asLong()
+    }
+    def expectedState(): (Map[(String, Long), Long], Long, Long) = {
+      val posts = model.toSeq.flatMap { case (id, text) =>
+        text.split(" ").filter(_.nonEmpty).groupBy(identity)
+          .map { case (t, occ) => (t, id) -> occ.length.toLong }
+      }.toMap
+      val dls = model.values.map(_.split(" ").count(_.nonEmpty).toLong)
+      (posts, model.size.toLong, dls.sum)
+    }
+
+    var prevGen = 0L
+    var compactions = 0
+    for (i <- 1 to 60) {
+      val id = (i % 5) + 1L
+      if (i % 7 == 0 && model.contains(id)) {
+        model -= id
+        TextIndex.upsert(spark, docsDF(), "doc_id", "text", ids(id), path)
+      } else {
+        model += id -> s"doc body $id version $i churn"
+        TextIndex.upsert(spark, docsDF(id -> model(id)), "doc_id", "text",
+          ids(), path)
+      }
+      val g = statGen()
+      assert(g < 4L, s"cycle $i: segment count $g escaped the policy bound")
+      if (g < prevGen) compactions += 1
+      prevGen = g
+      if (i % 10 == 0 || g == 0L)
+        assert(liveState(path) == expectedState(),
+          s"cycle $i: serving state diverged (gen=$g)")
+    }
+    assert(compactions >= 10,
+      s"only $compactions compactions in 60 cycles — trigger not firing")
+    assert(liveState(path) == expectedState(), "final serving state diverged")
   }
 }
