@@ -171,7 +171,7 @@ object IngestCatalog {
       .orderBy(col("path"), col("idx"))
   }
 
-  private def devEmbedSql(textExpr: String): String =
+  private[queries] def devEmbedSql(textExpr: String): String =
     (0 until 8)
       .map(i => s"CAST('0x' || substr(sha256($textExpr), ${2 * i + 1}, 2) AS INT) / 256.0")
       .mkString("[", ", ", "]")

@@ -124,7 +124,11 @@ object VectorStore {
     gcEpochs(path, Seq("vectors", "tombstones"), next)
   }
 
-  private def readCentroids(path: String): Array[Array[Double]] = {
+  def pqExists(path: String): Boolean =
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"))
+
+  private[graft] def readCentroids(path: String): Array[Array[Double]] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(
       java.nio.file.Files.readString(

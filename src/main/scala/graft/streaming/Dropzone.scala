@@ -46,7 +46,10 @@ object Dropzone {
       textIndexPath: Option[String] = None,
       vectorStorePath: Option[String] = None,
       vectorStoreK: Int = 16,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L,
+      pqStorePath: Option[String] = None,
+      pqM: Int = 4,
+      pqKsub: Int = 16): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
     // media routing composes with the stream exactly like the batch path:
     // the same scanned frame, STT/caption annotation (dev stubs or batched
@@ -117,6 +120,20 @@ object Dropzone {
       else if (!vecDelta.isEmpty)
         VectorStore.write(vecDelta, "vector", vsp,
           dim = embedDim, k = vectorStoreK, batchId = batchId)
+      // the PQ codes artifact is maintained beside the vectors with the
+      // SAME per-batch contract: the first batch trains the sub-codebooks
+      // (cell layout shared with the vector store's centroids), every
+      // later batch encodes its delta with the STORED codebook literals
+      // and appends — serving ADC never waits for a rebuild
+      pqStorePath.foreach { psp =>
+        val centroids = VectorStore.readCentroids(vsp)
+        if (VectorStore.pqExists(psp))
+          VectorStore.upsertPqCodes(spark, vecDelta, "id", "vector",
+            removedChunkIds, psp, centroids, batchId = batchId)
+        else if (!vecDelta.isEmpty)
+          VectorStore.writePq(vecDelta, "vector", psp,
+            m = pqM, ksub = pqKsub, centroids = centroids)
+      }
     }
   }
 
@@ -138,7 +155,8 @@ object Dropzone {
         graft.operators.MediaService.Config)] = None,
       textIndexPath: Option[String] = None,
       vectorStorePath: Option[String] = None,
-      vectorStoreK: Int = 16): StreamingQuery = {
+      vectorStoreK: Int = 16,
+      pqStorePath: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -155,7 +173,7 @@ object Dropzone {
             col("modificationTime")),
           dropzone, storePath, chunkSize, chunkOverlap, embedDim,
           skipUnchangedFiles, media, textIndexPath, vectorStorePath,
-          vectorStoreK, batchId)
+          vectorStoreK, batchId, pqStorePath)
       }
       .start()
   }
