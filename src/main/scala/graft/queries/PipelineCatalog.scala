@@ -2047,6 +2047,132 @@ object PipelineCatalog {
       .replace("<G8>", g8)
   }
 
+  // -------------------------------------------------------------------------
+  // q88: duplicated-span REMOVAL — the apply step q83 stops short of (the
+  // exact-substring dedup recipe, Lee et al. 2022: cut repeated spans,
+  // keep one occurrence). Same corpus, same word-8-gram DF basis as
+  // q83/q57; additionally each frequent shingle elects a KEEPER (its
+  // minimum doc_id — deterministic, engine-portable), every other doc's
+  // occurrence becomes a hit interval [pos, pos+7], overlapping hits
+  // union into maximal spans via their covered-word set, the covered
+  // words are cut, and the survivors reassemble with the q74-style
+  // idx-sorted fold. n_spans_cut counts MERGED spans (hits with no other
+  // hit within 7 positions start one). Every stage is an equi-join or a
+  // per-doc fold: the DF table is bounded by distinct shingles (no
+  // broadcast of it — q74's gate rationale applies at scale), hits and
+  // cover are duplicated-span-sized, and nothing driver-collects.
+  // -------------------------------------------------------------------------
+
+  val q88SpanRemoval: Q = (s, d) => {
+    val tail3 = " the quick brown fox jumps over the lazy dog archive footer"
+    val tail5 = " all rights reserved by the automated pipeline export system"
+    val body = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(tail3)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(tail5)).otherwise(lit("")))
+    val docs = docsWide(s, d)
+      .select(col("doc_id"), trim(body).as("body"))
+      .withColumn("w", split(col("body"), " "))
+    // positional 8-grams: (start pos, shingle) — the SAME shingle strings
+    // as WordShingles/q83 (trim + single-space split), positions kept
+    val sp = docs.select(col("doc_id"),
+      posexplode(when(size(col("w")) >= 8,
+        transform(sequence(lit(0), size(col("w")) - 8),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(8)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("pos", "shingle")))
+    val freq = sp.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keeper"))
+      .filter(col("ndocs") >= 2)
+      .select(col("shingle"), col("keeper"))
+    val hits = sp.join(freq, Seq("shingle"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("pos"))
+    val cover = hits
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("wi"))
+      .distinct()
+    val wordsPos = docs.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("wi", "word")))
+    val clean = wordsPos.join(cover, Seq("doc_id", "wi"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wi"), col("word")))),
+          x => x.getField("word")), " ").as("text_clean"))
+    // merged-span starts: a hit with no other hit in the 7 positions
+    // before it opens a maximal span
+    val starts = hits.as("h")
+      .join(hits.as("h2"),
+        col("h.doc_id") === col("h2.doc_id") &&
+          col("h2.pos").between(col("h.pos") - 7, col("h.pos") - 1),
+        "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
+    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
+      .join(clean, Seq("doc_id"), "left")
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q88Sql = {
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    """WITH b AS (
+         SELECT doc_id,
+                trim(text || (CASE WHEN doc_id % 3 = 0 THEN '<T3>' ELSE '' END)
+                          || (CASE WHEN doc_id % 5 = 0 THEN '<T5>' ELSE '' END)) AS body
+         FROM documents
+       ), words AS (
+         SELECT doc_id, string_split(body, ' ') AS w FROM b
+       ), sp AS (
+         SELECT doc_id, i, <G8> AS shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> i)) AS u(i)
+         WHERE i + 7 <= len(w)
+       ), freq AS (
+         SELECT shingle, min(doc_id) AS keeper
+         FROM (SELECT DISTINCT doc_id, shingle FROM sp)
+         GROUP BY shingle HAVING count(*) >= 2
+       ), hits AS (
+         SELECT sp.doc_id, sp.i
+         FROM sp JOIN freq USING (shingle)
+         WHERE sp.doc_id <> freq.keeper
+       ), cover AS (
+         SELECT DISTINCT doc_id, i + k AS wi
+         FROM hits, unnest(list_transform(range(0, 8), k -> k)) AS v(k)
+       ), wp AS (
+         SELECT doc_id, i AS wi, w[i] AS word
+         FROM words, unnest(list_transform(range(1, len(w) + 1), i -> i)) AS u(i)
+       ), surv AS (
+         SELECT wp.doc_id, wp.wi, wp.word
+         FROM wp LEFT JOIN cover c ON wp.doc_id = c.doc_id AND wp.wi = c.wi
+         WHERE c.wi IS NULL
+       ), clean AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(word, ' ' ORDER BY wi) AS text_clean
+         FROM surv GROUP BY doc_id
+       ), starts AS (
+         SELECT doc_id, count(*) AS n_spans_cut
+         FROM hits h
+         WHERE NOT EXISTS (SELECT 1 FROM hits h2
+                           WHERE h2.doc_id = h.doc_id
+                             AND h2.i BETWEEN h.i - 7 AND h.i - 1)
+         GROUP BY doc_id
+       )
+       SELECT b.doc_id, len(w.w) AS n_words,
+              len(w.w) - COALESCE(c.n_kept, 0) AS n_removed,
+              COALESCE(st.n_spans_cut, 0) AS n_spans_cut,
+              COALESCE(c.text_clean, '') AS text_clean
+       FROM b JOIN words w USING (doc_id)
+       LEFT JOIN clean c ON b.doc_id = c.doc_id
+       LEFT JOIN starts st ON b.doc_id = st.doc_id
+       ORDER BY b.doc_id"""
+      .replace("<T3>", " the quick brown fox jumps over the lazy dog archive footer")
+      .replace("<T5>", " all rights reserved by the automated pipeline export system")
+      .replace("<G8>", g8)
+  }
+
   private val SemDedupTau = 0.4
 
   val q82SemDedup: Q = (s, d) => {
@@ -2996,6 +3122,7 @@ object PipelineCatalog {
     "q86_shard_plan" -> q86ShardPlan,
     "q76_ivf_pq" -> q76IvfPq,
     "q87_stream_bm25" -> q87StreamBm25,
+    "q88_span_removal" -> q88SpanRemoval,
     "q89_stream_ivf" -> q89StreamIvf,
     "q90_stream_pq" -> q90StreamPq,
   )
@@ -3060,6 +3187,7 @@ object PipelineCatalog {
     "q77_inc_text_index" -> q60Sql,
     // streamed corpus == true corpus: q60's inline recomputation applies
     "q87_stream_bm25" -> q60Sql,
+    "q88_span_removal" -> q88Sql,
     "q70_gopher_quality" -> q70Sql,
     "q71_dsir_weights" -> q71Sql,
     "q81_bigram_lm" -> q81Sql,
