@@ -209,6 +209,35 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
     copy(child = newChild)
 }
 
+/** `pq_rec_error(v)` ➜ Σ_m min_c ‖sub_m − c‖² — the reconstruction
+  * (quantization) error of a pre-normalized vector under the codebooks.
+  * This is the codebook-QUALITY signal the incremental PQ store tracks:
+  * appended-fraction drift says how MUCH new data arrived, this says how
+  * WELL the frozen codebooks still fit it — a distribution shift costs
+  * ADC precision silently (recall guards only catch it at test scale),
+  * so the store compares the appended rows' mean error against the
+  * training-time mean and retrains past a ratio threshold.
+  */
+case class PqRecError(child: Expression, codebooks: Array[Array[Array[Double]]],
+    cnorm2: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_rec_error"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.pqRecError(input.asInstanceOf[ArrayData], codebooks, cnorm2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    val n2Ref = ctx.addReferenceObj("cnorm2", cnorm2, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.pqRecError($c, $cbRef, $n2Ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `pq_adc(codes)` ➜ Σ_m lut[m][codes[m]], accumulated in ascending
   * subspace order (the order the SQL replay's left-associative `+` chain
   * uses). With `lut[m][c] = qn_m · codebook[m][c]` this approximates the
@@ -363,6 +392,44 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Reconstruction error: per subspace, `‖sub‖² + min_c (‖c‖² − 2·sub·c)`
+    * — the same argmin scan as [[pqEncode]], keeping the min VALUE instead
+    * of its index. Tiny negative FP residue clamps to 0.
+    */
+  def pqRecError(a: ArrayData, cbs: Array[Array[Array[Double]]],
+      cn2: Array[Array[Double]]): Double = {
+    val x = a.toDoubleArray()
+    val m = cbs.length
+    val dsub = if (m == 0) 0 else cbs(0)(0).length
+    if (x.length != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_rec_error: vector dim ${x.length} != m*dsub ${m * dsub}")
+    var err = 0.0
+    var mi = 0
+    while (mi < m) {
+      val cb = cbs(mi)
+      val n2 = cn2(mi)
+      val off = mi * dsub
+      var sub2 = 0.0
+      var j = 0
+      while (j < dsub) { sub2 += x(off + j) * x(off + j); j += 1 }
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cc = cb(c)
+        var dot = 0.0
+        var k = 0
+        while (k < dsub) { dot += x(off + k) * cc(k); k += 1 }
+        val d = n2(c) - 2.0 * dot
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      err += sub2 + bestD
+      mi += 1
+    }
+    if (err < 0.0) 0.0 else err
+  }
+
   /** ADC score: ascending-m accumulation of the query LUT at each code. A
     * code outside the trained codebook (layout drift between a codes table
     * and its codebook artifact) fails loudly, like [[nearestCell]]'s dim
@@ -445,6 +512,12 @@ object VectorFunctions {
   /** ADC score of a codes column against a query lookup table. */
   def pqAdc(codes: Column, lut: Array[Array[Double]]): Column =
     GraftSql.column(PqAdc(toExpr(codes), lut))
+
+  /** Quantization error of a pre-normalized array<double> column under
+    * the codebooks (codebook-quality drift signal).
+    */
+  def pqRecError(a: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqRecError(toExpr(a), codebooks, codebookNorm2(codebooks)))
 
   /** Symmetric int8 quantization scale (max|x|/127) of a vector column. */
   def i8Scale(a: Column): Column = GraftSql.column(I8Scale(toExpr(a)))

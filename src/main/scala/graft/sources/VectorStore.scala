@@ -584,7 +584,58 @@ object VectorStore {
     writePolicy(path, policy)
     writeIncStats(path,
       emb.sparkSession.read.parquet(s"$path/codes/e$next").count(), 0L, 0L, prevLast)
+    // training-time mean reconstruction error — the denominator the
+    // quality-drift ratio compares every future delta against
+    val baseQerr = {
+      val r = nv.agg(avg(
+        graft.functions.VectorFunctions.pqRecError(col("nv"), codebooks))).head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    writePqQuality(path, baseQerr, 0.0, 0L)
     gcEpochs(path, Seq("codes", "tombstones"), next)
+  }
+
+  // --- PQ codebook quality ---------------------------------------------
+  // Appended-fraction drift (readIncStats on the PQ root) says how MUCH
+  // new data arrived since the codebooks trained; this sidecar says how
+  // WELL the frozen codebooks still fit it. A distribution shift costs
+  // ADC precision silently — codes stay valid, distances just get worse —
+  // so every upsert accumulates the delta's mean reconstruction error
+  // (Σ_m min_c ‖sub−c‖², VectorKernels.pqRecError) and retrainPqIfStale
+  // compares it against the training-time mean. Compaction rewrites
+  // files, not codebooks: the sidecar is untouched by epoch swaps, like
+  // the drift counters. (A crash between the inc-stats write and this
+  // sidecar's loses ONE delta's quality contribution — a maintenance
+  // metric, never serving correctness.)
+
+  private def pqQualityFile(path: String) =
+    java.nio.file.Paths.get(path, "_graft_pq_quality.json")
+
+  private def writePqQuality(path: String, baseQerr: Double,
+      deltaQerrSum: Double, deltaN: Long): Unit =
+    java.nio.file.Files.writeString(pqQualityFile(path),
+      s"""{"base_qerr":$baseQerr,"delta_qerr_sum":$deltaQerrSum,"delta_n":$deltaN}""")
+
+  private[graft] def readPqQuality(path: String): (Double, Double, Long) = {
+    val p = pqQualityFile(path)
+    if (!java.nio.file.Files.exists(p)) (0.0, 0.0, 0L)
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      (node.get("base_qerr").asDouble(), node.get("delta_qerr_sum").asDouble(),
+        node.get("delta_n").asLong())
+    }
+  }
+
+  /** Appended rows' mean quantization error over the training-time mean.
+    * 1.0 = the codebooks fit new data exactly as well as the corpus they
+    * trained on; a ratio past taste (retrainPqIfStale's default 1.5)
+    * means the appended distribution drifted and ADC precision is
+    * silently degrading.
+    */
+  def pqQualityRatio(path: String): Double = {
+    val (base, dSum, dN) = readPqQuality(path)
+    if (dN <= 0L || base <= 0.0) 1.0 else (dSum / dN) / base
   }
 
   private def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
@@ -637,6 +688,19 @@ object VectorStore {
       .parquet(tableDir(path, "codes"))
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
+    // accumulate the delta's quantization error into the quality sidecar
+    // (replay-guarded above with the rest of the upsert, so a re-delivered
+    // batch never double-counts)
+    val (baseQ, dSum, dN) = readPqQuality(path)
+    val deltaErr = {
+      val r = delta
+        .withColumn("nv", graft.functions.VectorFunctions.l2Normalize(
+          col(vecCol).cast("array<double>")))
+        .agg(sum(graft.functions.VectorFunctions.pqRecError(col("nv"), codebooks)))
+        .head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    writePqQuality(path, baseQ, dSum + deltaErr, dN + nDelta)
     maybeCompact(spark, path, idCol, sub = "codes")
   }
 
@@ -645,6 +709,37 @@ object VectorStore {
     val cbs = readPqCodebooks(path)
     PqIndex(liveRows(spark, path, seg(spark, tableDir(path, "codes")), idCol),
       cbs, cbs.length, cbs(0)(0).length, cbs(0).length)
+  }
+
+  /** Quality-triggered PQ retrain — the codebook twin of
+    * [[retrainIfDrifted]]: rebuild the sub-codebooks from the
+    * caller-supplied live vectors when EITHER the appended fraction
+    * passes `driftThreshold` (how much new data) OR the appended rows'
+    * mean quantization error passes `qualityThreshold` × the
+    * training-time mean (how badly the frozen codebooks fit it). The
+    * second trigger is what catches a distribution shift hiding inside a
+    * small delta: codes stay VALID under any drift — ADC distances just
+    * silently lose precision — so no correctness gate ever fires without
+    * this. Returns whether a retrain ran; [[writePq]] resets both drift
+    * and quality counters and preserves the streaming replay watermark.
+    */
+  def retrainPqIfStale(spark: SparkSession, emb: => DataFrame, vecCol: String,
+      sfDir: String, m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+      driftThreshold: Double = 0.2, qualityThreshold: Double = 1.5,
+      planes: Int = 8, dim: Int = 64, ivfK: Int = 16): Boolean = {
+    val path = pqPath(sfDir)
+    if (driftFraction(path) <= driftThreshold &&
+        pqQualityRatio(path) <= qualityThreshold) false
+    else {
+      // shared centroid set with the IVF store queries probe (fresh →
+      // no rebuild); the manifest already fingerprints it
+      val centroids = ensure(spark, emb, vecCol, sfDir, planes, dim, ivfK).centroids
+      writePq(emb, vecCol, path, m, ksub, seed, centroids)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_graft_pq_manifest.json"),
+        pqManifest(sfDir, m, ksub, seed, centroids))
+      true
+    }
   }
 
   def ensurePq(spark: SparkSession, emb: => DataFrame, vecCol: String,

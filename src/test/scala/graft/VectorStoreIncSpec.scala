@@ -242,4 +242,93 @@ class VectorStoreIncSpec extends AnyFunSuite {
     // drift survived every compaction: appended/base, never reset
     assert(VectorStore.driftFraction(path) == appended.toDouble / 3.0)
   }
+
+  test("pq codebook quality: distribution shift triggers retrainPqIfStale") {
+    val sfRoot = java.nio.file.Files.createTempDirectory("graft-pqq-sf").toFile
+    sfRoot.deleteOnExit()
+    val sfDir = sfRoot.toString
+    // base corpus: two tight clusters living entirely in the FIRST half of
+    // the dims — subspace 1's codebook trains on (near-)zero slices
+    val base = (1L to 12L).map(i =>
+      i -> (if (i % 2 == 0) v(1, 0.01 * i, 0, 0) else v(0.01 * i, 1, 0, 0)))
+    vecsDF(base: _*).write.mode("overwrite")
+      .parquet(s"$sfDir/embeddings.parquet")
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pqp = VectorStore.pqPath(sfDir)
+    val centroids = VectorStore.ensure(spark, emb, "embedding", sfDir,
+      planes = 2, dim = Dim, k = 2).centroids
+    VectorStore.writePq(emb, "embedding", pqp, m = 2, ksub = 2, seed = 7L,
+      centroids = centroids)
+    val (baseQerr, _, _) = VectorStore.readPqQuality(pqp)
+    assert(baseQerr > 0.0, "training-time mean error not recorded")
+    assert(VectorStore.pqQualityRatio(pqp) == 1.0)
+    val none = vecsDF().select(lit(0L).as("vec_id")).limit(0)
+
+    // in-distribution delta (the base points again, new ids): delta mean
+    // error == training mean, ratio 1.0, no retrain — drift threshold set
+    // high so QUALITY is the only trigger under test
+    val inDist = base.map { case (id, a) => (id + 100L) -> a }
+    VectorStore.upsertPqCodes(spark, vecsDF(inDist: _*), "vec_id",
+      "embedding", none, pqp, centroids)
+    assert(math.abs(VectorStore.pqQualityRatio(pqp) - 1.0) < 1e-9)
+    assert(!VectorStore.retrainPqIfStale(spark, emb, "embedding", sfDir,
+      m = 2, ksub = 2, seed = 7L, driftThreshold = 10.0,
+      qualityThreshold = 1.5, planes = 2, dim = Dim, ivfK = 2))
+
+    // out-of-distribution delta: all mass in the SECOND half — the frozen
+    // subspace-1 codebook reconstructs none of it, so the mean appended
+    // error blows past the training-time mean even though the codes
+    // themselves stay VALID (this is exactly the silent ADC-precision
+    // loss the quality trigger exists to catch)
+    val shifted = Seq(201L -> v(0, 0, 1, 0.01), 202L -> v(0, 0, 0.01, 1))
+    VectorStore.upsertPqCodes(spark, vecsDF(shifted: _*), "vec_id",
+      "embedding", none, pqp, centroids)
+    val ratio = VectorStore.pqQualityRatio(pqp)
+    assert(ratio > 1.5, s"shifted delta ratio $ratio should exceed 1.5")
+
+    val cbsBefore = VectorStore.readPq(spark, pqp).codebooks
+    val live = emb.unionByName(vecsDF(inDist: _*)).unionByName(vecsDF(shifted: _*))
+    assert(VectorStore.retrainPqIfStale(spark, live, "embedding", sfDir,
+      m = 2, ksub = 2, seed = 7L, driftThreshold = 10.0,
+      qualityThreshold = 1.5, planes = 2, dim = Dim, ivfK = 2))
+    // retrain refit the codebooks over the live corpus and reset both
+    // counters; the rebuilt store serves every live row
+    val after = VectorStore.readPq(spark, pqp)
+    assert(after.codes.count() == 26L)
+    assert(after.codebooks.map(_.map(_.toSeq).toSeq).toSeq
+      != cbsBefore.map(_.map(_.toSeq).toSeq).toSeq,
+      "retrain did not refit the codebooks")
+    assert(VectorStore.pqQualityRatio(pqp) == 1.0)
+    assert(VectorStore.driftFraction(pqp) == 0.0)
+    assert(!VectorStore.retrainPqIfStale(spark, live, "embedding", sfDir,
+      m = 2, ksub = 2, seed = 7L, driftThreshold = 10.0,
+      qualityThreshold = 1.5, planes = 2, dim = Dim, ivfK = 2))
+  }
+
+  test("pq quality accounting is replay-idempotent with the upsert") {
+    val sfRoot = java.nio.file.Files.createTempDirectory("graft-pqq-rp").toFile
+    sfRoot.deleteOnExit()
+    val sfDir = sfRoot.toString
+    val base = (1L to 6L).map(i => i -> v(1, 0.1 * i, 0, 0))
+    vecsDF(base: _*).write.mode("overwrite")
+      .parquet(s"$sfDir/embeddings.parquet")
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pqp = VectorStore.pqPath(sfDir)
+    val centroids = VectorStore.ensure(spark, emb, "embedding", sfDir,
+      planes = 2, dim = Dim, k = 2).centroids
+    VectorStore.writePq(emb, "embedding", pqp, m = 2, ksub = 2, seed = 7L,
+      centroids = centroids)
+    val none = vecsDF().select(lit(0L).as("vec_id")).limit(0)
+    val delta = vecsDF(7L -> v(0, 0, 1, 0))
+    VectorStore.upsertPqCodes(spark, delta, "vec_id", "embedding", none,
+      pqp, centroids, batchId = 5L)
+    val (b1, s1, n1) = VectorStore.readPqQuality(pqp)
+    // same batch re-delivered: the replay guard skips the whole upsert,
+    // including the quality accumulation
+    VectorStore.upsertPqCodes(spark, delta, "vec_id", "embedding", none,
+      pqp, centroids, batchId = 5L)
+    assert(VectorStore.readPqQuality(pqp) == ((b1, s1, n1)),
+      "replayed batch double-counted the quality sidecar")
+    assert(n1 == 1L && s1 > 0.0)
+  }
 }
