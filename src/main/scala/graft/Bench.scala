@@ -124,20 +124,155 @@ object Bench {
     }
 
     // ingest throughput: full chunk(800/100)+dev-embed(64) pipeline over
-    // the documents table, measured as source chars/sec
+    // the documents table, measured as source chars/sec. Same hygiene as
+    // the queries — two timed passes with a GC+cooldown between, take the
+    // best: a single unaveraged pass showed a 2x run-to-run spread on
+    // identical code (r6 judge measured 4.25M then 8.44M chars/s
+    // back-to-back), which let the one headline throughput figure
+    // "regress" or "improve" by luck.
     val ingestTp =
       try {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         val totalChars = docs.agg(sum(length(col("text")))).head().getLong(0)
-        val t0 = System.nanoTime()
-        docs.select(col("doc_id"),
-            posexplode(graft.operators.Chunker.chunkTextCol(col("text"), 800, 100))
-              .as(Seq("idx", "chunk")))
-          .withColumn("vector", graft.operators.DevEmbed.devEmbed(col("chunk"), 64))
-          .select(count(lit(1)), sum(element_at(col("vector"), 1))).head()
-        val secs = (System.nanoTime() - t0) / 1e9
-        totalChars / secs
+        def ingestOnce(): Double = {
+          val t0 = System.nanoTime()
+          docs.select(col("doc_id"),
+              posexplode(graft.operators.Chunker.chunkTextCol(col("text"), 800, 100))
+                .as(Seq("idx", "chunk")))
+            .withColumn("vector", graft.operators.DevEmbed.devEmbed(col("chunk"), 64))
+            .select(count(lit(1)), sum(element_at(col("vector"), 1))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val a = ingestOnce()
+        cooldown()
+        val b = ingestOnce()
+        totalChars / math.min(a, b)
       } catch { case _: Throwable => -1.0 }
+
+    // Skew stress (r6 Next #4): one hot key owning ~30% of rows, driven
+    // through the q74-shaped line-frequency equi-join at bench scale (the
+    // documents table's lines, corpus replicated to SPARK_GRAFT_SKEW_ROWS).
+    // Three variants over the SAME lineage:
+    //   plain  — shuffled hash join with AQE fully OFF: proves the stress
+    //            is real (the hot key's reducer owns ~30% of the stage;
+    //            even AQE's plain partition COALESCING otherwise narrows
+    //            the gap by merging the small partitions);
+    //   aqe    — AQE skew-join, thresholds lowered to engage at bench
+    //            bytes (the 256MB default only engages at cluster scale);
+    //   salted — the explicit SkewJoin.saltedJoin with AQE fully OFF:
+    //            salting ALONE bounds the variance, the form for
+    //            pipelines that KNOW their hot keys.
+    // A task-metrics listener grades each run inside the JOIN stage (the
+    // stage reading the most shuffle records): max/median task duration
+    // AND max/median shuffle records per task. The row ratio is the
+    // scale-true signal — at bench bytes a task's fixed overhead
+    // (~hundreds of ms) partly masks the hot reducer's extra rows, but at
+    // 100 TB the per-row work dominates and the row imbalance IS the time
+    // imbalance. Done-bar: the mitigated variants keep every task <= 4x
+    // its stage median on BOTH axes; the plain variant's row ratio is
+    // what proves the stress is real.
+    val skewStress: String =
+      try {
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+        val tasks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        val listener = new SparkListener {
+          override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+            tasks.synchronized {
+              if (e.taskInfo != null && e.taskInfo.successful) {
+                val recs = Option(e.taskMetrics)
+                  .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+                tasks += ((e.stageId, e.taskInfo.duration, recs))
+              }
+            }
+        }
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val real = docs
+          .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+          .filter(length(col("line")) > 0)
+        val nReal = real.count()
+        val target = sys.env.getOrElse("SPARK_GRAFT_SKEW_ROWS", "3000000").toLong
+        val k = math.max(1L, target / math.max(nReal, 1L))
+        // every row carries an incompressible payload, like a real corpus
+        // row carries content beyond its join key. Without it the hot
+        // partition — one string repeated a million times — lz4-compresses
+        // to less than a MEDIAN partition of diverse lines, and AQE's
+        // BYTE-based skew detector provably cannot see the row skew (first
+        // cut of this stress measured exactly that: row_ratio 14, AQE
+        // inert).
+        val replicated = real
+          .crossJoin(spark.range(k).select(col("id").as("rep")))
+          .withColumn("pad",
+            md5(concat_ws("-", col("doc_id"), col("rep"), col("line"))))
+        val hotRows = (nReal * k * 3) / 7 // hot / (real + hot) ~= 0.30
+        val hot = spark.range(hotRows).select(
+          lit(-1L).as("doc_id"), lit("graft-hot-boilerplate").as("line"),
+          col("id").as("rep"),
+          md5(concat_ws("-", lit("hot"), col("id"))).as("pad"))
+        // Materialize BOTH sides before measuring: (a) the measured work
+        // is then the join itself, not corpus generation; (b) AQE's
+        // OptimizeSkewedJoin can only rewrite a join whose children are
+        // direct shuffle reads — with dim left as a lazy aggregate, the
+        // join reuses the agg's partitioning (final HashAggregate above
+        // the stage) and the rule can NEVER split the hot partition, a
+        // precondition worth knowing at 100 TB: skew-join your
+        // materialized tables, not your just-aggregated ones.
+        val fact = replicated.unionByName(hot).localCheckpoint()
+        val dim = fact.groupBy("line").agg(count(lit(1)).as("line_count"))
+          .localCheckpoint()
+        case class SkewRun(secs: Double, maxMs: Long, medMs: Long,
+            maxRows: Long, medRows: Long)
+        def measure(df: org.apache.spark.sql.DataFrame): SkewRun = {
+          tasks.synchronized(tasks.clear())
+          spark.sparkContext.addSparkListener(listener)
+          val t0 = System.nanoTime()
+          run(df)
+          val secs = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(500) // let the listener bus drain
+          spark.sparkContext.removeSparkListener(listener)
+          val byStage = tasks.synchronized(tasks.toVector).groupBy(_._1)
+            .filter(_._2.size >= 4)
+          if (byStage.isEmpty) SkewRun(secs, -1L, -1L, -1L, -1L)
+          else {
+            // the join stage = the one reading the most shuffle records
+            val join = byStage.values.maxBy(_.map(_._3).sum)
+            val ds = join.map(_._2).sorted
+            val rs = join.map(_._3).sorted
+            // floors: sub-centisecond tasks compare scheduler noise
+            SkewRun(secs, ds.last, math.max(ds(ds.size / 2), 10L),
+              rs.last, math.max(rs(rs.size / 2), 1L))
+          }
+        }
+        def vj(v: SkewRun): String =
+          f"""{"sec":${v.secs}%.3f,"max_task_ms":${v.maxMs},""" +
+            f""""median_task_ms":${v.medMs},"time_ratio":${v.maxMs.toDouble / v.medMs}%.2f,""" +
+            f""""max_task_rows":${v.maxRows},"median_task_rows":${v.medRows},""" +
+            f""""row_ratio":${v.maxRows.toDouble / v.medRows}%.2f}"""
+        val conf = spark.conf
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          conf.set("spark.sql.adaptive.enabled", "false")
+          val plain = measure(fact.join(dim.hint("shuffle_hash"), Seq("line")))
+          conf.set("spark.sql.adaptive.enabled", "true")
+          conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4MB")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2MB")
+          val aqe = measure(fact.join(dim.hint("shuffle_hash"), Seq("line")))
+          conf.set("spark.sql.adaptive.enabled", "false")
+          val salted = measure(
+            graft.operators.SkewJoin.saltedJoin(fact, dim, "line", 16))
+          s"""{"rows":${nReal * k + hotRows},"hot_fraction":0.30,""" +
+            s""""plain":${vj(plain)},"aqe":${vj(aqe)},"salted":${vj(salted)}}"""
+        } finally {
+          conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+          conf.set("spark.sql.adaptive.enabled", "true")
+          conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "false")
+          conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
+          conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] skew stress failed: ${e.getMessage}")
+        "null"
+      }
 
     // Isolation self-check: re-measure a sample of late-alphabet queries
     // (the ones BENCH_r03 misreported) in a FRESH SparkContext and require
@@ -218,7 +353,12 @@ object Bench {
     val notes = "per-query sec = min of 2 fully-materialized runs; clearCache+" +
       "2xGC+200ms cooldown between queries (r3: one-JVM state accumulation " +
       "inflated late-suite numbers 3-17x); isolation_check re-measures a " +
-      "3-query sample in a fresh SparkContext and must agree within 2x"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","notes":"$notes","sf":"$sfDir"}""")
+      "3-query sample in a fresh SparkContext and must agree within 2x; " +
+      "ingest_chars_per_sec = best of 2 passes (r6: one-shot figure had 2x " +
+      "run-to-run spread); skew_stress = hot-key join task balance in the " +
+      "join stage (row_ratio is the scale-true signal; fixed task overhead " +
+      "partly masks time_ratio at bench bytes), mitigated variants must " +
+      "keep max task <= 4x stage median on both axes"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"notes":"$notes","sf":"$sfDir"}""")
   }
 }
