@@ -1952,6 +1952,200 @@ object PipelineCatalog {
        ORDER BY d2.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q67: LEARNED quality classifier — the fastText/GPT-3-shaped logistic
+  // regression over hashed token bags that production pipelines train to
+  // generalize a curated seed signal (GPT-3 trained LR on WebText-vs-
+  // crawl; CCNet/LLaMA retrain the same shape). Here it DISTILLS the
+  // rule-based q22 quality gate into a model: label = quality_score ≥
+  // 0.42 (fixed threshold, q81's fixed-gate discipline), features = B=64
+  // sha-hash token buckets (q71's portable hash family, x = tf/n) + a
+  // length feature min(n/100, 1) + bias — the real-world bootstrap of
+  // "label with heuristics, train the cheap model, serve the model".
+  // Training is T=5 IRLS (Newton) steps — the algorithm inside every
+  // production GLM fit (MLlib's WLS does exactly this): each step is ONE
+  // narrow map + ONE (B+2)-key gradient agg + ONE (B+2)²-key Hessian agg
+  // (map-side combine bounds both shuffles at the key count per
+  // partition — the 100 TB shape, treeAggregate's job done
+  // relationally), then a driver-side (B+2)×(B+2) ridge solve. Gradient
+  // and Hessian components accumulate as DECIMAL(38,18), so the
+  // cross-row sums are EXACT and order-independent — training is
+  // bit-deterministic under any partitioning, which float sums cannot
+  // promise. The trained coefficients are EXPORTED as literals (q27's
+  // centroid contract): the oracle replays tokenize → bucket → tf/n →
+  // the ascending-index ordered dot product, and scoring any future
+  // corpus slice is one narrow pass against the literals. Output:
+  // per-doc log-odds + keep decision (sigmoid-free on the serving
+  // path — exp is not IEEE-portable, log-odds are). In-sample accuracy
+  // ~0.95 vs the 0.53 majority baseline (QueriesSpec pins the floor).
+  // -------------------------------------------------------------------------
+
+  private val QcB = 64        // hash buckets (+ length feature + bias)
+  private val QcTau = 0.42    // rule-gate threshold distilled into labels
+  private val QcIters = 5     // IRLS steps (Newton converges in a few)
+  private val QcRidge = 1e-3  // ×N ridge: bounds near-separable weights
+
+  /** Coefficients of the last q67 training run — published to [[oracles]]
+    * exactly like [[lastIvfCentroids]].
+    */
+  @volatile private var lastQcWeights: Option[Array[Double]] = None
+
+  val q67QualityClassifier: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val bucketOf = (t: org.apache.spark.sql.Column) =>
+      (TextAnalytics.hash60(t) % QcB).cast("int")
+    // silver labels: the q22 rule-based score, thresholded
+    val ruleScore =
+      lit(0.2) * least(col("n").cast("double") / 100.0, lit(1.0)) +
+        lit(0.5) * (col("stop_hits").cast("double") / col("n")) +
+        lit(0.3) * (lit(1.0) - least(
+          abs(col("total_len").cast("double") / col("n") - 5.0) / 10.0, lit(1.0)))
+    // per-doc bucket counts: a narrow per-doc pass; the checkpoint pins
+    // one materialization for all T iterations
+    val feats = docs
+      .withColumn("toks", TextAnalytics.tokens(col("text")))
+      .withColumn("bs", transform(col("toks"), bucketOf))
+      .withColumn("n", size(col("bs")))
+      .filter(col("n") > 0)
+      .withColumn("total_len", TextAnalytics.totalTokenChars(col("toks")))
+      .withColumn("stop_hits",
+        TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords))
+      .withColumn("y", (ruleScore >= QcTau).cast("int"))
+      .withColumn("counts",
+        transform(sequence(lit(0), lit(QcB - 1)),
+          b => size(filter(col("bs"), x => x === b))))
+      .select(col("doc_id"), col("lang"), col("y"), col("n"), col("counts"))
+      .localCheckpoint()
+    val nDocs = feats.count().toDouble
+
+    // present features per doc, ascending index: token buckets (x =
+    // c/n), then the length feature b=B, then bias b=B+1 — term set and
+    // order exactly mirror the oracle's `sum(w*x ORDER BY b)`
+    val xsCol = {
+      val idx = sequence(lit(0), lit(QcB - 1))
+      concat(
+        filter(zip_with(col("counts"), idx,
+          (c, b) => struct(b.as("b"), (c / col("n").cast("double")).as("x"))),
+          p => p.getField("x") > 0.0),
+        array(
+          struct(lit(QcB).as("b"),
+            least(col("n").cast("double") / 100.0, lit(1.0)).as("x")),
+          struct(lit(QcB + 1).as("b"), lit(1.0).as("x"))))
+    }
+    def zCol(w: Array[Double]): org.apache.spark.sql.Column = {
+      val wLut = array(w.toIndexedSeq.map(lit): _*)
+      aggregate(xsCol, lit(0.0), (acc, p) =>
+        acc + element_at(wLut, p.getField("b") + 1) * p.getField("x"))
+    }
+
+    val dim = QcB + 2
+    val w = new Array[Double](dim)
+    val lambda = QcRidge * nDocs
+    for (_ <- 1 to QcIters) {
+      val base = feats
+        .withColumn("z", zCol(w))
+        .withColumn("mu", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+        .withColumn("sd", col("mu") - col("y"))
+        .withColumn("r", col("mu") * (lit(1.0) - col("mu")))
+        .withColumn("xs", xsCol)
+      val g = base.select(col("sd"), explode(col("xs")).as("p"))
+        .groupBy(col("p.b").as("b"))
+        .agg(sum((col("sd") * col("p.x")).cast("decimal(38,18)")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      val h = base.select(col("r"), explode(col("xs")).as("p1"), col("xs"))
+        .select(col("r"), col("p1"), explode(col("xs")).as("p2"))
+        .groupBy(col("p1.b").as("b1"), col("p2.b").as("b2"))
+        .agg(sum((col("r") * col("p1.x") * col("p2.x"))
+          .cast("decimal(38,18)")).as("h"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
+        .toMap
+      // driver-side Newton step: (H + λI)·Δ = g by Gaussian elimination
+      // with partial pivoting — deterministic, (B+2)³ ≈ 3·10⁵ flops
+      val a = Array.tabulate(dim, dim)((i, j) =>
+        h.getOrElse((i, j), 0.0) + (if (i == j) lambda else 0.0))
+      val rhs = Array.tabulate(dim)(i => g.getOrElse(i, 0.0))
+      for (p <- 0 until dim) {
+        var best = p
+        for (i <- p + 1 until dim)
+          if (math.abs(a(i)(p)) > math.abs(a(best)(p))) best = i
+        val tr = a(p); a(p) = a(best); a(best) = tr
+        val tb = rhs(p); rhs(p) = rhs(best); rhs(best) = tb
+        for (i <- p + 1 until dim) {
+          val f = a(i)(p) / a(p)(p)
+          for (j <- p until dim) a(i)(j) -= f * a(p)(j)
+          rhs(i) -= f * rhs(p)
+        }
+      }
+      val delta = new Array[Double](dim)
+      for (i <- dim - 1 to 0 by -1) {
+        var acc = rhs(i)
+        for (j <- i + 1 until dim) acc -= a(i)(j) * delta(j)
+        delta(i) = acc / a(i)(i)
+      }
+      for (b <- 0 until dim) w(b) -= delta(b)
+    }
+    lastQcWeights = Some(w.clone())
+
+    feats
+      .withColumn("quality_logit", rnd(zCol(w), 6))
+      .select(col("doc_id"), col("lang"), col("n").as("n_tokens"), col("y"),
+        col("quality_logit"), (col("quality_logit") > 0.0).as("keep_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Scoring replay from the exported coefficient literals (training is
+    * verified by QueriesSpec invariants, like the k-means fits): tokens,
+    * buckets, tf/n, length + bias pseudo-buckets, ordered dot product, rounded
+    * log-odds and the keep decision all recomputed in DuckDB. The label
+    * column replays the full q22 rule arithmetic independently.
+    */
+  private def q67Sql(w: Array[Double]): String = {
+    val wvals = w.zipWithIndex
+      .map { case (v, b) => s"($b, CAST($v AS DOUBLE))" }.mkString(", ")
+    val stop = TextAnalytics.EnStopwords.map(x => s"'$x'").mkString("[", ",", "]")
+    s"""WITH d AS (
+         SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> t <> '') AS toks FROM documents
+       ), lab AS (
+         SELECT doc_id,
+                (0.2 * least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+                 + 0.5 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+                          / len(toks))
+                 + 0.3 * (1.0 - least(abs(CAST(list_aggregate(list_transform(toks,
+                            x -> length(x)), 'sum') AS DOUBLE)/len(toks) - 5.0)/10.0, 1.0))
+                 >= $QcTau) AS yb
+         FROM d WHERE len(toks) > 0
+       ), tb AS (
+         SELECT doc_id,
+                CAST(CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) % $QcB AS INT) AS b
+         FROM d, unnest(d.toks) AS u(tok)
+       ), n AS (
+         SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id
+       ), xr AS (
+         SELECT tf.doc_id, tf.b, CAST(tf.c AS DOUBLE) / n.n AS x
+         FROM (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b) tf
+         JOIN n USING (doc_id)
+         UNION ALL
+         SELECT doc_id, $QcB AS b, least(CAST(n AS DOUBLE) / 100.0, 1.0) AS x FROM n
+         UNION ALL
+         SELECT doc_id, ${QcB + 1} AS b, 1.0 AS x FROM n
+       ), w(b, w) AS (
+         VALUES $wvals
+       ), z AS (
+         SELECT xr.doc_id, sum(w.w * xr.x ORDER BY xr.b) AS z
+         FROM xr JOIN w USING (b)
+         GROUP BY xr.doc_id
+       )
+       SELECT d2.doc_id, d2.lang, CAST(n.n AS INT) AS n_tokens,
+              CAST(lab.yb AS INT) AS y,
+              floor(z.z * 1000000 + 0.5) / 1000000.0 AS quality_logit,
+              (floor(z.z * 1000000 + 0.5) / 1000000.0 > 0.0) AS keep_pred
+       FROM z JOIN n USING (doc_id) JOIN lab USING (doc_id)
+            JOIN documents d2 USING (doc_id)
+       ORDER BY d2.doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
   // q81: CCNet-style LM quality scoring — a bigram language model with
   // add-one smoothing trained on the 'en' slice (the "clean reference
   // corpus" role KenLM plays in CCNet), scoring EVERY document by mean
@@ -3104,6 +3298,7 @@ object PipelineCatalog {
     "q59_stratified_sample" -> q59StratifiedSample,
     "q60_bm25" -> q60Bm25,
     "q61_hybrid_rrf" -> q61HybridRrf,
+    "q67_quality_classifier" -> q67QualityClassifier,
     "q68_bm25_indexed" -> q68Bm25Indexed,
     "q77_inc_text_index" -> q77IncTextIndex,
     "q78_inc_ivf" -> q78IncIvf,
@@ -3134,6 +3329,7 @@ object PipelineCatalog {
     * map after all queries, so the entry materializes exactly when valid.
     */
   def oracles: ListMap[String, String] = staticOracles ++
+    lastQcWeights.map(w => "q67_quality_classifier" -> q67Sql(w)) ++
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
     lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
     lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs)) ++
