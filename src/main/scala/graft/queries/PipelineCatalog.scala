@@ -2295,13 +2295,21 @@ object PipelineCatalog {
           array_sort(collect_list(struct(col("wi"), col("word")))),
           x => x.getField("word")), " ").as("text_clean"))
     // merged-span starts: a hit with no other hit in the 7 positions
-    // before it opens a maximal span
-    val starts = hits.as("h")
-      .join(hits.as("h2"),
-        col("h.doc_id") === col("h2.doc_id") &&
-          col("h2.pos").between(col("h.pos") - 7, col("h.pos") - 1),
-        "left_anti")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans_cut"))
+    // before it opens a maximal span. One fold over the doc's SORTED hit
+    // positions (hit count per doc is duplicated-span-bounded) — a
+    // hits×hits band self-join computes the same thing but goes
+    // per-doc-quadratic on a pathologically boilerplate-heavy document;
+    // the fold stays linear in the doc's hits.
+    val starts = hits
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("pos"))).as("ps"))
+      .select(col("doc_id"), aggregate(
+        col("ps"),
+        struct(lit(-1000000).as("prev"), lit(0L).as("cnt")),
+        (acc, p) => struct(p.as("prev"),
+          (acc.getField("cnt") +
+            when(p - acc.getField("prev") > 7, 1L).otherwise(0L)).as("cnt")),
+        acc => acc.getField("cnt")).as("n_spans_cut"))
     docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
       .join(clean, Seq("doc_id"), "left")
       .join(starts, Seq("doc_id"), "left")
