@@ -598,6 +598,51 @@ object IngestCatalog {
        ORDER BY s.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q91: Bloom-pruned incremental dedup — q44's classification contract on
+  // a MOSTLY-NEW batch (the daily-crawl case the corpus-signature Bloom
+  // sketch pays for: bloom-negatives skip the corpus entirely, the
+  // fpp-sized positive sliver verifies exactly). The sketch is invisible
+  // in the output, so the same q44-style DuckDB replay oracles it.
+  // -------------------------------------------------------------------------
+
+  val q91BloomDedup: Q = (s, d) => {
+    val corpus = docs(s, d)
+    // every 7th row copies a corpus text, every 11th re-appears later in
+    // the batch (same text expression → batch dup of its +300000 twin)
+    val copyOrFresh = when(pmod(col("doc_id"), lit(7)) === 0, col("text"))
+      .otherwise(concat(lit("fresh "), col("text")))
+    val batch = corpus
+      .select((col("doc_id") + 300000).as("doc_id"), copyOrFresh.as("text"))
+      .unionByName(corpus.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), copyOrFresh.as("text")))
+    val sketch = graft.operators.Dedup.corpusSignatureSketch(
+      corpus, "text", expectedItems = corpus.count(), fpp = 0.01)
+    graft.operators.Dedup.bloomIncrementalExact(batch, corpus, "doc_id", "text", sketch)
+      .select(col("doc_id"), col("dup_of_corpus"), col("is_batch_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q91Sql =
+    """WITH batch AS (
+         SELECT doc_id + 300000 AS doc_id,
+                CASE WHEN doc_id % 7 = 0 THEN text ELSE 'fresh ' || text END AS text
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 400000,
+                CASE WHEN doc_id % 7 = 0 THEN text ELSE 'fresh ' || text END
+         FROM documents WHERE doc_id % 11 = 0
+       ), sigs AS (
+         SELECT doc_id, sha256(text) AS sig FROM batch
+       ), corpus AS (SELECT DISTINCT sha256(text) AS sig FROM documents),
+       firsts AS (SELECT sig, min(doc_id) AS first_id FROM sigs GROUP BY sig)
+       SELECT s.doc_id,
+              (c.sig IS NOT NULL) AS dup_of_corpus,
+              s.doc_id > f.first_id AS is_batch_dup
+       FROM sigs s LEFT JOIN corpus c ON s.sig = c.sig
+       JOIN firsts f ON s.sig = f.sig
+       ORDER BY s.doc_id"""
+
+  // -------------------------------------------------------------------------
   // q45: PII redaction — URLs/emails/IPv4s/phones to typed tokens + audit
   // counts (TextAnalytics.redact; RE2-safe patterns, so DuckDB replays the
   // exact same matches)
@@ -975,6 +1020,7 @@ object IngestCatalog {
     "q65_docx_ingest" -> q65DocxIngest,
     "q66_pdf_deep" -> q66PdfDeep,
     "q80_csv_row_chunks" -> q80CsvRowChunks,
+    "q91_bloom_dedup" -> q91BloomDedup,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -998,5 +1044,6 @@ object IngestCatalog {
     "q65_docx_ingest" -> q65Sql,
     "q66_pdf_deep" -> q66Sql,
     "q80_csv_row_chunks" -> q80Sql,
+    "q91_bloom_dedup" -> q91Sql,
   )
 }

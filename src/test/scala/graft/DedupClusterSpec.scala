@@ -49,4 +49,64 @@ class DedupClusterSpec extends AnyFunSuite {
       Dedup.duplicateClusters(pairs, "a_id", "b_id", maxIters = 1).collect())
     assert(err.getMessage.contains("not converged"), err.getMessage)
   }
+
+  // --- Bloom-pruned incremental dedup: the sketch must be invisible -------
+
+  private def randomCorpusAndBatch(seed: Long) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    val corpusRows = (0 until 80).map(i => (i.toLong, s"doc $i ${rng.nextInt(5)}"))
+    val batchRows = (0 until 60).map { i =>
+      val id = 1000L + i
+      rng.nextInt(3) match {
+        case 0 => (id, corpusRows(rng.nextInt(corpusRows.size))._2) // corpus dup
+        case 1 => (id, s"batch shared ${rng.nextInt(8)}")           // batch dup pool
+        case _ => (id, s"unique $seed $i")                          // new
+      }
+    }
+    (corpusRows.toDF("doc_id", "text"), batchRows.toDF("doc_id", "text"))
+  }
+
+  private def classify(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id", "dup_of_corpus", "is_batch_dup")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+
+  test("bloomIncrementalExact matches incrementalExact exactly") {
+    for (seed <- Seq(7L, 42L)) {
+      val (corpus, batch) = randomCorpusAndBatch(seed)
+      val sketch = Dedup.corpusSignatureSketch(corpus, "text", 80L, 0.01)
+      val plain = classify(Dedup.incrementalExact(batch, corpus, "doc_id", "text"))
+      val bloom = classify(
+        Dedup.bloomIncrementalExact(batch, corpus, "doc_id", "text", sketch))
+      assert(bloom == plain, s"seed=$seed")
+      assert(bloom.size == 60, "every batch row classified exactly once")
+    }
+  }
+
+  test("a saturated sketch (undersized, high fpp) still verifies exactly") {
+    // worst-case sketch: sized for 1 item at 50% fpp → nearly every probe
+    // is a false positive — output must STILL equal the exact classifier,
+    // only the pruning benefit degrades
+    val (corpus, batch) = randomCorpusAndBatch(99L)
+    val bad = Dedup.corpusSignatureSketch(corpus, "text", 1L, 0.5)
+    val plain = classify(Dedup.incrementalExact(batch, corpus, "doc_id", "text"))
+    val bloom = classify(
+      Dedup.bloomIncrementalExact(batch, corpus, "doc_id", "text", bad))
+    assert(bloom == plain)
+  }
+
+  test("bloom-negative rows are classified without any corpus join rows") {
+    import spark.implicits._
+    // disjoint batch: nothing shares a signature with the corpus, so with
+    // a well-sized sketch (1% fpp over 60 probes) ~all rows take the
+    // definitely-new path; assert none is ever marked a corpus dup and
+    // null text still classifies (the empty-signature contract)
+    val corpus = (0 until 50).map(i => (i.toLong, s"corpus only $i")).toDF("doc_id", "text")
+    val batch = ((0 until 30).map(i => (2000L + i, s"brand new $i": String)) :+
+      ((2030L, null: String))).toDF("doc_id", "text")
+    val sketch = Dedup.corpusSignatureSketch(corpus, "text", 50L, 0.01)
+    val out = classify(Dedup.bloomIncrementalExact(batch, corpus, "doc_id", "text", sketch))
+    assert(out.size == 31)
+    assert(out.forall(!_._2), "disjoint batch must have no corpus dups")
+  }
 }
