@@ -3270,6 +3270,55 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q92: corpus datasheet — the "data card" a corpus release ships
+  // (Datasheets for Datasets, Gebru et al. 2021): doc / token / char
+  // counts and per-doc token stats at EVERY (lang × source) grouping
+  // level in one ROLLUP pass. The 100 TB shape: a single scan feeds one
+  // hash aggregation whose grouping-sets expansion happens BEFORE the
+  // partial agg, so the shuffle carries only |langs|·|sources|-bounded
+  // partial rows — the same plan at any scale. GROUPING() labels the
+  // subtotal rows, which stays correct even if a dimension value is NULL.
+  // -------------------------------------------------------------------------
+
+  val q92Datasheet: Q = (s, d) => {
+    val base = docsWide(s, d).select(
+      col("lang"), col("source"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"),
+      col("n_chars"))
+    base.rollup(col("lang"), col("source"))
+      .agg(grouping(col("lang")).as("_gl"), grouping(col("source")).as("_gs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        rnd(avg(col("n_tok")), 4).as("avg_doc_tokens"),
+        max(col("n_tok")).as("max_doc_tokens"))
+      .select(
+        when(col("_gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        when(col("_gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("avg_doc_tokens"), col("max_doc_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q92Sql =
+    """WITH base AS (
+         SELECT lang, source,
+                len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_tok,
+                n_chars
+         FROM documents
+       )
+       SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+              CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              floor(AVG(n_tok) * 10000 + 0.5) / 10000.0 AS avg_doc_tokens,
+              CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+       FROM base
+       GROUP BY ROLLUP(lang, source)
+       ORDER BY lang, source"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3330,6 +3379,7 @@ object PipelineCatalog {
     "q88_span_removal" -> q88SpanRemoval,
     "q89_stream_ivf" -> q89StreamIvf,
     "q90_stream_pq" -> q90StreamPq,
+    "q92_datasheet" -> q92Datasheet,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3404,5 +3454,6 @@ object PipelineCatalog {
     "q75_dup_clusters" -> q75Sql,
     "q85_dedup_apply" -> q85Sql,
     "q86_shard_plan" -> q86Sql,
+    "q92_datasheet" -> q92Sql,
   )
 }
