@@ -303,6 +303,55 @@ object Dedup {
         graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Fuzzy benchmark decontamination — the MinHash complement to exact
+    * n-gram overlap scrubbing: a paraphrased or lightly-edited benchmark
+    * extract shares most (not all) shingles with its source, so exact
+    * 8-gram matching misses it while banded MinHash still collides.
+    *
+    * Asymmetric by design: the benchmark suite is tiny next to the
+    * corpus (MBs vs 100 TB), so its banded keys BROADCAST and the corpus
+    * streams past in one scan — same family/constants as
+    * [[minhashNearDuplicates]] (portable sha256+affine hashes, emit-once
+    * first-agreeing-band), then exact Jaccard verification on the
+    * candidates only. Returns one row per contaminated train doc:
+    * (idCol, n_bench_hits, max_jaccard).
+    */
+  def fuzzyDecontaminate(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def shingled(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), WordShingles.wordShingles(col(textCol)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    def banded(df: DataFrame, as: String) = df
+      .select(col(as), col("shingles"),
+        graft.functions.BandMinhash.bandMinhash(col("shingles"), numHashes, bands).as("bhs"))
+      .select(col(as), col("shingles"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+
+    val t = banded(shingled(train, "t_id"), "t_id")
+      .select(col("t_id"), col("shingles").as("sh_t"), col("bhs").as("bhs_t"),
+        col("band"), col("bh"))
+    val b = banded(shingled(bench, "bench_id"), "bench_id")
+      .select(col("bench_id"), col("shingles").as("sh_b"), col("bhs").as("bhs_b"),
+        col("band").as("band_b"), col("bh").as("bh_b"))
+
+    def bandEqual(i: Int): Column =
+      element_at(col("bhs_t"), i + 1) === element_at(col("bhs_b"), i + 1)
+    val firstEqualBand = (1 until bands)
+      .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
+
+    t.join(broadcast(b), col("band") === col("band_b") && col("bh") === col("bh_b"))
+      .filter(col("band") === firstEqualBand)
+      .withColumn("inter", size(array_intersect(col("sh_t"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_t")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("t_id").as(idCol))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        graft.queries.Catalog.rnd(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
   /** Cross-document frequent-line removal — the C4 global rule: a line
     * occurring in ≥ `minDocs` distinct documents is boilerplate and is
     * dropped corpus-wide (reference scope: jsonify2ai normalizes per

@@ -3319,6 +3319,98 @@ object PipelineCatalog {
        ORDER BY lang, source"""
 
   // -------------------------------------------------------------------------
+  // q93: FUZZY benchmark decontamination — the MinHash complement to
+  // q57's exact 8-gram overlap: the benchmark here is paraphrase-shaped
+  // (mid-document extracts with an appended suffix — most shingles
+  // shared, none of the edges), which exact matching under-reports but
+  // banded MinHash still catches. Benchmark keys broadcast (a benchmark
+  // suite is MBs against a 100 TB corpus); the corpus side is one scan.
+  // Same portable hash family as q19, so DuckDB replays banding,
+  // candidates, and Jaccard verification bit-for-bit.
+  // -------------------------------------------------------------------------
+
+  val q93FuzzyDecontam: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val bench = docs.filter(col("doc_id") >= 5 && col("doc_id") < 15)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 21, 300), lit(" held out eval")).as("text"))
+    Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q93Sql = {
+    import graft.functions.BandMinhash
+    val numHashes = 32
+    val bands = 8
+    val rpb = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(k => s"min(${BandMinhash.sqlLcg(k, "x")}) AS m$k")
+      .mkString(",\n           ")
+    val bandCols = (0 until bands).map { b =>
+      val acc = (0 until rpb).foldLeft(BandMinhash.FoldSeed.toString)(
+        (a, r) => BandMinhash.sqlMix(a, s"m${b * rpb + r}"))
+      s"$acc AS bh$b"
+    }.mkString(",\n           ")
+    val anyBand = (0 until bands).map(b => s"t.bh$b = b.bh$b").mkString(" OR ")
+    s"""WITH words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), sh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), bwords AS (
+         SELECT doc_id, string_split(trim(substr(text, 21, 300) || ' held out eval'), ' ') AS w
+         FROM documents WHERE doc_id >= 5 AND doc_id < 15
+       ), bsh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM bwords, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), h AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM sh
+       ), hb AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM bsh
+       ), mins AS (
+         SELECT doc_id,
+           $minCols
+         FROM h GROUP BY doc_id
+       ), minsb AS (
+         SELECT doc_id,
+           $minCols
+         FROM hb GROUP BY doc_id
+       ), bnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM mins
+       ), bndb AS (
+         SELECT doc_id,
+           $bandCols
+         FROM minsb
+       ), cand AS (
+         SELECT t.doc_id AS t_id, b.doc_id AS bench_id
+         FROM bnd t JOIN bndb b ON ($anyBand)
+       ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       sizesb AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+       inter AS (
+         SELECT c.t_id, c.bench_id, count(*) AS inter
+         FROM cand c
+         JOIN sh st ON st.doc_id = c.t_id
+         JOIN bsh sb ON sb.doc_id = c.bench_id AND sb.shingle = st.shingle
+         GROUP BY c.t_id, c.bench_id
+       ), jac AS (
+         SELECT i.t_id, i.bench_id,
+                CAST(i.inter AS DOUBLE) / (st.n + sb.n - i.inter) AS j
+         FROM inter i
+         JOIN sizes st ON st.doc_id = i.t_id
+         JOIN sizesb sb ON sb.doc_id = i.bench_id
+         WHERE CAST(i.inter AS DOUBLE) / (st.n + sb.n - i.inter) >= 0.3
+       )
+       SELECT t_id AS doc_id, count(*) AS n_bench_hits,
+              floor(max(j) * 1000000 + 0.5) / 1000000.0 AS max_jaccard
+       FROM jac GROUP BY t_id ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3380,6 +3472,7 @@ object PipelineCatalog {
     "q89_stream_ivf" -> q89StreamIvf,
     "q90_stream_pq" -> q90StreamPq,
     "q92_datasheet" -> q92Datasheet,
+    "q93_fuzzy_decontam" -> q93FuzzyDecontam,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3455,5 +3548,6 @@ object PipelineCatalog {
     "q85_dedup_apply" -> q85Sql,
     "q86_shard_plan" -> q86Sql,
     "q92_datasheet" -> q92Sql,
+    "q93_fuzzy_decontam" -> q93Sql,
   )
 }

@@ -109,4 +109,38 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(out.size == 31)
     assert(out.forall(!_._2), "disjoint batch must have no corpus dups")
   }
+
+  test("fuzzy decontamination catches a paraphrase exact 8-grams miss entirely") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.WordShingles
+    // deterministic "documents": 120 words over a 20-word vocab
+    val rng = new scala.util.Random(3)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "julie", "kilo", "lima", "mike", "nova",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    def mkWords(n: Int) = Vector.fill(n)(vocab(rng.nextInt(vocab.size)))
+    val base = mkWords(120)
+    // paraphrase: every 8th word edited → EVERY word-8-gram of the leak
+    // touches an edit (zero exact overlap), while ~5/8 of the 3-gram
+    // shingles survive (Jaccard ≈ 0.45)
+    val para = base.zipWithIndex.map { case (w, i) =>
+      if (i % 8 == 0) s"edit$i" else w }
+    val train = Seq((1L, base.mkString(" ")), (2L, mkWords(120).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, para.mkString(" "))).toDF("doc_id", "text")
+
+    val t8 = train.filter($"doc_id" === 1)
+      .select(explode(WordShingles.wordShingles($"text", 8)).as("s"))
+    val b8 = bench.select(explode(WordShingles.wordShingles($"text", 8)).as("s"))
+    assert(t8.join(b8, "s").count() == 0,
+      "the paraphrase must defeat exact 8-gram matching")
+
+    val out = Dedup.fuzzyDecontaminate(train, bench, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(1L),
+      s"only the leak source must flag (got ${out.keySet})")
+    assert(out(1L) >= 0.3 && out(1L) < 0.9, s"partial-overlap jaccard, got ${out(1L)}")
+  }
 }
