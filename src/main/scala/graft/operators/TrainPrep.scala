@@ -103,4 +103,41 @@ object TrainPrep {
         }
       }(Encoders.row(outSchema))
   }
+
+  /** Token-balanced training shards — stratified boustrophedon dealing.
+    *
+    * Hash assignment ([[graft.queries.PipelineCatalog q86]] shape)
+    * balances document COUNTS; shard token totals then drift with the
+    * doc-length mix. Greedy LPT bin-packing balances best but is
+    * inherently sequential. The distributed middle ground: stratify docs
+    * into log2 size classes, sub-split each class by a portable hash so
+    * no rank window sees more than |class|/subSplits rows (the no-global-
+    * rank rule — a single-partition window is the canonical scale
+    * killer), then deal each (class, sub) stratum across shards snake-
+    * wise (boustrophedon) by within-stratum rank from a stratum-hashed
+    * starting shard. Every stratum hands each shard an equal share ±1 of
+    * its size class, so shard token totals differ by O(strata · class
+    * width), independent of corpus size. Deterministic in (ids, token
+    * counts) only — partition-order-proof and engine-replayable.
+    */
+  def balancedShards(
+      docs: DataFrame, idCol: String, nTokensCol: String,
+      nShards: Int, subSplits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nt = greatest(col(nTokensCol).cast("long"), lit(1L))
+    val sized = docs.select(col(idCol), col(nTokensCol),
+      floor(log2(nt)).cast("long").as("size_class"),
+      pmod(TextAnalytics.hash60(col(idCol).cast("string")),
+        lit(subSplits.toLong)).as("stratum"))
+    val w = Window.partitionBy(col("size_class"), col("stratum"))
+      .orderBy(col(nTokensCol).desc, col(idCol))
+    val start = pmod(TextAnalytics.hash60(
+        concat_ws("#", col("size_class"), col("stratum"))),
+      lit(nShards.toLong))
+    val r = row_number().over(w) - 1
+    val cycle = (r / nShards).cast("long")
+    val k = pmod(r, lit(nShards))
+    val idx = when(pmod(cycle, lit(2L)) === 0, k).otherwise(lit(nShards - 1) - k)
+    sized.withColumn("shard", pmod(start + idx, lit(nShards.toLong)).cast("long"))
+  }
 }

@@ -3411,6 +3411,51 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q94: token-balanced training shards — q86 assigns shards by id hash
+  // (document counts balance; token totals drift with the length mix);
+  // this dealing stratifies by log2 size class, sub-splits each class by
+  // a portable hash so NO rank window sees an unbounded partition, and
+  // deals each stratum snake-wise across shards. Deterministic in (ids,
+  // token counts) alone, so DuckDB replays every assignment.
+  // -------------------------------------------------------------------------
+
+  val q94BalancedShards: Q = (s, d) => {
+    val docs = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.TrainPrep.balancedShards(docs, "doc_id", "n_tokens",
+        nShards = 8, subSplits = 4)
+      .select(col("doc_id"), col("n_tokens"), col("size_class"),
+        col("stratum"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q94Sql =
+    """WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+         FROM documents
+       ), sized AS (
+         SELECT doc_id, n_tokens,
+                CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT) AS size_class,
+                CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4
+                  AS stratum
+         FROM t
+       ), ranked AS (
+         SELECT doc_id, n_tokens, size_class, stratum,
+                ROW_NUMBER() OVER (PARTITION BY size_class, stratum
+                                   ORDER BY n_tokens DESC, doc_id) - 1 AS r,
+                CAST('0x' || substr(sha256(CAST(size_class AS VARCHAR) || '#' ||
+                                           CAST(stratum AS VARCHAR)), 1, 15) AS BIGINT) % 8
+                  AS start
+         FROM sized
+       )
+       SELECT doc_id, n_tokens, size_class, stratum,
+              (start + CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END) % 8
+                AS shard
+       FROM ranked ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3473,6 +3518,7 @@ object PipelineCatalog {
     "q90_stream_pq" -> q90StreamPq,
     "q92_datasheet" -> q92Datasheet,
     "q93_fuzzy_decontam" -> q93FuzzyDecontam,
+    "q94_balanced_shards" -> q94BalancedShards,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3549,5 +3595,6 @@ object PipelineCatalog {
     "q86_shard_plan" -> q86Sql,
     "q92_datasheet" -> q92Sql,
     "q93_fuzzy_decontam" -> q93Sql,
+    "q94_balanced_shards" -> q94Sql,
   )
 }

@@ -64,4 +64,39 @@ class TrainPrepSpec extends AnyFunSuite {
       .filter(col("tot") > 200 && col("k") > 1)
     assert(over.isEmpty)
   }
+
+  test("balancedShards: token totals far tighter than hash dealing on skewed sizes") {
+    import spark.implicits._
+    // power-law-ish sizes: a few huge docs, a long small tail — the mix
+    // where count-balanced hash sharding drifts most
+    val rng = new scala.util.Random(11)
+    val docs = (1 to 4000).map { i =>
+      (i.toLong, (math.pow(2.0, 4 + rng.nextInt(10)) * (1 + rng.nextDouble())).toLong)
+    }.toDF("doc_id", "n_tokens")
+    val n = 8
+    def spread(df: org.apache.spark.sql.DataFrame): Double = {
+      val tot = df.groupBy("shard").agg(sum("n_tokens").as("t"))
+        .collect().map(_.getLong(1))
+      assert(tot.length == n, "every shard must receive documents")
+      (tot.max - tot.min).toDouble / tot.min
+    }
+    val balanced = spread(TrainPrep.balancedShards(docs, "doc_id", "n_tokens", n))
+    val hashed = spread(docs.withColumn("shard",
+      pmod(graft.operators.TextAnalytics.hash60(col("doc_id").cast("string")), lit(n.toLong))))
+    assert(balanced < hashed / 3,
+      s"stratified dealing must beat hash dealing 3x: balanced=$balanced hashed=$hashed")
+    assert(balanced < 0.05, s"shard token totals within 5%: $balanced")
+  }
+
+  test("balancedShards is partition-order-proof and exhaustive") {
+    import spark.implicits._
+    val docs = (1 to 500).map(i => (i.toLong, (i % 37 + 1).toLong * 10))
+      .toDF("doc_id", "n_tokens")
+    val a = TrainPrep.balancedShards(docs, "doc_id", "n_tokens", 8)
+      .select("doc_id", "shard").orderBy("doc_id").collect().toSeq
+    val b = TrainPrep.balancedShards(docs.repartition(13), "doc_id", "n_tokens", 8)
+      .select("doc_id", "shard").orderBy("doc_id").collect().toSeq
+    assert(a == b, "assignment must not depend on physical layout")
+    assert(a.length == 500 && a.map(_.getLong(1)).forall(s => s >= 0 && s < 8))
+  }
 }
