@@ -3456,6 +3456,66 @@ object PipelineCatalog {
        FROM ranked ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q95: cluster-balanced sampling — cap each embedding cluster at a
+  // quota so over-represented topics can't dominate a training mix (the
+  // curation sibling of q82's SemDeDup: same persisted IVF cells, same
+  // centroid literals in the oracle). Within-cell order is the portable
+  // id hash (re-runs, partitioning and engines agree); the rank window
+  // partitions by cell, so no partition exceeds N/k — never a global
+  // sort. At 100 TB the cells are the at-rest partition layout, so the
+  // whole query is per-partition work plus nothing.
+  // -------------------------------------------------------------------------
+
+  private val ClusterQuota = 20
+
+  val q95ClusterBalance: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = tbl(s, d, "embeddings")
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(TextAnalytics.hash60(col("vec_id").cast("string")), col("vec_id"))
+    store.vectors.select(col("vec_id"), col("cell"))
+      .withColumn("cell_rank", (row_number().over(w) - 1).cast("int"))
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("cell_rank"), (col("cell_rank") < ClusterQuota).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cell assignment replayed from the published centroid literals (the
+    * q27/q82 machinery), then the per-cell hash-rank quota in SQL.
+    */
+  private def q95Sql(cs: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${cn2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         WHERE vec_id <> 0
+       ), n AS (
+         SELECT vec_id,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), a AS (
+         SELECT vec_id, list_position($dExprs, list_min($dExprs)) - 1 AS cell
+         FROM n
+       ), r AS (
+         SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+                  CAST('0x' || substr(sha256(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+                  vec_id) - 1 AS cell_rank
+         FROM a
+       )
+       SELECT vec_id, CAST(cell AS INT) AS cell, CAST(cell_rank AS INT) AS cell_rank,
+              cell_rank < $ClusterQuota AS keep
+       FROM r ORDER BY vec_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3519,6 +3579,7 @@ object PipelineCatalog {
     "q92_datasheet" -> q92Datasheet,
     "q93_fuzzy_decontam" -> q93FuzzyDecontam,
     "q94_balanced_shards" -> q94BalancedShards,
+    "q95_cluster_balance" -> q95ClusterBalance,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3536,6 +3597,7 @@ object PipelineCatalog {
     // incremental artifacts: final live state = the corpus, so the full
     // q27/q69 replays apply verbatim — just from the BASE-trained literals
     lastIvfCentroids.map(cs => "q82_sem_dedup" -> q82Sql(cs)) ++
+    lastIvfCentroids.map(cs => "q95_cluster_balance" -> q95Sql(cs)) ++
     lastIncIvfCentroids.map(cs => "q78_inc_ivf" -> q27Sql(cs)) ++
     lastIncPqCodebooks.map(cbs => "q79_inc_pq" -> q69Sql(cbs)) ++
     // streaming-maintained artifacts: final live state = the corpus, so
