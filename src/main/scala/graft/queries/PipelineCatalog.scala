@@ -2047,22 +2047,38 @@ object PipelineCatalog {
         .withColumn("sd", col("mu") - col("y"))
         .withColumn("r", col("mu") * (lit(1.0) - col("mu")))
         .withColumn("xs", xsCol)
-      val g = base.select(col("sd"), explode(col("xs")).as("p"))
-        .groupBy(col("p.b").as("b"))
-        .agg(sum((col("sd") * col("p.x")).cast("decimal(38,18)")).as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
-      val h = base.select(col("r"), explode(col("xs")).as("p1"), col("xs"))
-        .select(col("r"), col("p1"), explode(col("xs")).as("p2"))
+      // Gradient AND Hessian in ONE scan/shuffle/collect per iteration.
+      // H is symmetric, so the second generator explodes only the upper
+      // triangle (p2.b ≥ p1.b — filtered BEFORE the explode, so half the
+      // pair rows are never generated; the driver mirrors (i,j)↔(j,i)),
+      // plus one sentinel element b2 = −1 per p1 row that carries the
+      // gradient term sd·x1 — the g aggregation rides the same job
+      // instead of re-evaluating `base` (z is an interpreted HOF fold;
+      // paying it twice per iteration measured ~20% of the query). Each
+      // (b1,b2) key still sums exactly the same double products as the
+      // two-job form, so the fit is bit-identical. (A one-pass nested
+      // transform+flatten instead of chained generators was also tried:
+      // ~30% slower — interpreted struct-building loses to codegen'd
+      // Generate.)
+      val gh = base.select(col("sd"), col("r"), explode(col("xs")).as("p1"), col("xs"))
+        .select(col("sd"), col("r"), col("p1"),
+          explode(concat(
+            filter(col("xs"), p2 => p2.getField("b") >= col("p1.b")),
+            array(struct(lit(-1).as("b"), lit(0.0).as("x"))))).as("p2"))
         .groupBy(col("p1.b").as("b1"), col("p2.b").as("b2"))
-        .agg(sum((col("r") * col("p1.x") * col("p2.x"))
-          .cast("decimal(38,18)")).as("h"))
+        .agg(sum(when(col("p2.b") === -1, col("sd") * col("p1.x"))
+          .otherwise(col("r") * col("p1.x") * col("p2.x"))
+          .cast("decimal(38,18)")).as("s"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue())
         .toMap
+      val g = gh.collect { case ((b1, -1), v) => b1 -> v }
+      val h = gh.filter(_._1._2 >= 0)
       // driver-side Newton step: (H + λI)·Δ = g by Gaussian elimination
       // with partial pivoting — deterministic, (B+2)³ ≈ 3·10⁵ flops
       val a = Array.tabulate(dim, dim)((i, j) =>
-        h.getOrElse((i, j), 0.0) + (if (i == j) lambda else 0.0))
+        h.getOrElse((math.min(i, j), math.max(i, j)), 0.0) +
+          (if (i == j) lambda else 0.0))
       val rhs = Array.tabulate(dim)(i => g.getOrElse(i, 0.0))
       for (p <- 0 until dim) {
         var best = p

@@ -367,4 +367,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!assignPlan.contains("parquet"),
       "delta assignment scans stored state")
   }
+
+  test("q93: benchmark bands broadcast over the streaming corpus side") {
+    val p = plan("q93_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark banded keys must broadcast — a shuffle here moves the corpus")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus x benchmark candidate join degraded to sort-merge")
+  }
+
+  test("q94/q95: rank windows are partitioned — no global single-partition sort") {
+    // the canonical scale killer is Window.partitionBy() empty: every row
+    // lands in one task. Both dealing queries must keep their stratum /
+    // cell partition keys in the physical Window spec.
+    val p94 = plan("q94_balanced_shards")
+    assert(p94.contains("windowspecdefinition(size_class"),
+      "q94 window lost its (size_class, stratum) partitioning")
+    val p95 = plan("q95_cluster_balance")
+    assert(p95.contains("windowspecdefinition(cell"),
+      "q95 window lost its cell partitioning")
+  }
+
+  test("q91: bloom probe touches only the batch; corpus contributes one sig column") {
+    val p = plan("q91_bloom_dedup")
+    // the mightContain UDF must sit on the batch side (filter), and the
+    // corpus verification join must be a hash join on the signature
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      "signature verification join degraded")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+  }
 }
