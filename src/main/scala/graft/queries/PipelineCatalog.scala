@@ -3532,6 +3532,102 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q96: INCREMENTAL near-dup — the MinHash analog of q44's daily-batch
+  // shape, against the persisted BandStore: the corpus is fingerprinted
+  // once at ingest; the batch (¼ light edits of corpus docs → near-dups,
+  // ¾ word-reversed → genuinely new) fingerprints only itself, prunes
+  // the store to its collision buckets, and exactly verifies candidates.
+  // The store is invisible to the oracle — it's a materialization of the
+  // corpus bands, which DuckDB recomputes from the same portable family.
+  // -------------------------------------------------------------------------
+
+  val q96IncNearDup: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val store = graft.sources.BandStore.ensure(s, docs, "doc_id", "text", d)
+    val batch = docs.select((col("doc_id") + 500000).as("doc_id"),
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(col("text"), lit(" v2")))
+        .otherwise(array_join(reverse(split(trim(col("text")), " ")), " "))
+        .as("text"))
+    Dedup.incrementalNearDuplicates(batch, docs, store, "doc_id", "text",
+        threshold = 0.5)
+      .orderBy(col("b_id"), col("c_id"))
+  }
+
+  private val q96Sql = {
+    import graft.functions.BandMinhash
+    val numHashes = 32
+    val bands = 8
+    val rpb = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(k => s"min(${BandMinhash.sqlLcg(k, "x")}) AS m$k")
+      .mkString(",\n           ")
+    val bandCols = (0 until bands).map { b =>
+      val acc = (0 until rpb).foldLeft(BandMinhash.FoldSeed.toString)(
+        (a, r) => BandMinhash.sqlMix(a, s"m${b * rpb + r}"))
+      s"$acc AS bh$b"
+    }.mkString(",\n           ")
+    val anyBand = (0 until bands).map(b => s"p.bh$b = c.bh$b").mkString(" OR ")
+    s"""WITH cwords AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), csh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM cwords, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), batch AS (
+         SELECT doc_id + 500000 AS doc_id,
+                CASE WHEN doc_id % 4 = 0 THEN text || ' v2'
+                     ELSE array_to_string(list_reverse(string_split(trim(text), ' ')), ' ')
+                END AS text
+         FROM documents
+       ), bwords AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM batch
+       ), bsh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM bwords, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), chh AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM csh
+       ), bhh AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM bsh
+       ), cmins AS (
+         SELECT doc_id,
+           $minCols
+         FROM chh GROUP BY doc_id
+       ), bmins AS (
+         SELECT doc_id,
+           $minCols
+         FROM bhh GROUP BY doc_id
+       ), cbnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM cmins
+       ), bbnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM bmins
+       ), cand AS (
+         SELECT p.doc_id AS b_id, c.doc_id AS c_id
+         FROM bbnd p JOIN cbnd c ON p.doc_id <> c.doc_id AND ($anyBand)
+       ), bsizes AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+       csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+       inter AS (
+         SELECT x.b_id, x.c_id, count(*) AS inter
+         FROM cand x
+         JOIN bsh sb ON sb.doc_id = x.b_id
+         JOIN csh sc ON sc.doc_id = x.c_id AND sc.shingle = sb.shingle
+         GROUP BY x.b_id, x.c_id
+       )
+       SELECT i.b_id, i.c_id, CAST(i.inter AS BIGINT) AS inter,
+              floor((CAST(i.inter AS DOUBLE) / (sb.n + sc.n - i.inter)) * 1000000 + 0.5)
+                / 1000000.0 AS jaccard
+       FROM inter i
+       JOIN bsizes sb ON sb.doc_id = i.b_id
+       JOIN csizes sc ON sc.doc_id = i.c_id
+       WHERE CAST(i.inter AS DOUBLE) / (sb.n + sc.n - i.inter) >= 0.5
+       ORDER BY b_id, c_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3596,6 +3692,7 @@ object PipelineCatalog {
     "q93_fuzzy_decontam" -> q93FuzzyDecontam,
     "q94_balanced_shards" -> q94BalancedShards,
     "q95_cluster_balance" -> q95ClusterBalance,
+    "q96_inc_near_dup" -> q96IncNearDup,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3674,5 +3771,6 @@ object PipelineCatalog {
     "q92_datasheet" -> q92Sql,
     "q93_fuzzy_decontam" -> q93Sql,
     "q94_balanced_shards" -> q94Sql,
+    "q96_inc_near_dup" -> q96Sql,
   )
 }

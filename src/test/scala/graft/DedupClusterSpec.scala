@@ -110,6 +110,36 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(out.forall(!_._2), "disjoint batch must have no corpus dups")
   }
 
+  test("incremental near-dup equals the from-scratch pass on batch x corpus") {
+    import spark.implicits._
+    import graft.sources.BandStore
+    val rng = new scala.util.Random(17)
+    val vocab = (0 until 200).map(i => s"w$i")
+    def text(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val corpusRows = (0 until 60).map(i => (i.toLong, text(30 + rng.nextInt(40))))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val batch = ((0 until 10).map(i =>
+      (1000L + i, corpusRows(i * 6)._2 + " appended v2 tail")) ++
+      (10 until 20).map(i => (1000L + i, text(40)))).toDF("doc_id", "text")
+
+    val store = BandStore.Store(
+      BandStore.bandRows(corpus, "doc_id", "text", 32, 8), 32, 8)
+    val inc = Dedup.incrementalNearDuplicates(batch, corpus, store, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // ground truth: the full-corpus operator over the union, restricted
+    // to cross (batch, corpus) pairs — batch ids are all > corpus ids,
+    // so a_id is the corpus doc and b_id the batch doc
+    val full = Dedup.minhashNearDuplicates(corpus.unionByName(batch), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .filter { case (a, b, _, _) => a < 1000L && b >= 1000L }
+      .map { case (a, b, i, j) => (b, a, i, j) }.toSet
+
+    assert(inc == full, s"inc-only=${inc -- full} full-only=${full -- inc}")
+    assert(inc.size >= 10, "every edited batch row must match its source")
+  }
+
   test("fuzzy decontamination catches a paraphrase exact 8-grams miss entirely") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

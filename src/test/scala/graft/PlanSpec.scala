@@ -388,6 +388,34 @@ class PlanSpec extends AnyFunSuite {
       "q95 window lost its cell partitioning")
   }
 
+  test("q96: band-store probe prunes bucket partitions; corpus never re-fingerprints") {
+    // the final plan starts from the checkpointed candidates: it must
+    // verify (shingle joins) without ever re-running band_minhash
+    val p = plan("q96_inc_near_dup")
+    assert(!p.contains("band_minhash"),
+      "verification stage must not re-fingerprint anything")
+    assert(!p.toLowerCase.contains("cartesianproduct"))
+
+    // the probe subplan (exposed pre-checkpoint): bucket-pruned store
+    // scan, batch-side fingerprint only
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val store = graft.sources.BandStore.ensure(spark, docs, "doc_id", "text", Sf)
+    val batch = docs.select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val probe = graft.operators.Dedup
+      .nearDupCandidates(batch, store, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("PartitionFilters") && probe.contains("bh_bucket"),
+      "store probe lost bh_bucket partition pruning")
+    assert(probe.contains("_graft_bands"), "candidates must come from the persisted store")
+    assert("band_minhash\\(".r.findAllIn(probe).size >= 1,
+      "batch side must fingerprint itself")
+    // exactly ONE documents scan (the batch side); a second one means the
+    // corpus is being re-fingerprinted instead of served from the store
+    assert("documents\\.parquet\\]".r.findAllIn(probe).size == 1,
+      "corpus side must come from the store scan, not a docs re-fingerprint")
+  }
+
   test("q91: bloom probe touches only the batch; corpus contributes one sig column") {
     val p = plan("q91_bloom_dedup")
     // the mightContain UDF must sit on the batch side (filter), and the
