@@ -145,8 +145,12 @@ object BandStore {
   /** Full (re)build: band rows at gen 0 in the NEXT epoch, committed by
     * the atomic pointer flip. Preserves the replay watermark.
     */
+  def exists(path: String): Boolean =
+    VectorStore.hasParquetData(bandsDir(path))
+
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
-      numHashes: Int, bands: Int, policy: Policy = Policy()): Unit = {
+      numHashes: Int, bands: Int, policy: Policy = Policy(),
+      batchId: Long = -1L): Unit = {
     val prevLast = readStats(path)._2
     val next = VectorStore.epochOf(path) + 1
     bandRows(docs, idCol, textCol, numHashes, bands)
@@ -157,7 +161,8 @@ object BandStore {
       .parquet(s"$path/bands/e$next")
     VectorStore.setEpoch(path, next)
     writePolicy(path, policy)
-    writeStats(path, gen = 0L, lastBatch = prevLast)
+    writeStats(path, gen = 0L,
+      lastBatch = if (batchId >= 0) batchId else prevLast)
     VectorStore.gcEpochs(path, Seq("bands", "tombstones"), next)
   }
 

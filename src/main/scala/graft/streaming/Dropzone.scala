@@ -49,7 +49,8 @@ object Dropzone {
       batchId: Long = -1L,
       pqStorePath: Option[String] = None,
       pqM: Int = 4,
-      pqKsub: Int = 16): Unit = {
+      pqKsub: Int = 16,
+      bandStorePath: Option[String] = None): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
     // media routing composes with the stream exactly like the batch path:
     // the same scanned frame, STT/caption annotation (dev stubs or batched
@@ -106,6 +107,20 @@ object Dropzone {
       else if (!docDelta.isEmpty)
         TextIndex.write(docDelta, "path", "text", tip, batchId)
     }
+    // the near-dup band store is maintained the same way (doc grain =
+    // file path, like the text index): the delta's documents append
+    // their band fingerprints at gen+1, re-dropped paths tombstone
+    // their old generations, replays are batch-id no-ops
+    bandStorePath.foreach { bsp =>
+      val docDelta = delta.select(col("path"), col("text"))
+      if (graft.sources.BandStore.exists(bsp))
+        graft.sources.BandStore.upsert(spark, docDelta, "path", "text",
+          docDelta.select(col("path")).limit(0), bsp,
+          numHashes = 32, bands = 8, batchId = batchId)
+      else if (!docDelta.isEmpty)
+        graft.sources.BandStore.write(docDelta, "path", "text", bsp,
+          numHashes = 32, bands = 8, batchId = batchId)
+    }
     // the ANN store is maintained the same way: the first non-empty batch
     // trains the cells, every later batch is assigned with the STORED
     // centroids and appended (replaced chunk ids tombstone themselves via
@@ -156,7 +171,8 @@ object Dropzone {
       textIndexPath: Option[String] = None,
       vectorStorePath: Option[String] = None,
       vectorStoreK: Int = 16,
-      pqStorePath: Option[String] = None): StreamingQuery = {
+      pqStorePath: Option[String] = None,
+      bandStorePath: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -173,7 +189,8 @@ object Dropzone {
             col("modificationTime")),
           dropzone, storePath, chunkSize, chunkOverlap, embedDim,
           skipUnchangedFiles, media, textIndexPath, vectorStorePath,
-          vectorStoreK, batchId, pqStorePath)
+          vectorStoreK, batchId, pqStorePath,
+          bandStorePath = bandStorePath)
       }
       .start()
   }

@@ -53,19 +53,21 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming ingest maintains the BM25 serving index per micro-batch") {
-    import graft.sources.{TextIndex, VectorStore}
+    import graft.sources.{BandStore, TextIndex, VectorStore}
     val dropzone: Path = Files.createTempDirectory("graft-stream-tidz")
     val store = Files.createTempDirectory("graft-stream-tistore").resolve("chunks").toString
     val checkpoint = Files.createTempDirectory("graft-stream-tickpt").toString
     val tindex = Files.createTempDirectory("graft-stream-tindex").resolve("idx").toString
     val vstore = Files.createTempDirectory("graft-stream-vstore").resolve("idx").toString
+    val bstore = Files.createTempDirectory("graft-stream-bstore").resolve("idx").toString
 
     Files.writeString(dropzone.resolve("a.txt"), "spark join engine")
     Files.writeString(dropzone.resolve("a2.txt"), "filter scan pushdown code")
     val query = Dropzone.start(spark, dropzone.toString, store, checkpoint,
       chunkSize = 200, chunkOverlap = 40, embedDim = 8,
       textIndexPath = Some(tindex),
-      vectorStorePath = Some(vstore), vectorStoreK = 2)
+      vectorStorePath = Some(vstore), vectorStoreK = 2,
+      bandStorePath = Some(bstore))
     try {
       query.processAllAvailable()
       val idx1 = TextIndex.read(spark, tindex)
@@ -97,6 +99,15 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("gen")).distinct().count()
       assert(vGens >= 2, "second batch must append a NEW vector segment")
       assert(vs.centroids.length == 2, "inline retrain happened (k changed)")
+
+      // the near-dup band store grew the same way: every ≥3-token doc
+      // carries 8 band rows, the second batch landed as a delta append
+      val bs = BandStore.read(spark, bstore, 32, 8)
+      val bandDocs = bs.rows.select("c_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(bandDocs == Set("a.txt", "a2.txt", "b.txt"),
+        s"band store docs: $bandDocs")
+      assert(bs.rows.count() == 3 * 8, "8 band rows per fingerprinted doc")
     } finally query.stop()
   }
 
