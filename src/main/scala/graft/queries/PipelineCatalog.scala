@@ -3060,7 +3060,7 @@ object PipelineCatalog {
     val mfPath = java.nio.file.Paths.get(root, "_graft_manifest.json")
     val stamp = graft.sources.VectorStore.sourceStamp(
       new java.io.File(s"$d/documents.parquet"))
-    val expected = s"""{"source_stamp":"$stamp","scenario":"dz-stream-v1"}"""
+    val expected = s"""{"source_stamp":"$stamp","scenario":"dz-stream-v2"}"""
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
     if (!fresh) {
@@ -3097,7 +3097,8 @@ object PipelineCatalog {
           textIndexPath = Some(s"$root/tindex"),
           vectorStorePath = Some(s"$root/vstore"), vectorStoreK = Q87Cells,
           batchId = id, pqStorePath = Some(s"$root/pq"),
-          pqM = Q87PqM, pqKsub = Q87PqKsub)
+          pqM = Q87PqM, pqKsub = Q87PqKsub,
+          bandStorePath = Some(s"$root/bands"))
       run(batch0, 0L) // adds: evens, with stale tens + the padded shrink doc
       run(batch0, 0L) // restart re-delivery of the SAME batch id: no-op
       run(batch1, 1L) // odds + corrected tens + corrected (shrunk) doc
@@ -3142,6 +3143,33 @@ object PipelineCatalog {
       .select(col("id"),
         regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
         col("idx"))
+
+  /** q97: the near-dup probe served from the STREAMING-MAINTAINED band
+    * store — the q87/q89/q90 pattern for the fourth artifact. The
+    * stream's final corpus equals the documents table (adds, a stale
+    * re-drop, a same-batch-id replay, a shrink-rewrite — all settled),
+    * so the probe's numeric output is row-identical to q96's and the
+    * SAME DuckDB replay oracles it: any maintenance bug (double-applied
+    * replay, missed tombstone, stale generation) breaks the hash.
+    */
+  val q97StreamNearDup: Q = (s, d) => {
+    val root = q87EnsureStreaming(s, d)
+    val store = graft.sources.BandStore.read(s, s"$root/bands", 32, 8)
+    val docs = docsWide(s, d)
+    val corpus = docs.select(concat(col("doc_id"), lit(".txt")).as("doc"), col("text"))
+    val batch = docs.select(
+      concat(col("doc_id") + 500000, lit(".txt")).as("doc"),
+      when(pmod(col("doc_id"), lit(4)) === 0, concat(col("text"), lit(" v2")))
+        .otherwise(array_join(reverse(split(trim(col("text")), " ")), " "))
+        .as("text"))
+    Dedup.incrementalNearDuplicates(batch, corpus, store, "doc", "text",
+        threshold = 0.5)
+      .select(
+        regexp_extract(col("b_id"), "(\\d+)", 1).cast("long").as("b_id"),
+        regexp_extract(col("c_id"), "(\\d+)", 1).cast("long").as("c_id"),
+        col("inter"), col("jaccard"))
+      .orderBy(col("b_id"), col("c_id"))
+  }
 
   val q89StreamIvf: Q = (s, d) => {
     val root = q87EnsureStreaming(s, d)
@@ -3693,6 +3721,7 @@ object PipelineCatalog {
     "q94_balanced_shards" -> q94BalancedShards,
     "q95_cluster_balance" -> q95ClusterBalance,
     "q96_inc_near_dup" -> q96IncNearDup,
+    "q97_stream_near_dup" -> q97StreamNearDup,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3772,5 +3801,7 @@ object PipelineCatalog {
     "q93_fuzzy_decontam" -> q93Sql,
     "q94_balanced_shards" -> q94Sql,
     "q96_inc_near_dup" -> q96Sql,
+    // streamed corpus == true corpus: q96's replay applies verbatim
+    "q97_stream_near_dup" -> q96Sql,
   )
 }
