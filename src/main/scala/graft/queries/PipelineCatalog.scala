@@ -3656,6 +3656,128 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q98: the curation pipeline END-TO-END — the composed deliverable a
+  // pretraining run ships, as ONE lineage: (1) the rule-quality gate
+  // (q22/q67's silver arithmetic), (2) near-dup canonicalization (q19
+  // banding → q75 pointer-jump CC — only cluster survivors), (3) exact
+  // 8-gram decontamination against the q57 benchmark, (4) the portable
+  // hash shard for what survives. Gates are reported as independent
+  // flags (kept = all three) so the oracle composes the already-proven
+  // replay fragments verbatim — no new cross-engine surface.
+  // -------------------------------------------------------------------------
+
+  val q98CurationPipeline: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    // (1) quality gate — q67's silver-label rule, guarded for empty docs
+    val quality = docs
+      .withColumn("toks", TextAnalytics.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .withColumn("q_ok", when(col("n") === 0, lit(false)).otherwise(
+        lit(0.2) * least(col("n").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
+            .cast("double") / col("n")) +
+          lit(0.3) * (lit(1.0) - least(
+            abs(TextAnalytics.totalTokenChars(col("toks")).cast("double") / col("n") - 5.0)
+              / 10.0, lit(1.0))) >= QcTau))
+      .select(col("doc_id"), col("q_ok"))
+    // (2) near-dup canonicalization — q85's pairs → CC → survivor flag
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("is_canonical"))
+    // (3) decontamination — any shared word-8-gram with the q57 benchmark
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(explode(graft.operators.WordShingles.wordShingles(
+        substring(col("text"), 21, 120), 8)).as("shingle"))
+      .distinct()
+    val contaminated = docs
+      .select(col("doc_id"),
+        explode(graft.operators.WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+      .withColumn("_dirty", lit(true))
+    docs.select(col("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("is_canonical", coalesce(col("is_canonical"), lit(true)))
+      .withColumn("clean", col("_dirty").isNull)
+      .withColumn("kept", col("q_ok") && col("is_canonical") && col("clean"))
+      .withColumn("shard", when(col("kept"),
+          pmod(TextAnalytics.hash60(col("doc_id").cast("string")), lit(ShardCount.toLong)))
+        .otherwise(lit(null).cast("long")))
+      .select(col("doc_id"), col("q_ok"), col("is_canonical"), col("clean"),
+        col("kept"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q98Sql = {
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    val stop = TextAnalytics.EnStopwords.map(x => s"'$x'").mkString("[", ",", "]")
+    s"""WITH RECURSIVE pairs AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) p
+       ), edges AS (
+         SELECT a_id AS x, b_id AS y FROM pairs
+         UNION
+         SELECT b_id, a_id FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT x FROM edges
+       ), reach(x, r) AS (
+         SELECT x, x FROM nodes
+         UNION
+         SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       ), cl AS (
+         SELECT x AS doc_id, (x = min(r)) AS is_canonical
+         FROM reach GROUP BY x
+       ), dt AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         FROM documents
+       ), q AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN FALSE ELSE
+                  (0.2 * least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+                   + 0.5 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+                            / len(toks))
+                   + 0.3 * (1.0 - least(abs(CAST(list_aggregate(list_transform(toks,
+                              x -> length(x)), 'sum') AS DOUBLE)/len(toks) - 5.0)/10.0, 1.0)))
+                  >= $QcTau END AS q_ok
+         FROM dt
+       ), w8 AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), cs8 AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM w8, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), bw AS (
+         SELECT string_split(trim(substr(text, 21, 120)), ' ') AS w
+         FROM documents WHERE doc_id >= 25 AND doc_id < 35
+       ), bs AS (
+         SELECT DISTINCT shingle
+         FROM bw, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), cont AS (
+         SELECT DISTINCT doc_id FROM cs8 JOIN bs USING (shingle)
+       ), flags AS (
+         SELECT d.doc_id,
+                q.q_ok,
+                COALESCE(cl.is_canonical, TRUE) AS is_canonical,
+                (cont.doc_id IS NULL) AS clean
+         FROM documents d
+         JOIN q USING (doc_id)
+         LEFT JOIN cl USING (doc_id)
+         LEFT JOIN cont USING (doc_id)
+       )
+       SELECT doc_id, q_ok, is_canonical, clean,
+              (q_ok AND is_canonical AND clean) AS kept,
+              CASE WHEN q_ok AND is_canonical AND clean
+                THEN CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                       % $ShardCount
+                ELSE NULL END AS shard
+       FROM flags ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3722,6 +3844,7 @@ object PipelineCatalog {
     "q95_cluster_balance" -> q95ClusterBalance,
     "q96_inc_near_dup" -> q96IncNearDup,
     "q97_stream_near_dup" -> q97StreamNearDup,
+    "q98_curation_pipeline" -> q98CurationPipeline,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3803,5 +3926,6 @@ object PipelineCatalog {
     "q96_inc_near_dup" -> q96Sql,
     // streamed corpus == true corpus: q96's replay applies verbatim
     "q97_stream_near_dup" -> q96Sql,
+    "q98_curation_pipeline" -> q98Sql,
   )
 }
