@@ -367,10 +367,21 @@ object Dedup {
         WordShingles.wordShingles(col(textCol)).as("sh_b"))
       .filter(size(col("sh_b")) > 0)
     val candIds = cands.select(col("c_id")).distinct()
-    val shC = corpus
-      .join(broadcast(candIds), corpus(idCol) === candIds("c_id"), "left_semi")
-      .select(col(idCol).as("c_id"),
+    // The candidate-id set is duplicate-rate-bounded, but a boilerplate-
+    // heavy batch can collide with much of the corpus — size-gate the
+    // semi-join like the stores' liveRows tombstone joins (cands is
+    // already checkpointed, so the gate count is a local scan, no recompute)
+    val nCands = candIds.count()
+    val shC = {
+      val semi =
+        if (nCands * 64L <= graft.sources.VectorStore.MaxTombstoneBroadcastBytes)
+          corpus.join(broadcast(candIds), corpus(idCol) === candIds("c_id"), "left_semi")
+        else corpus.hint("shuffle_hash")
+          .join(candIds.hint("shuffle_hash"),
+            corpus(idCol) === candIds("c_id"), "left_semi")
+      semi.select(col(idCol).as("c_id"),
         WordShingles.wordShingles(col(textCol)).as("sh_c"))
+    }
     cands.join(shB, "b_id").join(shC, "c_id")
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -197,7 +197,10 @@ object SearchOps {
       .select(col("rs"), posexplode(col("rs")).as(Seq("i", "r")))
       .withColumn("rank", (col("i") + 1).cast("int"))
       .withColumn("running_chars",
-        expr("aggregate(slice(rs, 1, i + 1), 0L, (acc, x) -> acc + length(x.snippet))"))
+        // coalesce per element: a null-text hit must count as 0, not
+        // NULL-poison the running sum for itself and every later row
+        // (the window-sum form this fold replaced ignored nulls too)
+        expr("aggregate(slice(rs, 1, i + 1), 0L, (acc, x) -> acc + coalesce(length(x.snippet), 0L))"))
       .filter(col("rank") <= maxSnippets && col("running_chars") <= totalBudget)
       .select(col("r.id").as("id"), col("r.document_id").as("document_id"),
         col("r.path").as("path"), col("r.score").as("score"),

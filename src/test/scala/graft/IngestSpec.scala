@@ -189,6 +189,21 @@ class IngestSpec extends AnyFunSuite {
     assert(snips.forall(_.getAs[String]("snippet").length == 2000))
   }
 
+  test("snippet budget: a null-text hit counts as 0 chars, not NULL-poison (W7)") {
+    import spark.implicits._
+    // hit #2 has null text: the running sum must treat it as 0 so hits
+    // 3..5 still surface (a bare length() fold would null the sum from
+    // rank 2 onward and the budget filter would drop every later row)
+    val hits = (1 to 6).map(i =>
+      (s"id$i", s"doc$i", "text", s"p$i", 0, 1.0 - i * 0.01,
+        if (i == 2) null else "x" * 1000))
+      .toDF("id", "document_id", "kind", "path", "idx", "score", "text")
+    val snips = SearchOps.snippetSelect(hits).collect()
+    assert(snips.length == 5) // maxSnippets, well under budget
+    assert(snips.map(_.getAs[String]("id")).toSeq ==
+      Seq("id1", "id2", "id3", "id4", "id5"))
+  }
+
   test("typed Dataset[Chunk] view over ingest output") {
     val ds = graft.core.Chunk.typed(ingested)
     val c = ds.filter(_.path == "people.csv").head()
