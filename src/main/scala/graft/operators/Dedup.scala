@@ -374,7 +374,7 @@ object Dedup {
     val nCands = candIds.count()
     val shC = {
       val semi =
-        if (nCands * 64L <= graft.sources.VectorStore.MaxTombstoneBroadcastBytes)
+        if (nCands * 64L <= graft.sources.GenStore.MaxTombstoneBroadcastBytes)
           corpus.join(broadcast(candIds), corpus(idCol) === candIds("c_id"), "left_semi")
         else corpus.hint("shuffle_hash")
           .join(candIds.hint("shuffle_hash"),

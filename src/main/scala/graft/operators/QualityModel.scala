@@ -58,25 +58,14 @@ object QualityModel {
 
   /** Beside the documents table when its parent is writable (artifact
     * travels with the data); read-only source → GRAFT_INDEX_DIR or tmpdir
-    * keyed by absolute path — same fallback as VectorStore.indexPath.
+    * fallback — [[graft.sources.GenStore.artifactPath]]'s resolution.
     */
-  def modelPath(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val parent = src.getAbsoluteFile.getParentFile
-    if (parent != null && parent.canWrite)
-      new java.io.File(parent, "documents.parquet._graft_qc").toString
-    else {
-      val root = sys.env.get("GRAFT_INDEX_DIR")
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val sig = java.security.MessageDigest.getInstance("MD5")
-        .digest(src.getAbsolutePath.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      new java.io.File(root, s"graft-qc-$sig").toString
-    }
-  }
+  def modelPath(sfDir: String): String =
+    graft.sources.GenStore.artifactPath(sfDir, "documents.parquet",
+      "_graft_qc", "graft-qc")
 
   private def manifest(sfDir: String): String = {
-    val stamp = graft.sources.VectorStore.sourceStamp(
+    val stamp = graft.sources.GenStore.sourceStamp(
       new java.io.File(s"$sfDir/documents.parquet"))
     s"""{"version":"$Version","stamp":"$stamp","b":$B,"tau":$Tau,"iters":$Iters,"ridge":$Ridge}"""
   }
@@ -88,17 +77,8 @@ object QualityModel {
   private def qualityFile(path: String) =
     java.nio.file.Paths.get(path, "_graft_qc_quality.json")
 
-  /** Crash-atomic sidecar write: temp file + ATOMIC_MOVE, so a reader (or
-    * a crash-recovery pass) never sees a truncated JSON.
-    */
-  private[graft] def atomicWrite(p: java.nio.file.Path, s: String): Unit = {
-    java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, s)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def atomicWrite(p: java.nio.file.Path, s: String): Unit =
+    graft.sources.GenStore.atomicWrite(p, s)
 
   /** Weights serialize via Double.toString (shortest round-trip repr) and
     * parse back bit-exactly — serving from disk ≡ serving from the fit.
@@ -106,15 +86,9 @@ object QualityModel {
   private def writeWeights(path: String, w: Array[Double]): Unit =
     atomicWrite(weightsFile(path), w.map(_.toString).mkString("[", ",", "]"))
 
-  def readWeights(path: String): Option[Array[Double]] = {
-    val p = weightsFile(path)
-    if (!java.nio.file.Files.exists(p)) None
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      Some(Array.tabulate(node.size())(i => node.get(i).asDouble()))
-    }
-  }
+  def readWeights(path: String): Option[Array[Double]] =
+    graft.sources.GenStore.readSidecar(weightsFile(path)).map(node =>
+      Array.tabulate(node.size())(i => node.get(i).asDouble()))
 
   private def writeQuality(path: String, baseLoss: Double, baseN: Long,
       deltaLossSum: Double, deltaN: Long): Unit =
@@ -122,14 +96,11 @@ object QualityModel {
       s"""{"base_loss":$baseLoss,"base_n":$baseN,"delta_loss_sum":$deltaLossSum,"delta_n":$deltaN}""")
 
   private[graft] def readQuality(path: String): (Double, Long, Double, Long) = {
-    val p = qualityFile(path)
-    if (!java.nio.file.Files.exists(p)) (0.0, 0L, 0.0, 0L)
-    else try {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      (node.get("base_loss").asDouble(), node.get("base_n").asLong(),
-        node.get("delta_loss_sum").asDouble(), node.get("delta_n").asLong())
-    } catch { case _: java.io.IOException => (0.0, 0L, 0.0, 0L) }
+    import graft.sources.GenStore.{jDouble, jLong, readSidecar}
+    readSidecar(qualityFile(path)).map { node =>
+      (jDouble(node, "base_loss", 0.0), jLong(node, "base_n", 0L),
+        jDouble(node, "delta_loss_sum", 0.0), jLong(node, "delta_n", 0L))
+    }.getOrElse((0.0, 0L, 0.0, 0L))
   }
 
   /** Appended fraction of the training corpus — the volume trigger. */

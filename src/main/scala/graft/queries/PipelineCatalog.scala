@@ -1420,7 +1420,7 @@ object PipelineCatalog {
     val path = q77Path(d)
     val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
     val expected = {
-      val stamp = graft.sources.VectorStore.sourceStamp(
+      val stamp = graft.sources.GenStore.sourceStamp(
         new java.io.File(s"$d/documents.parquet"))
       s"""{"source_stamp":"$stamp","scenario":"base+delta-v1","tokenize":"ws-split-v2","layout":"seg-v5"}"""
     }
@@ -1502,7 +1502,7 @@ object PipelineCatalog {
 
   private def incScenarioFresh(path: String, d: String, tag: String): Boolean = {
     val mfPath = java.nio.file.Paths.get(path, "_graft_scenario.json")
-    val stamp = graft.sources.VectorStore.sourceStamp(
+    val stamp = graft.sources.GenStore.sourceStamp(
       new java.io.File(s"$d/embeddings.parquet"))
     // -v2: epoch-pointer layout (stale -v1 artifacts have no e<K> dirs)
     val expected = s"""{"source_stamp":"$stamp","scenario":"$tag-v2"}"""
@@ -2960,7 +2960,7 @@ object PipelineCatalog {
   private[graft] def q87EnsureStreaming(s: SparkSession, d: String): String = {
     val root = q87Root(d)
     val mfPath = java.nio.file.Paths.get(root, "_graft_manifest.json")
-    val stamp = graft.sources.VectorStore.sourceStamp(
+    val stamp = graft.sources.GenStore.sourceStamp(
       new java.io.File(s"$d/documents.parquet"))
     val expected = s"""{"source_stamp":"$stamp","scenario":"dz-stream-v2"}"""
     val fresh = java.nio.file.Files.exists(mfPath) &&

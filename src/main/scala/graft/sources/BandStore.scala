@@ -15,16 +15,11 @@ import org.apache.spark.sql.functions._
   * TextIndex/VectorStore at-rest discipline applied to dedup. Probing
   * reads O(collisions); the corpus is never re-fingerprinted.
   *
-  * Incremental lifecycle (TextIndex's (doc, gen) pattern, leaner): an
-  * upsert appends the delta's band rows at gen+1 and writes a (doc,
-  * gen+1) tombstone per replaced/deleted doc — it READS NO STORED STATE
+  * Lifecycle (epoch pointer, gen segments, (doc, gen) tombstones, policy
+  * compaction, crash-redo, replay watermark) is [[GenStore]]'s — this
+  * file owns only the band-row layout. The upsert READS NO STORED STATE
   * at all (no stats to adjust), which makes it the cheapest of the three
-  * incremental artifacts. Replay-idempotent via tracked batch ids;
-  * crash-atomic because partial next-gen directories are deleted before
-  * a redo and the stats sidecar (carrying the watermark) commits last.
-  * A segment-count / tombstone-byte policy triggers zero-touch
-  * compaction, which folds live rows back to gen-0 in the next epoch and
-  * commits via the atomic pointer flip.
+  * incremental artifacts.
   *
   * Same portable hash family/constants as the inline operator (sha256
   * base + mod-2^60 affine permutations, `BandMinhash`), so any engine —
@@ -39,27 +34,18 @@ object BandStore {
 
   final case class Store(rows: DataFrame, numHashes: Int, nBands: Int)
 
-  /** Compaction triggers, recorded beside the artifact at write time. */
-  final case class Policy(maxSegments: Long = 8L,
-      maxTombstoneBytes: Long = VectorStore.MaxTombstoneBroadcastBytes)
+  /** Compaction triggers — the shared [[GenStore.Policy]] record; this
+    * store arms the segment-count and tombstone-byte triggers.
+    */
+  type Policy = GenStore.Policy
+  val Policy: GenStore.Policy.type = GenStore.Policy
 
-  def storePath(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val parent = src.getAbsoluteFile.getParentFile
-    if (parent != null && parent.canWrite)
-      new java.io.File(parent, "documents.parquet._graft_bands").toString
-    else {
-      val root = sys.env.get("GRAFT_INDEX_DIR")
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val sig = java.security.MessageDigest.getInstance("MD5")
-        .digest(src.getAbsolutePath.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      new java.io.File(root, s"graft-bandstore-$sig").toString
-    }
-  }
+  def storePath(sfDir: String): String =
+    GenStore.artifactPath(sfDir, "documents.parquet", "_graft_bands",
+      "graft-bandstore")
 
   private def manifest(sfDir: String, numHashes: Int, bands: Int): String = {
-    val stamp = VectorStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
+    val stamp = GenStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
     s"""{"layout":"bands-v2-gen","src":"$stamp","num_hashes":$numHashes,"bands":$bands,"buckets":$Buckets,"hash_family":"sha256-affine-2^60","tokenizer":"v1-frozen"}"""
   }
 
@@ -85,85 +71,51 @@ object BandStore {
       .withColumn("bh_bucket", pmod(col("bh"), lit(Buckets.toLong)))
   }
 
-  // ----------------------------------------------------------- sidecars
+  // --- stats sidecar (gen = last segment written; last_batch = streaming
+  //     replay watermark) — GenStore's atomic-write/Jackson-parse
+  //     codepath, so a torn file degrades to defaults instead of throwing
 
-  private def statsPath(path: String) = java.nio.file.Paths.get(path, "_graft_stats.json")
-  private def policyPath(path: String) = java.nio.file.Paths.get(path, "_graft_policy.json")
+  private def statsPath(path: String) =
+    java.nio.file.Paths.get(path, "_graft_stats.json")
 
   private def writeStats(path: String, gen: Long, lastBatch: Long): Unit =
-    java.nio.file.Files.writeString(statsPath(path),
+    GenStore.atomicWrite(statsPath(path),
       s"""{"gen":$gen,"last_batch":$lastBatch}""")
 
   /** (current max generation, streaming replay watermark). */
   def readStats(path: String): (Long, Long) =
-    if (!java.nio.file.Files.exists(statsPath(path))) (0L, -1L)
-    else {
-      val s = java.nio.file.Files.readString(statsPath(path))
-      def f(k: String) = s.split(s""""$k":""")(1).takeWhile(c => c == '-' || c.isDigit).toLong
-      (f("gen"), f("last_batch"))
-    }
-
-  private def writePolicy(path: String, p: Policy): Unit =
-    java.nio.file.Files.writeString(policyPath(path),
-      s"""{"max_segments":${p.maxSegments},"max_tombstone_bytes":${p.maxTombstoneBytes}}""")
-
-  private def readPolicy(path: String): Policy =
-    if (!java.nio.file.Files.exists(policyPath(path))) Policy()
-    else {
-      val s = java.nio.file.Files.readString(policyPath(path))
-      def f(k: String) = s.split(s""""$k":""")(1).takeWhile(_.isDigit).toLong
-      Policy(f("max_segments"), f("max_tombstone_bytes"))
-    }
+    GenStore.readSidecar(statsPath(path))
+      .map(n => (GenStore.jLong(n, "gen", 0L), GenStore.jLong(n, "last_batch", -1L)))
+      .getOrElse((0L, -1L))
 
   private def bandsDir(path: String) =
-    new java.io.File(s"$path/bands/e${VectorStore.epochOf(path)}")
-  private def tombstonesDir(path: String) =
-    new java.io.File(s"$path/tombstones/e${VectorStore.epochOf(path)}")
+    new java.io.File(GenStore.tableDir(path, "bands"))
 
-  /** Tombstone-filter stored rows: a row is dead iff some tombstone for
-    * its doc has a STRICTLY higher generation (a replaced doc's fresh
-    * rows share the tombstone's gen and survive). No tombstones → the
-    * plan is identical to the append-only layout. Size-gated broadcast,
-    * the liveRows discipline shared with TextIndex/VectorStore.
-    */
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
-    if (!VectorStore.hasParquetData(tombstonesDir(path))) rows
-    else {
-      val tomb = VectorStore.seg(spark, tombstonesDir(path).toString)
-        .groupBy(col("doc")).agg(max(col("gen")).as("__tomb_gen"))
-        .select(col("doc").as("c_id"), col("__tomb_gen"))
-      val joined =
-        if (VectorStore.dirBytes(tombstonesDir(path)) <=
-            VectorStore.MaxTombstoneBroadcastBytes)
-          rows.join(broadcast(tomb), Seq("c_id"), "left")
-        else rows.hint("shuffle_hash")
-          .join(tomb.hint("shuffle_hash"), Seq("c_id"), "left")
-      joined.filter(col("__tomb_gen").isNull || col("gen") >= col("__tomb_gen"))
-        .drop("__tomb_gen")
-    }
+    GenStore.liveRows(spark, path, rows, rowKey = "c_id", tombCol = "doc")
+
+  def exists(path: String): Boolean =
+    GenStore.hasParquetData(bandsDir(path))
 
   /** Full (re)build: band rows at gen 0 in the NEXT epoch, committed by
     * the atomic pointer flip. Preserves the replay watermark.
     */
-  def exists(path: String): Boolean =
-    VectorStore.hasParquetData(bandsDir(path))
-
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int, bands: Int, policy: Policy = Policy(),
       batchId: Long = -1L): Unit = {
     val prevLast = readStats(path)._2
-    val next = VectorStore.epochOf(path) + 1
+    val next = GenStore.epochOf(path) + 1
     bandRows(docs, idCol, textCol, numHashes, bands)
       .withColumn("gen", lit(0L))
       .repartition(col("bh_bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "bh_bucket")
       .parquet(s"$path/bands/e$next")
-    VectorStore.setEpoch(path, next)
-    writePolicy(path, policy)
+    GenStore.setEpoch(path, next)
+    GenStore.writePolicy(path, policy)
     writeStats(path, gen = 0L,
       lastBatch = if (batchId >= 0) batchId else prevLast)
-    VectorStore.gcEpochs(path, Seq("bands", "tombstones"), next)
+    GenStore.gcEpochs(path, Seq("bands", "tombstones"), next)
   }
 
   /** Incremental maintenance — the cheapest of the three incremental
@@ -180,25 +132,14 @@ object BandStore {
     val (gen0, lastBatch) = readStats(path)
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
-    val epoch = VectorStore.epochOf(path)
-    Seq("bands", "tombstones").foreach { sub =>
-      val d = new java.io.File(s"$path/$sub/e$epoch/gen=$nextGen")
-      if (d.exists()) {
-        org.apache.commons.io.FileUtils.deleteDirectory(d)
-        spark.catalog.refreshByPath(s"$path/$sub/e$epoch")
-      }
-    }
+    GenStore.dropPartialGen(spark, path, Seq("bands", "tombstones"), nextGen)
     val affected = delta.select(col(idCol).as("doc"))
       .unionByName(deletedIds.select(col(deletedIds.columns.head).as("doc")))
-      .distinct()
-    if (!affected.isEmpty)
-      affected.select(col("doc"), lit(nextGen).as("gen"))
-        .write.mode("append").partitionBy("gen")
-        .parquet(s"$path/tombstones/e$epoch")
+    GenStore.appendTombstones(path, affected, tombCol = "doc", gen = nextGen)
     bandRows(delta, idCol, textCol, numHashes, bands)
       .withColumn("gen", lit(nextGen))
       .write.mode("append").partitionBy("gen", "bh_bucket")
-      .parquet(s"$path/bands/e$epoch")
+      .parquet(GenStore.tableDir(path, "bands"))
     writeStats(path, nextGen, if (batchId >= 0) batchId else lastBatch)
     maybeCompact(spark, path)
   }
@@ -210,31 +151,31 @@ object BandStore {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val (_, lastBatch) = readStats(path)
-    val next = VectorStore.epochOf(path) + 1
+    val next = GenStore.epochOf(path) + 1
     val live = liveRows(spark, path,
-        VectorStore.seg(spark, bandsDir(path).toString))
+        GenStore.seg(spark, bandsDir(path).toString))
       .localCheckpoint()
     live.withColumn("gen", lit(0L))
       .repartition(col("bh_bucket"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "bh_bucket")
       .parquet(s"$path/bands/e$next")
-    VectorStore.setEpoch(path, next)
+    GenStore.setEpoch(path, next)
     writeStats(path, gen = 0L, lastBatch = lastBatch)
-    VectorStore.gcEpochs(path, Seq("bands", "tombstones"), next)
+    GenStore.gcEpochs(path, Seq("bands", "tombstones"), next)
   }
 
   private def maybeCompact(spark: SparkSession, path: String): Unit = {
-    val p = readPolicy(path)
+    val p = GenStore.readPolicy(path)
     val (gen, _) = readStats(path)
-    val tombBytes = VectorStore.dirBytes(tombstonesDir(path))
+    val tombBytes = GenStore.dirBytes(GenStore.tombstonesDir(path))
     if (gen + 1 > p.maxSegments || tombBytes > p.maxTombstoneBytes)
       compact(spark, path)
   }
 
   def read(spark: SparkSession, path: String, numHashes: Int, bands: Int): Store =
     Store(liveRows(spark, path,
-      VectorStore.seg(spark, bandsDir(path).toString)), numHashes, bands)
+      GenStore.seg(spark, bandsDir(path).toString)), numHashes, bands)
 
   /** Load the store for `docs`, building it if absent/stale — index at
     * ingest: Verify/Bench build once per sfDir, probes only read.
@@ -243,14 +184,8 @@ object BandStore {
       textCol: String, sfDir: String,
       numHashes: Int = 32, bands: Int = 8): Store = {
     val path = storePath(sfDir)
-    val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
-    val expected = manifest(sfDir, numHashes, bands)
-    val fresh = java.nio.file.Files.exists(mfPath) &&
-      java.nio.file.Files.readString(mfPath) == expected
-    if (!fresh) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    GenStore.ensureFresh(path, manifest(sfDir, numHashes, bands)) {
       write(docs, idCol, textCol, path, numHashes, bands)
-      java.nio.file.Files.writeString(mfPath, expected)
     }
     read(spark, path, numHashes, bands)
   }

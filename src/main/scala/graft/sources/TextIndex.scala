@@ -25,15 +25,15 @@ import org.apache.spark.sql.functions._
   *       VERSION, the delta-sized bookkeeping table an upsert consults to
   *       find replaced/deleted docs' lengths (never the postings, never
   *       the corpus).
-  *   path/tombstones/                 — (doc, gen): "rows of `doc` with a
-  *       generation BELOW `gen` are dead". A replaced doc is tombstoned
-  *       at the SAME generation its new rows carry, so the new version
-  *       survives the filter; a deleted doc simply has no new rows.
   *   path/_graft_stats.json           — {n, sum_dl, gen} as EXACT
   *       integers, adjusted incrementally (avgdl derives as one double
   *       division, identical to the inline path's sum/count).
-  *   path/_graft_manifest.json        — source stamp + layout version,
-  *       [[ensure]] rebuilds on mismatch.
+  *
+  * Epoch pointer, (doc, gen) tombstones + the size-gated liveRows filter,
+  * crash-redo of partial segments, policy-triggered compaction, the
+  * manifest gate and the sidecar IO discipline are all [[GenStore]]'s —
+  * this file owns only the postings/doclens layout and the exact-integer
+  * stats arithmetic.
   *
   * Per-term document frequency is NOT stored: df for a query term is
   * `countDistinct(doc)` over that term's LIVE postings — the rows the
@@ -57,6 +57,14 @@ object TextIndex {
     def avgdl: Double = sumDl.toDouble / n
   }
 
+  /** Compaction triggers — the shared [[GenStore.Policy]] record; this
+    * store arms the segment-count and dead-fraction triggers (it tracks
+    * an EXACT dead-version count in its stats, a tighter signal than
+    * tombstone bytes).
+    */
+  type Policy = GenStore.Policy
+  val Policy: GenStore.Policy.type = GenStore.Policy
+
   /** Portable term bucket: first 60 bits of sha256, mod 64 — the same
     * `hash60` family every other persisted layout uses, JVM-computable
     * for literal query terms ([[bucketOf]]) so probes are plain literals.
@@ -77,30 +85,18 @@ object TextIndex {
   def docBucketCol(doc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(graft.operators.TextAnalytics.hash60(doc.cast("string")), lit(DocBuckets.toLong))
 
-  def indexPath(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val parent = src.getAbsoluteFile.getParentFile
-    if (parent != null && parent.canWrite)
-      new java.io.File(parent, "documents.parquet._graft_text_index").toString
-    else {
-      val root = sys.env.get("GRAFT_INDEX_DIR")
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val sig = java.security.MessageDigest.getInstance("MD5")
-        .digest(src.getAbsolutePath.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      new java.io.File(root, s"graft-tindex-$sig").toString
-    }
-  }
+  def indexPath(sfDir: String): String =
+    GenStore.artifactPath(sfDir, "documents.parquet", "_graft_text_index",
+      "graft-tindex")
 
   private def manifest(sfDir: String): String = {
-    val stamp = VectorStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
+    val stamp = GenStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
     // tokenizer contract is part of the layout version: postings written
     // under a different tokenization must rebuild, not silently mis-score
     // seg-v4: gen is a top-level partition directory (gen=N/term_bucket=B/)
     // so a crashed upsert's partial segment is deletable wholesale — the
     // piece that makes the batch-replay guard crash-atomic
     // seg-v5: tables live under an atomic-pointer-committed epoch dir
-    // (crash-atomic compaction/rebuild; see VectorStore epoch section)
     s"""{"source_stamp":"$stamp","term_buckets":$TermBuckets,"tokenize":"ws-split-v2","layout":"seg-v5"}"""
   }
 
@@ -109,10 +105,12 @@ object TextIndex {
   //     tombstones exactly the live versions it replaces/deletes, so the
   //     count maintains incrementally with no scan) --------------------
 
+  private def statsPath(path: String) =
+    java.nio.file.Paths.get(path, "_graft_stats.json")
+
   private def writeStats(path: String, n: Long, sumDl: Long, gen: Long,
       lastBatch: Long = -1L, deadN: Long = 0L): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_stats.json"),
+    GenStore.atomicWrite(statsPath(path),
       s"""{"n":$n,"sum_dl":$sumDl,"gen":$gen,"last_batch":$lastBatch,"dead_n":$deadN}""")
 
   private def readStats(path: String): (Long, Long, Long, Long) = {
@@ -120,49 +118,12 @@ object TextIndex {
     (s._1, s._2, s._3, s._4)
   }
 
-  private def readStatsFull(path: String): (Long, Long, Long, Long, Long) = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "_graft_stats.json")))
-    (node.get("n").asLong(), node.get("sum_dl").asLong(),
-      if (node.has("gen")) node.get("gen").asLong() else 0L,
-      if (node.has("last_batch")) node.get("last_batch").asLong() else -1L,
-      if (node.has("dead_n")) node.get("dead_n").asLong() else 0L)
-  }
-
-  // --- maintenance policy ----------------------------------------------
-  // The reference's serving store runs background optimizers that merge
-  // segments and clean deleted points without operator intervention
-  // (Qdrant's optimizer config, worker/app/services/qdrant_client.py:
-  // 303-407 relies on it; scripts/dev/tools/reindex_collection.py:8 even
-  // tunes indexing_threshold). Graft's analog: every upsert evaluates a
-  // sidecar-recorded policy from METADATA ONLY (segment count, exact
-  // dead-version count) and folds the index back to gen-0 when churn
-  // crosses it — so read amplification and the tombstone list stay
-  // bounded under any churn history with zero human intervention. The
-  // compaction cost is amortized: it runs every ~maxSegments upserts,
-  // each of which stayed O(delta).
-
-  /** Compaction trigger thresholds, recorded beside the artifact at
-    * write time so every later writer maintains the same contract.
-    */
-  case class Policy(maxSegments: Long = 8L, maxDeadFraction: Double = 0.25)
-
-  private def policyFile(path: String) =
-    java.nio.file.Paths.get(path, "_graft_policy.json")
-
-  private def writePolicy(path: String, p: Policy): Unit =
-    java.nio.file.Files.writeString(policyFile(path),
-      s"""{"max_segments":${p.maxSegments},"max_dead_fraction":${p.maxDeadFraction}}""")
-
-  private[graft] def readPolicy(path: String): Policy =
-    if (!java.nio.file.Files.exists(policyFile(path))) Policy()
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(policyFile(path)))
-      Policy(node.get("max_segments").asLong(),
-        node.get("max_dead_fraction").asDouble())
-    }
+  private def readStatsFull(path: String): (Long, Long, Long, Long, Long) =
+    GenStore.readSidecar(statsPath(path)).map { node =>
+      (GenStore.jLong(node, "n", 0L), GenStore.jLong(node, "sum_dl", 0L),
+        GenStore.jLong(node, "gen", 0L), GenStore.jLong(node, "last_batch", -1L),
+        GenStore.jLong(node, "dead_n", 0L))
+    }.getOrElse((0L, 0L, 0L, -1L, 0L))
 
   /** Run [[compact]] iff the recorded policy says the artifact crossed
     * its churn budget. Driver-side metadata decision only (no job);
@@ -171,7 +132,7 @@ object TextIndex {
     */
   private def maybeCompact(spark: SparkSession, path: String): Unit = {
     val (n, _, gen, _, deadN) = readStatsFull(path)
-    val p = readPolicy(path)
+    val p = GenStore.readPolicy(path)
     val deadFrac =
       if (n + deadN <= 0L) 0.0 else deadN.toDouble / (n + deadN).toDouble
     if (gen >= p.maxSegments || deadFrac >= p.maxDeadFraction)
@@ -179,8 +140,7 @@ object TextIndex {
   }
 
   def exists(path: String): Boolean =
-    java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "_graft_stats.json"))
+    java.nio.file.Files.exists(statsPath(path))
 
   // --- tokenize + shared delta frames -----------------------------------
 
@@ -210,12 +170,6 @@ object TextIndex {
       .withColumn("gen", lit(gen))
       .withColumn("doc_bucket", docBucketCol(col("doc")))
 
-  /** Current-epoch directory of a table under the index root (the
-    * `_graft_epoch` pointer resolves which `e<K>` dir is live).
-    */
-  private[graft] def tableDir(path: String, name: String): String =
-    s"$path/$name/e${VectorStore.epochOf(path)}"
-
   private def writeSegment(withDl: DataFrame, gen: Long, path: String,
       mode: String, epoch: Long): Unit = {
     // overwrite here means FULL replace — pin static per-writer so a
@@ -233,35 +187,8 @@ object TextIndex {
       .parquet(s"$path/doclens/e$epoch")
   }
 
-  // --- tombstones -------------------------------------------------------
-
-  private def tombstonesDir(path: String) =
-    new java.io.File(tableDir(path, "tombstones"))
-
-  /** Tombstone-filter `rows` (which carry (doc, gen)): a row is dead iff
-    * some tombstone for its doc has a STRICTLY higher generation. No
-    * tombstone dir (pure initial build) → no-op, the plan stays identical
-    * to the non-incremental layout. The tombstone list is replaced/deleted
-    * docs only — small BETWEEN COMPACTIONS, so it broadcasts; but churn
-    * grows it without bound, so past a size gate (driver-side file-stat
-    * only) the filter falls back to a shuffled hash join instead of
-    * feeding an ever-growing broadcast (same gate as
-    * Dedup.removeFrequentLines).
-    */
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
-    if (!VectorStore.hasParquetData(tombstonesDir(path))) rows
-    else {
-      val tomb = VectorStore.seg(spark, tableDir(path, "tombstones"))
-        .groupBy(col("doc")).agg(max(col("gen")).as("tomb_gen"))
-      val joined =
-        if (VectorStore.dirBytes(tombstonesDir(path)) <=
-            VectorStore.MaxTombstoneBroadcastBytes)
-          rows.join(broadcast(tomb), Seq("doc"), "left")
-        else rows.hint("shuffle_hash")
-          .join(tomb.hint("shuffle_hash"), Seq("doc"), "left")
-      joined.filter(col("tomb_gen").isNull || col("gen") >= col("tomb_gen"))
-        .drop("tomb_gen")
-    }
+    GenStore.liveRows(spark, path, rows, rowKey = "doc", tombCol = "doc")
 
   /** The LIVE doclens rows of the affected ids — the upsert's only read
     * of pre-existing state: (doc_bucket, doc) equi-join so partition
@@ -271,7 +198,7 @@ object TextIndex {
       affected: DataFrame): DataFrame = {
     val keyed = affected.select(col("doc"))
       .withColumn("doc_bucket", docBucketCol(col("doc")))
-    liveRows(spark, path, VectorStore.seg(spark, tableDir(path, "doclens")))
+    liveRows(spark, path, GenStore.seg(spark, GenStore.tableDir(path, "doclens")))
       .join(broadcast(keyed), Seq("doc_bucket", "doc"))
   }
 
@@ -287,16 +214,16 @@ object TextIndex {
     // full rebuilds land in the NEXT epoch and commit via the atomic
     // pointer flip — a crash mid-rebuild leaves the old epoch serving,
     // and the flip retires old segments AND old tombstones together
-    val next = VectorStore.epochOf(path) + 1
+    val next = GenStore.epochOf(path) + 1
     val withDl = tokenized(docs, idCol, textCol)
     val stats = withDl.agg(
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
     writeSegment(withDl, gen = 0L, path, mode = "overwrite", epoch = next)
-    VectorStore.setEpoch(path, next)
-    writePolicy(path, policy)
+    GenStore.setEpoch(path, next)
+    GenStore.writePolicy(path, policy)
     writeStats(path, stats.getLong(0), stats.getLong(1), gen = 0L,
       if (batchId >= 0) batchId else prevLast)
-    VectorStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)
+    GenStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)
   }
 
   /** Incremental maintenance: merge a delta of new/changed documents and
@@ -327,16 +254,8 @@ object TextIndex {
     // replay re-enters here — delete the partial gen=N directories first
     // and the redo runs against the exact pre-batch state (liveRows and
     // liveAffectedDoclens see no gen-N rows after the cleanup)
-    val epoch = VectorStore.epochOf(path)
-    Seq("postings", "doclens", "tombstones").foreach { sub =>
-      val d = new java.io.File(s"$path/$sub/e$epoch/gen=$nextGen")
-      if (d.exists()) {
-        org.apache.commons.io.FileUtils.deleteDirectory(d)
-        // the delete is out-of-band for Spark: drop any cached file
-        // listing or the redo below still "sees" the partial segment
-        spark.catalog.refreshByPath(s"$path/$sub/e$epoch")
-      }
-    }
+    GenStore.dropPartialGen(spark, path,
+      Seq("postings", "doclens", "tombstones"), nextGen)
     // materialize the delta tokenization once: it feeds stats, tombstone
     // lookup, postings AND doclens (and must not be recomputed after the
     // appends below start changing what the path contains)
@@ -351,13 +270,12 @@ object TextIndex {
       .localCheckpoint() // snapshot BEFORE appending to doclens
     val rStats = liveOld.agg(
       count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("s")).head()
-    // zero replaced/deleted live versions → no tombstones (a partitioned
-    // write of an empty frame leaves a schemaless dir that poisons reads)
-    if (rStats.getLong(0) > 0)
-      liveOld.select(col("doc"), lit(nextGen).as("gen"))
-        .write.mode("append").partitionBy("gen")
-        .parquet(s"$path/tombstones/e$epoch")
-    writeSegment(withDl, nextGen, path, mode = "append", epoch = epoch)
+    // changed docs are tombstoned at the SAME generation their new rows
+    // carry, so the new version survives the strictly-below filter
+    GenStore.appendTombstones(path, liveOld.select(col("doc")),
+      tombCol = "doc", gen = nextGen)
+    writeSegment(withDl, nextGen, path, mode = "append",
+      epoch = GenStore.epochOf(path))
     writeStats(path,
       n0 - rStats.getLong(0) + dStats.getLong(0),
       sumDl0 - rStats.getLong(1) + dStats.getLong(1),
@@ -378,12 +296,12 @@ object TextIndex {
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val (n, sumDl, _, lastBatch) = readStats(path)
-    val next = VectorStore.epochOf(path) + 1
+    val next = GenStore.epochOf(path) + 1
     val live = liveRows(spark, path,
-      VectorStore.seg(spark, tableDir(path, "postings")))
+      GenStore.seg(spark, GenStore.tableDir(path, "postings")))
       .localCheckpoint()
     val doclens = liveRows(spark, path,
-      VectorStore.seg(spark, tableDir(path, "doclens")))
+      GenStore.seg(spark, GenStore.tableDir(path, "doclens")))
       .localCheckpoint()
     live.withColumn("gen", lit(0L))
       .repartition(col("term_bucket"))
@@ -396,15 +314,15 @@ object TextIndex {
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "doc_bucket")
       .parquet(s"$path/doclens/e$next")
-    VectorStore.setEpoch(path, next)
+    GenStore.setEpoch(path, next)
     writeStats(path, n, sumDl, gen = 0L, lastBatch)
-    VectorStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)
+    GenStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)
   }
 
   def read(spark: SparkSession, path: String): Index = {
     val (n, sumDl, _, _) = readStats(path)
     val postings = liveRows(spark, path,
-      VectorStore.seg(spark, tableDir(path, "postings")))
+      GenStore.seg(spark, GenStore.tableDir(path, "postings")))
     // df as a view over LIVE postings: a filter on (term_bucket, term) —
     // both grouping keys — pushes below the aggregate to the pruned scan,
     // so a query's df costs the same rows it already reads for tf
@@ -421,13 +339,8 @@ object TextIndex {
   def ensure(spark: SparkSession, docs: => DataFrame, idCol: String,
       textCol: String, sfDir: String): Index = {
     val path = indexPath(sfDir)
-    val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
-    val expected = manifest(sfDir)
-    val fresh = java.nio.file.Files.exists(mfPath) &&
-      java.nio.file.Files.readString(mfPath) == expected
-    if (!fresh) {
+    GenStore.ensureFresh(path, manifest(sfDir)) {
       write(docs, idCol, textCol, path)
-      java.nio.file.Files.writeString(mfPath, expected)
     }
     read(spark, path)
   }

@@ -18,8 +18,14 @@ import graft.operators.Similarity
   * collection index once; queries only search it). Index build here is one
   * k-means fit (sampleable at scale) + one narrow labelling pass.
   *
+  * Lifecycle (epoch pointer, gen segments, (id, gen) tombstones + the
+  * size-gated liveRows filter, crash-redo, policy compaction triggers,
+  * manifest gate, sidecar IO) is [[GenStore]]'s — this file owns the two
+  * vector layouts (full vectors and PQ codes), their assignment
+  * arithmetic, and the drift/quality retrain triggers.
+  *
   * Layout on disk:
-  *   path/vectors/cell=<c>/bucket=<b>/part-….parquet
+  *   path/vectors/e<epoch>/gen=<g>/cell=<c>/part-….parquet
   *   path/_graft_centroids.json   — k × dim centroid matrix (engine-portable)
   */
 object VectorStore {
@@ -27,48 +33,18 @@ object VectorStore {
   case class Index(vectors: DataFrame, centroids: Array[Array[Double]],
       planes: Int, dim: Int)
 
-  /** Content stamp of the source table: for a plain file its (size,
-    * mtime); for a Spark-written DIRECTORY, the sorted (name, size, mtime)
-    * of its part files — a directory's own stat does not change on
-    * in-place part rewrites, so hashing only it can serve a stale index
-    * after the table regenerates (rows-only queries would not catch it).
+  /** Compaction thresholds — the shared [[GenStore.Policy]] record; this
+    * store arms the segment-count and tombstone-byte triggers.
     */
-  def sourceStamp(src: java.io.File): String =
-    if (!src.exists()) "absent"
-    else if (src.isDirectory) {
-      val parts = Option(src.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .sortBy(_.getName)
-      parts.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-        .mkString("dir[", ",", "]")
-    } else s"${src.length()}|${src.lastModified()}"
+  type Policy = GenStore.Policy
+  val Policy: GenStore.Policy.type = GenStore.Policy
 
-  /** Index location: BESIDE the table it indexes — `<table>._graft_index/`
-    * under the index root — with a `_graft_manifest.json` recording the
-    * source stamp + layout params; [[ensure]] rebuilds on any mismatch
-    * rather than trusting the path. The root is the table's own parent
-    * directory when writable (the at-rest lakehouse layout: index travels
-    * with the data); a read-only source (this sandbox's /root/testdata)
-    * falls back to `GRAFT_INDEX_DIR` or the JVM tmpdir, keyed by the
-    * table's absolute path.
-    */
-  def indexPath(sfDir: String, planes: Int, dim: Int, k: Int): String = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val parent = src.getAbsoluteFile.getParentFile
-    if (parent != null && parent.canWrite)
-      new java.io.File(parent, "embeddings.parquet._graft_index").toString
-    else {
-      val root = sys.env.get("GRAFT_INDEX_DIR")
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val sig = java.security.MessageDigest.getInstance("MD5")
-        .digest(src.getAbsolutePath.getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      new java.io.File(root, s"graft-vstore-$sig").toString
-    }
-  }
+  def indexPath(sfDir: String, planes: Int, dim: Int, k: Int): String =
+    GenStore.artifactPath(sfDir, "embeddings.parquet", "_graft_index",
+      "graft-vstore")
 
   private def manifest(sfDir: String, planes: Int, dim: Int, k: Int): String = {
-    val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
+    val stamp = GenStore.sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
     // layout version: bump when cell/bucket assignment semantics change,
     // so indexes written by an older build rebuild instead of silently
     // mixing assignment families ("portable-v1" = NearestCell identity
@@ -79,7 +55,7 @@ object VectorStore {
     //     directory, which is what makes batch replay crash-atomic
     // v4: tables live under an epoch directory committed by the atomic
     //     `_graft_epoch` pointer — compaction/retrain rewrites are
-    //     crash-atomic too (see the epoch-pointer section)
+    //     crash-atomic too (see GenStore's epoch section)
     s"""{"source_stamp":"$stamp","planes":$planes,"dim":$dim,"k":$k,"assign":"portable-v4"}"""
   }
 
@@ -97,7 +73,7 @@ object VectorStore {
     val (model, indexed) = Similarity.ivfIndex(emb, vecCol, k, seed)
     // full rebuilds land in the NEXT epoch and commit via the atomic
     // pointer flip: a crash mid-rebuild leaves the old epoch serving
-    val next = epochOf(path) + 1
+    val next = GenStore.epochOf(path) + 1
     indexed.drop("features")
       .withColumn("bucket",
         Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
@@ -109,19 +85,19 @@ object VectorStore {
       .parquet(s"$path/vectors/e$next")
     val json = model.clusterCenters
       .map(_.toArray.mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
+    GenStore.atomicWrite(
       java.nio.file.Paths.get(path, "_graft_centroids.json"), json)
-    setEpoch(path, next) // commit: retires old vectors AND old tombstones
+    GenStore.setEpoch(path, next) // commit: retires old vectors AND old tombstones
     // a rebuild (ensure on a changed source, retrain) must not reset the
     // streaming replay watermark: with no explicit batchId, carry the
     // stored one forward so a restarted stream cannot re-apply a
     // delivered batch to the fresh artifact
     val prevLast = readIncStats(path)._4
-    writePolicy(path, policy)
+    GenStore.writePolicy(path, policy)
     writeIncStats(path,
       emb.sparkSession.read.parquet(s"$path/vectors/e$next").count(), 0L, 0L,
       if (batchId >= 0) batchId else prevLast)
-    gcEpochs(path, Seq("vectors", "tombstones"), next)
+    GenStore.gcEpochs(path, Seq("vectors", "tombstones"), next)
   }
 
   def pqExists(path: String): Boolean =
@@ -129,10 +105,8 @@ object VectorStore {
       java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"))
 
   private[graft] def readCentroids(path: String): Array[Array[Double]] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path, "_graft_centroids.json")))
+    val node = GenStore.readSidecar(
+      java.nio.file.Paths.get(path, "_graft_centroids.json")).get
     (0 until node.size()).map { i =>
       val row = node.get(i)
       Array.tabulate(row.size())(j => row.get(j).asDouble())
@@ -141,7 +115,8 @@ object VectorStore {
 
   def read(spark: SparkSession, path: String, planes: Int, dim: Int,
       idCol: String = "vec_id"): Index =
-    Index(liveRows(spark, path, seg(spark, tableDir(path, "vectors")), idCol),
+    Index(liveRows(spark, path,
+      GenStore.seg(spark, GenStore.tableDir(path, "vectors")), idCol),
       readCentroids(path), planes, dim)
 
   // ---------------------------------------------------------------------
@@ -157,68 +132,30 @@ object VectorStore {
   // exported literals across any number of upserts.
   // ---------------------------------------------------------------------
 
+  private def incStatsPath(path: String) =
+    java.nio.file.Paths.get(path, "_graft_inc_stats.json")
+
   private def writeIncStats(path: String, baseN: Long, appendedN: Long,
       gen: Long, lastBatch: Long = -1L): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_graft_inc_stats.json"),
+    GenStore.atomicWrite(incStatsPath(path),
       s"""{"base_n":$baseN,"appended_n":$appendedN,"gen":$gen,"last_batch":$lastBatch}""")
 
-  private[graft] def readIncStats(path: String): (Long, Long, Long, Long) = {
-    val p = java.nio.file.Paths.get(path, "_graft_inc_stats.json")
-    if (!java.nio.file.Files.exists(p)) (0L, 0L, 0L, -1L)
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      (node.get("base_n").asLong(), node.get("appended_n").asLong(),
-        node.get("gen").asLong(),
-        if (node.has("last_batch")) node.get("last_batch").asLong() else -1L)
-    }
-  }
+  private[graft] def readIncStats(path: String): (Long, Long, Long, Long) =
+    GenStore.readSidecar(incStatsPath(path)).map { node =>
+      (GenStore.jLong(node, "base_n", 0L), GenStore.jLong(node, "appended_n", 0L),
+        GenStore.jLong(node, "gen", 0L), GenStore.jLong(node, "last_batch", -1L))
+    }.getOrElse((0L, 0L, 0L, -1L))
 
   def vectorsExist(path: String): Boolean =
     java.nio.file.Files.exists(
       java.nio.file.Paths.get(path, "_graft_centroids.json"))
 
-  // --- maintenance policy ----------------------------------------------
-  // Same zero-touch contract as TextIndex: the reference's store runs
-  // background optimizers that merge segments and clean deleted points
-  // (Qdrant optimizers; worker/app/services/qdrant_client.py:303-407
-  // upserts rely on them) — here every upsert evaluates a recorded
-  // policy from driver-side metadata only (segment generation count,
-  // tombstone bytes) and folds back to gen-0 when churn crosses it.
-  // Compaction does NOT retrain: it preserves the drift counters, so
-  // retrainIfDrifted still fires on schedule for a churn-heavy store.
-
-  /** Compaction thresholds, recorded beside the artifact at write time.
-    * `maxTombstoneBytes` doubles as the bound that keeps the liveRows
-    * broadcast gate from ever being the long-term plan: past it the
-    * store compacts and the tombstone list returns to zero.
-    */
-  case class Policy(maxSegments: Long = 8L,
-      maxTombstoneBytes: Long = MaxTombstoneBroadcastBytes)
-
-  private def policyFile(path: String) =
-    java.nio.file.Paths.get(path, "_graft_policy.json")
-
-  private def writePolicy(path: String, p: Policy): Unit =
-    java.nio.file.Files.writeString(policyFile(path),
-      s"""{"max_segments":${p.maxSegments},"max_tombstone_bytes":${p.maxTombstoneBytes}}""")
-
-  private[graft] def readPolicy(path: String): Policy =
-    if (!java.nio.file.Files.exists(policyFile(path))) Policy()
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(policyFile(path)))
-      Policy(node.get("max_segments").asLong(),
-        node.get("max_tombstone_bytes").asLong())
-    }
-
   private def maybeCompact(spark: SparkSession, path: String,
       idCol: String, sub: String): Unit = {
     val (_, _, gen, _) = readIncStats(path)
-    val p = readPolicy(path)
+    val p = GenStore.readPolicy(path)
     if (gen >= p.maxSegments ||
-        dirBytes(tombstonesDir(path)) > p.maxTombstoneBytes)
+        GenStore.dirBytes(GenStore.tombstonesDir(path)) > p.maxTombstoneBytes)
       compactVectors(spark, path, idCol, sub)
   }
 
@@ -232,118 +169,14 @@ object VectorStore {
     if (baseN <= 0L) 0.0 else appendedN.toDouble / baseN.toDouble
   }
 
-  /** Current-epoch directory of a table under a store root. */
-  private[graft] def tableDir(path: String, name: String): String =
-    s"$path/$name/e${epochOf(path)}"
-
-  private def tombstonesDir(path: String) =
-    new java.io.File(tableDir(path, "tombstones"))
-
-  /** On-disk bytes of a local artifact directory — driver-side metadata
-    * only (no Spark job), the broadcast-vs-shuffle gate below reads it.
-    */
-  private[graft] def dirBytes(f: java.io.File): Long =
-    if (!f.exists()) 0L
-    else if (f.isFile) f.length()
-    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .map(dirBytes).sum
-
-  // --- epoch pointer: the atomic commit for rewrite maintenance --------
-  // Plain-parquet OVERWRITES (compaction, retrain rebuilds) are not
-  // crash-atomic: a crash mid-rewrite leaves a mix of old and new files,
-  // and a crash between the table rewrite and the tombstone cleanup
-  // serves WRONG rows (stale tombstones kill the freshly folded
-  // versions). The standard fix — what Iceberg/Delta snapshots are — is
-  // an atomic pointer: rewrites land in a NEW `e<K>` directory beside
-  // the live one, and a single atomic rename of the `_graft_epoch`
-  // pointer file commits the swap. Readers resolve the pointer first, so
-  // they see entirely-old or entirely-new, never a mix; old epochs are
-  // garbage-collected after the flip (leaks from a crashed GC are
-  // invisible and re-collected later). Tombstones are epoch-scoped: a
-  // flip retires them wholesale.
-
-  private[graft] def epochOf(path: String): Long = {
-    val p = java.nio.file.Paths.get(path, "_graft_epoch")
-    if (!java.nio.file.Files.exists(p)) 0L
-    else java.nio.file.Files.readString(p).trim.toLong
-  }
-
-  private[graft] def setEpoch(path: String, e: Long): Unit = {
-    val dir = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve("._graft_epoch.tmp")
-    java.nio.file.Files.writeString(tmp, e.toString)
-    java.nio.file.Files.move(tmp, dir.resolve("_graft_epoch"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Best-effort removal of every epoch directory below `current` under
-    * each named table — crash-safe because nothing ever reads them.
-    */
-  private[graft] def gcEpochs(path: String, names: Seq[String],
-      current: Long): Unit =
-    names.foreach { name =>
-      val root = new java.io.File(s"$path/$name")
-      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { d =>
-        if (d.isDirectory && d.getName.matches("e\\d+") &&
-            d.getName.drop(1).toLong < current)
-          try org.apache.commons.io.FileUtils.deleteDirectory(d)
-          catch { case _: java.io.IOException => () } // re-collected later
-      }
-    }
-
-  /** Whether a directory holds any parquet DATA — an empty delta's
-    * partitioned write (or a crash-cleanup that removed the only gen dir)
-    * can leave a directory with no files, which schema inference rejects.
-    */
-  private[graft] def hasParquetData(dir: java.io.File): Boolean = {
-    def walk(f: java.io.File): Boolean =
-      if (f.isFile) f.getName.endsWith(".parquet")
-      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).exists(walk)
-    dir.exists() && walk(dir)
-  }
-
-  /** Read a gen-partitioned segment table with its canonical schema: the
-    * gen partition DIRECTORY round-trips through partition-type inference
-    * as int — normalize back to the long the rows were written with so
-    * caller schemas are layout-independent.
-    */
-  private[graft] def seg(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir).withColumn("gen", col("gen").cast("long"))
-
-  /** Churned-but-uncompacted tombstones above this many on-disk bytes
-    * stop broadcasting and fall back to a shuffled hash join — the same
-    * size gate as Dedup.removeFrequentLines: a broadcast that grows with
-    * churn is an executor OOM at 100 TB, not a hint.
-    */
-  private[graft] val MaxTombstoneBroadcastBytes: Long = 64L << 20
-
-  /** Tombstone-filter segment rows: dead iff some tombstone for the id
-    * has a strictly higher generation (a replaced id's new rows share the
-    * tombstone's generation and survive). No tombstone dir — the pure
-    * full-build layout — is a no-op, keeping the q25/q27 plans untouched.
-    * The tombstone key is aliased to a reserved name before the join:
-    * drop-by-name("id") removes EVERY column called "id", including the
-    * caller's when idCol == "id" (the streaming integration's case).
+  /** Tombstone filter with this store's key naming: tombstones carry
+    * `id`, rows carry the caller's `idCol` (which may itself be "id" —
+    * GenStore aliases to a reserved name before the join exactly so that
+    * case works).
     */
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame,
       idCol: String): DataFrame =
-    if (!hasParquetData(tombstonesDir(path))) rows
-    else {
-      val tomb = seg(spark, tableDir(path, "tombstones"))
-        .groupBy(col("id")).agg(max(col("gen")).as("__tomb_gen"))
-        .select(col("id").as("__tomb_id"), col("__tomb_gen"))
-      val joined =
-        if (dirBytes(tombstonesDir(path)) <= MaxTombstoneBroadcastBytes)
-          rows.join(broadcast(tomb), rows(idCol) === col("__tomb_id"), "left")
-        else
-          rows.hint("shuffle_hash")
-            .join(tomb.hint("shuffle_hash"),
-              rows(idCol) === col("__tomb_id"), "left")
-      joined.filter(col("__tomb_gen").isNull || col("gen") >= col("__tomb_gen"))
-        .drop("__tomb_id", "__tomb_gen")
-    }
+    GenStore.liveRows(spark, path, rows, rowKey = idCol, tombCol = "id")
 
   /** The delta's labelled segment rows — cell/bucket assignment from the
     * stored centroid literals ONLY (test-guarded: no scan of the stored
@@ -359,30 +192,6 @@ object VectorStore {
         Similarity.bucketCol(col(vecCol).cast("array<double>"), planes, dim))
       .withColumn("gen", lit(gen))
 
-  /** Delete any partial generation-`gen` directories a crashed upsert
-    * left behind. Plain-parquet appends across several directories are
-    * not atomic; what makes the replay guard crash-PROOF (not just
-    * crash-likely-fine) is that every appended row lands under a
-    * `gen=N/` partition directory, so an interrupted attempt is
-    * identifiable and removable wholesale before the redo. Stats (and
-    * the batch watermark they carry) are written LAST, so a replay
-    * either sees the watermark (fully applied → no-op) or re-runs
-    * against the exact pre-batch state after this cleanup.
-    */
-  private def dropPartialGen(spark: SparkSession, path: String,
-      subs: Seq[String], gen: Long): Unit = {
-    val e = epochOf(path)
-    subs.foreach { sub =>
-      val d = new java.io.File(s"$path/$sub/e$e/gen=$gen")
-      if (d.exists()) {
-        org.apache.commons.io.FileUtils.deleteDirectory(d)
-        // out-of-band delete: drop Spark's cached file listing, or the
-        // redo still "sees" the partial segment
-        spark.catalog.refreshByPath(s"$path/$sub/e$e")
-      }
-    }
-  }
-
   /** Merge a delta of new/changed vectors and a set of deleted ids into
     * the stored index without touching stored vectors: one assignment
     * pass over the delta (stored-literal arithmetic), one partitioned
@@ -397,25 +206,19 @@ object VectorStore {
     // re-appending a delivered batch would duplicate its vectors
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
-    dropPartialGen(spark, path, Seq("vectors", "tombstones"), nextGen)
+    GenStore.dropPartialGen(spark, path, Seq("vectors", "tombstones"), nextGen)
     val nDelta = delta.count()
     // tombstone EVERY affected id (replaced, deleted, or absent — the
-    // last is harmless): no read of stored state is needed at all. An
-    // empty frame is SKIPPED — a partitioned write of zero rows leaves a
-    // schemaless directory that poisons later reads.
-    val tombs = delta.select(col(idCol).as("id"))
-      .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
-      .distinct()
-      .localCheckpoint()
-    if (tombs.count() > 0)
-      tombs.withColumn("gen", lit(nextGen))
-        .write.mode("append").partitionBy("gen")
-        .parquet(tableDir(path, "tombstones"))
+    // last is harmless): no read of stored state is needed at all
+    GenStore.appendTombstones(path,
+      delta.select(col(idCol).as("id"))
+        .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id"))),
+      tombCol = "id", gen = nextGen)
     assignDelta(delta, vecCol, centroids, planes, dim, nextGen)
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("bucket"))
       .write.mode("append").partitionBy("gen", "cell")
-      .parquet(tableDir(path, "vectors"))
+      .parquet(GenStore.tableDir(path, "vectors"))
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
     maybeCompact(spark, path, idCol, sub = "vectors")
@@ -456,8 +259,9 @@ object VectorStore {
     */
   def compactVectors(spark: SparkSession, path: String,
       idCol: String = "vec_id", sub: String = "vectors"): Unit = {
-    val next = epochOf(path) + 1
-    val live = liveRows(spark, path, seg(spark, tableDir(path, sub)), idCol)
+    val next = GenStore.epochOf(path) + 1
+    val live = liveRows(spark, path,
+      GenStore.seg(spark, GenStore.tableDir(path, sub)), idCol)
       .withColumn("gen", lit(0L))
       .localCheckpoint()
     // fold into the NEXT epoch (overwrite clears any orphan of a crashed
@@ -467,10 +271,10 @@ object VectorStore {
     live.repartition(col("cell"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static")
       .partitionBy("gen", "cell").parquet(s"$path/$sub/e$next")
-    setEpoch(path, next)
+    GenStore.setEpoch(path, next)
     val (baseN, appendedN, _, lastBatch) = readIncStats(path)
     writeIncStats(path, baseN, appendedN, 0L, lastBatch)
-    gcEpochs(path, Seq(sub, "tombstones"), next)
+    GenStore.gcEpochs(path, Seq(sub, "tombstones"), next)
   }
 
   /** Load the index for `emb`, building it first if absent — the dev-loop
@@ -481,13 +285,8 @@ object VectorStore {
       sfDir: String, planes: Int = 8, dim: Int = 64, k: Int = 16,
       seed: Long = 42L): Index = {
     val path = indexPath(sfDir, planes, dim, k)
-    val mfPath = java.nio.file.Paths.get(path, "_graft_manifest.json")
-    val expected = manifest(sfDir, planes, dim, k)
-    val fresh = java.nio.file.Files.exists(mfPath) &&
-      java.nio.file.Files.readString(mfPath) == expected
-    if (!fresh) {
+    GenStore.ensureFresh(path, manifest(sfDir, planes, dim, k)) {
       write(emb, vecCol, path, planes, dim, k, seed)
-      java.nio.file.Files.writeString(mfPath, expected)
     }
     read(spark, path, planes, dim)
   }
@@ -503,24 +302,13 @@ object VectorStore {
   case class PqIndex(codes: DataFrame, codebooks: Array[Array[Array[Double]]],
       m: Int, dsub: Int, ksub: Int)
 
-  def pqPath(sfDir: String): String = {
-    val src = new java.io.File(s"$sfDir/embeddings.parquet")
-    val parent = src.getAbsoluteFile.getParentFile
-    if (parent != null && parent.canWrite)
-      new java.io.File(parent, "embeddings.parquet._graft_pq").toString
-    else {
-      val root = sys.env.get("GRAFT_INDEX_DIR")
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-      val sig = java.security.MessageDigest.getInstance("MD5")
-        .digest((src.getAbsolutePath + "#pq").getBytes("UTF-8"))
-        .map(b => f"$b%02x").mkString
-      new java.io.File(root, s"graft-pqstore-$sig").toString
-    }
-  }
+  def pqPath(sfDir: String): String =
+    GenStore.artifactPath(sfDir, "embeddings.parquet", "_graft_pq",
+      "graft-pqstore", key = "#pq")
 
   private def pqManifest(sfDir: String, m: Int, ksub: Int, seed: Long,
       centroids: Array[Array[Double]]): String = {
-    val stamp = sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
+    val stamp = GenStore.sourceStamp(new java.io.File(s"$sfDir/embeddings.parquet"))
     // Fingerprint the IVF centroids the codes are cell-partitioned by:
     // a rebuilt IVF index (different params/seed) must invalidate the PQ
     // artifact too, or q76-style probes would prune the WRONG partitions.
@@ -531,7 +319,7 @@ object VectorStore {
     // the segment generation (incremental-upsert layout); manifest pins
     // the k-means seed + the exact centroid set
     // v5: gen is a top-level partition directory (crash-atomic replay,
-    // see dropPartialGen); v6: epoch-pointer committed rewrites
+    // see GenStore.dropPartialGen); v6: epoch-pointer committed rewrites
     s"""{"source_stamp":"$stamp","m":$m,"ksub":$ksub,"seed":$seed,""" +
       s""""centroid_fp":"$cfp","assign":"pq-portable-v6"}"""
   }
@@ -547,7 +335,7 @@ object VectorStore {
       m: Int = 8, ksub: Int = 16, seed: Long = 42L,
       centroids: Array[Array[Double]], policy: Policy = Policy()): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
-    val next = epochOf(path) + 1
+    val next = GenStore.epochOf(path) + 1
     val nv = emb.withColumn("nv",
       graft.functions.VectorFunctions.l2Normalize(col(vecCol).cast("array<double>")))
     val dim = nv.select(size(col("nv"))).head().getInt(0)
@@ -574,14 +362,14 @@ object VectorStore {
       .partitionBy("gen", "cell").parquet(s"$path/codes/e$next")
     val json = codebooks.map(_.map(_.mkString("[", ",", "]"))
       .mkString("[", ",", "]")).mkString("[", ",", "]")
-    java.nio.file.Files.writeString(
+    GenStore.atomicWrite(
       java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"), json)
-    setEpoch(path, next)
+    GenStore.setEpoch(path, next)
     // an ensurePq-triggered rebuild must not erase the streaming replay
     // watermark (retrainIfDrifted restores it explicitly; this path now
     // preserves it by default)
     val prevLast = readIncStats(path)._4
-    writePolicy(path, policy)
+    GenStore.writePolicy(path, policy)
     writeIncStats(path,
       emb.sparkSession.read.parquet(s"$path/codes/e$next").count(), 0L, 0L, prevLast)
     // training-time mean reconstruction error — the denominator the
@@ -592,7 +380,7 @@ object VectorStore {
       if (r.isNullAt(0)) 0.0 else r.getDouble(0)
     }
     writePqQuality(path, baseQerr, 0.0, 0L)
-    gcEpochs(path, Seq("codes", "tombstones"), next)
+    GenStore.gcEpochs(path, Seq("codes", "tombstones"), next)
   }
 
   // --- PQ codebook quality ---------------------------------------------
@@ -613,19 +401,15 @@ object VectorStore {
 
   private def writePqQuality(path: String, baseQerr: Double,
       deltaQerrSum: Double, deltaN: Long): Unit =
-    java.nio.file.Files.writeString(pqQualityFile(path),
+    GenStore.atomicWrite(pqQualityFile(path),
       s"""{"base_qerr":$baseQerr,"delta_qerr_sum":$deltaQerrSum,"delta_n":$deltaN}""")
 
-  private[graft] def readPqQuality(path: String): (Double, Double, Long) = {
-    val p = pqQualityFile(path)
-    if (!java.nio.file.Files.exists(p)) (0.0, 0.0, 0L)
-    else {
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(p))
-      (node.get("base_qerr").asDouble(), node.get("delta_qerr_sum").asDouble(),
-        node.get("delta_n").asLong())
-    }
-  }
+  private[graft] def readPqQuality(path: String): (Double, Double, Long) =
+    GenStore.readSidecar(pqQualityFile(path)).map { node =>
+      (GenStore.jDouble(node, "base_qerr", 0.0),
+        GenStore.jDouble(node, "delta_qerr_sum", 0.0),
+        GenStore.jLong(node, "delta_n", 0L))
+    }.getOrElse((0.0, 0.0, 0L))
 
   /** Appended rows' mean quantization error over the training-time mean.
     * 1.0 = the codebooks fit new data exactly as well as the corpus they
@@ -639,10 +423,8 @@ object VectorStore {
   }
 
   private def readPqCodebooks(path: String): Array[Array[Array[Double]]] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path, "_graft_pq_codebooks.json")))
+    val node = GenStore.readSidecar(
+      java.nio.file.Paths.get(path, "_graft_pq_codebooks.json")).get
     (0 until node.size()).map { mi =>
       val cb = node.get(mi)
       (0 until cb.size()).map { c =>
@@ -664,16 +446,12 @@ object VectorStore {
     val (baseN, appendedN, gen0, lastBatch) = readIncStats(path)
     if (batchId >= 0 && batchId <= lastBatch) return
     val nextGen = gen0 + 1
-    dropPartialGen(spark, path, Seq("codes", "tombstones"), nextGen)
+    GenStore.dropPartialGen(spark, path, Seq("codes", "tombstones"), nextGen)
     val nDelta = delta.count()
-    val tombs = delta.select(col(idCol).as("id"))
-      .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id")))
-      .distinct()
-      .localCheckpoint()
-    if (tombs.count() > 0)
-      tombs.withColumn("gen", lit(nextGen))
-        .write.mode("append").partitionBy("gen")
-        .parquet(tableDir(path, "tombstones"))
+    GenStore.appendTombstones(path,
+      delta.select(col(idCol).as("id"))
+        .unionByName(deletedIds.select(col(deletedIds.columns.head).as("id"))),
+      tombCol = "id", gen = nextGen)
     delta
       .withColumn("nv", graft.functions.VectorFunctions.l2Normalize(
         col(vecCol).cast("array<double>")))
@@ -685,7 +463,7 @@ object VectorStore {
       .withColumn("gen", lit(nextGen))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("gen", "cell")
-      .parquet(tableDir(path, "codes"))
+      .parquet(GenStore.tableDir(path, "codes"))
     writeIncStats(path, baseN, appendedN + nDelta, nextGen,
       if (batchId >= 0) batchId else lastBatch)
     // accumulate the delta's quantization error into the quality sidecar
@@ -707,7 +485,8 @@ object VectorStore {
   def readPq(spark: SparkSession, path: String,
       idCol: String = "vec_id"): PqIndex = {
     val cbs = readPqCodebooks(path)
-    PqIndex(liveRows(spark, path, seg(spark, tableDir(path, "codes")), idCol),
+    PqIndex(liveRows(spark, path,
+      GenStore.seg(spark, GenStore.tableDir(path, "codes")), idCol),
       cbs, cbs.length, cbs(0)(0).length, cbs(0).length)
   }
 
@@ -735,7 +514,7 @@ object VectorStore {
       // no rebuild); the manifest already fingerprints it
       val centroids = ensure(spark, emb, vecCol, sfDir, planes, dim, ivfK).centroids
       writePq(emb, vecCol, path, m, ksub, seed, centroids)
-      java.nio.file.Files.writeString(
+      GenStore.atomicWrite(
         java.nio.file.Paths.get(path, "_graft_pq_manifest.json"),
         pqManifest(sfDir, m, ksub, seed, centroids))
       true
@@ -745,17 +524,13 @@ object VectorStore {
   def ensurePq(spark: SparkSession, emb: => DataFrame, vecCol: String,
       sfDir: String, m: Int = 8, ksub: Int = 16, seed: Long = 42L): PqIndex = {
     val path = pqPath(sfDir)
-    val mfPath = java.nio.file.Paths.get(path, "_graft_pq_manifest.json")
     // the cell layout comes from the SAME IVF index queries probe —
     // one shared centroid set, one portable assignment identity; its
     // fingerprint is part of the manifest, so resolve it first
     val centroids = ensure(spark, emb, vecCol, sfDir).centroids
-    val expected = pqManifest(sfDir, m, ksub, seed, centroids)
-    val fresh = java.nio.file.Files.exists(mfPath) &&
-      java.nio.file.Files.readString(mfPath) == expected
-    if (!fresh) {
+    GenStore.ensureFresh(path, pqManifest(sfDir, m, ksub, seed, centroids),
+        manifestName = "_graft_pq_manifest.json") {
       writePq(emb, vecCol, path, m, ksub, seed, centroids)
-      java.nio.file.Files.writeString(mfPath, expected)
     }
     readPq(spark, path)
   }

@@ -82,7 +82,7 @@ class StreamingSpec extends AnyFunSuite {
       val docsOfSpark = idx2.postings.filter(col("term") === "spark")
         .select("doc").collect().map(_.getString(0)).toSet
       assert(docsOfSpark == Set("a.txt"))
-      val gens = spark.read.parquet(TextIndex.tableDir(tindex, "postings"))
+      val gens = spark.read.parquet(graft.sources.GenStore.tableDir(tindex, "postings"))
         .select(col("gen")).distinct().count()
       assert(gens >= 2, "second batch must land as a NEW segment generation")
 
@@ -95,7 +95,7 @@ class StreamingSpec extends AnyFunSuite {
       // 2 was assigned with the STORED centroids and appended
       val vs = VectorStore.read(spark, vstore, planes = 8, dim = 8, idCol = "id")
       assert(vs.vectors.count() == 3, "vector store missing a batch's chunks")
-      val vGens = spark.read.parquet(VectorStore.tableDir(vstore, "vectors"))
+      val vGens = spark.read.parquet(graft.sources.GenStore.tableDir(vstore, "vectors"))
         .select(col("gen")).distinct().count()
       assert(vGens >= 2, "second batch must append a NEW vector segment")
       assert(vs.centroids.length == 2, "inline retrain happened (k changed)")

@@ -127,13 +127,13 @@ class TextIndexSpec extends AnyFunSuite {
       "doc_id", "text", ids(), path)
     val before = liveState(path)
     TextIndex.compact(spark, path)
-    assert(!graft.sources.VectorStore.hasParquetData(
-      new java.io.File(TextIndex.tableDir(path, "tombstones"))),
+    assert(!graft.sources.GenStore.hasParquetData(
+      new java.io.File(graft.sources.GenStore.tableDir(path, "tombstones"))),
       "tombstones not retired by the epoch flip")
     val after = liveState(path)
     assert(after == before, "compaction changed serving state")
     // raw layout read on purpose (gen is a partition dir, inferred int)
-    val gens = spark.read.parquet(TextIndex.tableDir(path, "postings"))
+    val gens = spark.read.parquet(graft.sources.GenStore.tableDir(path, "postings"))
       .select(col("gen").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     assert(gens == Set(0L), "compaction must rewrite everything at gen 0")
     // post-compact the serving plan is the pure-build plan again: no
@@ -155,14 +155,14 @@ class TextIndexSpec extends AnyFunSuite {
     // a compaction that crashed mid-rewrite leaves partial files in the
     // NEXT epoch dir with the pointer still on the old epoch: serving
     // must not see them, and the next compact must recover over them
-    val e = graft.sources.VectorStore.epochOf(path)
+    val e = graft.sources.GenStore.epochOf(path)
     val junk = new java.io.File(s"$path/postings/e${e + 1}/gen=0")
     junk.mkdirs()
     java.nio.file.Files.writeString(
       junk.toPath.resolve("part-00000-junk.parquet"), "not parquet at all")
     assert(liveState(path) == before, "orphan next-epoch files leaked into serving")
     TextIndex.compact(spark, path)
-    assert(graft.sources.VectorStore.epochOf(path) == e + 1, "compact did not advance the epoch")
+    assert(graft.sources.GenStore.epochOf(path) == e + 1, "compact did not advance the epoch")
     assert(liveState(path) == before, "compact over orphaned junk changed serving state")
   }
 

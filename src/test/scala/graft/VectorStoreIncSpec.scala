@@ -159,8 +159,8 @@ class VectorStoreIncSpec extends AnyFunSuite {
     val e2 = after.vectors.filter(col("vec_id") === 2L)
       .select(col("embedding")).head().getSeq[Double](0)
     assert(e2 == Seq(0.0, 0.0, 0.2, 0.8))
-    assert(!VectorStore.hasParquetData(
-      new java.io.File(VectorStore.tableDir(path, "tombstones"))),
+    assert(!graft.sources.GenStore.hasParquetData(
+      new java.io.File(graft.sources.GenStore.tableDir(path, "tombstones"))),
       "tombstones not retired by the epoch flip")
     assert(VectorStore.driftFraction(path) == 0.0, "drift not reset")
   }
@@ -179,8 +179,8 @@ class VectorStoreIncSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
     val driftBefore = VectorStore.driftFraction(path)
     VectorStore.compactVectors(spark, path)
-    assert(!VectorStore.hasParquetData(
-      new java.io.File(VectorStore.tableDir(path, "tombstones"))))
+    assert(!graft.sources.GenStore.hasParquetData(
+      new java.io.File(graft.sources.GenStore.tableDir(path, "tombstones"))))
     val after = VectorStore.read(spark, path, 2, Dim).vectors
       .select(col("vec_id"), col("embedding"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2))).toSet
