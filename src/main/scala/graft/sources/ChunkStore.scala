@@ -122,6 +122,56 @@ object ChunkStore {
     }
   }
 
+  /** Delete every chunk of `docIds` (a frame with a `document_id`
+    * column) — the S19 maintenance-delete made directly invokable: the
+    * same bucket-pruned survivor scan as [[upsert]], minus the new rows
+    * (reference: scripts/dev/tools/cleanup_kind.py:53-123 /
+    * qdrant_delete_by_ids.py — explicit point deletion outside the
+    * replace-by-document flow). Rewrites ONLY the buckets the deleted
+    * documents live in; an empty id set is a literal no-op.
+    */
+  def deleteDocuments(spark: SparkSession, path: String,
+      docIds: DataFrame): Unit = {
+    val exists = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!exists) return
+    val n = readTableBuckets(spark, path).getOrElse(DefaultBuckets)
+    val keyed = withBucket(docIds.select(col("document_id")).distinct(), n)
+      .localCheckpoint()
+    val buckets = keyed.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0)) // small: ≤ n values
+    if (buckets.isEmpty) return
+    val survivors = spark.read.parquet(path)
+      .filter(col("doc_bucket").isin(buckets.toIndexedSeq: _*))
+      .join(keyed.select(col("document_id")), Seq("document_id"), "left_anti")
+      .localCheckpoint() // snapshot before overwriting the same buckets
+    // cast: the partition directory round-trips through inference as int,
+    // unlike the long the writer computed (GenStore.seg's gen note)
+    val survivorBuckets = survivors.select(col("doc_bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    if (survivorBuckets.nonEmpty)
+      survivors
+        .write.partitionBy("doc_bucket").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(path)
+    // a dynamic overwrite only rewrites partitions PRESENT in the written
+    // data — a bucket whose every row was deleted has no survivors and
+    // would silently keep serving its old files; drop those partition
+    // directories explicitly
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.filterNot(survivorBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"doc_bucket=$b"), true)
+    }
+    spark.catalog.refreshByPath(path)
+    // a FULLY emptied table is schemaless parquet (unreadable); collapse
+    // it to the clean "no store yet" state every caller already handles
+    if (!graft.sources.GenStore.hasParquetData(new java.io.File(path)))
+      fs.delete(root, true)
+    else writeTableBuckets(spark, path, n) // re-assert, cheap
+  }
+
   /** Compact the store: streaming upserts leave one file set per
     * micro-batch per touched bucket; this rewrites every bucket partition
     * to `filesPerBucket` files. Content-preserving (same rows, same

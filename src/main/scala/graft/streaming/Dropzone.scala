@@ -22,6 +22,13 @@ import graft.sources.{ChunkStore, FileIngest, TextIndex, VectorStore}
   *    and `foreachBatch` applies ChunkStore.upsert — deterministic ids
   *    make replay idempotent, changed files replace their own chunks;
   *  - ST4 retry: restart-from-checkpoint re-processes any failed batch.
+  *
+  * DELETION contract: the file stream emits no delete events, so
+  * [[processBatch]] never tombstones a file that disappeared from the
+  * dropzone — re-drops replace themselves, true deletions accumulate.
+  * [[reconcileDeletions]] is the maintenance pass that closes the gap:
+  * it anti-joins every store's live doc set against the live listing and
+  * feeds the dead documents to the artifacts' existing tombstone paths.
   */
 object Dropzone {
 
@@ -150,6 +157,115 @@ object Dropzone {
             m = pqM, ksub = pqKsub, centroids = centroids)
       }
     }
+  }
+
+  /** Reconcile every serving artifact against the LIVE dropzone listing —
+    * the deletion path the stream itself cannot see. `binaryFile` emits
+    * no delete events, so a file REMOVED from the dropzone keeps serving
+    * from every store forever; the reference's watcher has the same blind
+    * spot and ships manual cleanup tooling instead
+    * (scripts/dev/tools/cleanup_kind.py:53-123, qdrant_delete_by_ids.py).
+    * Here the reconcile is ONE metadata-grain job — run it from the
+    * stream host on a period or on demand:
+    *
+    *  - list the dropzone (paths only — the binary source prunes the
+    *    content column, so no file bytes are read) and canonicalize with
+    *    the SAME relpath/ignore rules as ingest;
+    *  - anti-join the chunk store's live (path → document, chunk id)
+    *    mapping against the listing. File-backed documents die with
+    *    their path; chat-export documents live under a VIRTUAL path
+    *    (`chatgpt/<conversation>`), so they die by `content_sig` — their
+    *    source file's raw-byte sha256, carried through routing — matched
+    *    against the live `.json` files' sigs (hashed only when chat docs
+    *    are actually stored);
+    *  - feed the dead documents to each artifact's EXISTING deletedIds
+    *    tombstone path (text index + band store by doc path, vector + PQ
+    *    stores by chunk id) and drop their chunks from the chunk store.
+    *
+    * Replays are safe twice over: the stores' batch-id watermark no-ops a
+    * re-delivered reconcile, and a re-run after success finds zero dead
+    * documents. Returns the number of documents removed.
+    */
+  def reconcileDeletions(
+      spark: SparkSession,
+      dropzone: String,
+      storePath: String,
+      textIndexPath: Option[String] = None,
+      vectorStorePath: Option[String] = None,
+      pqStorePath: Option[String] = None,
+      bandStorePath: Option[String] = None,
+      embedDim: Int = 64,
+      batchId: Long = -1L): Long = {
+    val storeExists = {
+      val p = new org.apache.hadoop.fs.Path(storePath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (!storeExists) return 0L
+    val listing = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(dropzone)
+    val livePaths = listing
+      .withColumn("path", FileIngest.canonicalRelpath(col("path"), dropzone))
+      .filter(FileIngest.keepFile(col("path")))
+      .select(col("path"))
+    // column-pruned store scan: id/document_id/path/content_sig only
+    val stored = ChunkStore.read(spark, storePath)
+      .select(col("id"), col("document_id"), col("path"), col("content_sig"))
+    val isVirtual = col("path").startsWith("chatgpt/")
+    val deadFileBacked = stored.filter(!isVirtual)
+      .join(livePaths, Seq("path"), "left_anti")
+    // chat-export docs: hash live .json bytes ONLY when any are stored
+    val deadVirtual =
+      if (stored.filter(isVirtual).isEmpty) stored.limit(0)
+      else {
+        val liveSigs = listing
+          .withColumn("relpath", FileIngest.canonicalRelpath(col("path"), dropzone))
+          .filter(FileIngest.keepFile(col("relpath")) &&
+            col("relpath").endsWith(".json"))
+          .select(sha2(col("content"), 256).as("content_sig"))
+          .distinct()
+        stored.filter(isVirtual)
+          .join(liveSigs, Seq("content_sig"), "left_anti")
+      }
+    val dead = deadFileBacked.unionByName(deadVirtual).localCheckpoint()
+    val nDocs = dead.select(col("document_id")).distinct().count()
+    if (nDocs == 0L) return 0L
+    val deadPaths = dead.select(col("path")).distinct()
+    val deadChunkIds = dead.select(col("id"))
+    textIndexPath.foreach { tip =>
+      if (TextIndex.exists(tip))
+        TextIndex.upsert(spark,
+          deadPaths.select(col("path"), lit("").as("text")).limit(0),
+          "path", "text", deadPaths, tip, batchId)
+    }
+    bandStorePath.foreach { bsp =>
+      if (graft.sources.BandStore.exists(bsp))
+        graft.sources.BandStore.upsert(spark,
+          deadPaths.select(col("path"), lit("").as("text")).limit(0),
+          "path", "text", deadPaths, bsp,
+          numHashes = 32, bands = 8, batchId = batchId)
+    }
+    vectorStorePath.foreach { vsp =>
+      if (VectorStore.vectorsExist(vsp)) {
+        val emptyVecs = deadChunkIds
+          .select(col("id"), array().cast("array<double>").as("vector"))
+          .limit(0)
+        VectorStore.upsertVectors(spark, emptyVecs, "id", "vector",
+          deadChunkIds, vsp, dim = embedDim, batchId = batchId)
+        pqStorePath.foreach { psp =>
+          if (VectorStore.pqExists(psp))
+            VectorStore.upsertPqCodes(spark, emptyVecs, "id", "vector",
+              deadChunkIds, psp, VectorStore.readCentroids(vsp),
+              batchId = batchId)
+        }
+      }
+    }
+    // chunks go LAST: the chunk store is the live (path → id) mapping the
+    // index deletions above are computed from
+    ChunkStore.deleteDocuments(spark, storePath,
+      dead.select(col("document_id")))
+    nDocs
   }
 
   /** Start the streaming ingest; returns the query (caller manages

