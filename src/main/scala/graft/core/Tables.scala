@@ -17,6 +17,26 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `events` with `ts` normalized to epoch-µs BIGINT, whatever the parquet
+    * physical type of the generation at hand: older testdata ships
+    * TIMESTAMP(NANOS) (unreadable by Spark unless
+    * spark.sql.legacy.parquet.nanosAsLong=true surfaces it as long ns —
+    * every session here keeps that on), newer testdata ships native µs
+    * TIMESTAMP/TIMESTAMP_NTZ. Dispatching on the LOADED schema instead of
+    * assuming one physical type is what lets both generations read; all
+    * sessions run UTC, so the NTZ→TZ cast is identity on the wall clock and
+    * both paths agree with DuckDB's `epoch_us(ts)` exactly.
+    */
+  def eventsMicros(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = apply(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("ts div 1000"))
+      case _        => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)))
+    }
+  }
+
   /** Fan a freshly-scanned frame out to the session's parallelism when the
     * source produced (far) fewer splits than cores. Parquet scans
     * parallelize by ROW GROUP; the test tables are single-row-group files,

@@ -43,13 +43,12 @@ object Catalog {
     s"floor(($x) * $p + 0.5) / $p.0"
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark refuses by default;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong=true and this helper
-    * converts to a µs timestamp via integer division — the same floor
-    * semantics DuckDB applies, so both engines see identical µs instants.
+  /** events with `ts` as a µs timestamp. [[Tables.eventsMicros]] dispatches
+    * on the parquet physical type (legacy nanos-as-long vs native µs), so
+    * both testdata generations land on the same µs instants DuckDB sees.
     */
   private def events(s: SparkSession, d: String) =
-    tbl(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.eventsMicros(s, d).withColumn("ts", timestamp_micros(col("ts")))
 
   // =========================================================================
   // Relational pack — scans, filters, joins, aggs, windows, set ops

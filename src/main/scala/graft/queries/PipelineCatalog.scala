@@ -402,9 +402,8 @@ object PipelineCatalog {
   private val SessionGapUs = 1800L * 1000000L
 
   val q24Sessionize: Q = (s, d) => {
-    val e = tbl(s, d, "events")
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"), col("value"))
+    val e = graft.core.Tables.eventsMicros(s, d)
+      .select(col("user_id"), col("event_id"), col("ts").as("us"), col("value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val cum = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -668,9 +667,9 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q31AsofJoin: Q = (s, d) => {
-    val e = tbl(s, d, "events")
+    val e = graft.core.Tables.eventsMicros(s, d)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("us"), col("value"), col("event_type"))
+        col("ts").as("us"), col("value"), col("event_type"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "us", "value")
     val views = e.filter(col("event_type") === "view")
@@ -701,9 +700,9 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q32RangeJoin: Q = (s, d) => {
-    val e = tbl(s, d, "events")
+    val e = graft.core.Tables.eventsMicros(s, d)
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("us"), col("event_type"))
+        col("ts").as("us"), col("event_type"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
     val errors = e.filter(col("event_type") === "error")

@@ -27,9 +27,8 @@ class EventStreamSpec extends AnyFunSuite {
 
   private def eventRows() = {
     import spark.implicits._
-    spark.read.parquet(s"$Sf/events.parquet")
-      .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("us"), col("value"))
+    graft.core.Tables.eventsMicros(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("ts").as("us"), col("value"))
       .as[(Long, Long, Long, Double)]
       .collect().map(r => Event(r._1, r._2, r._3, r._4))
       .sortBy(e => (e.us, e.event_id))
@@ -88,8 +87,8 @@ class EventStreamSpec extends AnyFunSuite {
           graft.queries.Catalog.rnd(col("total_value"), 2))
         .collect().map(_.toSeq).toSet
 
-      val batch = spark.read.parquet(s"$Sf/events.parquet")
-        .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      val batch = graft.core.Tables.eventsMicros(spark, Sf)
+        .select(col("user_id"), timestamp_micros(col("ts")).as("ts"), col("value"))
         .groupBy(window(col("ts"), "1 hour"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
         .select(col("window.start").cast("long"), col("user_id"), col("n_events"),
