@@ -2176,15 +2176,15 @@ object PipelineCatalog {
   // cover are duplicated-span-sized, and nothing driver-collects.
   // -------------------------------------------------------------------------
 
-  val q88SpanRemoval: Q = (s, d) => {
-    val tail3 = " the quick brown fox jumps over the lazy dog archive footer"
-    val tail5 = " all rights reserved by the automated pipeline export system"
-    val body = concat(col("text"),
-      when(col("doc_id") % 3 === 0, lit(tail3)).otherwise(lit("")),
-      when(col("doc_id") % 5 === 0, lit(tail5)).otherwise(lit("")))
-    val docs = docsWide(s, d)
-      .select(col("doc_id"), trim(body).as("body"))
-      .withColumn("w", split(col("body"), " "))
+  /** q88's span-removal core over `(doc_id, body)`: find word-8-grams
+    * shared by ≥2 docs, keep them only in the min-doc_id keeper, cut the
+    * covered word positions everywhere else. Returns one row per doc:
+    * `(doc_id, n_words, n_removed, n_spans_cut, text_clean)`. Factored so
+    * q99 can run the identical lineage over the RAW corpus text (q88's
+    * fixture appends synthetic boilerplate tails first).
+    */
+  private def removeDupSpans(docs0: DataFrame): DataFrame = {
+    val docs = docs0.withColumn("w", split(col("body"), " "))
     // positional 8-grams: (start pos, shingle) — the SAME shingle strings
     // as WordShingles/q83 (trim + single-space split), positions kept
     val sp = docs.select(col("doc_id"),
@@ -2234,6 +2234,15 @@ object PipelineCatalog {
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  val q88SpanRemoval: Q = (s, d) => {
+    val tail3 = " the quick brown fox jumps over the lazy dog archive footer"
+    val tail5 = " all rights reserved by the automated pipeline export system"
+    val body = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(tail3)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit(tail5)).otherwise(lit("")))
+    removeDupSpans(docsWide(s, d).select(col("doc_id"), trim(body).as("body")))
       .orderBy(col("doc_id"))
   }
 
@@ -3679,6 +3688,130 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q99: the COMPLETE curation recipe (the FineWeb-style end state) — q98's
+  // three gates PLUS fuzzy decontamination (q93's banded MinHash vs the
+  // paraphrase-shaped benchmark) decide the kept set; the kept docs then
+  // go through duplicated-span REMOVAL (q88's core on the RAW text), and
+  // the deliverable is the q92-shape datasheet of the kept, span-cleaned
+  // corpus: (lang × source) rollup of doc/token/char counts computed AFTER
+  // cleaning. Every stage is a proven fragment (q98/q93/q88/q92), composed
+  // verbatim — flags stay consistent with the component queries by
+  // construction (q99 calls the same lineages), and the spec asserts it.
+  // 100 TB: all stages are linear scans + bounded joins (benchmark side
+  // broadcast, span frequency map-side combined, rollup expands before the
+  // partial agg) — composing them adds no new shuffle class.
+  // -------------------------------------------------------------------------
+
+  val q99FullRecipe: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val flags = q98CurationPipeline(s, d)
+      .select(col("doc_id"), col("q_ok"), col("is_canonical"), col("clean"))
+    val benchFuzzy = docs.filter(col("doc_id") >= 5 && col("doc_id") < 15)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 21, 300), lit(" held out eval")).as("text"))
+    val fuzzyDirty = Dedup.fuzzyDecontaminate(docs, benchFuzzy, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .select(col("doc_id")).withColumn("_fdirty", lit(true))
+    val cleaned = removeDupSpans(
+      docs.select(col("doc_id"), trim(col("text")).as("body")))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(flags, Seq("doc_id"))
+      .join(fuzzyDirty, Seq("doc_id"), "left")
+      .filter(col("q_ok") && col("is_canonical") && col("clean") &&
+        col("_fdirty").isNull)
+      .join(cleaned, Seq("doc_id"))
+      .select(col("lang"), col("source"),
+        (col("n_words") - col("n_removed")).as("n_tok"),
+        length(col("text_clean")).cast("long").as("n_chr"),
+        col("n_spans_cut"))
+      .rollup(col("lang"), col("source"))
+      .agg(grouping(col("lang")).as("_gl"), grouping(col("source")).as("_gs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"),
+        rnd(avg(col("n_tok")), 4).as("avg_doc_tokens"),
+        max(col("n_tok")).as("max_doc_tokens"),
+        sum(col("n_spans_cut")).as("n_spans_cut"))
+      .select(
+        when(col("_gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+        when(col("_gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("avg_doc_tokens"), col("max_doc_tokens"), col("n_spans_cut"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Oracle: the proven q98/q93 replays as subqueries, the raw-text span
+    * removal as q88's CTE chain minus the synthetic tails, one rollup.
+    */
+  private def q99Sql: String = {
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH f98 AS (
+         SELECT doc_id, q_ok, is_canonical, clean
+         FROM (${q98Sql.replace("\n", "\n  ")}) x
+       ), fdirty AS (
+         SELECT doc_id FROM (${q93Sql.replace("\n", "\n  ")}) y
+       ), words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), sp AS (
+         SELECT doc_id, i, $g8 AS shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> i)) AS u(i)
+         WHERE i + 7 <= len(w)
+       ), freq AS (
+         SELECT shingle, min(doc_id) AS keeper
+         FROM (SELECT DISTINCT doc_id, shingle FROM sp)
+         GROUP BY shingle HAVING count(*) >= 2
+       ), hits AS (
+         SELECT sp.doc_id, sp.i
+         FROM sp JOIN freq USING (shingle)
+         WHERE sp.doc_id <> freq.keeper
+       ), cover AS (
+         SELECT DISTINCT doc_id, i + k AS wi
+         FROM hits, unnest(list_transform(range(0, 8), k -> k)) AS v(k)
+       ), wp AS (
+         SELECT doc_id, i AS wi, w[i] AS word
+         FROM words, unnest(list_transform(range(1, len(w) + 1), i -> i)) AS u(i)
+       ), surv AS (
+         SELECT wp.doc_id, wp.wi, wp.word
+         FROM wp LEFT JOIN cover c ON wp.doc_id = c.doc_id AND wp.wi = c.wi
+         WHERE c.wi IS NULL
+       ), cleaned AS (
+         SELECT doc_id, count(*) AS n_kept,
+                string_agg(word, ' ' ORDER BY wi) AS text_clean
+         FROM surv GROUP BY doc_id
+       ), starts AS (
+         SELECT doc_id, count(*) AS n_spans_cut
+         FROM hits h
+         WHERE NOT EXISTS (SELECT 1 FROM hits h2
+                           WHERE h2.doc_id = h.doc_id
+                             AND h2.i BETWEEN h.i - 7 AND h.i - 1)
+         GROUP BY doc_id
+       ), kept AS (
+         SELECT d.doc_id, d.lang, d.source,
+                COALESCE(c.n_kept, 0) AS n_tok,
+                length(COALESCE(c.text_clean, '')) AS n_chr,
+                COALESCE(st.n_spans_cut, 0) AS nsc
+         FROM documents d
+         JOIN f98 USING (doc_id)
+         LEFT JOIN fdirty fd USING (doc_id)
+         LEFT JOIN cleaned c ON d.doc_id = c.doc_id
+         LEFT JOIN starts st ON d.doc_id = st.doc_id
+         WHERE f98.q_ok AND f98.is_canonical AND f98.clean AND fd.doc_id IS NULL
+       )
+       SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+              CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+              CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+              floor(AVG(n_tok) * 10000 + 0.5) / 10000.0 AS avg_doc_tokens,
+              CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens,
+              CAST(SUM(nsc) AS BIGINT) AS n_spans_cut
+       FROM kept
+       GROUP BY ROLLUP(lang, source)
+       ORDER BY lang, source"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3746,6 +3879,7 @@ object PipelineCatalog {
     "q96_inc_near_dup" -> q96IncNearDup,
     "q97_stream_near_dup" -> q97StreamNearDup,
     "q98_curation_pipeline" -> q98CurationPipeline,
+    "q99_full_recipe" -> q99FullRecipe,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3828,5 +3962,6 @@ object PipelineCatalog {
     // streamed corpus == true corpus: q96's replay applies verbatim
     "q97_stream_near_dup" -> q96Sql,
     "q98_curation_pipeline" -> q98Sql,
+    "q99_full_recipe" -> q99Sql,
   )
 }

@@ -844,13 +844,27 @@ object BinaryDocs {
     * text walk; documents with no parseable object wrappers fall back to a
     * blunt every-stream scan (tolerates malformed files).
     */
-  def pdfText(bytes: Array[Byte]): String = {
+  def pdfText(bytes: Array[Byte]): String = pdfText(bytes, PdfPasswords)
+
+  /** Session-level PDF password keyring (`GRAFT_PDF_PASSWORDS`,
+    * colon-separated): a dropzone whose documents share known passwords
+    * provisions them once; each encrypted file tries the empty password
+    * first, then every keyring entry as user then owner password (pypdf
+    * `password=` parity). On a cluster the env must reach the executors
+    * (spark.executorEnv.*) — same contract as any credential env var.
+    */
+  private lazy val PdfPasswords: Seq[String] =
+    sys.env.get("GRAFT_PDF_PASSWORDS").toSeq
+      .flatMap(_.split(":", -1)).filter(_.nonEmpty)
+
+  def pdfText(bytes: Array[Byte], passwords: Seq[String]): String = {
     try {
       val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
       // standard security handler: empty-user-password files (owner-only
-      // restrictions) decrypt transparently; a real user password -> ""
-      // (degrade like the reference's unreadable-input skip)
-      val dec: (Int, String) => String = PdfCrypt.access(raw) match {
+      // restrictions) and provisioned-password files decrypt
+      // transparently; anything else -> "" (degrade like the reference's
+      // unreadable-input skip)
+      val dec: (Int, String) => String = PdfCrypt.access(raw, passwords) match {
         case PdfCrypt.Denied => return ""
         case PdfCrypt.Granted(f) =>
           // Algorithm 1 mixes the object's GENERATION into the per-object

@@ -38,6 +38,24 @@ object GenStore {
     */
   val MaxTombstoneBroadcastBytes: Long = 64L << 20
 
+  /** Per-operation counters for the store lifecycle's driver-side
+    * filesystem round-trips and Spark-scan opens — the observability the
+    * r8 verdict asked for ("count filesystem round-trips per store per
+    * processBatch"). Always on: a ConcurrentHashMap increment per METADATA
+    * operation is noise next to the file stat it counts. `tools/StoreProfile`
+    * resets + dumps around one batch/serve to attribute fixed costs.
+    */
+  object Probe {
+    private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def inc(op: String): Unit =
+      counts.computeIfAbsent(op, _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    def reset(): Unit = counts.clear()
+    def snapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      counts.asScala.map { case (k, v) => k -> v.get() }.toMap
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Artifact location + source stamps
   // ---------------------------------------------------------------------
@@ -71,7 +89,8 @@ object GenStore {
     * in-place part rewrites, so hashing only it can serve a stale index
     * after the table regenerates (rows-only queries would not catch it).
     */
-  def sourceStamp(src: java.io.File): String =
+  def sourceStamp(src: java.io.File): String = {
+    Probe.inc("source_stamp")
     if (!src.exists()) "absent"
     else if (src.isDirectory) {
       val parts = Option(src.listFiles()).getOrElse(Array.empty)
@@ -80,6 +99,7 @@ object GenStore {
       parts.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
         .mkString("dir[", ",", "]")
     } else s"${src.length()}|${src.lastModified()}"
+  }
 
   /** Manifest-gated build: run `build` iff the stored manifest does not
     * byte-match `expected`, then commit the manifest LAST (a crash
@@ -115,6 +135,7 @@ object GenStore {
   // flip retires them wholesale.
 
   def epochOf(path: String): Long = {
+    Probe.inc("epoch_read")
     val p = java.nio.file.Paths.get(path, "_graft_epoch")
     if (!java.nio.file.Files.exists(p)) 0L
     else java.nio.file.Files.readString(p).trim.toLong
@@ -151,17 +172,26 @@ object GenStore {
   /** On-disk bytes of a local artifact directory — the broadcast-vs-
     * shuffle gate reads it.
     */
-  def dirBytes(f: java.io.File): Long =
+  def dirBytes(f: java.io.File): Long = {
+    Probe.inc("dir_bytes_walk")
     if (!f.exists()) 0L
     else if (f.isFile) f.length()
     else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      .map(dirBytes).sum
+      .map(dirBytesInner).sum
+  }
+
+  private def dirBytesInner(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .map(dirBytesInner).sum
 
   /** Whether a directory holds any parquet DATA — an empty delta's
     * partitioned write (or a crash-cleanup that removed the only gen dir)
     * can leave a directory with no files, which schema inference rejects.
     */
   def hasParquetData(dir: java.io.File): Boolean = {
+    Probe.inc("parquet_data_probe")
     def walk(f: java.io.File): Boolean =
       if (f.isFile) f.getName.endsWith(".parquet")
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).exists(walk)
@@ -173,8 +203,10 @@ object GenStore {
     * as int — normalize back to the long the rows were written with so
     * caller schemas are layout-independent.
     */
-  def seg(spark: SparkSession, dir: String): DataFrame =
+  def seg(spark: SparkSession, dir: String): DataFrame = {
+    Probe.inc("seg_open")
     spark.read.parquet(dir).withColumn("gen", col("gen").cast("long"))
+  }
 
   // ---------------------------------------------------------------------
   // Sidecar IO — ONE write discipline, ONE parse codepath
@@ -197,11 +229,13 @@ object GenStore {
     * rebuildable cache; failing loud here would turn a torn metadata file
     * into an outage when a rebuild silently fixes it).
     */
-  def readSidecar(p: java.nio.file.Path): Option[com.fasterxml.jackson.databind.JsonNode] =
+  def readSidecar(p: java.nio.file.Path): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    Probe.inc("sidecar_read")
     if (!java.nio.file.Files.exists(p)) None
     else try Some(new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(p)))
     catch { case _: java.io.IOException => None }
+  }
 
   def jLong(node: com.fasterxml.jackson.databind.JsonNode, key: String,
       default: Long): Long =

@@ -240,11 +240,31 @@ object PdfCrypt {
     out
   }
 
-  /** Classify the document: unencrypted, decryptable with the EMPTY user
-    * password, or denied. Unsupported filters/handlers → Denied (callers
-    * degrade to empty — never garbage).
+  /** Algorithm 7's owner-side step: decrypt /O with the owner-password RC4
+    * key to recover the PADDED user password (32 bytes), from which the
+    * file key derives exactly as for a typed user password.
     */
-  def access(raw: String): Access = try {
+  private def ownerToUserPadded(ownerPwd: Array[Byte], o: Array[Byte], r: Int,
+      lengthBits: Int): Array[Byte] = {
+    var h = md5((ownerPwd ++ Pad).take(32))
+    val n = if (r == 2) 5 else lengthBits / 8
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+    val rk = h.take(n)
+    if (r == 2) rc4(rk, o.take(32))
+    else {
+      var x = o.take(32)
+      for (i <- 19 to 0 by -1) x = rc4(rk.map(b => (b ^ i).toByte), x)
+      x
+    }
+  }
+
+  /** Classify the document: unencrypted, decryptable (with the EMPTY user
+    * password, or one of the provisioned `passwords` validating as USER or
+    * OWNER password — pypdf's `PdfReader(password=...)` parity), or
+    * denied. Unsupported filters/handlers → Denied (callers degrade to
+    * empty — never garbage).
+    */
+  def access(raw: String, passwords: Seq[String] = Nil): Access = try {
     val em = EncRefRe.matcher(raw)
     if (!em.find()) return NotEncrypted
     val dict = objBody(raw, em.group(1).toInt).getOrElse(return Denied)
@@ -256,6 +276,9 @@ object PdfCrypt {
     val o = strField(dict, "O").getOrElse(return Denied)
     val u = strField(dict, "U").getOrElse(return Denied)
     val empty = Array.emptyByteArray
+    // UTF-8 per ISO 32000-2 for R6 (SASLprep omitted — ASCII passwords);
+    // the R<=4 pad algorithm consumes the same byte form
+    val candidates = empty +: passwords.map(_.getBytes("UTF-8"))
 
     // stream crypt filter: V4/V5 name it via /CF + /StmF (default
     // Identity); V1/V2 are implicitly RC4 on everything
@@ -269,15 +292,28 @@ object PdfCrypt {
     }
 
     if (v == 5 || r >= 5) {
-      // AESV3: validate empty user password, unwrap the file key from /UE
-      if (u.length < 48) return Denied
-      val valSalt = u.slice(32, 40)
-      val keySalt = u.slice(40, 48)
-      if (!java.util.Arrays.equals(hash2b(empty, valSalt, empty, r), u.take(32)))
-        return Denied
-      val ue = strField(dict, "UE").getOrElse(return Denied)
-      val ik = hash2b(empty, keySalt, empty, r)
-      val fileKey = aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), ue.take(32))
+      // AESV3: Algorithm 11 user / Algorithm 12 owner validation, then
+      // unwrap the file key from /UE (user) or /OE (owner)
+      if (u.length < 48 || o.length < 48) return Denied
+      def viaUser(pwd: Array[Byte]): Option[Array[Byte]] =
+        if (!java.util.Arrays.equals(hash2b(pwd, u.slice(32, 40), empty, r), u.take(32)))
+          None
+        else strField(dict, "UE").map { ue =>
+          val ik = hash2b(pwd, u.slice(40, 48), empty, r)
+          aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), ue.take(32))
+        }
+      def viaOwner(pwd: Array[Byte]): Option[Array[Byte]] = {
+        val udata = u.take(48)
+        if (!java.util.Arrays.equals(hash2b(pwd, o.slice(32, 40), udata, r), o.take(32)))
+          None
+        else strField(dict, "OE").map { oe =>
+          val ik = hash2b(pwd, o.slice(40, 48), udata, r)
+          aesCbc(Cipher.DECRYPT_MODE, ik, new Array[Byte](16), oe.take(32))
+        }
+      }
+      val fileKey = candidates.iterator
+        .flatMap(pwd => viaUser(pwd).orElse(viaOwner(pwd)))
+        .nextOption().getOrElse(return Denied)
       // AESV3 uses the file key directly — no per-object derivation, the
       // generation number does not participate (ISO 32000-2 §7.6.3.3)
       if (stmfIdentity) Granted((_, _, s) => s)
@@ -293,8 +329,16 @@ object PdfCrypt {
           else bytesOf(BinaryDocs.pdfStringBody(m.group(2)))
         else empty
       }
-      val key = rc4FileKey(empty, o, p, id0, r, lengthBits, encryptMetadata)
-      if (!userValidates(key, id0, r, u)) return Denied
+      // Algorithm 4/5 as user password; Algorithm 7 as owner password (the
+      // recovered padded user password re-enters the user derivation)
+      def userKey(pwd: Array[Byte]): Option[Array[Byte]] = {
+        val key = rc4FileKey(pwd, o, p, id0, r, lengthBits, encryptMetadata)
+        if (userValidates(key, id0, r, u)) Some(key) else None
+      }
+      val key = candidates.iterator
+        .flatMap(pwd => userKey(pwd).orElse(
+          userKey(ownerToUserPadded(pwd, o, r, lengthBits))))
+        .nextOption().getOrElse(return Denied)
       if (stmfIdentity) Granted((_, _, s) => s)
       else if (cfm == "AESV2")
         Granted((n, g, s) =>

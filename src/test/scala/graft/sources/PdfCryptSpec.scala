@@ -128,6 +128,42 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(BinaryDocs.pdfText(aesV3Pdf("hidden", "secret", "owner", 6)) == "")
   }
 
+  test("provisioned USER password decrypts across RC4/AESV2/AESV3") {
+    val pw = Seq("s3cret pw")
+    assert(BinaryDocs.pdfText(rc4Pdf("forty user", "s3cret pw", "own", 2, 40), pw)
+      == "forty user")
+    assert(BinaryDocs.pdfText(rc4Pdf("rc4 user body", "s3cret pw", "own", 3, 128), pw)
+      == "rc4 user body")
+    assert(BinaryDocs.pdfText(aesV2Pdf("aesv2 user body", "s3cret pw", "own"), pw)
+      == "aesv2 user body")
+    assert(BinaryDocs.pdfText(aesV3Pdf("aesv3 r6 user body", "s3cret pw", "own", 6), pw)
+      == "aesv3 r6 user body")
+    assert(BinaryDocs.pdfText(aesV3Pdf("aesv3 r5 user body", "s3cret pw", "own", 5), pw)
+      == "aesv3 r5 user body")
+  }
+
+  test("provisioned OWNER password recovers the user key (Algorithm 7 / OE unwrap)") {
+    val pw = Seq("owner-master")
+    assert(BinaryDocs.pdfText(rc4Pdf("rc4 owner route", "userpw", "owner-master", 3, 128), pw)
+      == "rc4 owner route")
+    assert(BinaryDocs.pdfText(aesV2Pdf("aesv2 owner route", "userpw", "owner-master"), pw)
+      == "aesv2 owner route")
+    assert(BinaryDocs.pdfText(aesV3Pdf("aesv3 owner route", "userpw", "owner-master", 6), pw)
+      == "aesv3 owner route")
+  }
+
+  test("a keyring tries every password; all-wrong still degrades to empty") {
+    val ring = Seq("nope", "also wrong", "s3cret pw")
+    assert(BinaryDocs.pdfText(aesV2Pdf("ring hit", "s3cret pw", "own"), ring)
+      == "ring hit")
+    assert(BinaryDocs.pdfText(aesV2Pdf("ring miss", "other", "own"),
+      Seq("nope", "wrong")) == "")
+    assert(BinaryDocs.pdfText(aesV3Pdf("ring miss", "other", "own", 6),
+      Seq("nope", "wrong")) == "")
+    assert(BinaryDocs.pdfText(rc4Pdf("ring miss", "other", "own", 3, 128),
+      Seq("nope", "wrong")) == "")
+  }
+
   test("property: random content and owner passwords round-trip; any user password denies") {
     val rng = new scala.util.Random(20260813L)
     def word(): String = {
