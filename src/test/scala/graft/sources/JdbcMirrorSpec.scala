@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The relational mirror round-trips against a REAL JDBC engine
+  * (embedded Derby — the one in /opt/spark/jars): bootstrap DDL, delta
+  * upsert (stage + set-wise publish), replacement by key, and FK-cascade
+  * document deletion, all verified by reading back through
+  * `spark.read.jdbc`.
+  */
+class JdbcMirrorSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshTarget(tag: String): JdbcMirror.Target = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-jdbc-$tag")
+    JdbcMirror.Target(s"jdbc:derby:$dir/db;create=true")
+  }
+
+  private val T0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  private def chunkRows(rows: Seq[(String, String, String, String, Int, String)]) = {
+    import spark.implicits._
+    rows.toDF("id", "document_id", "path", "kind", "idx", "text")
+  }
+
+  test("mirror publishes documents + chunks; re-mirror replaces by key; cascade deletes") {
+    val t = freshTarget("roundtrip")
+    val v1 = chunkRows(Seq(
+      ("c1", "d1", "a.txt", "text", 0, "alpha body"),
+      ("c2", "d1", "a.txt", "text", 1, "beta body"),
+      ("c3", "d2", "b.pdf", "pdf", 0, "gamma body")))
+    JdbcMirror.mirrorChunks(v1, t, T0)
+
+    def docs = JdbcMirror.readTable(spark, "documents", t)
+      .select("id", "filename", "kind", "size_bytes")
+      .collect().map(r => (r.getString(0).trim, r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+    def chunks = JdbcMirror.readTable(spark, "chunks", t)
+      .select("id", "document_id", "idx", "text")
+      .collect().map(r => (r.getString(0).trim, r.getString(1).trim,
+        r.getInt(2), r.getString(3))).toSet
+
+    assert(docs == Set(("d1", "a.txt", "text", 19L), ("d2", "b.pdf", "pdf", 10L)))
+    assert(chunks == Set(("c1", "d1", 0, "alpha body"),
+      ("c2", "d1", 1, "beta body"), ("c3", "d2", 0, "gamma body")))
+
+    // delta re-mirror: d1 re-chunks SHORTER with new text — by-key
+    // replacement for the delta's rows; untouched d2 must not move
+    val v2 = chunkRows(Seq(("c1", "d1", "a.txt", "text", 0, "alpha rewritten")))
+    // the shrunk tail chunk is a DELETE the chunk-store upsert computes;
+    // the mirror receives it as an explicit chunk-id delete
+    JdbcMirror.mirrorChunks(v2, t, T0)
+    JdbcMirror.deleteChunks(Seq("c2"), t)
+    assert(chunks == Set(("c1", "d1", 0, "alpha rewritten"),
+      ("c3", "d2", 0, "gamma body")))
+    assert(docs.map(_._1) == Set("d1", "d2"))
+
+    // document deletion cascades to chunks inside the DB (reference DDL)
+    JdbcMirror.deleteDocuments(Seq("d1"), t)
+    assert(docs.map(_._1) == Set("d2"))
+    assert(chunks.map(_._1) == Set("c3"))
+  }
+
+  test("upsert is transactional: a failed publish leaves the table untouched") {
+    val t = freshTarget("txn")
+    JdbcMirror.bootstrap(t)
+    import spark.implicits._
+    val good = Seq(("d9", "x.txt", "text", 1L, null: String, T0))
+      .toDF("id", "filename", "kind", "size_bytes", "mime", "created_at")
+    JdbcMirror.upsert(good, "documents", "id", t)
+    // a frame whose columns do NOT match the target table fails at the
+    // DB-side INSERT … SELECT — after rollback the original row survives
+    val bad = Seq(("d10", "oops")).toDF("id", "unexpected")
+    intercept[Exception] {
+      JdbcMirror.upsert(bad, "documents", "id", t)
+    }
+    val ids = JdbcMirror.readTable(spark, "documents", t)
+      .select("id").collect().map(_.getString(0).trim).toSet
+    assert(ids == Set("d9"), "failed upsert must not partially publish")
+  }
+}
