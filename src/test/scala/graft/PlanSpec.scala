@@ -424,4 +424,15 @@ class PlanSpec extends AnyFunSuite {
       "signature verification join degraded")
     assert(!p.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("q99: the composed recipe stays hash-join-only and drops q98's inner sort") {
+    val p = plan("q99_full_recipe")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.toLowerCase.contains("cartesianproduct"),
+      "full recipe degenerated to a non-equi join")
+    // q98's trailing orderBy feeds a join here; EliminateSorts must have
+    // removed it — exactly ONE range partitioning (q99's own final sort)
+    assert("rangepartitioning".r.findAllIn(p).size == 1,
+      "an inner component's presentation sort survived under the join")
+  }
 }
