@@ -3812,6 +3812,76 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q100: the multimodal column pipeline as an ORACLE row — media rows
+  // (binary content + typed metadata) through the REAL partition-batched
+  // decode contract (Multimodal.decode: mapPartitions accumulating
+  // model-server-sized batches, no shuffle, bytes never leave their
+  // partition), then the declarative resize + frame-sampling plan. The
+  // decode STUB is sha256-derived, so DuckDB replays every derived
+  // dimension/duration/caption bit-for-bit — upgrading the multimodal
+  // component from spec-only to hash-checked. Swapping the stub for a
+  // real model call changes none of the plumbing this row pins.
+  // -------------------------------------------------------------------------
+
+  val q100MediaDecode: Q = (s, d) => {
+    import s.implicits._
+    val exts = array(lit("png"), lit("mp3"), lit("mp4"))
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    val slot = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+    val media = docsWide(s, d)
+      .select(
+        sha2(encode(col("text"), "UTF-8"), 256).as("id"),
+        element_at(kinds, slot).as("kind"),
+        concat(lit("media/"), col("doc_id"), lit("."), element_at(exts, slot)).as("path"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[graft.operators.Multimodal.MediaRow]
+    val dec = graft.operators.Multimodal.decode(media).toDF()
+    val frames = graft.operators.Multimodal.sampleFrames(dec, 500L)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+    graft.operators.Multimodal.resizeTo(dec, 256)
+      .join(frames, Seq("id"), "left")
+      .select(
+        regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+        col("kind"), col("width"), col("height"),
+        col("durationMs").as("duration_ms"),
+        col("out_width"), col("out_height"),
+        coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        col("caption"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q100Sql =
+    """WITH m AS (
+         SELECT doc_id, sha256(text) AS h,
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                     WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                'media/' || doc_id || '.' ||
+                  (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'mp3' ELSE 'mp4' END) AS path
+         FROM documents
+       ), dd AS (
+         SELECT doc_id, kind, path,
+                64 + CAST('0x' || substr(h, 1, 2) AS INT) * 8 AS width,
+                64 + CAST('0x' || substr(h, 3, 2) AS INT) * 8 AS height,
+                CAST(CASE WHEN kind IN ('audio','video')
+                     THEN (CAST('0x' || substr(h, 5, 2) AS BIGINT) + 1) * 1000
+                     ELSE 0 END AS BIGINT) AS duration_ms,
+                kind || ' stub: ' || path || ' sig=' || substr(h, 1, 8) AS caption
+         FROM m
+       ), r AS (
+         SELECT *, least(CAST(1.0 AS DOUBLE),
+                         256 / CAST(greatest(width, height) AS DOUBLE)) AS scale
+         FROM dd
+       )
+       SELECT doc_id, kind, width, height, duration_ms,
+              CAST(trunc(width * scale) AS INT) AS out_width,
+              CAST(trunc(height * scale) AS INT) AS out_height,
+              CAST(CASE WHEN duration_ms > 0 THEN duration_ms // 500 ELSE 0 END
+                AS BIGINT) AS n_frames,
+              caption
+       FROM r ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -3880,6 +3950,7 @@ object PipelineCatalog {
     "q97_stream_near_dup" -> q97StreamNearDup,
     "q98_curation_pipeline" -> q98CurationPipeline,
     "q99_full_recipe" -> q99FullRecipe,
+    "q100_media_decode" -> q100MediaDecode,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -3963,5 +4034,6 @@ object PipelineCatalog {
     "q97_stream_near_dup" -> q96Sql,
     "q98_curation_pipeline" -> q98Sql,
     "q99_full_recipe" -> q99Sql,
+    "q100_media_decode" -> q100Sql,
   )
 }
