@@ -75,6 +75,14 @@ object Dropzone {
       (if (skipUnchangedFiles && storeExists)
         FileIngest.skipUnchanged(docs, ChunkStore.read(spark, storePath))
       else docs).localCheckpoint() // consumed by BOTH sinks below
+    // Touched-but-unchanged deliveries (mtime bumps, checkpoint-evicted
+    // re-listings) produce an EMPTY delta; without this guard every
+    // artifact still runs its full upsert chain — ~20 small jobs apiece —
+    // and appends a junk empty generation that counts toward compaction
+    // triggers. Nothing downstream changes state on an empty delta, so
+    // skip it all. (The batch-id watermark need not advance: replaying an
+    // empty batch is itself a no-op.)
+    if (storeExists && delta.isEmpty) return
     // localCheckpoint before upsert: (a) the skipUnchanged delta's lineage
     // reads the store parquet, and upsert dynamic-overwrites that same path
     // (the read-while-write hazard ChunkStore guards its survivors side

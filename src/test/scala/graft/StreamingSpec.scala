@@ -194,6 +194,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(!texts.exists(_.contains("first version")))
   }
 
+  test("unchanged re-delivery short-circuits: no empty generation lands in any artifact") {
+    import org.apache.spark.sql.DataFrame
+    val root = Files.createTempDirectory("graft-st3b")
+    val store = root.resolve("chunks").toString
+    val tindex = root.resolve("tindex").toString
+    val bstore = root.resolve("bands").toString
+    def files(body: String): DataFrame = {
+      import spark.implicits._
+      Seq(("dz/a.txt", body.getBytes("UTF-8")))
+        .toDF("path", "content")
+        .withColumn("length", octet_length(col("content")).cast("long"))
+    }
+    def run(body: String, id: Long): Unit = Dropzone.processBatch(
+      spark, files(body), "dz", store, 200, 40, 8, skipUnchangedFiles = true,
+      textIndexPath = Some(tindex), bandStorePath = Some(bstore), batchId = id)
+
+    run("stable body that never changes", 0L)
+    def postingGens = spark.read
+      .parquet(graft.sources.GenStore.tableDir(tindex, "postings"))
+      .select(col("gen")).distinct().count()
+    val before = postingGens
+    // a touch/mtime-bump delivery under a NEW batch id: the delta is
+    // empty after skip-unchanged, so no artifact may gain an (empty)
+    // segment generation — junk generations count toward compaction
+    // triggers and pay ~20 jobs per artifact per batch
+    run("stable body that never changes", 1L)
+    assert(postingGens == before,
+      "empty-delta batch appended a junk generation to the text index")
+    // and a REAL change afterwards still lands normally (the 1-doc store
+    // immediately auto-compacts — 100% replaced is past the dead-fraction
+    // trigger — so assert on the served CONTENT, not the gen count)
+    run("a genuinely different body now", 2L)
+    val terms = graft.sources.TextIndex.read(spark, tindex).postings
+      .select(col("term")).collect().map(_.getString(0)).toSet
+    assert(terms.contains("genuinely") && !terms.contains("stable"),
+      "real change after a short-circuited batch must still replace the doc")
+  }
+
   test("re-dropped file that chunks SHORTER deletes its tail vectors from the ANN store") {
     // chunk ids are uuid5(document_id, "chunk:{idx}"): a shorter re-drop
     // produces a PREFIX of the old id set, so the removed tail ids appear
