@@ -141,6 +141,21 @@ object JdbcMirror {
       "chunks", "id", t)
   }
 
+  /** Mirror image-kind rows into the `images` table (the reference's
+    * third mirror table: caption + tags per stored image). `tags` arrive
+    * as an array column and land comma-joined — the portable shape for
+    * the reference's TEXT[].
+    */
+  def mirrorImages(images: DataFrame, t: Target,
+      createdAt: java.sql.Timestamp): Unit = {
+    bootstrap(t)
+    upsert(images.select(col("id"), col("document_id"), col("path"),
+        col("caption"),
+        array_join(col("tags"), ",").as("tags"),
+        lit(createdAt).as("created_at")),
+      "images", "id", t)
+  }
+
   /** Delete documents by id — one set-wise statement; chunk/image rows
     * die via the FK cascade, like the reference's DELETE.
     */

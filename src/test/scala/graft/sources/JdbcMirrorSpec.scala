@@ -63,10 +63,25 @@ class JdbcMirrorSpec extends AnyFunSuite {
       ("c3", "d2", 0, "gamma body")))
     assert(docs.map(_._1) == Set("d1", "d2"))
 
-    // document deletion cascades to chunks inside the DB (reference DDL)
+    // the images table mirrors caption + comma-joined tags and rides the
+    // same FK — publish one image for each document
+    import spark.implicits._
+    JdbcMirror.mirrorImages(
+      Seq(("i1", "d1", "img/a.png", "a red door", Seq("red", "door")),
+          ("i2", "d2", "img/b.png", "a harbor", Seq("sea")))
+        .toDF("id", "document_id", "path", "caption", "tags"), t, T0)
+    def images = JdbcMirror.readTable(spark, "images", t)
+      .select("id", "document_id", "caption", "tags")
+      .collect().map(r => (r.getString(0).trim, r.getString(1).trim,
+        r.getString(2), r.getString(3))).toSet
+    assert(images == Set(("i1", "d1", "a red door", "red,door"),
+      ("i2", "d2", "a harbor", "sea")))
+
+    // document deletion cascades to chunks AND images inside the DB
     JdbcMirror.deleteDocuments(Seq("d1"), t)
     assert(docs.map(_._1) == Set("d2"))
     assert(chunks.map(_._1) == Set("c3"))
+    assert(images.map(_._1) == Set("i2"))
   }
 
   test("upsert is transactional: a failed publish leaves the table untouched") {
