@@ -3699,7 +3699,11 @@ object PipelineCatalog {
   // construction (q99 calls the same lineages), and the spec asserts it.
   // 100 TB: all stages are linear scans + bounded joins (benchmark side
   // broadcast, span frequency map-side combined, rollup expands before the
-  // partial agg) — composing them adds no new shuffle class.
+  // partial agg) — composing them adds no new shuffle class. The from-
+  // scratch composition fingerprints the corpus once per MinHash gate
+  // (near-dup + fuzzy); at deployment scale both gates probe the SAME
+  // persisted BandStore instead (the q96/q97 incremental path), so the
+  // corpus is banded exactly once at ingest and never re-shingled here.
   // -------------------------------------------------------------------------
 
   val q99FullRecipe: Q = (s, d) => {
