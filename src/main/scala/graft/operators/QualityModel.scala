@@ -56,9 +56,9 @@ object QualityModel {
   // Paths + sidecars
   // ---------------------------------------------------------------------
 
-  /** Beside the documents table when its parent is writable (artifact
-    * travels with the data); read-only source → GRAFT_INDEX_DIR or tmpdir
-    * fallback — [[graft.sources.GenStore.artifactPath]]'s resolution.
+  /** GRAFT_INDEX_DIR/tmpdir keyed by the documents table's path (beside
+    * the table only with the explicit GRAFT_INDEX_BESIDE opt-in) —
+    * [[graft.sources.GenStore.artifactPath]]'s resolution.
     */
   def modelPath(sfDir: String): String =
     graft.sources.GenStore.artifactPath(sfDir, "documents.parquet",

@@ -2176,64 +2176,106 @@ object PipelineCatalog {
   // cover are duplicated-span-sized, and nothing driver-collects.
   // -------------------------------------------------------------------------
 
+  /** Positional word-8-gram identity frame over `(doc_id, w)` rows:
+    * one row per 8-gram occurrence, `(doc_id, pos, h1, h2)` — the shingle
+    * itself carried as a 96-bit hash pair (xxhash64 ⊕ murmur3), never as
+    * a string. The SAME shingle strings as WordShingles/q83 (trim +
+    * single-space split) feed the hashes, so any basis consumer (span
+    * removal, exact decontamination) matches the string-level oracle up
+    * to hash collisions: P(any merge) ≈ n²/2⁹⁷ — ~10⁻¹⁴ at 10¹² corpus
+    * shingles, and a collision merely merges two shingle classes (one
+    * span over-cut), the standard trade the hashed substring-dedup
+    * recipes make. What the hashes buy at scale: the two big exchanges
+    * (frequency aggregation + hit join) shuffle 20-byte rows instead of
+    * ~8-word strings — 3-5× less shuffle volume on the hottest stage.
+    */
+  private def positionalShingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(when(size(col("w")) >= 8,
+        transform(sequence(lit(0), size(col("w")) - 8),
+          i => {
+            val sh = concat_ws(" ", slice(col("w"), i + 1, lit(8)))
+            struct(xxhash64(sh).as("h1"), hash(sh).as("h2"))
+          }))
+        .otherwise(array().cast("array<struct<h1:bigint,h2:int>>")))
+        .as(Seq("pos", "hs")))
+      .select(col("doc_id"), col("pos"),
+        col("hs.h1").as("h1"), col("hs.h2").as("h2"))
+
   /** q88's span-removal core over `(doc_id, body)`: find word-8-grams
     * shared by ≥2 docs, keep them only in the min-doc_id keeper, cut the
     * covered word positions everywhere else. Returns one row per doc:
     * `(doc_id, n_words, n_removed, n_spans_cut, text_clean)`. Factored so
     * q99 can run the identical lineage over the RAW corpus text (q88's
-    * fixture appends synthetic boilerplate tails first).
+    * fixture appends synthetic boilerplate tails first) — and share the
+    * [[positionalShingleHashes]] basis with its decontamination stage.
+    *
+    * Scale shape (the r9 10× red flag lived here): the old form shuffled
+    * the shingle STRINGS twice (distinct + join) and then re-shuffled
+    * every word of the corpus as (wi, word) struct rows to reassemble
+    * text via array_sort(collect_list) — three corpus-sized exchanges
+    * whose per-task state blew past spill thresholds at 10×. Now: hashes
+    * shuffle instead of strings, the frequency aggregation is one
+    * count_distinct (map-side partial) instead of distinct+groupBy, the
+    * covered-word set and the merged-span count come from ONE hits
+    * aggregation, and reassembly is a doc-level `array_except` splice —
+    * each doc's words never leave their row, so the only doc-sized
+    * exchange left is the docs⋈cuts join (cuts is duplicated-span-
+    * bounded and broadcasts under AQE).
     */
   private def removeDupSpans(docs0: DataFrame): DataFrame = {
     val docs = docs0.withColumn("w", split(col("body"), " "))
-    // positional 8-grams: (start pos, shingle) — the SAME shingle strings
-    // as WordShingles/q83 (trim + single-space split), positions kept
-    val sp = docs.select(col("doc_id"),
-      posexplode(when(size(col("w")) >= 8,
-        transform(sequence(lit(0), size(col("w")) - 8),
-          i => concat_ws(" ", slice(col("w"), i + 1, lit(8)))))
-        .otherwise(array().cast("array<string>"))).as(Seq("pos", "shingle")))
-    val freq = sp.select(col("doc_id"), col("shingle")).distinct()
-      .groupBy(col("shingle"))
-      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("keeper"))
+    removeDupSpansFrom(docs, positionalShingleHashes(docs))
+  }
+
+  /** [[removeDupSpans]] with the positional-hash basis passed in, so a
+    * composition (q99) can compute it once for several consumers.
+    * `docs` must carry `(doc_id, body, w)`.
+    */
+  private def removeDupSpansFrom(docs: DataFrame, spH: DataFrame): DataFrame = {
+    val freq = spH.groupBy(col("h1"), col("h2"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id")).as("keeper"))
       .filter(col("ndocs") >= 2)
-      .select(col("shingle"), col("keeper"))
-    val hits = sp.join(freq, Seq("shingle"))
+      .select(col("h1"), col("h2"), col("keeper"))
+    val hits = spH.join(freq, Seq("h1", "h2"))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
-    val cover = hits
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("wi"))
-      .distinct()
-    val wordsPos = docs.select(col("doc_id"),
-      posexplode(col("w")).as(Seq("wi", "word")))
-    val clean = wordsPos.join(cover, Seq("doc_id", "wi"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("wi"), col("word")))),
-          x => x.getField("word")), " ").as("text_clean"))
-    // merged-span starts: a hit with no other hit in the 7 positions
-    // before it opens a maximal span. One fold over the doc's SORTED hit
-    // positions (hit count per doc is duplicated-span-bounded) — a
-    // hits×hits band self-join computes the same thing but goes
-    // per-doc-quadratic on a pathologically boilerplate-heavy document;
-    // the fold stays linear in the doc's hits.
-    val starts = hits
+    // ONE aggregation over the doc's hit positions yields BOTH outputs:
+    //  - merged-span starts: a hit with no other hit in the 7 positions
+    //    before it opens a maximal span — a linear fold over the sorted
+    //    positions (a hits×hits band self-join goes per-doc-quadratic on
+    //    a boilerplate-heavy document; the fold stays linear);
+    //  - the covered-word cut set: ∪ [pos, pos+7], 8·|hits|-bounded.
+    val perDoc = hits
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("pos"))).as("ps"))
-      .select(col("doc_id"), aggregate(
-        col("ps"),
-        struct(lit(-1000000).as("prev"), lit(0L).as("cnt")),
-        (acc, p) => struct(p.as("prev"),
-          (acc.getField("cnt") +
-            when(p - acc.getField("prev") > 7, 1L).otherwise(0L)).as("cnt")),
-        acc => acc.getField("cnt")).as("n_spans_cut"))
-    docs.select(col("doc_id"), size(col("w")).cast("long").as("n_words"))
-      .join(clean, Seq("doc_id"), "left")
-      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        aggregate(
+          col("ps"),
+          struct(lit(-1000000).as("prev"), lit(0L).as("cnt")),
+          (acc, p) => struct(p.as("prev"),
+            (acc.getField("cnt") +
+              when(p - acc.getField("prev") > 7, 1L).otherwise(0L)).as("cnt")),
+          acc => acc.getField("cnt")).as("n_spans_cut"),
+        array_distinct(flatten(transform(col("ps"),
+          p => sequence(p, p + 7)))).as("cut"))
+    // Doc-level splice: kept indices = [0..n) \ cut (array_except keeps
+    // first-array order, hash-set probe — linear per doc), words fetched
+    // by index. A doc with no hits short-circuits to its original body.
+    docs.select(col("doc_id"), col("body"), col("w"),
+        size(col("w")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("cut").isNull, lit(null).cast("array<int>"))
+          .otherwise(array_except(sequence(lit(0), size(col("w")) - 1), col("cut"))))
       .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        when(col("cut").isNull, lit(0L))
+          .otherwise(col("n_words") - size(col("kept"))).as("n_removed"),
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+        when(col("cut").isNull, col("body"))
+          .otherwise(array_join(transform(col("kept"),
+            i => element_at(col("w"), i + 1)), " ")).as("text_clean"))
   }
 
   val q88SpanRemoval: Q = (s, d) => {
@@ -3840,10 +3882,15 @@ object PipelineCatalog {
         encode(col("text"), "UTF-8").as("content"))
       .as[graft.operators.Multimodal.MediaRow]
     val dec = graft.operators.Multimodal.decode(media).toDF()
+    // Frames join on PATH, not the content-hash id: exact-duplicate texts
+    // share a sha256 id, and an id-keyed groupBy+join would cross-assign /
+    // double n_frames across the colliding rows (real corpora have exact
+    // dups; sf0.1 has 8 such pairs). The path is unique per media row —
+    // the same key a real frame extractor would carry.
     val frames = graft.operators.Multimodal.sampleFrames(dec, 500L)
-      .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_frames"))
     graft.operators.Multimodal.resizeTo(dec, 256)
-      .join(frames, Seq("id"), "left")
+      .join(frames, Seq("path"), "left")
       .select(
         regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
         col("kind"), col("width"), col("height"),

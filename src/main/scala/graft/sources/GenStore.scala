@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * (MinHash band buckets) and QualityModel (classifier coefficients) are
   * thin LAYOUTS over this one lifecycle:
   *
-  *   - artifact path resolution beside the source table (lakehouse: the
-  *     index travels with the data; read-only source → env/tmp fallback)
+  *   - artifact path resolution under GRAFT_INDEX_DIR/tmpdir keyed by the
+  *     source table's path (the beside-the-table lakehouse layout is an
+  *     explicit opt-in — input data is never written next to by default)
   *   - source content stamps + manifest-gated ensure (build exactly once
   *     per (stamp, params); rebuild on any mismatch)
   *   - the `_graft_epoch` atomic pointer: rewrites (compaction, retrain)
@@ -60,18 +61,22 @@ object GenStore {
   // Artifact location + source stamps
   // ---------------------------------------------------------------------
 
-  /** Artifact location: BESIDE the table it derives from —
-    * `<table>.<suffix>/` — when the parent is writable (the at-rest
-    * lakehouse layout); a read-only source (this sandbox's /root/testdata)
-    * falls back to `GRAFT_INDEX_DIR` or the JVM tmpdir, keyed by the
-    * table's absolute path (+ an optional discriminator for sibling
-    * artifacts of the same table, e.g. the PQ codes).
+  /** Artifact location: `GRAFT_INDEX_DIR` (or the JVM tmpdir), keyed by
+    * the source table's absolute path (+ an optional discriminator for
+    * sibling artifacts of the same table, e.g. the PQ codes). The at-rest
+    * lakehouse layout — the artifact BESIDE the table it derives from,
+    * `<table>.<suffix>/` — is available by setting `GRAFT_INDEX_BESIDE=1`,
+    * but is opt-IN: a `canWrite` probe is not authorization (it returns
+    * true for a privileged process even on data that is contractually
+    * read-only, and an engine must never scribble index state next to
+    * input data it does not own).
     */
   def artifactPath(sfDir: String, table: String, suffix: String,
       fallbackTag: String, key: String = ""): String = {
     val src = new java.io.File(s"$sfDir/$table")
     val parent = src.getAbsoluteFile.getParentFile
-    if (parent != null && parent.canWrite)
+    if (sys.env.get("GRAFT_INDEX_BESIDE").contains("1") &&
+        parent != null && parent.canWrite)
       new java.io.File(parent, s"$table.$suffix").toString
     else {
       val root = sys.env.get("GRAFT_INDEX_DIR")

@@ -36,8 +36,9 @@ class QualityModelSpec extends AnyFunSuite {
     }.toDF("doc_id", "lang", "text")
   }
 
-  /** Write a documents.parquet under a fresh writable sfDir so modelPath
-    * resolves beside it (the lakehouse layout, no env fallback).
+  /** Write a documents.parquet under a fresh sfDir; modelPath keys the
+    * tmpdir artifact off its absolute path, so each tag gets its own
+    * isolated artifact.
     */
   private def freshSfDir(tag: String, docs: DataFrame): String = {
     val dir = java.nio.file.Files
