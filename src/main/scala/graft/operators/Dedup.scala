@@ -391,6 +391,82 @@ object Dedup {
         graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Corpus-internal near-duplicate pairs served from a persisted
+    * [[graft.sources.BandStore]] — the deployment-scale form of
+    * [[minhashNearDuplicates]]: the corpus was banding-fingerprinted once
+    * at ingest, so this self-joins the STORED band rows on (band, bucket
+    * hash) and re-shingles only the docs that actually collided, for the
+    * exact Jaccard verification (an id-semi-join, size-gated like the
+    * stores' tombstone joins). Candidate emission is the same emit-once
+    * first-agreeing-band filter as the inline operator — the output is
+    * value-identical to [[minhashNearDuplicates]] at the store's
+    * (numHashes, bands); the corpus text is never re-fingerprinted.
+    */
+  def storedNearDuplicates(
+      corpus: DataFrame, store: graft.sources.BandStore.Store,
+      idCol: String, textCol: String, threshold: Double = 0.7): DataFrame = {
+    val bands = store.nBands
+    def bandEqual(i: Int): Column =
+      element_at(col("bhs_a"), i + 1) === element_at(col("bhs_b"), i + 1)
+    val firstEqualBand = (1 until bands)
+      .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
+    val rows = store.rows
+    // snapshot: candidates feed the semi-join AND both sides of the
+    // verify join — duplicate-rate-bounded, so the checkpoint is tiny
+    val candidates = rows
+      .select(col("c_id").as("a_id"), col("bhs").as("bhs_a"), col("band"), col("bh"))
+      .join(rows.select(col("c_id").as("b_id"), col("bhs").as("bhs_b"),
+          col("band").as("band_b"), col("bh").as("bh_b")),
+        col("band") === col("band_b") && col("bh") === col("bh_b") &&
+          col("a_id") < col("b_id"))
+      .filter(col("band") === firstEqualBand)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val ids = candidates.select(col("a_id").as("cand_id"))
+      .unionByName(candidates.select(col("b_id").as("cand_id"))).distinct()
+    val nIds = ids.count()
+    val sh = {
+      val semi =
+        if (nIds * 64L <= graft.sources.GenStore.MaxTombstoneBroadcastBytes)
+          corpus.join(broadcast(ids), corpus(idCol) === ids("cand_id"), "left_semi")
+        else corpus.hint("shuffle_hash")
+          .join(ids.hint("shuffle_hash"),
+            corpus(idCol) === ids("cand_id"), "left_semi")
+      semi.select(col(idCol).as("doc"),
+        WordShingles.wordShingles(col(textCol)).as("shingles"))
+    }
+    candidates
+      .join(sh.select(col("doc").as("a_id"), col("shingles").as("sh_a")), "a_id")
+      .join(sh.select(col("doc").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter").cast("long").as("inter"),
+        graft.queries.Catalog.rnd(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[fuzzyDecontaminate]] probing a persisted [[graft.sources.BandStore]]
+    * instead of re-fingerprinting the corpus: the benchmark (tiny)
+    * fingerprints itself, prunes the store to its own bucket partitions,
+    * and only the colliding corpus docs are re-shingled for the exact
+    * Jaccard verification — [[incrementalNearDuplicates]] with the
+    * benchmark as the "batch". Returns the distinct contaminated corpus
+    * ids as `idCol`. The benchmark ids are namespaced (offset) first:
+    * fuzzy decontamination has NO self-pair exclusion — a benchmark
+    * extract must flag its own source doc — while the incremental probe's
+    * `b_id =!= c_id` guard would silently drop exactly those rows if the
+    * benchmark reused corpus ids.
+    */
+  def storedFuzzyDecontaminate(
+      corpus: DataFrame, bench: DataFrame,
+      store: graft.sources.BandStore.Store,
+      idCol: String, textCol: String, threshold: Double = 0.3): DataFrame = {
+    val benchNs = bench.withColumn(idCol, col(idCol) + lit(1000000000L))
+    incrementalNearDuplicates(benchNs, corpus, store, idCol, textCol, threshold)
+      .select(col("c_id").as(idCol)).distinct()
+  }
+
   /** Fuzzy benchmark decontamination — the MinHash complement to exact
     * n-gram overlap scrubbing: a paraphrased or lightly-edited benchmark
     * extract shares most (not all) shingles with its source, so exact

@@ -3618,8 +3618,33 @@ object PipelineCatalog {
   // replay fragments verbatim — no new cross-engine surface.
   // -------------------------------------------------------------------------
 
-  val q98CurationPipeline: Q = (s, d) => {
-    val docs = docsWide(s, d)
+  /** The exact-8-gram decontamination flag frame `(doc_id, _dirty)` of
+    * q98's stage (3): corpus docs sharing any word-8-gram with the
+    * doc-25..35 benchmark extract.
+    */
+  private def q98Contaminated(docs: DataFrame): DataFrame = {
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(explode(graft.operators.WordShingles.wordShingles(
+        substring(col("text"), 21, 120), 8)).as("shingle"))
+      .distinct()
+    docs
+      .select(col("doc_id"),
+        explode(graft.operators.WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+      .withColumn("_dirty", lit(true))
+  }
+
+  /** q98's flag assembly over pluggable gate lineages: `pairs` (near-dup
+    * candidates, [[Dedup.minhashNearDuplicates]]-shaped) and
+    * `contaminated` (`(doc_id, _dirty)`) are parameters so the composed
+    * recipe (q99) can serve them from the persisted BandStore / the
+    * shared positional-hash basis while remaining value-identical to the
+    * from-scratch component queries (QueriesSpec's q99 agreement test
+    * pins that).
+    */
+  private def q98Core(docs: DataFrame, pairs: DataFrame,
+      contaminated: DataFrame): DataFrame = {
     // (1) quality gate — q67's silver-label rule, guarded for empty docs
     val quality = docs
       .withColumn("toks", TextAnalytics.tokens(col("text")))
@@ -3633,21 +3658,8 @@ object PipelineCatalog {
               / 10.0, lit(1.0))) >= QcTau))
       .select(col("doc_id"), col("q_ok"))
     // (2) near-dup canonicalization — q85's pairs → CC → survivor flag
-    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-      numHashes = 32, bands = 8, threshold = 0.5)
     val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
       .select(col("node").as("doc_id"), col("is_canonical"))
-    // (3) decontamination — any shared word-8-gram with the q57 benchmark
-    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
-      .select(explode(graft.operators.WordShingles.wordShingles(
-        substring(col("text"), 21, 120), 8)).as("shingle"))
-      .distinct()
-    val contaminated = docs
-      .select(col("doc_id"),
-        explode(graft.operators.WordShingles.wordShingles(col("text"), 8)).as("shingle"))
-      .join(broadcast(bench), Seq("shingle"))
-      .select(col("doc_id")).distinct()
-      .withColumn("_dirty", lit(true))
     docs.select(col("doc_id"))
       .join(quality, Seq("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
@@ -3661,6 +3673,14 @@ object PipelineCatalog {
       .select(col("doc_id"), col("q_ok"), col("is_canonical"), col("clean"),
         col("kept"), col("shard"))
       .orderBy(col("doc_id"))
+  }
+
+  val q98CurationPipeline: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    q98Core(docs,
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5),
+      q98Contaminated(docs))
   }
 
   private val q98Sql = {
@@ -3741,25 +3761,46 @@ object PipelineCatalog {
   // construction (q99 calls the same lineages), and the spec asserts it.
   // 100 TB: all stages are linear scans + bounded joins (benchmark side
   // broadcast, span frequency map-side combined, rollup expands before the
-  // partial agg) — composing them adds no new shuffle class. The from-
-  // scratch composition fingerprints the corpus once per MinHash gate
-  // (near-dup + fuzzy); at deployment scale both gates probe the SAME
-  // persisted BandStore instead (the q96/q97 incremental path), so the
-  // corpus is banded exactly once at ingest and never re-shingled here.
+  // partial agg) — composing them adds no new shuffle class. Both MinHash
+  // gates (near-dup + fuzzy) probe the SAME persisted BandStore (the
+  // q96/q97 incremental path): the corpus is banded exactly once at
+  // ingest, the self-join / benchmark probe read stored band rows, and
+  // only colliding docs are ever re-shingled. The positional 8-gram hash
+  // basis is ONE lineage shared by the span-removal and exact-
+  // decontamination stages; it is deliberately NOT checkpointed — at
+  // this scale the per-consumer recompute (a scan + codegen'd hashing,
+  // no shuffle) costs less than a materialization barrier (measured:
+  // 2.2s vs 3.2s at sf0.1), and at deployment scale the basis would
+  // persist as an ingest-time artifact beside the band store rather
+  // than be checkpointed per query. Value-identity with the from-
+  // scratch component queries (q98/q93) is pinned by QueriesSpec's q99
+  // agreement test and the driver's oracle row.
   // -------------------------------------------------------------------------
 
   val q99FullRecipe: Q = (s, d) => {
     val docs = docsWide(s, d)
-    val flags = q98CurationPipeline(s, d)
+    val store = graft.sources.BandStore.ensure(s, docs, "doc_id", "text", d)
+    val docsW = docs.select(col("doc_id"), trim(col("text")).as("body"))
+      .withColumn("w", split(col("body"), " "))
+    val spH = positionalShingleHashes(docsW)
+    val pairs = Dedup.storedNearDuplicates(docs, store, "doc_id", "text",
+      threshold = 0.5)
+    val benchExact = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(col("doc_id"), trim(substring(col("text"), 21, 120)).as("body"))
+      .withColumn("w", split(col("body"), " "))
+    val benchExactH = positionalShingleHashes(benchExact)
+      .select(col("h1"), col("h2")).distinct()
+    val contaminated = spH.join(broadcast(benchExactH), Seq("h1", "h2"))
+      .select(col("doc_id")).distinct().withColumn("_dirty", lit(true))
+    val flags = q98Core(docs, pairs, contaminated)
       .select(col("doc_id"), col("q_ok"), col("is_canonical"), col("clean"))
     val benchFuzzy = docs.filter(col("doc_id") >= 5 && col("doc_id") < 15)
       .select(col("doc_id"),
         concat(substring(col("text"), 21, 300), lit(" held out eval")).as("text"))
-    val fuzzyDirty = Dedup.fuzzyDecontaminate(docs, benchFuzzy, "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 0.3)
-      .select(col("doc_id")).withColumn("_fdirty", lit(true))
-    val cleaned = removeDupSpans(
-      docs.select(col("doc_id"), trim(col("text")).as("body")))
+    val fuzzyDirty = Dedup.storedFuzzyDecontaminate(docs, benchFuzzy, store,
+        "doc_id", "text", threshold = 0.3)
+      .withColumn("_fdirty", lit(true))
+    val cleaned = removeDupSpansFrom(docsW, spH)
     docs.select(col("doc_id"), col("lang"), col("source"))
       .join(flags, Seq("doc_id"))
       .join(fuzzyDirty, Seq("doc_id"), "left")

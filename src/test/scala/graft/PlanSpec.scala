@@ -407,7 +407,8 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(probe.contains("PartitionFilters") && probe.contains("bh_bucket"),
       "store probe lost bh_bucket partition pruning")
-    assert(probe.contains("_graft_bands"), "candidates must come from the persisted store")
+    assert(probe.contains(graft.sources.BandStore.storePath(Sf)),
+      "candidates must come from the persisted store")
     assert("band_minhash\\(".r.findAllIn(probe).size >= 1,
       "batch side must fingerprint itself")
     // exactly ONE documents scan (the batch side); a second one means the
@@ -430,6 +431,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.toLowerCase.contains("cartesianproduct"),
       "full recipe degenerated to a non-equi join")
+    // both MinHash gates are served from the persisted BandStore (their
+    // probes are checkpointed before the final plan): the recipe's own
+    // plan must never fingerprint the corpus
+    assert(!p.contains("band_minhash"),
+      "q99 must serve banding from the BandStore, not re-fingerprint")
     // q98's trailing orderBy feeds a join here; EliminateSorts must have
     // removed it — exactly ONE range partitioning (q99's own final sort)
     assert("rangepartitioning".r.findAllIn(p).size == 1,
