@@ -37,10 +37,17 @@ object StoreProfile {
       val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
       df.select(h.as("h")).agg(expr("bit_xor(h)")).head()
     }
-    // same warmup as Bench
-    try graft.SparkEntry.queries.take(3).foreach { case (_, fn) =>
-      run(fn(spark, "/root/testdata/sf0.001"))
-    } catch { case _: Throwable => () }
+    // same warmup as Bench — derived from sfDir, skip LOGGED, not silent
+    graft.Bench.warmupDir(sfDir) match {
+      case Some(wd) =>
+        try graft.SparkEntry.queries.take(3).foreach { case (_, fn) =>
+          run(fn(spark, wd))
+        } catch { case e: Throwable =>
+          System.err.println(s"[profile] warmup failed: ${e.getMessage}") }
+      case None =>
+        System.err.println("[profile] warmup SKIPPED: no sf0.001 sibling " +
+          s"of $sfDir and SPARK_GRAFT_WARM_DIR unset")
+    }
 
     val names = Seq("q89_stream_ivf", "q90_stream_pq", "q97_stream_near_dup",
       "q88_span_removal", "q85_dedup_apply")
