@@ -998,6 +998,81 @@ object IngestCatalog {
        SELECT doc_id, idx, chunk FROM e ORDER BY doc_id, idx"""
 
   // -------------------------------------------------------------------------
+  // q101: skip ledger (P7 observability) — the files the empty-content
+  // guard drops, each with a per-file reason. Three dropped families per
+  // document: whitespace-only text (empty_file; doc_id%3 spaces, so a
+  // third are genuinely zero-byte), tag-only HTML, and an image-only
+  // DCTDecode PDF (extraction_empty: non-empty bytes, no extractable
+  // text — the scanned-PDF shape pypdf also returns nothing for,
+  // parse_pdf.py:1-14) — plus a kept text file that must NOT appear.
+  // Like q34/q64 this is an expected-values oracle: the SQL states the
+  // classification the REAL scan+route lineage must reproduce.
+  // -------------------------------------------------------------------------
+
+  /** A one-page PDF whose only content is a 1×1 DCT (JPEG) image XObject
+    * draw — no text operators anywhere, the canonical scanned page.
+    */
+  private val ScannedPdfB64: String = {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
+    val draw = "q 612 0 0 792 0 0 cm /Im0 Do Q"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${draw.length} >>\nstream\n$draw\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /XObject /Subtype /Image /Width 1 /Height 1" +
+      " /BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter /DCTDecode" +
+      s" /Length ${jpeg.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      jpeg ++
+      "\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF".getBytes("ISO-8859-1")
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+  private val ScannedPdfLen: Int =
+    java.util.Base64.getDecoder.decode(ScannedPdfB64).length
+
+  private val TagOnlyHtml =
+    "<html><head><style>p{color:red}</style></head><body><div></div></body></html>"
+
+  private def ledgerFiles(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    def f(path: org.apache.spark.sql.Column, content: org.apache.spark.sql.Column) =
+      base.select(path.as("path"), content.as("content"))
+    val kept = f(concat(lit("dz/keep/"), col("doc_id"), lit(".txt")),
+      encode(concat(lit("doc "), col("text")), "UTF-8"))
+    // 1..3 spaces, never zero bytes: a real directory scan produces no
+    // splits for zero-length files, so the in-memory frame matches it
+    val blank = f(concat(lit("dz/blank/"), col("doc_id"), lit(".txt")),
+      encode(repeat(lit(" "), (pmod(col("doc_id"), lit(3)) + 1).cast("int")), "UTF-8"))
+    val web = f(concat(lit("dz/web/"), col("doc_id"), lit(".html")),
+      encode(lit(TagOnlyHtml), "UTF-8"))
+    val scan = f(concat(lit("dz/scan/"), col("doc_id"), lit(".pdf")),
+      unbase64(lit(ScannedPdfB64)))
+    kept.unionByName(blank).unionByName(web).unionByName(scan)
+      .withColumn("length", octet_length(col("content")).cast("long"))
+  }
+
+  val q101SkipLedger: Q = (s, d) =>
+    FileIngest.skipLedger(FileIngest.scanFilesFrame(ledgerFiles(s, d), "dz"))
+      .orderBy(col("path"))
+
+  private val q101Sql =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       e AS (
+         SELECT 'blank/' || doc_id || '.txt' AS path, 'text' AS kind,
+                CAST(doc_id % 3 + 1 AS BIGINT) AS bytes, 'empty_file' AS reason
+         FROM d
+         UNION ALL
+         SELECT 'scan/' || doc_id || '.pdf', 'pdf',
+                CAST($ScannedPdfLen AS BIGINT), 'extraction_empty'
+         FROM d
+         UNION ALL
+         SELECT 'web/' || doc_id || '.html', 'html',
+                CAST(${TagOnlyHtml.length} AS BIGINT), 'extraction_empty'
+         FROM d)
+       SELECT path, kind, bytes, reason FROM e ORDER BY path"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q33_ingest_text" -> q33IngestText,
@@ -1021,6 +1096,7 @@ object IngestCatalog {
     "q66_pdf_deep" -> q66PdfDeep,
     "q80_csv_row_chunks" -> q80CsvRowChunks,
     "q91_bloom_dedup" -> q91BloomDedup,
+    "q101_skip_ledger" -> q101SkipLedger,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1045,5 +1121,6 @@ object IngestCatalog {
     "q66_pdf_deep" -> q66Sql,
     "q80_csv_row_chunks" -> q80Sql,
     "q91_bloom_dedup" -> q91Sql,
+    "q101_skip_ledger" -> q101Sql,
   )
 }

@@ -174,19 +174,45 @@ object FileIngest {
         .select(col("path"), col("content"), col("length"), col("modificationTime")),
       dropzone)
 
+  /** The routed document text: binary kinds parse from the raw bytes
+    * (JDK-native extractors); everything else routes on the decoded text.
+    */
+  private def routedTextCol(scanned: DataFrame): Column =
+    when(col("kind") === "pdf", BinaryDocs.pdfTextCol(col("content")))
+      .when(col("kind") === "doc", BinaryDocs.docxTextCol(col("content")))
+      .otherwise(routeText(col("kind"), col("raw_text"), col("relpath"),
+        mediaText =
+          if (scanned.columns.contains("media_text")) Some(col("media_text"))
+          else None))
+
+  /** Skip ledger: the files the P7 empty-content guard drops, each with
+    * its reason — `extraction_empty` when a NON-empty source yielded no
+    * text (image-only/scanned PDFs — the DCT/JPX filters extract nothing,
+    * matching pypdf's no-OCR behavior — undecryptable files, tag-only
+    * HTML) vs `empty_file` when the source itself was empty/whitespace.
+    * The reference drops these silently (process.py:422-425); at dropzone
+    * scale that makes the most common real-world nothing-ingested case
+    * (scanned PDFs) unobservable, so the ledger surfaces it per file.
+    * Runs the SAME routing lineage as the ingest — one narrow map, no
+    * shuffle; callers union its counts into the ingest summary.
+    */
+  def skipLedger(scanned: DataFrame): DataFrame =
+    scanned
+      .withColumn("text", routedTextCol(scanned))
+      .filter(trim(col("text")) === "")
+      .select(col("relpath").as("path"), col("kind"), col("bytes"),
+        when(col("bytes") === 0 || trim(col("raw_text")) === "", "empty_file")
+          .otherwise("extraction_empty").as("reason"))
+
+  /** [[skipLedger]] over a dropzone directory scan. */
+  def skipLedger(spark: SparkSession, dropzone: String): DataFrame =
+    skipLedger(scanFiles(spark, dropzone))
+
   private def routePlain(scanned: DataFrame): DataFrame =
     scanned
-      .withColumn("text",
-        // binary kinds parse from the raw bytes (JDK-native extractors);
-        // everything else routes on the decoded text
-        when(col("kind") === "pdf", BinaryDocs.pdfTextCol(col("content")))
-          .when(col("kind") === "doc", BinaryDocs.docxTextCol(col("content")))
-          .otherwise(routeText(col("kind"), col("raw_text"), col("relpath"),
-            mediaText =
-              if (scanned.columns.contains("media_text")) Some(col("media_text"))
-              else None)))
+      .withColumn("text", routedTextCol(scanned))
       .drop("media_text")
-      .filter(trim(col("text")) =!= "") // P7 empty-content guard
+      .filter(trim(col("text")) =!= "") // P7 empty-content guard (skipLedger shows the drops)
       .withColumn("document_id", Uuid5.documentId(col("relpath")))
       .select(col("document_id"), col("kind"), col("relpath").as("path"),
         col("text"), col("content_sig"), col("bytes"),

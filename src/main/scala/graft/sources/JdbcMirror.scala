@@ -14,45 +14,51 @@ import org.apache.spark.sql.functions._
   * Scale contract (what `df.write.jdbc(mode=overwrite)` gets wrong at
   * 100 TB): a mirror refresh must move only the DELTA. [[upsert]] stages
   * the delta with Spark's parallel JDBC writer (executors stream
-  * partitions straight into `<table>_stage`), then one driver-side
-  * set-wise `DELETE … WHERE id IN (SELECT id FROM stage)` + `INSERT …
-  * SELECT` publishes it transactionally on the DB side — no row ever
-  * passes through the driver, and replacement is by-key, not
+  * partitions straight into a per-call stage table), then one
+  * driver-side set-wise `DELETE … WHERE id IN (SELECT id FROM stage)` +
+  * `INSERT … SELECT` publishes it transactionally on the DB side — no
+  * row ever passes through the driver, and replacement is by-key, not
   * by-truncation. Deletes ride the `documents` FK cascade, mirroring the
   * reference DDL.
   *
-  * Dialect: tested against embedded Derby (the JDBC engine in
-  * /opt/spark/jars); Postgres differs only in the bootstrap DDL types
-  * (UUID/TIMESTAMPTZ/TEXT[] vs CHAR(36)/TIMESTAMP/VARCHAR — tags are
-  * comma-joined in the portable shape).
+  * Dialects: [[DerbyDialect]] (embedded Derby, the JDBC engine in
+  * /opt/spark/jars — the in-sandbox round-trip target) and
+  * [[PostgresDialect]], whose bootstrap DDL reproduces the reference
+  * migration verbatim in type shape (UUID / TEXT / TIMESTAMPTZ DEFAULT
+  * now() / TEXT[] / CHECK kind) and whose publish step casts the staged
+  * string columns back into those types. The dialect is derived from the
+  * JDBC URL; `JdbcMirrorSpec` validates the generated Postgres SQL
+  * against the migration's shapes, and a live round-trip runs when
+  * `GRAFT_PG_URL` points at a real server (env-gated, like
+  * ServiceSoakSpec).
   */
 object JdbcMirror {
 
-  final case class Target(url: String, user: String = "", password: String = "") {
-    def props: java.util.Properties = {
-      val p = new java.util.Properties()
-      if (user.nonEmpty) p.setProperty("user", user)
-      if (password.nonEmpty) p.setProperty("password", password)
-      p
-    }
-  }
-
-  private def withConn[A](t: Target)(f: Connection => A): A = {
-    val c = DriverManager.getConnection(t.url, t.props)
-    try f(c) finally c.close()
-  }
-
-  private def tableExists(c: Connection, name: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, name.toUpperCase, null)
-    try rs.next() finally rs.close()
-  }
-
-  /** Reference-DDL bootstrap (idempotent). Key/text types are the
-    * portable dialect; the FK keeps ON DELETE CASCADE so document
-    * deletion propagates inside the DB exactly as in the reference.
+  /** Per-engine SQL generation: bootstrap DDL, and the publish-time
+    * SELECT expressions that convert a staged column (written by Spark's
+    * JDBC writer, which maps StringType to CLOB/TEXT) into the target
+    * column's declared type.
     */
-  def bootstrap(t: Target): Unit = withConn(t) { c =>
-    val ddl = Seq(
+  sealed trait Dialect {
+    def name: String
+    /** table -> CREATE TABLE, in FK order. */
+    def bootstrapDdl: Seq[(String, String)]
+    /** SELECT-list expression for staged column `column` of `table`,
+      * with the stage aliased `s`.
+      */
+    def publishExpr(table: String, column: String): String
+    /** Expression extracting the staged key for the DELETE probe —
+      * must be type-compatible with the target key column.
+      */
+    def keyProbe(keyCol: String): String
+  }
+
+  /** Portable embedded-engine shape: CHAR(36) keys, TIMESTAMP,
+    * comma-joined tags in a CLOB.
+    */
+  case object DerbyDialect extends Dialect {
+    val name = "derby"
+    val bootstrapDdl: Seq[(String, String)] = Seq(
       "documents" ->
         """CREATE TABLE documents (
            id CHAR(36) PRIMARY KEY,
@@ -76,42 +82,132 @@ object JdbcMirror {
            caption CLOB,
            tags CLOB,
            created_at TIMESTAMP)""")
+    def publishExpr(table: String, column: String): String = s"""s."$column""""
+    def keyProbe(keyCol: String): String =
+      s"""CAST(s."$keyCol" AS VARCHAR(512))"""
+  }
+
+  /** Reference-faithful Postgres shape (db/migrations/0001_init.sql:1-25):
+    * UUID keys, TEXT, TIMESTAMPTZ DEFAULT now(), TEXT[] tags, CHECK'd
+    * kind. The stage lands string-typed, so publish casts keys to uuid,
+    * timestamps to timestamptz, and splits tags with string_to_array.
+    */
+  case object PostgresDialect extends Dialect {
+    val name = "postgres"
+    val bootstrapDdl: Seq[(String, String)] = Seq(
+      "documents" ->
+        """CREATE TABLE documents (
+           id UUID PRIMARY KEY,
+           filename TEXT NOT NULL,
+           kind TEXT CHECK (kind IN ('text','image','pdf','audio')) NOT NULL,
+           size_bytes BIGINT,
+           mime TEXT,
+           created_at TIMESTAMPTZ DEFAULT now())""",
+      "chunks" ->
+        """CREATE TABLE chunks (
+           id UUID PRIMARY KEY,
+           document_id UUID REFERENCES documents(id) ON DELETE CASCADE,
+           idx INT NOT NULL,
+           text TEXT NOT NULL,
+           created_at TIMESTAMPTZ DEFAULT now())""",
+      "images" ->
+        """CREATE TABLE images (
+           id UUID PRIMARY KEY,
+           document_id UUID REFERENCES documents(id) ON DELETE CASCADE,
+           path TEXT NOT NULL,
+           caption TEXT,
+           tags TEXT[],
+           created_at TIMESTAMPTZ DEFAULT now())""")
+    def publishExpr(table: String, column: String): String = column match {
+      case "id" | "document_id" => s"""CAST(s."$column" AS uuid)"""
+      case "created_at"         => s"""CAST(s."$column" AS timestamptz)"""
+      case "tags" if table == "images" =>
+        s"""string_to_array(NULLIF(s."$column", ''), ',')"""
+      case _ => s"""s."$column""""
+    }
+    def keyProbe(keyCol: String): String = s"""CAST(s."$keyCol" AS uuid)"""
+  }
+
+  def dialectFor(url: String): Dialect =
+    if (url.startsWith("jdbc:postgresql")) PostgresDialect else DerbyDialect
+
+  final case class Target(url: String, user: String = "", password: String = "") {
+    val dialect: Dialect = dialectFor(url)
+    def props: java.util.Properties = {
+      val p = new java.util.Properties()
+      if (user.nonEmpty) p.setProperty("user", user)
+      if (password.nonEmpty) p.setProperty("password", password)
+      p
+    }
+  }
+
+  private def withConn[A](t: Target)(f: Connection => A): A = {
+    val c = DriverManager.getConnection(t.url, t.props)
+    try f(c) finally c.close()
+  }
+
+  private def tableExists(c: Connection, name: String): Boolean = {
+    // Derby folds unquoted identifiers UP, Postgres folds DOWN — probe both
+    Seq(name.toUpperCase, name.toLowerCase).exists { n =>
+      val rs = c.getMetaData.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+  }
+
+  /** Reference-DDL bootstrap (idempotent). The FK keeps ON DELETE
+    * CASCADE so document deletion propagates inside the DB exactly as in
+    * the reference.
+    */
+  def bootstrap(t: Target): Unit = withConn(t) { c =>
     val st = c.createStatement()
-    try ddl.foreach { case (name, sql) =>
+    try t.dialect.bootstrapDdl.foreach { case (name, sql) =>
       if (!tableExists(c, name)) st.executeUpdate(sql.replaceAll("\\s+", " "))
     } finally st.close()
   }
 
+  /** The publish statements [[upsert]] runs, exposed for spec-level
+    * validation of the dialect branch without a live server.
+    */
+  def publishSql(table: String, keyCol: String, columns: Seq[String],
+      stage: String, d: Dialect): Seq[String] = Seq(
+    s"DELETE FROM $table WHERE $keyCol IN" +
+      s" (SELECT ${d.keyProbe(keyCol)} FROM $stage s)",
+    s"INSERT INTO $table (${columns.mkString(", ")})" +
+      s" SELECT ${columns.map(d.publishExpr(table, _)).mkString(", ")}" +
+      s" FROM $stage s")
+
   /** Delta upsert: stage with the parallel executor-side JDBC writer,
     * publish with one set-wise DELETE+INSERT on the DB. `df` must carry
-    * the target table's columns; replacement is by `keyCol`.
+    * the target table's columns; replacement is by `keyCol`. The stage
+    * name is unique per call (concurrent upserts into the same table
+    * cannot interleave each other's deltas) and is dropped in a finally
+    * block, so a failed publish does not strand it.
     */
   def upsert(df: DataFrame, table: String, keyCol: String, t: Target): Unit = {
-    val stage = s"${table}_stage"
+    val stage = s"${table}_stg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     df.write.mode("overwrite").jdbc(t.url, stage, t.props)
-    withConn(t) { c =>
-      c.setAutoCommit(false)
-      val st = c.createStatement()
-      try {
-        // the stage column MUST be table-qualified AND quoted: Spark's
-        // JDBC writer creates case-sensitive (quoted) column names, so an
+    try {
+      withConn(t) { c =>
+        c.setAutoCommit(false)
+        val st = c.createStatement()
+        // staged columns MUST be table-qualified AND quoted: Spark's JDBC
+        // writer creates case-sensitive (quoted) column names, so an
         // unqualified `keyCol` in the subquery would fail to resolve
         // against the stage and silently CORRELATE to the outer table —
         // `WHERE id IN (SELECT id)` is a tautology that deletes every row
-        // the CAST makes the stage's string type (CLOB under Derby's
-        // Spark dialect) comparable with the target's CHAR key
-        st.executeUpdate(
-          s"""DELETE FROM $table WHERE $keyCol IN""" +
-            s""" (SELECT CAST(s."$keyCol" AS VARCHAR(512)) FROM $stage s)""")
-        st.executeUpdate(
-          s"INSERT INTO $table SELECT * FROM $stage")
-        c.commit()
-      } catch { case e: Throwable => c.rollback(); throw e }
-      finally st.close()
-    }
-    withConn(t) { c =>
-      val st = c.createStatement()
-      try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+        try {
+          publishSql(table, keyCol, df.columns.toSeq, stage, t.dialect)
+            .foreach(st.executeUpdate)
+          c.commit()
+        } catch { case e: Throwable => c.rollback(); throw e }
+        finally st.close()
+      }
+    } finally {
+      try withConn(t) { c =>
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+      } catch { case _: Exception => () } // publish error wins; stray stage is re-droppable
     }
   }
 
@@ -143,8 +239,8 @@ object JdbcMirror {
 
   /** Mirror image-kind rows into the `images` table (the reference's
     * third mirror table: caption + tags per stored image). `tags` arrive
-    * as an array column and land comma-joined — the portable shape for
-    * the reference's TEXT[].
+    * as an array column and stage comma-joined; the Postgres dialect
+    * splits them back into the reference's TEXT[] at publish.
     */
   def mirrorImages(images: DataFrame, t: Target,
       createdAt: java.sql.Timestamp): Unit = {
@@ -172,7 +268,11 @@ object JdbcMirror {
   private def deleteByKey(table: String, keyCol: String, ids: Seq[String],
       t: Target): Unit =
     if (ids.nonEmpty) withConn(t) { c =>
-      val ps = c.prepareStatement(s"DELETE FROM $table WHERE $keyCol = ?")
+      val probe = t.dialect match {
+        case PostgresDialect => s"DELETE FROM $table WHERE $keyCol = CAST(? AS uuid)"
+        case _               => s"DELETE FROM $table WHERE $keyCol = ?"
+      }
+      val ps = c.prepareStatement(probe)
       try {
         ids.foreach { id => ps.setString(1, id); ps.addBatch() }
         ps.executeBatch()

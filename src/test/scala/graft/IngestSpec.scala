@@ -590,6 +590,46 @@ class IngestSpec extends AnyFunSuite {
     assert(flakyDocs("photo.png") == "image: photo.png") // soft-empty → fallback
   }
 
+  test("skip ledger: image-only (DCT) PDFs and empty files are observable drops") {
+    val dz = Files.createTempDirectory("graft-skipledger")
+    // a scanned page: one DCTDecode image XObject, the content stream only
+    // draws it — no text operators, so extraction (like pypdf's) yields ""
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xD9.toByte)
+    val draw = "q 612 0 0 792 0 0 cm /Im0 Do Q"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R" +
+      " /Resources << /XObject << /Im0 5 0 R >> >> >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${draw.length} >>\nstream\n$draw\nendstream\nendobj\n" +
+      "5 0 obj\n<< /Type /XObject /Subtype /Image /Width 1 /Height 1" +
+      " /BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter /DCTDecode" +
+      s" /Length ${jpeg.length} >>\nstream\n").getBytes("ISO-8859-1") ++
+      jpeg ++ "\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF".getBytes("ISO-8859-1")
+    Files.write(dz.resolve("scanned.pdf"), pdf)
+    Files.writeString(dz.resolve("blank.txt"), "   ")
+    // a 0-byte file never surfaces: the file source produces no splits for
+    // zero-length files, so it cannot reach the ledger (nor the ingest)
+    Files.write(dz.resolve("zero.md"), Array.emptyByteArray)
+    Files.writeString(dz.resolve("kept.txt"), "real text survives the guard")
+    Files.writeString(dz.resolve("tagsonly.html"),
+      "<html><head><style>p{color:red}</style></head><body><div></div></body></html>")
+
+    assert(graft.sources.BinaryDocs.pdfText(pdf) == "",
+      "image-only PDF must extract no text")
+    val ledger = FileIngest.skipLedger(spark, dz.toString)
+      .select("path", "kind", "reason").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ledger == Set(
+      ("scanned.pdf", "pdf", "extraction_empty"),
+      ("blank.txt", "text", "empty_file"),
+      ("tagsonly.html", "html", "extraction_empty")))
+    // ledger + ingested partition the kept scan: kept files never appear
+    val ingPaths = FileIngest.ingestDirectory(spark, dz.toString)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+    assert(ingPaths == Set("kept.txt"))
+  }
+
   test("ST6 read-while-write: upsert rewrites only the touched buckets") {
     import java.nio.file.{Files, Paths}
     val store = Files.createTempDirectory("rw").resolve("chunks").toString

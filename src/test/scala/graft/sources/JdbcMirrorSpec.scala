@@ -84,6 +84,66 @@ class JdbcMirrorSpec extends AnyFunSuite {
     assert(images.map(_._1) == Set("i2"))
   }
 
+  test("postgres dialect reproduces the reference migration's type shapes") {
+    // reference db/migrations/0001_init.sql:1-25 — UUID keys, TEXT,
+    // TIMESTAMPTZ DEFAULT now(), TEXT[] tags, CHECK'd kind, FK CASCADE
+    val d = JdbcMirror.PostgresDialect
+    val ddl = d.bootstrapDdl.toMap
+    assert(d.bootstrapDdl.map(_._1) == Seq("documents", "chunks", "images"),
+      "FK order: parents before children")
+    for ((_, sql) <- d.bootstrapDdl)
+      assert(sql.contains("id UUID PRIMARY KEY"))
+    assert(ddl("documents").contains(
+      "kind TEXT CHECK (kind IN ('text','image','pdf','audio')) NOT NULL"))
+    for (t <- Seq("documents", "chunks", "images"))
+      assert(ddl(t).contains("created_at TIMESTAMPTZ DEFAULT now()"))
+    for (t <- Seq("chunks", "images"))
+      assert(ddl(t).contains(
+        "document_id UUID REFERENCES documents(id) ON DELETE CASCADE"))
+    assert(ddl("images").contains("tags TEXT[]"))
+    assert(ddl("chunks").contains("text TEXT NOT NULL"))
+
+    // publish converts the string-typed stage back into those types
+    val Seq(del, ins) = JdbcMirror.publishSql("images", "id",
+      Seq("id", "document_id", "path", "caption", "tags", "created_at"),
+      "images_stg_x", d)
+    assert(del.contains("""CAST(s."id" AS uuid)"""))
+    assert(ins.contains(
+      "INSERT INTO images (id, document_id, path, caption, tags, created_at)"))
+    assert(ins.contains("""CAST(s."document_id" AS uuid)"""))
+    assert(ins.contains("""string_to_array(NULLIF(s."tags", ''), ',')"""))
+    assert(ins.contains("""CAST(s."created_at" AS timestamptz)"""))
+    assert(ins.contains("""s."path""""), "plain TEXT columns pass through")
+
+    assert(JdbcMirror.dialectFor("jdbc:postgresql://h/db") == d)
+    assert(JdbcMirror.dialectFor("jdbc:derby:/tmp/x") == JdbcMirror.DerbyDialect)
+  }
+
+  test("derby publish names its columns (no positional INSERT)") {
+    val Seq(_, ins) = JdbcMirror.publishSql("documents", "id",
+      Seq("id", "filename", "kind", "size_bytes", "mime", "created_at"),
+      "documents_stg_x", JdbcMirror.DerbyDialect)
+    assert(ins.startsWith(
+      "INSERT INTO documents (id, filename, kind, size_bytes, mime, created_at)"),
+      "a reordered caller frame must map by name, not position")
+  }
+
+  test("live postgres round-trip (env-gated: GRAFT_PG_URL)") {
+    val url = sys.env.get("GRAFT_PG_URL")
+    assume(url.nonEmpty, "set GRAFT_PG_URL=jdbc:postgresql://… to run")
+    val t = JdbcMirror.Target(url.get,
+      sys.env.getOrElse("GRAFT_PG_USER", ""), sys.env.getOrElse("GRAFT_PG_PASSWORD", ""))
+    val u1 = "11111111-1111-4111-8111-111111111111"
+    val d1 = "22222222-2222-4222-8222-222222222222"
+    JdbcMirror.mirrorChunks(
+      chunkRows(Seq((u1, d1, "a.txt", "text", 0, "alpha body"))), t, T0)
+    val got = JdbcMirror.readTable(spark, "chunks", t)
+      .where(col("id") === u1).select("document_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((d1, "alpha body")))
+    JdbcMirror.deleteDocuments(Seq(d1), t)
+  }
+
   test("upsert is transactional: a failed publish leaves the table untouched") {
     val t = freshTarget("txn")
     JdbcMirror.bootstrap(t)
