@@ -2215,8 +2215,9 @@ object PipelineCatalog {
     * every word of the corpus as (wi, word) struct rows to reassemble
     * text via array_sort(collect_list) — three corpus-sized exchanges
     * whose per-task state blew past spill thresholds at 10×. Now: hashes
-    * shuffle instead of strings, the frequency aggregation is one
-    * count_distinct (map-side partial) instead of distinct+groupBy, the
+    * shuffle instead of strings, the shared-by-≥2-docs test and the
+    * keeper are window aggregates over the shingle class (the basis
+    * crosses the wire exactly once — no aggregate + re-shuffled join), the
     * covered-word set and the merged-span count come from ONE hits
     * aggregation, and reassembly is a doc-level `array_except` splice —
     * each doc's words never leave their row, so the only doc-sized
@@ -2233,13 +2234,18 @@ object PipelineCatalog {
     * `docs` must carry `(doc_id, body, w)`.
     */
   private def removeDupSpansFrom(docs: DataFrame, spH: DataFrame): DataFrame = {
-    val freq = spH.groupBy(col("h1"), col("h2"))
-      .agg(count_distinct(col("doc_id")).as("ndocs"),
-        min(col("doc_id")).as("keeper"))
-      .filter(col("ndocs") >= 2)
-      .select(col("h1"), col("h2"), col("keeper"))
-    val hits = spH.join(freq, Seq("h1", "h2"))
-      .filter(col("doc_id") =!= col("keeper"))
+    // "shared by ≥2 docs" ⟺ min(doc_id) ≠ max(doc_id) within the shingle
+    // class, keeper = the min — BOTH are unbounded-window aggregates over
+    // (h1, h2), so the whole freq∧hits step is ONE shuffle of the 20-byte
+    // hash rows (window sort by shingle class) instead of the former
+    // aggregate + re-shuffled self-join: the basis crosses the wire once,
+    // and the 10× growth path has one fewer corpus-sized exchange.
+    val byShingle = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h1"), col("h2"))
+    val hits = spH
+      .withColumn("keeper", min(col("doc_id")).over(byShingle))
+      .withColumn("_mx", max(col("doc_id")).over(byShingle))
+      .filter(col("keeper") =!= col("_mx") && col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
     // ONE aggregation over the doc's hit positions yields BOTH outputs:
     //  - merged-span starts: a hit with no other hit in the 7 positions
