@@ -56,6 +56,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache defaults to 100 entries; a 101-query
+      // suite holds several codegen stages per query, so by the time the
+      // late composites run the cache has been evicted end-to-end and
+      // EVERY run pays janino recompilation for every stage (~0.1-0.3s
+      // each). q99 measured 4.2s on both suite runs vs 1.6s steady-state
+      // in a fresh JVM — the delta was recompilation, not the plan. Size
+      // the cache to hold the whole suite, as a long-lived production
+      // session would.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -398,7 +407,7 @@ object Bench {
     // 3x and report build_sec (first run minus warm serve) and serve_sec
     // (min of the warm runs) separately, ratio on SERVE only.
     val storeBackedScale = Set("q96_inc_near_dup", "q97_stream_near_dup",
-      "q89_stream_ivf", "q90_stream_pq")
+      "q89_stream_ivf", "q90_stream_pq", "q99_full_recipe")
 
     // (name, suite_sec, measure_sec, ratio) of measured entries, plus the
     // corpus dir — kept structured so the fresh-context isolation block
@@ -465,9 +474,11 @@ object Bench {
         // expensive shared streaming build (q97 triggers it; q89/q90 then
         // measure serving). A run already past the deadline skips its
         // later repetitions, so one slow build can't eat the whole bench.
+        // q99 after q96: both ensure the scaled-dir band store, so q96's
+        // 3-run split banks the build cost and q99 measures its own serve
         val lineup = Seq("q96_inc_near_dup", "q88_span_removal",
-          "q85_dedup_apply", "q98_curation_pipeline", "q97_stream_near_dup",
-          "q89_stream_ivf", "q90_stream_pq")
+          "q85_dedup_apply", "q98_curation_pipeline", "q99_full_recipe",
+          "q97_stream_near_dup", "q89_stream_ivf", "q90_stream_pq")
         val (entries, skipped0) = scaleEntries(dirPath, lineup, deadline, record = true)
         var skipped = skipped0
         // ingest at scale: same chunk+embed pipeline, normalized per char
@@ -534,8 +545,13 @@ object Bench {
     // warmup the suite got. Same 3-query sf0.001 warmup here, and queries
     // that failed in the suite are excluded from the sample (their isolated
     // number would measure the error path, not the plan).
-    val sampleNames = Seq("q28_embedding_near_dup", "q31_asof_join",
-      "q35_provenance_search").filter(SparkEntry.queries.contains)
+    // plus the suite's slowest successful query: the number most likely to
+    // be session-state-inflated gets a published fresh-context counterpart
+    val slowestName = suiteByName.filterNot { case (k, _) => failed.contains(k) }
+      .maxByOption(_._2).map(_._1)
+    val sampleNames = (Seq("q28_embedding_near_dup", "q31_asof_join",
+      "q35_provenance_search") ++ slowestName).distinct
+      .filter(SparkEntry.queries.contains)
       .filterNot(failed.contains)
     val (isolated: Seq[(String, Double)], scaleRecheck: String) = {
       val s2 = SparkSession.builder()
@@ -548,6 +564,7 @@ object Bench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .getOrCreate()
       s2.sparkContext.setLogLevel("WARN")
       def run2(df: org.apache.spark.sql.DataFrame): Unit = {
