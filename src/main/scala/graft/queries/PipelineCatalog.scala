@@ -2240,6 +2240,14 @@ object PipelineCatalog {
     // hash rows (window sort by shingle class) instead of the former
     // aggregate + re-shuffled self-join: the basis crosses the wire once,
     // and the 10× growth path has one fewer corpus-sized exchange.
+    // The trade: a window partition can't be AQE-skew-split the way a
+    // sort-merge join can, so ONE pathologically hot shingle class (a
+    // license-header 8-gram shared by 10⁸ docs) sorts in one task. Both
+    // forms colocate that class somewhere (the join form colocates it at
+    // the probe), the window spills through UnsafeExternalSorter rather
+    // than OOMing, and halving total wire volume wins at the measured
+    // skew levels — but a corpus with gigarow boilerplate classes would
+    // want the agg+join form back with an explicit hot-class salt.
     val byShingle = org.apache.spark.sql.expressions.Window
       .partitionBy(col("h1"), col("h2"))
     val hits = spH
