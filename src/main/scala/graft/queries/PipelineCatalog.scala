@@ -3988,6 +3988,77 @@ object PipelineCatalog {
        FROM r ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q102: URL/domain-level curation — the web-corpus stage the rest of the
+  // catalog assumed away: parse the domain out of each document's URL,
+  // drop blocklisted domains (exact list ∪ a pattern rule, the C4/
+  // RefinedWeb shape), and cap docs-per-domain so no single host dominates
+  // the training mix (RefinedWeb §3.1 keeps per-domain shares bounded).
+  // The corpus tables carry no URL column, so (like q88's boilerplate
+  // tails) the URL is synthesized deterministically from (doc_id, source)
+  // and the SQL oracle replays the same construction. 100 TB shape: the
+  // blocklist is a broadcast join (thousands of domains, never a shuffle);
+  // the per-domain cap is one row_number window keyed by domain — the
+  // same partitioning a per-domain crawl layout would give for free; a
+  // mega-domain (half the crawl is one CDN) skews that window, which is
+  // why the cap rank orders by a STABLE key (doc_id) and not by anything
+  // requiring a global sort.
+  // -------------------------------------------------------------------------
+
+  private val DomainPool = Seq("news.example.com", "blog.example.org",
+    "cdn.assets.example", "win.spam-casino.biz", "docs.example.io",
+    "forum.example.net")
+  private val DomainBlocklist = Seq("cdn.assets.example", "tracker.example.net")
+  private val DomainCap = 60
+
+  val q102DomainCuration: Q = (s, d) => {
+    val domains = array(DomainPool.map(lit): _*)
+    val block = s.createDataFrame(DomainBlocklist.map(Tuple1(_)))
+      .toDF("bdomain")
+    val withUrl = docsWide(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("url", concat(lit("https://"),
+        element_at(domains, (pmod(col("doc_id"), lit(6)) + 1).cast("int")),
+        lit("/"), col("source"), lit("/"), col("doc_id")))
+      // parse the domain back OUT of the url (the real stage's first step)
+      .withColumn("domain", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(col("doc_id"))
+    withUrl
+      .join(broadcast(block), col("domain") === col("bdomain"), "left")
+      .withColumn("blocked",
+        col("bdomain").isNotNull || col("domain").contains("casino"))
+      .withColumn("dom_rank", row_number().over(byDomain).cast("long"))
+      .select(col("doc_id"), col("url"), col("domain"), col("blocked"),
+        col("dom_rank"),
+        (!col("blocked") && col("dom_rank") <= DomainCap).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q102Sql = {
+    val pool = DomainPool.map(x => s"'$x'").mkString("[", ",", "]")
+    val bl = DomainBlocklist.map(x => s"'$x'").mkString("(", ",", ")")
+    s"""WITH u AS (
+         SELECT doc_id,
+                'https://' || ($pool)[CAST(doc_id % 6 AS INT) + 1] || '/' ||
+                  source || '/' || doc_id AS url
+         FROM documents
+       ), p AS (
+         SELECT doc_id, url,
+                regexp_extract(url, '^https://([^/]+)/', 1) AS domain
+         FROM u
+       ), f AS (
+         SELECT doc_id, url, domain,
+                (domain IN $bl OR domain LIKE '%casino%') AS blocked,
+                CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                  AS BIGINT) AS dom_rank
+         FROM p
+       )
+       SELECT doc_id, url, domain, blocked, dom_rank,
+              (NOT blocked AND dom_rank <= $DomainCap) AS kept
+       FROM f ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -4057,6 +4128,7 @@ object PipelineCatalog {
     "q98_curation_pipeline" -> q98CurationPipeline,
     "q99_full_recipe" -> q99FullRecipe,
     "q100_media_decode" -> q100MediaDecode,
+    "q102_domain_curation" -> q102DomainCuration,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -4141,5 +4213,6 @@ object PipelineCatalog {
     "q98_curation_pipeline" -> q98Sql,
     "q99_full_recipe" -> q99Sql,
     "q100_media_decode" -> q100Sql,
+    "q102_domain_curation" -> q102Sql,
   )
 }
