@@ -441,4 +441,17 @@ class PlanSpec extends AnyFunSuite {
     assert("rangepartitioning".r.findAllIn(p).size == 1,
       "an inner component's presentation sort survived under the join")
   }
+
+  test("q102: blocklist broadcasts; per-domain cap window keeps its partition key") {
+    val p = plan("q102_domain_curation")
+    // thousands of blocked domains must never shuffle the corpus — the
+    // blocklist join has to stay a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"),
+      "domain blocklist join lost its broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "blocklist join degraded to a corpus shuffle")
+    // the cap rank must be computed per-domain, not in one global window
+    assert(p.contains("windowspecdefinition(domain"),
+      "q102 window lost its domain partitioning")
+  }
 }
