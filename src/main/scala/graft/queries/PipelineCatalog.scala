@@ -4059,6 +4059,95 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
+  // q100's batched decode contract feeds frame sampling, every frame gets
+  // an embedding (dev-stub, bit-replayable), frames are scored against a
+  // query vector and rolled up per video by MaxSim (best-frame score, the
+  // late-interaction shape CLIP-style video retrieval uses), top-k videos
+  // out. 100 TB: the query vector is a constant-folded literal (no
+  // broadcast, no shuffle to score), frames never shuffle — the only
+  // exchange is the per-video partial-aggregated roll-up (bounded by
+  // video count, not frame count), and the final top-k is a
+  // TakeOrdered, never a global sort. Swapping the stub for a real
+  // frame encoder changes the decode batch call only; at deployment the
+  // frame vectors would persist into the same VectorStore layout the
+  // q27/q69 serving family probes.
+  // -------------------------------------------------------------------------
+
+  private val FrameEveryMs = 20000L
+  private val FrameDim = 16
+  private val VideoQueryText = "stub query: demo clip"
+  private val VideoTopK = 20
+
+  val q103VideoSearch: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{DevEmbed, Multimodal}
+    val media = docsWide(s, d)
+      .filter(pmod(col("doc_id"), lit(3)) === 2) // the q100 video slot
+      .select(
+        // unique per row even across duplicate texts (the q100 lesson)
+        sha2(concat_ws(":", col("text"), col("doc_id")), 256).as("id"),
+        lit("video").as("kind"),
+        concat(lit("media/"), col("doc_id"), lit(".mp4")).as("path"),
+        encode(col("text"), "UTF-8").as("content"))
+      .as[Multimodal.MediaRow]
+    val dec = Multimodal.decode(media).toDF()
+    val qv = DevEmbed.devEmbed(lit(VideoQueryText), FrameDim)
+    val scored = Multimodal.sampleFrames(dec, FrameEveryMs)
+      .withColumn("fvec", DevEmbed.devEmbed(
+        concat(col("path"), lit("#"), col("frame_ms")), FrameDim))
+      .select(col("path"), col("frame_ms"),
+        rnd(graft.functions.VectorFunctions.cosine(col("fvec"), qv), 6).as("score"))
+    scored
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(struct(col("score"), col("frame_ms"))).as("best"))
+      .select(
+        regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+        col("n_frames"),
+        col("best.frame_ms").as("best_frame_ms"),
+        col("best.score").as("best_score"))
+      .orderBy(col("best_score").desc, col("doc_id"))
+      .limit(VideoTopK)
+  }
+
+  private val q103Sql = {
+    def vec(hExpr: String) =
+      s"list_transform(range(0, $FrameDim), i -> " +
+        s"CAST('0x' || substr($hExpr, CAST(2*i+1 AS INT), 2) AS INT) / 256.0)"
+    s"""WITH m AS (
+         SELECT doc_id, sha256(text) AS h,
+                'media/' || doc_id || '.mp4' AS path
+         FROM documents WHERE doc_id % 3 = 2
+       ), dd AS (
+         SELECT doc_id, path,
+                (CAST('0x' || substr(h, 5, 2) AS BIGINT) + 1) * 1000 AS duration_ms
+         FROM m
+       ), fr AS (
+         SELECT doc_id, path, unnest(range(0, duration_ms, $FrameEveryMs)) AS frame_ms
+         FROM dd
+       ), qv AS (
+         SELECT ${vec(s"sha256('$VideoQueryText')")} AS v
+       ), sc AS (
+         SELECT doc_id, path, frame_ms,
+                floor(list_cosine_similarity(
+                  ${vec("sha256(path || '#' || frame_ms)")},
+                  (SELECT v FROM qv)) * 1000000 + 0.5) / 1000000.0 AS score
+         FROM fr
+       ), b AS (
+         SELECT doc_id, frame_ms, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, frame_ms DESC) AS rn,
+                count(*) OVER (PARTITION BY doc_id) AS n_frames
+         FROM sc
+       )
+       SELECT doc_id, n_frames, CAST(frame_ms AS BIGINT) AS best_frame_ms,
+              score AS best_score
+       FROM b WHERE rn = 1
+       ORDER BY best_score DESC, doc_id LIMIT $VideoTopK"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -4129,6 +4218,7 @@ object PipelineCatalog {
     "q99_full_recipe" -> q99FullRecipe,
     "q100_media_decode" -> q100MediaDecode,
     "q102_domain_curation" -> q102DomainCuration,
+    "q103_video_search" -> q103VideoSearch,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -4214,5 +4304,6 @@ object PipelineCatalog {
     "q99_full_recipe" -> q99Sql,
     "q100_media_decode" -> q100Sql,
     "q102_domain_curation" -> q102Sql,
+    "q103_video_search" -> q103Sql,
   )
 }

@@ -454,4 +454,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(domain"),
       "q102 window lost its domain partitioning")
   }
+
+  test("q103: query vector constant-folds; one roll-up shuffle; top-k short-circuits") {
+    val p = plan("q103_video_search")
+    // the query embedding must be folded to a literal array at plan time —
+    // a dev_embed call over the query string in the per-frame scoring
+    // expression would re-hash it once per frame
+    assert(p.contains("cosine_similarity(dev_embed(concat"),
+      "frame scoring lost the codegen cosine kernel")
+    assert("dev_embed\\(stub query".r.findAllIn(p).isEmpty &&
+      p.contains("0.65234375"),
+      "query vector was not constant-folded to a literal")
+    // frames reach the per-video roll-up without any join, and the final
+    // ranking is a TakeOrdered, never a global sort
+    assert(!p.contains("Join"), "q103 must not join anything")
+    assert(p.contains("TakeOrderedAndProject"),
+      "video top-k degraded to a global sort")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      "expected exactly the one per-video roll-up exchange")
+  }
 }
