@@ -328,11 +328,25 @@ object Dedup {
     */
   def nearDupCandidates(
       batch: DataFrame, store: graft.sources.BandStore.Store,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    nearDupCandidatesWithBands(batch, store, idCol, textCol)._1
+
+  /** Internal form that also returns the (persisted) batch band frame so
+    * the composing operator can unpersist it once the candidates are
+    * checkpointed. The batch fingerprint feeds TWO consumers — the
+    * bucket-prune collect and the probe join — and without the persist
+    * each one re-ran band_minhash over the whole delta (r10: the probe
+    * fingerprinted the batch twice; the delta must be fingerprinted ONCE
+    * for the O(delta + collisions) claim to hold with the honest constant).
+    */
+  private[graft] def nearDupCandidatesWithBands(
+      batch: DataFrame, store: graft.sources.BandStore.Store,
+      idCol: String, textCol: String): (DataFrame, DataFrame) = {
     val bands = store.nBands
     val bb = graft.sources.BandStore
       .bandRows(batch, idCol, textCol, store.numHashes, bands)
       .withColumnRenamed("c_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = bb.select(col("bh_bucket")).distinct()
       .collect().map(_.getLong(0)) // ≤ BandStore.Buckets values
     val probed = store.rows
@@ -343,13 +357,15 @@ object Dedup {
     val firstEqualBand = (1 until bands)
       .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
 
-    bb.select(col("b_id"), col("bhs").as("bhs_b"), col("band"), col("bh"))
+    val cands = bb
+      .select(col("b_id"), col("bhs").as("bhs_b"), col("band"), col("bh"))
       .join(probed.select(col("c_id"), col("bhs").as("bhs_c"),
           col("band").as("band_c"), col("bh").as("bh_c")),
         col("band") === col("band_c") && col("bh") === col("bh_c") &&
           col("b_id") =!= col("c_id"))
       .filter(col("band") === firstEqualBand)
       .select(col("b_id"), col("c_id"))
+    (cands, bb)
   }
 
   def incrementalNearDuplicates(
@@ -360,12 +376,26 @@ object Dedup {
     // the corpus id-semi-join — without the barrier Spark re-runs the
     // whole probe (batch re-fingerprint + store join) once per consumer.
     // Candidates are duplicate-rate-bounded, so the checkpoint is tiny.
-    val cands = nearDupCandidates(batch, store, idCol, textCol)
-      .localCheckpoint()
+    val (candsRaw, bb) = nearDupCandidatesWithBands(batch, store, idCol, textCol)
+    val cands = candsRaw.localCheckpoint()
+    bb.unpersist() // probe is materialized; the band frame has no more readers
 
-    val shB = batch.select(col(idCol).as("b_id"),
-        WordShingles.wordShingles(col(textCol)).as("sh_b"))
-      .filter(size(col("sh_b")) > 0)
+    // shingle only the batch docs that actually collided — the same
+    // candidate-id semi-join the corpus side gets below (r10: shingling
+    // the WHOLE delta here cost a third full-delta pass per probe)
+    val candBIds = cands.select(col("b_id")).distinct()
+    val nBIds = candBIds.count()
+    val shB = {
+      val semi =
+        if (nBIds * 64L <= graft.sources.GenStore.MaxTombstoneBroadcastBytes)
+          batch.join(broadcast(candBIds), batch(idCol) === candBIds("b_id"), "left_semi")
+        else batch.hint("shuffle_hash")
+          .join(candBIds.hint("shuffle_hash"),
+            batch(idCol) === candBIds("b_id"), "left_semi")
+      semi.select(col(idCol).as("b_id"),
+          WordShingles.wordShingles(col(textCol)).as("sh_b"))
+        .filter(size(col("sh_b")) > 0)
+    }
     val candIds = cands.select(col("c_id")).distinct()
     // The candidate-id set is duplicate-rate-bounded, but a boilerplate-
     // heavy batch can collide with much of the corpus — size-gate the

@@ -30,15 +30,24 @@ object QueryTime {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(): Double = {
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
+    // Time construction + materialization, matching Bench's definition:
+    // store-backed lineages do EAGER work at construction (manifest checks,
+    // candidate localCheckpoints) — r10 found q97 "0.5 s" under the old
+    // materialize-only timing vs its honest 3.4 s with construction
+    // included. The construction share is printed so the split stays
+    // visible.
+    def run(): (Double, Double) = {
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val tc = (System.nanoTime() - t0) / 1e9
+      val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
       df.select(h.as("h")).agg(expr("bit_xor(h)")).head()
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, tc)
     }
-    val times = (1 to reps).map(_ => run())
-    println(f"$name: ${times.map(t => f"$t%.2f").mkString(" ")} (min ${times.min}%.2f)")
+    val runs = (1 to reps).map(_ => run())
+    val times = runs.map(_._1)
+    println(f"$name: ${runs.map { case (t, c) => f"$t%.2f(c$c%.2f)" }.mkString(" ")} " +
+      f"(min ${times.min}%.2f)")
     if (showPlan) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       val h = xxhash64(df.columns.map(col).toIndexedSeq: _*)
