@@ -158,21 +158,28 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val gc0 = gcMillis()
-      val (t1, t2) =
+      val runsTimed: Seq[Double] =
         try {
           val a = timeOnce()
           val b = timeOnce()
-          (a, b)
+          // multi-second queries carry ±30-70% ambient spread between cold
+          // invocations (r10: one suite drew q99 at 6.0/7.3 s when its
+          // honest cost — fresh-context, post-suite, and the next cold run
+          // alike — was ~3.2-4.6 s, pushing the isolation ratio to 1.98).
+          // A third run bounds the bad-luck draw exactly where a bad draw
+          // is expensive; sub-second queries stay at two runs.
+          if (math.min(a, b) > 2.5) Seq(a, b, timeOnce()) else Seq(a, b)
         } catch { case e: Throwable =>
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage.linesIterator.nextOption().getOrElse("")}")
-          (-1.0, -1.0)
+          Seq(-1.0, -1.0)
         }
       val gcSec = (gcMillis() - gc0) / 1e3
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
       cooldown()
-      (name, math.min(t1, t2), t1, t2, gcSec, heapMb)
+      (name, if (runsTimed.exists(_ >= 0)) runsTimed.filter(_ >= 0).min else -1.0,
+        runsTimed, gcSec, heapMb)
     }
 
     // ingest throughput: full chunk(800/100)+dev-embed(64) pipeline over
@@ -643,10 +650,10 @@ object Bench {
         "measurements obtained (every sample query failed in the fresh " +
         "context) — suite numbers are unverified, not proven contaminated")
 
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, _, t1, t2, gcSec, heapMb) =>
-      "\"" + k + "\":{\"runs\":[" + t1 + "," + t2 + "],\"gc_sec\":" + gcSec +
+    val detail = results.map { case (k, _, runsT, gcSec, heapMb) =>
+      "\"" + k + "\":{\"runs\":[" + runsT.mkString(",") + "],\"gc_sec\":" + gcSec +
         ",\"heap_mb\":" + heapMb + "}"
     }.mkString("{", ",", "}")
     val iso = isolationChecks.map { case (k, suite, isoT, ratio) =>
@@ -655,13 +662,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect {
-      case (k, v, _, _, _, _) if !CorrectnessOnly.contains(k) && v >= 0 => v
+      case (k, v, _, _, _) if !CorrectnessOnly.contains(k) && v >= 0 => v
     }.sum
     val co = CorrectnessOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val notes = "per-query sec = min of 2 fully-materialized runs; clearCache+" +
+    val notes = "per-query sec = min of 2 fully-materialized runs, plus a " +
+      "3rd run when min-of-2 > 2.5s (r10: multi-second entries carry " +
+      "30-70% ambient spread between cold invocations — one suite drew " +
+      "q99 at 6.0/7.3s vs its ~3.2-4.6s cost everywhere else; the extra " +
+      "run bounds the bad-luck draw where it is expensive); clearCache+" +
       "2xGC+200ms cooldown between queries (r3: one-JVM state accumulation " +
       "inflated late-suite numbers 3-17x); isolation_check re-measures a " +
-      "3-query sample in a fresh SparkContext and must agree within 2x; " +
+      "fixed 3-query sample PLUS the suite's two slowest queries in a " +
+      "fresh SparkContext and must agree within 2x; " +
       "ingest_chars_per_sec = best of 2 passes (r6: one-shot figure had 2x " +
       "run-to-run spread); skew_stress = hot-key join task balance in the " +
       "join stage (row_ratio is the scale-true signal; fixed task overhead " +
@@ -683,6 +695,6 @@ object Bench {
       "1.3-1.6x on identical plans cover the r7-r8 deltas — ambient " +
       "variance + multi-job serve pipelines, not store fixed cost " +
       "(full numbers: docs/PROFILE_r9.md)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":2,"query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
   }
 }

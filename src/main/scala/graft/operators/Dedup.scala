@@ -326,6 +326,11 @@ object Dedup {
     * fingerprint, emit-once band filter) stays auditable after the
     * composition checkpoints it.
     */
+  /** Plan-audit form: returns the lazy candidate frame (the composing
+    * operator, [[incrementalNearDuplicates]], is the production entry).
+    * NOTE the batch band frame stays persisted until the session clears
+    * its cache — use the composing operator when lifecycle matters.
+    */
   def nearDupCandidates(
       batch: DataFrame, store: graft.sources.BandStore.Store,
       idCol: String, textCol: String): DataFrame =
