@@ -328,13 +328,15 @@ object Dedup {
     */
   /** Plan-audit form: returns the lazy candidate frame (the composing
     * operator, [[incrementalNearDuplicates]], is the production entry).
-    * NOTE the batch band frame stays persisted until the session clears
-    * its cache — use the composing operator when lifecycle matters.
+    * Skips the band-frame persist so the audited plan shows the full
+    * fingerprint lineage and nothing is left cached behind the caller's
+    * back (the composing operator persists and unpersists instead).
     */
   def nearDupCandidates(
       batch: DataFrame, store: graft.sources.BandStore.Store,
       idCol: String, textCol: String): DataFrame =
-    nearDupCandidatesWithBands(batch, store, idCol, textCol)._1
+    nearDupCandidatesWithBands(batch, store, idCol, textCol,
+      persistBands = false)._1
 
   /** Internal form that also returns the (persisted) batch band frame so
     * the composing operator can unpersist it once the candidates are
@@ -346,12 +348,17 @@ object Dedup {
     */
   private[graft] def nearDupCandidatesWithBands(
       batch: DataFrame, store: graft.sources.BandStore.Store,
-      idCol: String, textCol: String): (DataFrame, DataFrame) = {
+      idCol: String, textCol: String,
+      selfPairs: Boolean = false,
+      persistBands: Boolean = true): (DataFrame, DataFrame) = {
     val bands = store.nBands
-    val bb = graft.sources.BandStore
+    val bb0 = graft.sources.BandStore
       .bandRows(batch, idCol, textCol, store.numHashes, bands)
       .withColumnRenamed("c_id", "b_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb =
+      if (persistBands)
+        bb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else bb0
     val buckets = bb.select(col("bh_bucket")).distinct()
       .collect().map(_.getLong(0)) // ≤ BandStore.Buckets values
     val probed = store.rows
@@ -362,12 +369,19 @@ object Dedup {
     val firstEqualBand = (1 until bands)
       .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
 
+    // the self-pair guard is OPTIONAL: a batch re-crawl must not pair a
+    // doc with its own stored fingerprint, but a decontamination probe
+    // must flag a benchmark extract's own source doc (selfPairs = true
+    // there — id-type-agnostic, where the old numeric id offset silently
+    // NULLed out every candidate on string-keyed corpora)
+    val joinCond = {
+      val onBand = col("band") === col("band_c") && col("bh") === col("bh_c")
+      if (selfPairs) onBand else onBand && col("b_id") =!= col("c_id")
+    }
     val cands = bb
       .select(col("b_id"), col("bhs").as("bhs_b"), col("band"), col("bh"))
       .join(probed.select(col("c_id"), col("bhs").as("bhs_c"),
-          col("band").as("band_c"), col("bh").as("bh_c")),
-        col("band") === col("band_c") && col("bh") === col("bh_c") &&
-          col("b_id") =!= col("c_id"))
+          col("band").as("band_c"), col("bh").as("bh_c")), joinCond)
       .filter(col("band") === firstEqualBand)
       .select(col("b_id"), col("c_id"))
     (cands, bb)
@@ -376,12 +390,14 @@ object Dedup {
   def incrementalNearDuplicates(
       batch: DataFrame, corpus: DataFrame,
       store: graft.sources.BandStore.Store,
-      idCol: String, textCol: String, threshold: Double = 0.5): DataFrame = {
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      selfPairs: Boolean = false): DataFrame = {
     // snapshot the candidate pairs: they feed BOTH the output join and
     // the corpus id-semi-join — without the barrier Spark re-runs the
     // whole probe (batch re-fingerprint + store join) once per consumer.
     // Candidates are duplicate-rate-bounded, so the checkpoint is tiny.
-    val (candsRaw, bb) = nearDupCandidatesWithBands(batch, store, idCol, textCol)
+    val (candsRaw, bb) =
+      nearDupCandidatesWithBands(batch, store, idCol, textCol, selfPairs)
     val cands = candsRaw.localCheckpoint()
     bb.unpersist() // probe is materialized; the band frame has no more readers
 
@@ -487,20 +503,19 @@ object Dedup {
     * and only the colliding corpus docs are re-shingled for the exact
     * Jaccard verification — [[incrementalNearDuplicates]] with the
     * benchmark as the "batch". Returns the distinct contaminated corpus
-    * ids as `idCol`. The benchmark ids are namespaced (offset) first:
-    * fuzzy decontamination has NO self-pair exclusion — a benchmark
-    * extract must flag its own source doc — while the incremental probe's
-    * `b_id =!= c_id` guard would silently drop exactly those rows if the
-    * benchmark reused corpus ids.
+    * ids as `idCol`. Fuzzy decontamination has NO self-pair exclusion —
+    * a benchmark extract must flag its own source doc — so the probe runs
+    * with `selfPairs = true` (an earlier revision namespaced the bench
+    * ids by a numeric offset instead, which silently NULLed every
+    * candidate on string-keyed corpora and collided for ids ≥ 1e9).
     */
   def storedFuzzyDecontaminate(
       corpus: DataFrame, bench: DataFrame,
       store: graft.sources.BandStore.Store,
-      idCol: String, textCol: String, threshold: Double = 0.3): DataFrame = {
-    val benchNs = bench.withColumn(idCol, col(idCol) + lit(1000000000L))
-    incrementalNearDuplicates(benchNs, corpus, store, idCol, textCol, threshold)
+      idCol: String, textCol: String, threshold: Double = 0.3): DataFrame =
+    incrementalNearDuplicates(bench, corpus, store, idCol, textCol, threshold,
+        selfPairs = true)
       .select(col("c_id").as(idCol)).distinct()
-  }
 
   /** Fuzzy benchmark decontamination — the MinHash complement to exact
     * n-gram overlap scrubbing: a paraphrased or lightly-edited benchmark

@@ -1000,8 +1000,10 @@ object IngestCatalog {
   // -------------------------------------------------------------------------
   // q101: skip ledger (P7 observability) — the files the empty-content
   // guard drops, each with a per-file reason. Three dropped families per
-  // document: whitespace-only text (empty_file; doc_id%3 spaces, so a
-  // third are genuinely zero-byte), tag-only HTML, and an image-only
+  // document: whitespace-only text (empty_file; doc_id%3+1 spaces —
+  // never zero bytes, a zero-length file gets no input split and would
+  // vanish from the scan instead of being classified), tag-only HTML,
+  // and an image-only
   // DCTDecode PDF (extraction_empty: non-empty bytes, no extractable
   // text — the scanned-PDF shape pypdf also returns nothing for,
   // parse_pdf.py:1-14) — plus a kept text file that must NOT appear.

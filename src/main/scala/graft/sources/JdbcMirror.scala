@@ -226,7 +226,16 @@ object JdbcMirror {
         first(col("kind"), ignoreNulls = true).as("kind"),
         sum(octet_length(col("text"))).as("size_bytes"))
       .select(col("document_id").as("id"), col("filename"),
-        coalesce(col("kind"), lit("text")).as("kind"),
+        // the reference DB knows only the coarse kinds (0001_init.sql:4
+        // CHECK) and its worker writes csv/json/html/docx documents as
+        // kind='text' (process.py:553,610,642) — the engine's finer router
+        // kinds coarse-map the same way here, or a live Postgres publish
+        // would fail its CHECK on the first .csv document (Derby has no
+        // CHECK, so only a live target ever saw this)
+        when(coalesce(col("kind"), lit("text"))
+            .isin("text", "image", "pdf", "audio"),
+            coalesce(col("kind"), lit("text")))
+          .otherwise(lit("text")).as("kind"),
         col("size_bytes"),
         lit(null).cast("string").as("mime"),
         lit(createdAt).as("created_at"))

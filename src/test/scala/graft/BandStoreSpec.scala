@@ -112,4 +112,28 @@ class BandStoreSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(live == fresh, "compacted live rows must equal a fresh fingerprint")
   }
+
+  test("fuzzy decontamination flags the source doc on a STRING-keyed corpus") {
+    // regression: the probe once namespaced benchmark ids with a numeric
+    // offset — on string id columns the arithmetic went NULL and every
+    // candidate silently vanished (an always-clean decontamination gate)
+    import spark.implicits._
+    val corpus = (0 until 20).map(i => (s"doc-$i.txt", text(40)))
+    val corpusDF = corpus.toDF("doc", "text")
+    val path = tmpDir()
+    BandStore.write(corpusDF, "doc", "text", path, 32, 8)
+    val store = BandStore.read(spark, path, 32, 8)
+    // a benchmark extract FROM corpus doc 3, same id — the self-source
+    // pair must flag, plus a paraphrase-shaped edit of doc 7
+    val bench = Seq(
+      ("doc-3.txt", corpus(3)._2),
+      ("bench-x", corpus(7)._2 + " held out eval")).toDF("doc", "text")
+    val dirty = Dedup.storedFuzzyDecontaminate(
+        corpusDF, bench, store, "doc", "text", threshold = 0.3)
+      .collect().map(_.getString(0)).toSet
+    assert(dirty.contains("doc-3.txt"),
+      "benchmark extract must flag its own source doc (string ids)")
+    assert(dirty.contains("doc-7.txt"),
+      "edited extract must flag its source doc (string ids)")
+  }
 }

@@ -36,7 +36,11 @@ class JdbcMirrorSpec extends AnyFunSuite {
     val v1 = chunkRows(Seq(
       ("c1", "d1", "a.txt", "text", 0, "alpha body"),
       ("c2", "d1", "a.txt", "text", 1, "beta body"),
-      ("c3", "d2", "b.pdf", "pdf", 0, "gamma body")))
+      ("c3", "d2", "b.pdf", "pdf", 0, "gamma body"),
+      // the engine's finer router kinds must coarse-map to the reference
+      // DB's 4-kind CHECK ('csv' -> 'text'); a live Postgres publish
+      // rejects the raw kind
+      ("c4", "d3", "c.csv", "csv", 0, "k | v")))
     JdbcMirror.mirrorChunks(v1, t, T0)
 
     def docs = JdbcMirror.readTable(spark, "documents", t)
@@ -48,9 +52,11 @@ class JdbcMirrorSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0).trim, r.getString(1).trim,
         r.getInt(2), r.getString(3))).toSet
 
-    assert(docs == Set(("d1", "a.txt", "text", 19L), ("d2", "b.pdf", "pdf", 10L)))
+    assert(docs == Set(("d1", "a.txt", "text", 19L), ("d2", "b.pdf", "pdf", 10L),
+      ("d3", "c.csv", "text", 5L)))
     assert(chunks == Set(("c1", "d1", 0, "alpha body"),
-      ("c2", "d1", 1, "beta body"), ("c3", "d2", 0, "gamma body")))
+      ("c2", "d1", 1, "beta body"), ("c3", "d2", 0, "gamma body"),
+      ("c4", "d3", 0, "k | v")))
 
     // delta re-mirror: d1 re-chunks SHORTER with new text — by-key
     // replacement for the delta's rows; untouched d2 must not move
@@ -60,8 +66,8 @@ class JdbcMirrorSpec extends AnyFunSuite {
     JdbcMirror.mirrorChunks(v2, t, T0)
     JdbcMirror.deleteChunks(Seq("c2"), t)
     assert(chunks == Set(("c1", "d1", 0, "alpha rewritten"),
-      ("c3", "d2", 0, "gamma body")))
-    assert(docs.map(_._1) == Set("d1", "d2"))
+      ("c3", "d2", 0, "gamma body"), ("c4", "d3", 0, "k | v")))
+    assert(docs.map(_._1) == Set("d1", "d2", "d3"))
 
     // the images table mirrors caption + comma-joined tags and rides the
     // same FK — publish one image for each document
@@ -79,8 +85,8 @@ class JdbcMirrorSpec extends AnyFunSuite {
 
     // document deletion cascades to chunks AND images inside the DB
     JdbcMirror.deleteDocuments(Seq("d1"), t)
-    assert(docs.map(_._1) == Set("d2"))
-    assert(chunks.map(_._1) == Set("c3"))
+    assert(docs.map(_._1) == Set("d2", "d3"))
+    assert(chunks.map(_._1) == Set("c3", "c4"))
     assert(images.map(_._1) == Set("i2"))
   }
 
