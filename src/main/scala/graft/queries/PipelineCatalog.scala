@@ -4019,8 +4019,10 @@ object PipelineCatalog {
       .withColumn("url", concat(lit("https://"),
         element_at(domains, (pmod(col("doc_id"), lit(6)) + 1).cast("int")),
         lit("/"), col("source"), lit("/"), col("doc_id")))
-      // parse the domain back OUT of the url (the real stage's first step)
-      .withColumn("domain", regexp_extract(col("url"), "^https://([^/]+)/", 1))
+      // parse the domain back OUT of the url (the real stage's first step);
+      // the oracle replays a simpler https-only regex — value-identical on
+      // these synthesized URLs (always https, lowercase, no port/userinfo)
+      .withColumn("domain", graft.operators.Curation.urlDomain(col("url")))
     val byDomain = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain")).orderBy(col("doc_id"))
     withUrl
