@@ -4081,7 +4081,11 @@ object PipelineCatalog {
   private val VideoQueryText = "stub query: demo clip"
   private val VideoTopK = 20
 
-  val q103VideoSearch: Q = (s, d) => {
+  /** Shared frame lineage for q103/q104: the video slot's media rows
+    * through the batched decode contract, the 20 s frame grid, and the
+    * 16-dim dev-stub frame embeddings — (path, frame_ms, fvec).
+    */
+  private def videoFrameVectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{DevEmbed, Multimodal}
     val media = docsWide(s, d)
@@ -4093,11 +4097,15 @@ object PipelineCatalog {
         concat(lit("media/"), col("doc_id"), lit(".mp4")).as("path"),
         encode(col("text"), "UTF-8").as("content"))
       .as[Multimodal.MediaRow]
-    val dec = Multimodal.decode(media).toDF()
-    val qv = DevEmbed.devEmbed(lit(VideoQueryText), FrameDim)
-    val scored = Multimodal.sampleFrames(dec, FrameEveryMs)
+    Multimodal.sampleFrames(Multimodal.decode(media).toDF(), FrameEveryMs)
       .withColumn("fvec", DevEmbed.devEmbed(
         concat(col("path"), lit("#"), col("frame_ms")), FrameDim))
+      .select(col("path"), col("frame_ms"), col("fvec"))
+  }
+
+  val q103VideoSearch: Q = (s, d) => {
+    val qv = graft.operators.DevEmbed.devEmbed(lit(VideoQueryText), FrameDim)
+    val scored = videoFrameVectors(s, d)
       .select(col("path"), col("frame_ms"),
         rnd(graft.functions.VectorFunctions.cosine(col("fvec"), qv), 6).as("score"))
     scored
@@ -4113,10 +4121,15 @@ object PipelineCatalog {
       .limit(VideoTopK)
   }
 
+  /** DuckDB replay of [[graft.operators.DevEmbed]] over an arbitrary
+    * hex-digest SQL expression (dim ≤ 32 so `h[i mod 32] = h[i]`).
+    */
+  private def devVecSql(hExpr: String, dim: Int): String =
+    s"list_transform(range(0, $dim), i -> " +
+      s"CAST('0x' || substr($hExpr, CAST(2*i+1 AS INT), 2) AS INT) / 256.0)"
+
   private val q103Sql = {
-    def vec(hExpr: String) =
-      s"list_transform(range(0, $FrameDim), i -> " +
-        s"CAST('0x' || substr($hExpr, CAST(2*i+1 AS INT), 2) AS INT) / 256.0)"
+    def vec(hExpr: String) = devVecSql(hExpr, FrameDim)
     s"""WITH m AS (
          SELECT doc_id, sha256(text) AS h,
                 'media/' || doc_id || '.mp4' AS path
@@ -4147,6 +4160,102 @@ object PipelineCatalog {
               score AS best_score
        FROM b WHERE rn = 1
        ORDER BY best_score DESC, doc_id LIMIT $VideoTopK"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q104: frame vectors SERVED from the persisted IVF VectorStore — the
+  // deployment path q103's brute scan stands in for: the frame embeddings
+  // are written ONCE at ingest into the same cell-partitioned layout the
+  // q27/q69 serving family probes (write-time k-means, portable
+  // NearestCell assignment, epoch-committed), and the query selects
+  // nProbe cells and scans ONLY those partitions. The oracle is dynamic
+  // (q27's pattern): the trained centroids export as literals after the
+  // build, and DuckDB replays frame grid → dev-embed → normalize → cell
+  // assignment → probe selection → cosine top-k bit-for-bit. 100 TB:
+  // frame corpus >> video corpus (hours × fps), which is exactly when
+  // brute scan dies and the at-rest ANN layout is the only serving shape.
+  // -------------------------------------------------------------------------
+
+  @volatile private var lastFrameIvfCentroids: Option[Array[Array[Double]]] = None
+  private val FrameCells = 8
+  private val FrameProbe = 4
+
+  val q104FrameAnn: Q = (s, d) => {
+    import graft.sources.{GenStore, VectorStore}
+    val path = GenStore.artifactPath(d, "documents.parquet",
+      "_graft_frames", "graft-framestore", key = "#frames16")
+    val stamp = GenStore.sourceStamp(new java.io.File(s"$d/documents.parquet"))
+    val expected = s"""{"source_stamp":"$stamp","planes":8,"dim":$FrameDim,""" +
+      s""""k":$FrameCells,"scenario":"frames-v1"}"""
+    GenStore.ensureFresh(path, expected) {
+      VectorStore.write(
+        videoFrameVectors(s, d)
+          .withColumn("fid", concat(col("path"), lit("#"), col("frame_ms"))),
+        "fvec", path, planes = 8, dim = FrameDim, k = FrameCells)
+    }
+    val store = VectorStore.read(s, path, 8, FrameDim, idCol = "fid")
+    lastFrameIvfCentroids = Some(store.centroids)
+    val qv = s.range(1)
+      .select(graft.operators.DevEmbed.devEmbed(lit(VideoQueryText), FrameDim))
+      .head().getSeq[Double](0).toArray
+    Similarity.ivfTopK(store.vectors, "fvec", store.centroids, qv, 10,
+        nProbe = FrameProbe)
+      .select(
+        regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+        col("frame_ms"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("frame_ms"))
+  }
+
+  /** q27's centroid-literal replay over the q103 frame-grid CTEs. */
+  private def q104Sql(cs: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${cn2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    val norm = "list_transform(v, x -> x * (CASE WHEN " +
+      "list_inner_product(v, v) = 0 THEN 0.0 ELSE " +
+      "1.0/sqrt(list_inner_product(v, v)) END))"
+    s"""WITH m AS (
+         SELECT doc_id, sha256(text) AS h,
+                'media/' || doc_id || '.mp4' AS path
+         FROM documents WHERE doc_id % 3 = 2
+       ), dd AS (
+         SELECT doc_id, path,
+                (CAST('0x' || substr(h, 5, 2) AS BIGINT) + 1) * 1000 AS duration_ms
+         FROM m
+       ), fr AS (
+         SELECT doc_id, path, unnest(range(0, duration_ms, $FrameEveryMs)) AS frame_ms
+         FROM dd
+       ), fe AS (
+         SELECT doc_id, frame_ms,
+                ${devVecSql("sha256(path || '#' || frame_ms)", FrameDim)} AS v
+         FROM fr
+       ), n AS (
+         SELECT doc_id, frame_ms, v, $norm AS nv FROM fe
+       ), a AS (
+         SELECT doc_id, frame_ms, v,
+                list_position(ds, list_min(ds)) - 1 AS cell
+         FROM (SELECT doc_id, frame_ms, v, $dExprs AS ds FROM n)
+       ), q AS (
+         SELECT ${devVecSql(s"sha256('$VideoQueryText')", FrameDim)} AS qv
+       ), qd AS (
+         SELECT $dExprs AS ds
+         FROM (SELECT $norm AS nv FROM (SELECT qv AS v FROM q))
+       ), probes AS (
+         SELECT i AS cell FROM (
+           SELECT unnest(range(${cs.length})) AS i, unnest(ds) AS dd FROM qd)
+         ORDER BY dd, i LIMIT $FrameProbe
+       ), hits AS (
+         SELECT a.doc_id, a.frame_ms,
+                list_cosine_similarity(a.v, (SELECT qv FROM q)) AS s
+         FROM a JOIN probes USING (cell)
+         ORDER BY s DESC LIMIT 10
+       )
+       SELECT doc_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+              floor(s * 1000000 + 0.5) / 1000000.0 AS score
+       FROM hits ORDER BY score DESC, doc_id, frame_ms"""
   }
 
   // -------------------------------------------------------------------------
@@ -4221,6 +4330,7 @@ object PipelineCatalog {
     "q100_media_decode" -> q100MediaDecode,
     "q102_domain_curation" -> q102DomainCuration,
     "q103_video_search" -> q103VideoSearch,
+    "q104_frame_ann" -> q104FrameAnn,
   )
 
   /** `def`, not `val`: the q27 oracle can only be authored AFTER the query
@@ -4245,7 +4355,8 @@ object PipelineCatalog {
     // the replays run over the chunker+devembed CTEs from the
     // STREAM-trained literals
     lastStreamIvfCentroids.map(cs => "q89_stream_ivf" -> q89Sql(cs)) ++
-    lastStreamPqCodebooks.map(cbs => "q90_stream_pq" -> q90Sql(cbs))
+    lastStreamPqCodebooks.map(cbs => "q90_stream_pq" -> q90Sql(cbs)) ++
+    lastFrameIvfCentroids.map(cs => "q104_frame_ann" -> q104Sql(cs))
 
   private val staticOracles: ListMap[String, String] = ListMap(
     "q13_chunks" -> q13Sql,

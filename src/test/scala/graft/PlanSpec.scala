@@ -455,6 +455,20 @@ class PlanSpec extends AnyFunSuite {
       "q102 window lost its domain partitioning")
   }
 
+  test("q104: frame ANN prunes cell partitions; serving never re-decodes media") {
+    val p = plan("q104_frame_ann")
+    assert(p.contains("PartitionFilters: [cell"),
+      "frame store probe lost cell partition pruning")
+    assert(p.contains("graft-framestore") || p.contains("_graft_frames"),
+      "frames must serve from the persisted store")
+    // the decode/frame/embed lineage is WRITE-time work: the serving plan
+    // must not scan the documents table or re-run the decode contract
+    assert(!p.contains("documents.parquet"),
+      "q104 serving plan re-derives frames from the corpus")
+    assert(p.contains("TakeOrderedAndProject"),
+      "frame top-k degraded to a global sort")
+  }
+
   test("q103: query vector constant-folds; one roll-up shuffle; top-k short-circuits") {
     val p = plan("q103_video_search")
     // the query embedding must be folded to a literal array at plan time —
