@@ -118,6 +118,8 @@ object Bench {
           graft.core.Tables(spark, sfDir, "documents"))
         graft.sources.TextIndex.ensure(spark, docsW, "doc_id", "text", sfDir)
         graft.sources.BandStore.ensure(spark, docsW, "doc_id", "text", sfDir)
+        // frame vector store (q104): same write-time class
+        graft.queries.PipelineCatalog.ensureFrameStore(spark, sfDir)
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }

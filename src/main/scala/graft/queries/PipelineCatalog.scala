@@ -4180,7 +4180,11 @@ object PipelineCatalog {
   private val FrameCells = 8
   private val FrameProbe = 4
 
-  val q104FrameAnn: Q = (s, d) => {
+  /** Write-time build of the frame vector store (q104 serves it; Bench
+    * pre-builds it with the other ingest-time artifacts). Returns the
+    * store path.
+    */
+  private[graft] def ensureFrameStore(s: SparkSession, d: String): String = {
     import graft.sources.{GenStore, VectorStore}
     val path = GenStore.artifactPath(d, "documents.parquet",
       "_graft_frames", "graft-framestore", key = "#frames16")
@@ -4193,6 +4197,12 @@ object PipelineCatalog {
           .withColumn("fid", concat(col("path"), lit("#"), col("frame_ms"))),
         "fvec", path, planes = 8, dim = FrameDim, k = FrameCells)
     }
+    path
+  }
+
+  val q104FrameAnn: Q = (s, d) => {
+    import graft.sources.VectorStore
+    val path = ensureFrameStore(s, d)
     val store = VectorStore.read(s, path, 8, FrameDim, idCol = "fid")
     lastFrameIvfCentroids = Some(store.centroids)
     val qv = s.range(1)
