@@ -4085,6 +4085,12 @@ object PipelineCatalog {
     * through the batched decode contract, the 20 s frame grid, and the
     * 16-dim dev-stub frame embeddings — (path, frame_ms, fvec).
     */
+  /** Test-only exposure of the shared frame lineage (QueriesSpec's q104
+    * recall check re-derives the brute-force ranking from it).
+    */
+  private[graft] def videoFrameVectorsForTest(
+      s: SparkSession, d: String): DataFrame = videoFrameVectors(s, d)
+
   private def videoFrameVectors(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{DevEmbed, Multimodal}
