@@ -63,6 +63,32 @@ class CurationSpec extends AnyFunSuite {
       s"hot key leaked $survivors rows into the exact window")
   }
 
+  test("property: salted cap equals a pure-Scala reference cap on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // rows: globally-unique order ids with random hot-ish key assignment;
+    // cap and salts swept — the reference model is independent Scala
+    val rowsGen = for {
+      n <- Gen.choose(0, 120)
+      keys <- Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.const("hot"), 3 -> Gen.oneOf("a", "b", "c", "d")))
+    } yield keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val prop = Prop.forAll(rowsGen, Gen.choose(0, 5), Gen.choose(1, 8)) {
+      (rows: Seq[(Long, String)], cap: Int, salts: Int) =>
+        import spark.implicits._
+        val expected = rows.groupBy(_._2).flatMap { case (k, rs) =>
+          rs.map(_._1).sorted.take(cap).zipWithIndex
+            .map { case (id, i) => (id, k, (i + 1).toLong) }
+        }.toSet
+        val got = Curation.saltedRankCap(
+            rows.toDF("doc_id", "domain"), "domain", "doc_id", cap, salts)
+          .select("doc_id", "domain", "rank").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("urlDomain: scheme-tolerant, strips userinfo/port/path, lowercases") {
     import spark.implicits._
     val cases = Seq(
