@@ -4195,8 +4195,10 @@ object PipelineCatalog {
     val path = GenStore.artifactPath(d, "documents.parquet",
       "_graft_frames", "graft-framestore", key = "#frames16")
     val stamp = GenStore.sourceStamp(new java.io.File(s"$d/documents.parquet"))
+    // every_ms is part of the artifact identity: a changed sampling grid
+    // produces a different frame corpus and must invalidate the store
     val expected = s"""{"source_stamp":"$stamp","planes":8,"dim":$FrameDim,""" +
-      s""""k":$FrameCells,"scenario":"frames-v1"}"""
+      s""""k":$FrameCells,"every_ms":$FrameEveryMs,"scenario":"frames-v1"}"""
     GenStore.ensureFresh(path, expected) {
       VectorStore.write(
         videoFrameVectors(s, d)
