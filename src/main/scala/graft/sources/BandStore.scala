@@ -105,12 +105,13 @@ object BandStore {
       batchId: Long = -1L): Unit = {
     val prevLast = readStats(path)._2
     val next = GenStore.epochOf(path) + 1
-    bandRows(docs, idCol, textCol, numHashes, bands)
-      .withColumn("gen", lit(0L))
-      .repartition(col("bh_bucket"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "bh_bucket")
-      .parquet(s"$path/bands/e$next")
+    // writeTable: an all-short corpus (every doc under the shingle width)
+    // fingerprints to ZERO rows, and a bare partitionBy write would
+    // commit an unreadable store (GenStore r10 note)
+    GenStore.writeTable(
+      bandRows(docs, idCol, textCol, numHashes, bands)
+        .withColumn("gen", lit(0L)),
+      "bh_bucket", Seq("gen", "bh_bucket"), Nil, s"$path/bands/e$next")
     GenStore.setEpoch(path, next)
     GenStore.writePolicy(path, policy)
     writeStats(path, gen = 0L,
@@ -155,11 +156,8 @@ object BandStore {
     val live = liveRows(spark, path,
         GenStore.seg(spark, bandsDir(path).toString))
       .localCheckpoint()
-    live.withColumn("gen", lit(0L))
-      .repartition(col("bh_bucket"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "bh_bucket")
-      .parquet(s"$path/bands/e$next")
+    GenStore.writeTable(live.withColumn("gen", lit(0L)),
+      "bh_bucket", Seq("gen", "bh_bucket"), Nil, s"$path/bands/e$next")
     GenStore.setEpoch(path, next)
     writeStats(path, gen = 0L, lastBatch = lastBatch)
     GenStore.gcEpochs(path, Seq("bands", "tombstones"), next)

@@ -98,11 +98,21 @@ object GenStore {
     Probe.inc("source_stamp")
     if (!src.exists()) "absent"
     else if (src.isDirectory) {
-      val parts = Option(src.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .sortBy(_.getName)
-      parts.map(f => s"${f.getName}:${f.length()}:${f.lastModified()}")
-        .mkString("dir[", ",", "]")
+      // RECURSIVE walk (r10): a partitionBy-written source keeps all its
+      // part files under key=... subdirectories — a top-level-only listing
+      // stamped every such table as the constant "dir[]", so a full
+      // regeneration never invalidated dependent artifacts. Paths are
+      // recorded relative to the table root, sorted, dot-files skipped.
+      def walk(f: java.io.File, prefix: String): Seq[String] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filterNot(_.getName.startsWith("."))
+          .sortBy(_.getName)
+          .flatMap { c =>
+            val rel = if (prefix.isEmpty) c.getName else s"$prefix/${c.getName}"
+            if (c.isDirectory) walk(c, rel)
+            else Seq(s"$rel:${c.length()}:${c.lastModified()}")
+          }
+      walk(src, "").mkString("dir[", ",", "]")
     } else s"${src.length()}|${src.lastModified()}"
   }
 
@@ -201,6 +211,36 @@ object GenStore {
       if (f.isFile) f.getName.endsWith(".parquet")
       else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).exists(walk)
     dir.exists() && walk(dir)
+  }
+
+  /** Partitioned epoch-table write that stays READABLE when the frame is
+    * EMPTY (r10): a `partitionBy` write of an empty frame emits no part
+    * file at all, and once the epoch pointer commits, every read of the
+    * store fails with "unable to infer schema" — a store fully emptied by
+    * deletion-compaction poisoned its path this way. The empty case
+    * writes ONE schema-bearing part instead (the partition columns ride
+    * as data columns; every probe over it is trivially empty, and
+    * partition pruning only matters once data exists, which always lands
+    * via the partitioned branch).
+    */
+  def writeTable(df: org.apache.spark.sql.DataFrame,
+      repartitionCol: String, partitionCols: Seq[String],
+      sortCols: Seq[String], path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (cached.isEmpty)
+        cached.coalesce(1).write.mode("overwrite").parquet(path)
+      else {
+        val rep = cached.repartition(col(repartitionCol))
+        val sorted =
+          if (sortCols.nonEmpty)
+            rep.sortWithinPartitions(sortCols.map(col): _*)
+          else rep
+        sorted.write.mode("overwrite").option("partitionOverwriteMode", "static")
+          .partitionBy(partitionCols: _*).parquet(path)
+      }
+    } finally cached.unpersist()
   }
 
   /** Read a gen-partitioned segment table with its canonical schema: the

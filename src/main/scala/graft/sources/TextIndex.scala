@@ -118,6 +118,9 @@ object TextIndex {
     (s._1, s._2, s._3, s._4)
   }
 
+  /** Streaming replay watermark (−1 when never batch-stamped). */
+  private[graft] def lastBatchId(path: String): Long = readStatsFull(path)._4
+
   private def readStatsFull(path: String): (Long, Long, Long, Long, Long) =
     GenStore.readSidecar(statsPath(path)).map { node =>
       (GenStore.jLong(node, "n", 0L), GenStore.jLong(node, "sum_dl", 0L),
@@ -303,17 +306,13 @@ object TextIndex {
     val doclens = liveRows(spark, path,
       GenStore.seg(spark, GenStore.tableDir(path, "doclens")))
       .localCheckpoint()
-    live.withColumn("gen", lit(0L))
-      .repartition(col("term_bucket"))
-      .sortWithinPartitions(col("term_bucket"), col("term"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "term_bucket")
-      .parquet(s"$path/postings/e$next")
-    doclens.withColumn("gen", lit(0L))
-      .repartition(col("doc_bucket"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "doc_bucket")
-      .parquet(s"$path/doclens/e$next")
+    // writeTable keeps a fully-emptied index readable (GenStore r10 note)
+    GenStore.writeTable(live.withColumn("gen", lit(0L)),
+      "term_bucket", Seq("gen", "term_bucket"),
+      Seq("term_bucket", "term"), s"$path/postings/e$next")
+    GenStore.writeTable(doclens.withColumn("gen", lit(0L)),
+      "doc_bucket", Seq("gen", "doc_bucket"),
+      Nil, s"$path/doclens/e$next")
     GenStore.setEpoch(path, next)
     writeStats(path, n, sumDl, gen = 0L, lastBatch)
     GenStore.gcEpochs(path, Seq("postings", "doclens", "tombstones"), next)

@@ -100,9 +100,17 @@ object VectorStore {
     GenStore.gcEpochs(path, Seq("vectors", "tombstones"), next)
   }
 
+  // Existence is keyed on the COMMITTED epoch, not the pre-commit
+  // sidecar (r10): write() lands the codebooks/centroids json BEFORE the
+  // setEpoch flip, so a crash in that window used to leave a store that
+  // "existed" while its live epoch dir never held the build — the next
+  // batch then appended deltas into an empty table and served only them.
+  // setEpoch is the commit; an uncommitted build must read as absent so
+  // the next ensure/first-batch rebuilds it.
   def pqExists(path: String): Boolean =
     java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "_graft_pq_codebooks.json"))
+      java.nio.file.Paths.get(path, "_graft_pq_codebooks.json")) &&
+      GenStore.epochOf(path) >= 1L
 
   private[graft] def readCentroids(path: String): Array[Array[Double]] = {
     val node = GenStore.readSidecar(
@@ -146,9 +154,10 @@ object VectorStore {
         GenStore.jLong(node, "gen", 0L), GenStore.jLong(node, "last_batch", -1L))
     }.getOrElse((0L, 0L, 0L, -1L))
 
-  def vectorsExist(path: String): Boolean =
+  def vectorsExist(path: String): Boolean = // epoch-keyed: see pqExists
     java.nio.file.Files.exists(
-      java.nio.file.Paths.get(path, "_graft_centroids.json"))
+      java.nio.file.Paths.get(path, "_graft_centroids.json")) &&
+      GenStore.epochOf(path) >= 1L
 
   private def maybeCompact(spark: SparkSession, path: String,
       idCol: String, sub: String): Unit = {
@@ -268,9 +277,9 @@ object VectorStore {
     // prior attempt), then the pointer flip retires the old epoch AND its
     // tombstones in one atomic step — no window where stale tombstones
     // can kill freshly folded rows
-    live.repartition(col("cell"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "static")
-      .partitionBy("gen", "cell").parquet(s"$path/$sub/e$next")
+    // writeTable keeps a fully-tombstoned store readable (GenStore r10)
+    GenStore.writeTable(live, "cell", Seq("gen", "cell"), Nil,
+      s"$path/$sub/e$next")
     GenStore.setEpoch(path, next)
     val (baseN, appendedN, _, lastBatch) = readIncStats(path)
     writeIncStats(path, baseN, appendedN, 0L, lastBatch)

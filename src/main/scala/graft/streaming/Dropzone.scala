@@ -29,6 +29,22 @@ import graft.sources.{ChunkStore, FileIngest, TextIndex, VectorStore}
   * [[reconcileDeletions]] is the maintenance pass that closes the gap:
   * it anti-joins every store's live doc set against the live listing and
   * feeds the dead documents to the artifacts' existing tombstone paths.
+  *
+  * MODIFY-IN-PLACE limitation (r10, documented): Spark's file-stream
+  * source tracks seen files BY PATH and does not re-deliver a path whose
+  * bytes changed in place (at best after maxFileAge eviction), so the
+  * replace-by-document machinery only triggers for content re-delivered
+  * under a new path or re-listed after eviction. Deployments whose
+  * producers overwrite files in place should run the BATCH reconcile —
+  * `FileIngest.ingestDirectory` over the dropzone, whose skip-unchanged
+  * anti-join is sig-based and re-ingests exactly the changed files — on
+  * the reconcile cadence. Related edge: a file re-delivered with content
+  * that now yields NOTHING (emptied/unparseable) is dropped by the
+  * empty-content guard before the delta, so its previously indexed
+  * content keeps serving until [[reconcileDeletions]] (if the file was
+  * removed) or a non-empty re-drop replaces it; treating yields-nothing
+  * deliveries as deletions is a deliberate non-goal of the stream path
+  * (the reference's watcher has the same blind spot).
   */
 object Dropzone {
 
@@ -107,8 +123,6 @@ object Dropzone {
           .join(chunks.select(col("id")), Seq("id"), "left_anti")
           .localCheckpoint()
       else chunks.select(col("id")).limit(0)
-    if (storeExists) ChunkStore.upsert(chunks, storePath) // empty delta no-ops inside
-    else if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
     // the BM25 serving artifact is maintained PER MICRO-BATCH beside the
     // chunk store (the reference's watcher upserts into Qdrant's indexes
     // per file event): document-level delta in, segment append + tombstone
@@ -156,15 +170,31 @@ object Dropzone {
       // later batch encodes its delta with the STORED codebook literals
       // and appends — serving ADC never waits for a rebuild
       pqStorePath.foreach { psp =>
-        val centroids = VectorStore.readCentroids(vsp)
-        if (VectorStore.pqExists(psp))
-          VectorStore.upsertPqCodes(spark, vecDelta, "id", "vector",
-            removedChunkIds, psp, centroids, batchId = batchId)
-        else if (!vecDelta.isEmpty)
-          VectorStore.writePq(vecDelta, "vector", psp,
-            m = pqM, ksub = pqKsub, centroids = centroids)
+        // guard: the first batch can skip the vector-store build (empty
+        // vecDelta) — reading centroids then would throw and kill the
+        // stream; PQ maintenance simply waits for the cells to exist
+        if (VectorStore.vectorsExist(vsp)) {
+          val centroids = VectorStore.readCentroids(vsp)
+          if (VectorStore.pqExists(psp))
+            VectorStore.upsertPqCodes(spark, vecDelta, "id", "vector",
+              removedChunkIds, psp, centroids, batchId = batchId)
+          else if (!vecDelta.isEmpty)
+            VectorStore.writePq(vecDelta, "vector", psp,
+              m = pqM, ksub = pqKsub, centroids = centroids)
+        }
       }
     }
+    // The chunk store commits LAST (r10 crash-consistency fix): it is the
+    // state `skipUnchanged` derives the next delta from, so it must only
+    // reflect batches whose index maintenance COMPLETED. A crash anywhere
+    // above leaves the chunk store without this batch — the replay
+    // recomputes the same delta (sigs still differ), the index upserts
+    // no-op behind their batch-id watermarks, and the chunk upsert then
+    // commits. The old order (chunks first) let a crash between the chunk
+    // commit and the index upserts starve every index PERMANENTLY: the
+    // replayed delta came back empty and the early return skipped them.
+    if (storeExists) ChunkStore.upsert(chunks, storePath) // empty delta no-ops inside
+    else if (!chunks.isEmpty) ChunkStore.upsert(chunks, storePath)
   }
 
   /** Reconcile every serving artifact against the LIVE dropzone listing —
@@ -236,6 +266,20 @@ object Dropzone {
         stored.filter(isVirtual)
           .join(liveSigs, Seq("content_sig"), "left_anti")
       }
+    // Consistency guard (r10): an explicit batchId at or below any target
+    // store's watermark would make every index tombstone below a silent
+    // no-op while the chunk deletion at the end still ran — destroying the
+    // (path → chunk id) mapping a RETRY needs to tombstone the indexes.
+    // A stale id must no-op the WHOLE reconcile, not half of it.
+    val stale = batchId >= 0 && (
+      textIndexPath.filter(TextIndex.exists)
+        .map(TextIndex.lastBatchId) ++
+      bandStorePath.filter(graft.sources.BandStore.exists)
+        .map(p => graft.sources.BandStore.readStats(p)._2) ++
+      vectorStorePath.filter(VectorStore.vectorsExist)
+        .map(p => VectorStore.readIncStats(p)._4)
+    ).exists(batchId <= _)
+    if (stale) return 0L
     val dead = deadFileBacked.unionByName(deadVirtual).localCheckpoint()
     val nDocs = dead.select(col("document_id")).distinct().count()
     if (nDocs == 0L) return 0L

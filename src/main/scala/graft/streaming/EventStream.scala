@@ -72,7 +72,15 @@ object EventStream {
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.us - s.lastUs <= gapUs =>
-                cur = Some(s.copy(lastUs = e.us, n = s.n + 1, total = s.total + e.value))
+                // a cross-batch LATE event (e.us < lastUs, inside the
+                // source's disorder bound) merges without dragging the
+                // session edges backwards: lastUs must stay monotone or
+                // the NEXT on-time event sees an inflated gap and falsely
+                // splits the session (r10 review finding)
+                cur = Some(s.copy(
+                  startUs = math.min(s.startUs, e.us),
+                  lastUs = math.max(s.lastUs, e.us),
+                  n = s.n + 1, total = s.total + e.value))
               case Some(s) =>
                 closed ::= SessionOut(userId, s.sessionId, s.n, s.startUs, s.lastUs, s.total)
                 cur = Some(SessionState(s.sessionId + 1, e.us, e.us, 1, e.value))

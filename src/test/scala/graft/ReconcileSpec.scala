@@ -151,6 +151,25 @@ class ReconcileSpec extends AnyFunSuite {
     assert(storedPaths == Set("note.txt"))
     assert(TextIndex.read(spark, tindex).postings
       .select("doc").distinct().collect().map(_.getString(0)).toSet == Set("note.txt"))
+
+    // STALE batchId with a genuinely dead file: the index tombstones
+    // would be watermark-no-op'd, so the whole reconcile must no-op —
+    // the old behavior deleted the chunks anyway, destroying the
+    // (path -> chunk id) mapping a fresh-id retry needs (r10 review)
+    Files.delete(dropzone.resolve("note.txt"))
+    val stale = Dropzone.reconcileDeletions(spark, dropzone.toString,
+      store, Some(tindex), batchId = 1L) // == the index's watermark
+    assert(stale == 0L, "stale reconcile must no-op consistently")
+    assert(storedPaths == Set("note.txt"),
+      "stale reconcile must not delete chunks while indexes skip")
+    // a fresh id then completes the deletion everywhere (the now-empty
+    // chunk store may have no parquet left to read — that IS the success)
+    assert(Dropzone.reconcileDeletions(spark, dropzone.toString,
+      store, Some(tindex), batchId = 2L) == 1L)
+    assert(!graft.sources.GenStore.hasParquetData(new java.io.File(store)) ||
+      storedPaths.isEmpty)
+    assert(TextIndex.read(spark, tindex).postings
+      .select("doc").distinct().collect().isEmpty)
   }
 
   test("deleting every document empties the affected chunk-store buckets (dynamic-overwrite gap)") {
