@@ -95,7 +95,9 @@ object BandStore {
     GenStore.liveRows(spark, path, rows, rowKey = "c_id", tombCol = "doc")
 
   def exists(path: String): Boolean =
-    GenStore.hasParquetData(bandsDir(path))
+    GenStore.hasParquetData(bandsDir(path)) ||
+      java.nio.file.Files.exists( // emptied-by-deletion store: marker only
+        bandsDir(path).toPath.resolve(GenStore.EmptyMarker))
 
   /** Full (re)build: band rows at gen 0 in the NEXT epoch, committed by
     * the atomic pointer flip. Preserves the replay watermark.

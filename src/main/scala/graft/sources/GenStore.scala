@@ -214,14 +214,22 @@ object GenStore {
   }
 
   /** Partitioned epoch-table write that stays READABLE when the frame is
-    * EMPTY (r10): a `partitionBy` write of an empty frame emits no part
-    * file at all, and once the epoch pointer commits, every read of the
-    * store fails with "unable to infer schema" — a store fully emptied by
-    * deletion-compaction poisoned its path this way. The empty case
-    * writes ONE schema-bearing part instead (the partition columns ride
-    * as data columns; every probe over it is trivially empty, and
-    * partition pruning only matters once data exists, which always lands
-    * via the partitioned branch).
+    * EMPTY (r10, reworked r11): a `partitionBy` write of an empty frame
+    * emits no part file at all, and once the epoch pointer commits, every
+    * read of the store fails with "unable to infer schema" — a store
+    * fully emptied by deletion-compaction poisoned its path this way.
+    * r10 wrote one flat schema-bearing part, but a later incremental
+    * upsert APPENDS `gen=N/bucket=M` partition directories into the same
+    * epoch dir, and Spark rejects the mixed flat+partitioned layout — the
+    * regrown store became permanently unreadable (and the flat part also
+    * carried the partition columns as LONG data columns where directory
+    * inference yields INT, so the schema depended on write history).
+    * r11: the empty case writes NO data file at all — only a
+    * `_graft_empty.json` sidecar recording the canonical post-partition
+    * schema (data columns in order, partition columns last as INT, the
+    * exact shape a partitioned read infers). [[seg]] synthesizes an empty
+    * frame from the sidecar; the first real append lands partitioned as
+    * always and simply shadows the marker.
     */
   def writeTable(df: org.apache.spark.sql.DataFrame,
       repartitionCol: String, partitionCols: Seq[String],
@@ -229,28 +237,68 @@ object GenStore {
     import org.apache.spark.sql.functions.col
     val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (cached.isEmpty)
-        cached.coalesce(1).write.mode("overwrite").parquet(path)
-      else {
+      if (cached.isEmpty) {
+        // clear any orphan data of a crashed prior attempt at this epoch
+        // number, then record emptiness + schema via the sidecar
+        val dir = new java.io.File(path)
+        if (dir.exists()) org.apache.commons.io.FileUtils.cleanDirectory(dir)
+        atomicWrite(java.nio.file.Paths.get(path, EmptyMarker),
+          s"""{"schema_ddl":${quoteJson(canonicalSchema(cached.schema, partitionCols).toDDL)}}""")
+      } else {
         val rep = cached.repartition(col(repartitionCol))
         val sorted =
           if (sortCols.nonEmpty)
             rep.sortWithinPartitions(sortCols.map(col): _*)
           else rep
+        // static-mode overwrite truncates the whole table path first, so
+        // a stale empty-marker from a previous all-deleted state is gone
         sorted.write.mode("overwrite").option("partitionOverwriteMode", "static")
           .partitionBy(partitionCols: _*).parquet(path)
       }
     } finally cached.unpersist()
   }
 
+  /** Sidecar recording that a table was last written EMPTY, carrying the
+    * canonical schema so reads stay layout-independent. Underscore-
+    * prefixed, so parquet file listings ignore it once real data lands.
+    */
+  val EmptyMarker = "_graft_empty.json"
+
+  /** The schema a PARTITIONED read of this frame yields: data columns in
+    * frame order, partition columns moved last and typed as the INT that
+    * directory inference produces for integral values (gen/bucket/cell
+    * magnitudes never exceed Int here; [[seg]] re-widens gen to long).
+    */
+  private def canonicalSchema(schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    StructType(
+      schema.fields.filterNot(f => partitionCols.contains(f.name)) ++
+        partitionCols.map(c => StructField(c, IntegerType, nullable = true)))
+  }
+
+  private def quoteJson(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** Read a gen-partitioned segment table with its canonical schema: the
     * gen partition DIRECTORY round-trips through partition-type inference
     * as int — normalize back to the long the rows were written with so
-    * caller schemas are layout-independent.
+    * caller schemas are layout-independent. A table last written EMPTY
+    * has no data files at all, only the [[EmptyMarker]] sidecar — those
+    * synthesize an empty frame with the recorded canonical schema (real
+    * data, once appended, takes priority over a stale marker).
     */
   def seg(spark: SparkSession, dir: String): DataFrame = {
     Probe.inc("seg_open")
-    spark.read.parquet(dir).withColumn("gen", col("gen").cast("long"))
+    val base =
+      if (hasParquetData(new java.io.File(dir))) spark.read.parquet(dir)
+      else readSidecar(java.nio.file.Paths.get(dir, EmptyMarker))
+        .flatMap(n => Option(n.get("schema_ddl")).map(_.asText()))
+        .map(ddl => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        .getOrElse(spark.read.parquet(dir)) // no data, no marker: fail loud
+    base.withColumn("gen", col("gen").cast("long"))
   }
 
   // ---------------------------------------------------------------------

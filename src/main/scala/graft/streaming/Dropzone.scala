@@ -48,6 +48,12 @@ import graft.sources.{ChunkStore, FileIngest, TextIndex, VectorStore}
   */
 object Dropzone {
 
+  /** [[reconcileDeletions]] return value when a stale batchId skipped the
+    * whole pass: distinct from the normal "nothing dead" 0 so callers and
+    * operators can tell a skipped reconcile from an empty one.
+    */
+  val ReconcileStale: Long = -1L
+
   /** One micro-batch: route documents, drop the ones already stored with
     * identical content (ST3 — the watcher's last-hash skip; re-delivered
     * paths after checkpoint eviction or touch-rewrites would otherwise
@@ -222,7 +228,10 @@ object Dropzone {
     *
     * Replays are safe twice over: the stores' batch-id watermark no-ops a
     * re-delivered reconcile, and a re-run after success finds zero dead
-    * documents. Returns the number of documents removed.
+    * documents. Returns the number of documents removed, or
+    * [[ReconcileStale]] (-1) when a stale batchId skipped the whole pass
+    * — deletions were NOT applied and the caller should retry with a
+    * fresh id.
     */
   def reconcileDeletions(
       spark: SparkSession,
@@ -270,7 +279,11 @@ object Dropzone {
     // store's watermark would make every index tombstone below a silent
     // no-op while the chunk deletion at the end still ran — destroying the
     // (path → chunk id) mapping a RETRY needs to tombstone the indexes.
-    // A stale id must no-op the WHOLE reconcile, not half of it.
+    // A stale id must no-op the WHOLE reconcile, not half of it. The skip
+    // returns the DISTINCT [[ReconcileStale]] sentinel and logs (r10
+    // ADVICE): a caller whose batchId space lags the watermarks — or a
+    // same-id crash retry — must be able to tell "skipped, retry with a
+    // fresh id" from the normal "nothing dead" 0.
     val stale = batchId >= 0 && (
       textIndexPath.filter(TextIndex.exists)
         .map(TextIndex.lastBatchId) ++
@@ -279,7 +292,13 @@ object Dropzone {
       vectorStorePath.filter(VectorStore.vectorsExist)
         .map(p => VectorStore.readIncStats(p)._4)
     ).exists(batchId <= _)
-    if (stale) return 0L
+    if (stale) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"reconcileDeletions skipped: batchId=$batchId is at or below a " +
+          "target store's replay watermark; deletions NOT applied — retry " +
+          "with a fresh batch id")
+      return ReconcileStale
+    }
     val dead = deadFileBacked.unionByName(deadVirtual).localCheckpoint()
     val nDocs = dead.select(col("document_id")).distinct().count()
     if (nDocs == 0L) return 0L

@@ -158,8 +158,8 @@ class ReconcileSoakSpec extends AnyFunSuite {
     assertConverged("post-redrop")
     assert(Dropzone.reconcileDeletions(spark, dropzone.toString,
       store, Some(tindex), Some(vstore), Some(pstore), Some(bstore),
-      embedDim = 8, batchId = staleId) == 0L,
-      "stale replay must find nothing dead against the live listing")
+      embedDim = 8, batchId = staleId) == Dropzone.ReconcileStale,
+      "stale replay must skip with the distinct sentinel (r10 ADVICE)")
     assertConverged("stale-replay")
   }
 }

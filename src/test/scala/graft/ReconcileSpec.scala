@@ -95,11 +95,12 @@ class ReconcileSpec extends AnyFunSuite {
     // exact-integer stats dropped the dead doc (1 of 2 docs)
     assert(TextIndex.read(spark, tindex).n == keepN - 1)
 
-    // replay: nothing left to reconcile, stores untouched
+    // replay with the SAME id: the stale guard skips the whole pass and
+    // says so via the sentinel (distinct from "nothing dead" — r10 ADVICE)
     val replay = Dropzone.reconcileDeletions(spark, dropzone.toString,
       store, Some(tindex), Some(vstore), Some(pstore), Some(bstore),
       embedDim = 8, batchId = 1L)
-    assert(replay == 0L)
+    assert(replay == Dropzone.ReconcileStale)
 
     // the tombstoned state must survive compaction byte-for-byte
     TextIndex.compact(spark, tindex)
@@ -159,7 +160,8 @@ class ReconcileSpec extends AnyFunSuite {
     Files.delete(dropzone.resolve("note.txt"))
     val stale = Dropzone.reconcileDeletions(spark, dropzone.toString,
       store, Some(tindex), batchId = 1L) // == the index's watermark
-    assert(stale == 0L, "stale reconcile must no-op consistently")
+    assert(stale == Dropzone.ReconcileStale,
+      "stale reconcile must no-op consistently and return the sentinel")
     assert(storedPaths == Set("note.txt"),
       "stale reconcile must not delete chunks while indexes skip")
     // a fresh id then completes the deletion everywhere (the now-empty
@@ -170,6 +172,79 @@ class ReconcileSpec extends AnyFunSuite {
       storedPaths.isEmpty)
     assert(TextIndex.read(spark, tindex).postings
       .select("doc").distinct().collect().isEmpty)
+  }
+
+  test("a store emptied by deletion-compaction regrows readable (r11 marker layout)") {
+    // r10's empty-table fallback wrote a FLAT root-level parquet part into
+    // the epoch dir; a later incremental upsert appended gen=N/bucket=M
+    // partition directories beside it and Spark rejected the mixed layout
+    // — the store was permanently unreadable (compact cannot heal what it
+    // cannot read). r11 records emptiness via the _graft_empty.json
+    // sidecar instead; this test walks the full empty→regrow cycle for
+    // all three gen-store layouts and pins schema layout-independence.
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "spark join engine shuffles rows by key and builds hash tables " * 3),
+      ("d2", "filter scan pushdown prunes row groups with statistics " * 3))
+      .toDF("id", "text")
+    val noDocs = Seq.empty[(String, String)].toDF("id", "text")
+    val noIds = Seq.empty[String].toDF("id")
+    val fresh = Seq(
+      ("d3", "aggregate pushdown merges partial results on the map side " * 3))
+      .toDF("id", "text")
+
+    // --- BandStore
+    val bstore = Files.createTempDirectory("graft-regrow-bs").resolve("idx").toString
+    BandStore.write(docs, "id", "text", bstore, 32, 8)
+    BandStore.upsert(spark, noDocs, "id", "text",
+      Seq("d1", "d2").toDF("id"), bstore, 32, 8)
+    BandStore.compact(spark, bstore)
+    val bandEmpty = BandStore.read(spark, bstore, 32, 8).rows
+    assert(bandEmpty.count() == 0, "emptied band store must read as empty")
+    BandStore.upsert(spark, fresh, "id", "text", noIds, bstore, 32, 8)
+    val bandRegrown = BandStore.read(spark, bstore, 32, 8).rows
+    assert(bandRegrown.select("c_id").distinct().collect()
+      .map(_.getString(0)).toSet == Set("d3"),
+      "regrown band store must serve the new delta")
+    // ADVICE r10 low: the empty layout must read with the SAME schema as
+    // the partitioned one (names + types; the old flat part wrote bucket
+    // cols as LONG data columns where directory inference yields INT)
+    assert(bandEmpty.schema.map(f => (f.name, f.dataType)) ==
+      bandRegrown.schema.map(f => (f.name, f.dataType)),
+      s"empty vs partitioned schema diverged:\n${bandEmpty.schema}\n${bandRegrown.schema}")
+
+    // --- TextIndex
+    val tindex = Files.createTempDirectory("graft-regrow-ti").resolve("idx").toString
+    TextIndex.write(docs, "id", "text", tindex)
+    TextIndex.upsert(spark, noDocs, "id", "text",
+      Seq("d1", "d2").toDF("id"), tindex)
+    TextIndex.compact(spark, tindex)
+    assert(TextIndex.read(spark, tindex).postings.count() == 0)
+    TextIndex.upsert(spark, fresh, "id", "text", noIds, tindex)
+    val ti = TextIndex.read(spark, tindex)
+    assert(ti.postings.select("doc").distinct().collect()
+      .map(_.getString(0)).toSet == Set("d3"))
+    assert(ti.n == 1L, "regrown index stats must count only the new doc")
+
+    // --- VectorStore (vectors layout; codes shares the codepath)
+    val vstore = Files.createTempDirectory("graft-regrow-vs").resolve("idx").toString
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    VectorStore.write(vecs, "embedding", vstore, planes = 2, dim = 4, k = 2)
+    VectorStore.upsertVectors(spark,
+      Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Seq(1L, 2L).toDF("vec_id"), vstore,
+      planes = 2, dim = 4)
+    VectorStore.compactVectors(spark, vstore)
+    assert(VectorStore.read(spark, vstore, 2, 4).vectors.count() == 0)
+    VectorStore.upsertVectors(spark,
+      Seq((3L, Array(0.0, 0.0, 1.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Seq.empty[Long].toDF("vec_id"), vstore,
+      planes = 2, dim = 4)
+    assert(VectorStore.read(spark, vstore, 2, 4).vectors
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(3L),
+      "regrown vector store must serve the new delta")
   }
 
   test("deleting every document empties the affected chunk-store buckets (dynamic-overwrite gap)") {
