@@ -348,6 +348,29 @@ object Bench {
         "null"
       }
 
+    // Hot-CLASS stress for the q88/q99 span-removal keeper step (r11,
+    // VERDICT r10 next-round #1): the skew_stress above grades a hot JOIN
+    // key; this block grades the hot SHINGLE CLASS — one boilerplate
+    // 8-gram (a license header) owning ~30% of all positional-shingle
+    // rows, the shape a 100 TB crawl guarantees. Basis = the REAL
+    // positional-hash lineage over this sfDir's documents (replica-remapped
+    // to the stress row count) + the synthetic hot class. Three variants
+    // of the same keeper/shared-by-≥2 computation:
+    //   window     — r10's min/max window over (h1,h2), AQE off: the hot
+    //                class sorts in ONE task (the named scale-killer);
+    //   window_aqe — same with AQE on: proves AQE cannot split a window
+    //                partition (unlike a skewed join);
+    //   salted     — the shipped Curation.classBounds two-phase fold, AQE
+    //                off: structure alone must bound the variance.
+    // Done-bar (r10 prescription): salted keeps max task ≤ 4× its stage
+    // median on time AND rows; the window row_ratio proves the stress.
+    val spanSkew: String =
+      try graft.tools.SpanSkewStress.json(spark, sfDir, run)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] span skew stress failed: ${e.getMessage}")
+        "null"
+      }
+
     val suiteByName = results.map(r => r._1 -> r._2).toMap
 
     // sf~1 scale spot-check (r8 Next #3): every scale claim so far is
@@ -712,6 +735,6 @@ object Bench {
       "1.3-1.6x on identical plans cover the r7-r8 deltas — ambient " +
       "variance + multi-job serve pipelines, not store fixed cost " +
       "(full numbers: docs/PROFILE_r9.md)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
   }
 }

@@ -59,6 +59,148 @@ object Curation {
         Window.partitionBy(col(keyCol)).orderBy(col(orderCol))).cast("long"))
       .filter(col(rankCol) <= cap)
 
+  /** Exact per-key `row_number` WITHOUT a per-key window — the full-rank
+    * companion to [[saltedRankCap]] (which only keeps the top `cap`):
+    * q102's admission rule emits the exact rank of EVERY document, kept
+    * or rejected, so the cap'd form alone cannot serve it, and a plain
+    * `row_number().over(partitionBy(domain))` sends a mega-domain (half
+    * the crawl on one CDN) to ONE task (r10 VERDICT next-round #2).
+    *
+    * The trick: bucket rows by RANGE of the numeric order key —
+    * `floor((order - min) / q)` is monotone in the key, so sorting by
+    * (bucket, order) IS sorting by order, and a row's exact rank equals
+    * its rank within its (key, bucket) window plus the total row count
+    * of the same key's earlier buckets. Phase 1 windows over
+    * (key, bucket) — a hot key whose order values spread over the id
+    * range (a CDN's docs arrive throughout a crawl) splits ~`salts` ways;
+    * phase 2's running-sum offsets live on the (key, bucket) COUNT frame
+    * (≤ salts rows per key — bounded regardless of hotness); the
+    * join-back keys carry the bucket, so no exchange concentrates the
+    * hot key either. Value-identical to the plain window for any
+    * `orderCol` unique within its key (ties would make both forms
+    * nondeterministic); an adversarial key whose rows all share ONE
+    * contiguous id range degrades toward the plain window's balance, a
+    * trade the range bucketing makes explicitly (hash salts cannot rank
+    * exactly; ranges can).
+    *
+    * The min/max probe is one driver-side agg over two longs — the same
+    * cost class as a count gate.
+    */
+  def saltedExactRank(df: DataFrame, keyCol: String, orderCol: String,
+      salts: Int = 16, rankCol: String = "rank"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val bounds = df.agg(min(col(orderCol)).cast("long"),
+      max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) // empty input: schema-complete, zero rows
+      return df.withColumn(rankCol, lit(1L))
+    val mn = bounds.getLong(0)
+    val q = math.max(1L, (bounds.getLong(1) - mn) / salts + 1)
+    val bucketed = df.withColumn("__rb",
+      floor((col(orderCol).cast("long") - lit(mn)) / lit(q)).cast("int"))
+    val withSub = bucketed
+      .withColumn("__sub", row_number().over(
+        Window.partitionBy(col(keyCol), col("__rb")).orderBy(col(orderCol)))
+        .cast("long"))
+    // offsets derive from the pre-window frame: counts don't need ranks,
+    // and the map-side-combined agg is skew-safe on its own
+    val offsets = bucketed.groupBy(col(keyCol), col("__rb"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__rb"), col("__off"))
+    withSub.join(offsets, Seq(keyCol, "__rb"))
+      .withColumn(rankCol, col("__sub") + col("__off"))
+      // pin caller column order (using-column joins reorder the schema)
+      .select((df.columns.map(col) :+ col(rankCol)): _*)
+  }
+
+  /** Skew-safe per-class min/max attach — the [[saltedRankCap]] two-phase
+    * idea applied to ASSOCIATIVE aggregates (q88/q99's span-removal core:
+    * keeper = min(doc_id), shared-by-≥2 = min ≠ max over the shingle
+    * class). A plain `min().over(Window.partitionBy(keys))` sends every
+    * row of a class to ONE task, and a window partition cannot be
+    * AQE-skew-split — so one license-header 8-gram shared by 10⁸ docs
+    * pins a single task at 100-TB scale (r10 VERDICT "What's wrong" #1).
+    *
+    * Because min/max are associative the class aggregate can be computed
+    * WITHOUT ever colocating a class: phase 1 pre-aggregates per
+    * `(keys, salt)` — map-side combinable, the hot class spread `salts`
+    * ways; phase 2 folds the ≤ `salts` partials per class (tiny); the
+    * partials then carry the class bounds back and the final equi-join
+    * runs on `(keys, salt)` — the salt rides IN the join key, so no task
+    * on either side ever sees more than ~1/salts of a hot class. The
+    * lookup side has one row per OCCURRING (class, salt) pair — for the
+    * common all-singleton tail that is exactly one row per class, no
+    * explosion. Total wire volume matches the window form (the basis
+    * crosses once, plus aggregate-sized smalls).
+    *
+    * `saltExpr` must be deterministic per row and spread within a class
+    * (q88 salts by hash(doc_id, pos)). Value-identical to
+    * [[plainClassBounds]] — CurationSpec asserts row-level equality on a
+    * hot-class corpus.
+    */
+  /** `classFilter` (over the bound columns) prunes CLASSES before the
+    * join-back: rows of filtered-out classes are dropped entirely. For
+    * consumers that immediately discard most classes — q88 keeps only
+    * shared-by-≥2-docs shingles, typically a small fraction — this
+    * shrinks the lookup from all-classes to matching-classes, and when
+    * that side falls under the broadcast threshold AQE replaces the
+    * basis-side shuffle with a broadcast join: the corpus-sized exchange
+    * disappears outright.
+    */
+  def classBounds(df: DataFrame, keyCols: Seq[String], valCol: String,
+      saltExpr: Column, minName: String, maxName: String,
+      salts: Int = 16, classFilter: Option[Column] = None): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val ks = keyCols.map(col)
+    val salted = df.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    // The aggregation itself never needs a salt: a two-phase hash agg
+    // map-side-combines a hot class to ONE partial row per map task, so
+    // the exchange and the final agg stay balanced no matter how hot a
+    // class gets — hot-class skew lives in WINDOWS (which must colocate a
+    // whole class to attach results to its rows) and in the JOIN-BACK
+    // below when the lookup is too big to broadcast. The salt therefore
+    // rides only in the join keys.
+    //
+    // Lookup = per-(class, salt) bound rows. With a classFilter the
+    // surviving class set is assumed selective: aggregate per class
+    // directly, filter, and explode across ALL salt values (salts× a
+    // small frame — broadcastable under AQE, uniformly spread if it must
+    // shuffle). Without a filter, exploding would be salts× EVERY class;
+    // instead enumerate only the OCCURRING (class, salt) combos via
+    // per-salt partials (one row per class on the singleton tail) and
+    // fold those per class.
+    val lookup = classFilter match {
+      case Some(f) =>
+        df.groupBy(ks: _*)
+          .agg(min(col(valCol)).as(minName), max(col(valCol)).as(maxName))
+          .filter(f)
+          .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+          .select((ks :+ col("__salt") :+ col(minName) :+ col(maxName)): _*)
+      case None =>
+        val partials = salted.groupBy((ks :+ col("__salt")): _*)
+          .agg(min(col(valCol)).as("__pmin"), max(col(valCol)).as("__pmax"))
+        val cls0 = partials.groupBy(ks: _*)
+          .agg(min(col("__pmin")).as(minName), max(col("__pmax")).as(maxName))
+        partials.join(cls0, keyCols)
+          .select((ks :+ col("__salt") :+ col(minName) :+ col(maxName)): _*)
+    }
+    salted.join(lookup, keyCols :+ "__salt")
+      // using-column joins reorder the schema; pin caller order + bounds
+      .select((df.columns.map(col) :+ col(minName) :+ col(maxName)): _*)
+  }
+
+  /** The plain window form of [[classBounds]] — here so the spec can
+    * assert the two forms agree row-for-row on identical input.
+    */
+  def plainClassBounds(df: DataFrame, keyCols: Seq[String], valCol: String,
+      minName: String, maxName: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn(minName, min(col(valCol)).over(w))
+      .withColumn(maxName, max(col(valCol)).over(w))
+  }
+
   /** Domain extraction from a URL — q102's first step as a reusable
     * column (scheme-tolerant, port and userinfo stripped, lowercased).
     */

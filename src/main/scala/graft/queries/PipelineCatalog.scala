@@ -2189,7 +2189,7 @@ object PipelineCatalog {
     * (frequency aggregation + hit join) shuffle 20-byte rows instead of
     * ~8-word strings — 3-5× less shuffle volume on the hottest stage.
     */
-  private def positionalShingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def positionalShingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       posexplode(when(size(col("w")) >= 8,
         transform(sequence(lit(0), size(col("w")) - 8),
@@ -2216,8 +2216,9 @@ object PipelineCatalog {
     * text via array_sort(collect_list) — three corpus-sized exchanges
     * whose per-task state blew past spill thresholds at 10×. Now: hashes
     * shuffle instead of strings, the shared-by-≥2-docs test and the
-    * keeper are window aggregates over the shingle class (the basis
-    * crosses the wire exactly once — no aggregate + re-shuffled join), the
+    * keeper come from the salted two-phase class-bounds fold
+    * ([[graft.operators.Curation.classBounds]] — skew-safe r11; the basis
+    * still crosses the wire exactly once), the
     * covered-word set and the merged-span count come from ONE hits
     * aggregation, and reassembly is a doc-level `array_except` splice —
     * each doc's words never leave their row, so the only doc-sized
@@ -2233,27 +2234,60 @@ object PipelineCatalog {
     * composition (q99) can compute it once for several consumers.
     * `docs` must carry `(doc_id, body, w)`.
     */
+  /** Above this many documents the span-removal keeper step switches from
+    * the window form to the salted agg+join form (see the form note in
+    * [[removeDupSpansFrom]]). At or below it, even a 100%-boilerplate
+    * shingle class is bounded by total corpus shingles (≲ docs × words ≈
+    * tens of millions of 20-byte rows), which one task sorts through
+    * UnsafeExternalSorter's spill path without distress — while the
+    * salted form's extra basis pass + class aggregation are pure fixed
+    * overhead at that size (measured at sf0.1: 0.62 s window vs 1.36 s
+    * salted). Past the gate a single class CAN outgrow any one task, and
+    * the structural bound is worth the extra pass. Override with
+    * -Dgraft.span.form=window|salted (the spec and the span_skew stress
+    * exercise both forms explicitly).
+    */
+  private val SpanSaltedDocsGate = 100000L
+
   private def removeDupSpansFrom(docs: DataFrame, spH: DataFrame): DataFrame = {
     // "shared by ≥2 docs" ⟺ min(doc_id) ≠ max(doc_id) within the shingle
-    // class, keeper = the min — BOTH are unbounded-window aggregates over
-    // (h1, h2), so the whole freq∧hits step is ONE shuffle of the 20-byte
-    // hash rows (window sort by shingle class) instead of the former
-    // aggregate + re-shuffled self-join: the basis crosses the wire once,
-    // and the 10× growth path has one fewer corpus-sized exchange.
-    // The trade: a window partition can't be AQE-skew-split the way a
-    // sort-merge join can, so ONE pathologically hot shingle class (a
-    // license-header 8-gram shared by 10⁸ docs) sorts in one task. Both
-    // forms colocate that class somewhere (the join form colocates it at
-    // the probe), the window spills through UnsafeExternalSorter rather
-    // than OOMing, and halving total wire volume wins at the measured
-    // skew levels — but a corpus with gigarow boilerplate classes would
-    // want the agg+join form back with an explicit hot-class salt.
-    val byShingle = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h1"), col("h2"))
-    val hits = spH
-      .withColumn("keeper", min(col("doc_id")).over(byShingle))
-      .withColumn("_mx", max(col("doc_id")).over(byShingle))
-      .filter(col("keeper") =!= col("_mx") && col("doc_id") =!= col("keeper"))
+    // class, keeper = the min. Two value-identical forms (CurationSpec
+    // pins row-level equality; Bench's span_skew block measures both on a
+    // hot-class fixture):
+    //   window — r10's min/max window over (h1, h2): ONE shuffle of the
+    //       20-byte hash rows, fastest at bench scale, but a window
+    //       partition cannot be AQE-skew-split, so one hot class (a
+    //       license-header 8-gram shared by 10⁸ docs — guaranteed in a
+    //       100 TB crawl) sorts in a single task (r10 VERDICT, the last
+    //       named scale-killer; measured row_ratio 14.7 on the fixture,
+    //       unchanged under AQE).
+    //   salted — min/max are associative, so the bounds come from
+    //       [[graft.operators.Curation.classBounds]]: a skew-safe
+    //       map-side-combined class aggregate, the shared-class filter
+    //       pushed into the lookup, and the join-back keyed on
+    //       (h1, h2, salt) so no task ever sees more than ~1/salts of a
+    //       hot class (measured row_ratio ~1-2 on the same fixture).
+    // The salted form costs one extra basis traversal — pure overhead
+    // while classes are small, structural survival once one class can
+    // outgrow a single task — so the form is gated on corpus size
+    // ([[SpanSaltedDocsGate]]), the same shape as AQE's own
+    // size-triggered re-plans.
+    val useSalted = sys.props.get("graft.span.form") match {
+      case Some("salted") => true
+      case Some("window") => false
+      case _ => docs.count() > SpanSaltedDocsGate
+    }
+    val hits = (if (useSalted)
+      graft.operators.Curation.classBounds(
+        spH, Seq("h1", "h2"), "doc_id",
+        saltExpr = xxhash64(col("doc_id"), col("pos")),
+        minName = "keeper", maxName = "_mx",
+        classFilter = Some(col("keeper") =!= col("_mx")))
+    else
+      graft.operators.Curation.plainClassBounds(
+          spH, Seq("h1", "h2"), "doc_id", "keeper", "_mx")
+        .filter(col("keeper") =!= col("_mx")))
+      .filter(col("doc_id") =!= col("keeper"))
       .select(col("doc_id"), col("pos"))
     // ONE aggregation over the doc's hit positions yields BOTH outputs:
     //  - merged-span starts: a hit with no other hit in the 7 positions
@@ -3997,11 +4031,15 @@ object PipelineCatalog {
   // tails) the URL is synthesized deterministically from (doc_id, source)
   // and the SQL oracle replays the same construction. 100 TB shape: the
   // blocklist is a broadcast join (thousands of domains, never a shuffle);
-  // the per-domain cap is one row_number window keyed by domain — the
-  // same partitioning a per-domain crawl layout would give for free; a
-  // mega-domain (half the crawl is one CDN) skews that window, which is
-  // why the cap rank orders by a STABLE key (doc_id) and not by anything
-  // requiring a global sort.
+  // the per-domain cap needs the EXACT admission rank of every doc (kept
+  // or rejected — the output contract), and a plain row_number window
+  // keyed by domain sends a mega-domain (half the crawl on one CDN) to
+  // ONE task. r11 ships Curation.saltedExactRank as the default: ordered
+  // range-buckets over the stable doc_id split the hot domain's window
+  // ~salts ways, a bounded (≤ salts rows/domain) running-sum frame turns
+  // sub-ranks into exact ranks, and the join-back carries the bucket in
+  // its keys — value-identical to the plain window (CurationSpec pins
+  // it; PlanSpec asserts the bucketed shape), skew-safe without AQE.
   // -------------------------------------------------------------------------
 
   private val DomainPool = Seq("news.example.com", "blog.example.org",
@@ -4023,13 +4061,12 @@ object PipelineCatalog {
       // the oracle replays a simpler https-only regex — value-identical on
       // these synthesized URLs (always https, lowercase, no port/userinfo)
       .withColumn("domain", graft.operators.Curation.urlDomain(col("url")))
-    val byDomain = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("domain")).orderBy(col("doc_id"))
-    withUrl
+    val flagged = withUrl
       .join(broadcast(block), col("domain") === col("bdomain"), "left")
       .withColumn("blocked",
         col("bdomain").isNotNull || col("domain").contains("casino"))
-      .withColumn("dom_rank", row_number().over(byDomain).cast("long"))
+    graft.operators.Curation.saltedExactRank(
+        flagged, "domain", "doc_id", rankCol = "dom_rank")
       .select(col("doc_id"), col("url"), col("domain"), col("blocked"),
         col("dom_rank"),
         (!col("blocked") && col("dom_rank") <= DomainCap).as("kept"))

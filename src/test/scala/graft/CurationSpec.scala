@@ -89,6 +89,164 @@ class CurationSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  // --- saltedExactRank: the skew-split exact row_number behind q102's
+  //     shipped admission rank (r10 VERDICT next-round #2)
+
+  test("saltedExactRank == plain row_number on a hot-domain corpus") {
+    val df = hotCorpus(4000, 0.5)
+    def ranks(out: org.apache.spark.sql.DataFrame) = out
+      .select("doc_id", "domain", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(identity)
+    val plain = ranks(df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("doc_id"))).cast("long")))
+    for (salts <- Seq(1, 3, 16)) {
+      val salted = ranks(Curation.saltedExactRank(df, "domain", "doc_id", salts))
+      assert(salted.toSeq == plain.toSeq, s"salts=$salts diverged")
+    }
+    // no window may partition by the bare key: every domain window must
+    // carry the __rb range bucket
+    val physical = Curation.saltedExactRank(df, "domain", "doc_id")
+      .queryExecution.executedPlan.toString
+    val domWins = "windowspecdefinition\\(domain#\\d+, [^ ,]+".r
+      .findAllIn(physical).toList
+    assert(domWins.nonEmpty && domWins.forall(_.contains("__rb")),
+      s"bare domain window in saltedExactRank: $domWins")
+  }
+
+  test("property: saltedExactRank equals a pure-Scala rank on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(0, 100)
+      // ids drawn sparse and possibly negative: the range bucketing must
+      // hold off-origin and with gaps; uniqueness enforced by distinct
+      ids <- Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.distinct)
+      keys <- Gen.listOfN(ids.size, Gen.choose(0, 3))
+      salts <- Gen.oneOf(1, 2, 7, 64)
+    } yield (ids.zip(keys), salts)
+    val prop = Prop.forAll(gen) { case (rows, salts) =>
+      val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(_._1).zipWithIndex
+          .map { case ((id, k), i) => (id, k, i + 1L) }
+      }.toList.sorted
+      val got = Curation.saltedExactRank(
+          rows.toDF("doc_id", "dom"), "dom", "doc_id", salts)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toList.sorted
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // --- classBounds: the skew-safe min/max attach behind q88/q99's
+  //     span-removal keeper test (r10 VERDICT next-round #1)
+
+  /** Positional-shingle-shaped fixture: one hot class owns `hotFrac` of
+    * all rows (the license-header 8-gram), a tail of small and singleton
+    * classes, plus a same-doc-repeat class (min == max through one doc —
+    * must NOT read as shared).
+    */
+  private def shingleCorpus(n: Int, hotFrac: Double) = {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val nHot = (n * hotFrac).toInt
+    val rows = (0 until n).map { i =>
+      val (h1, h2) =
+        if (i < nHot) (1L, 1)                        // the hot class
+        else if (i < nHot + 40) (2L, 2)              // warm class
+        else if (i < nHot + 44) (3L, 3)              // same-doc repeats
+        else (100L + i, i)                           // singleton tail
+      val doc = if (h1 == 3L) 7L else rng.nextInt(300).toLong
+      (h1, h2, doc, i)
+    }
+    rng.shuffle(rows).toDF("h1", "h2", "doc_id", "pos")
+  }
+
+  test("classBounds == plain window bounds on a hot-class corpus; no Window in the salted plan") {
+    val df = shingleCorpus(5000, 0.35)
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .select("h1", "h2", "doc_id", "pos", "keeper", "_mx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2, t._4))
+    val plain = rows(Curation.plainClassBounds(
+      df, Seq("h1", "h2"), "doc_id", "keeper", "_mx"))
+    for (salts <- Seq(1, 3, 16)) {
+      val salted = Curation.classBounds(df, Seq("h1", "h2"), "doc_id",
+        xxhash64(col("doc_id"), col("pos")), "keeper", "_mx", salts)
+      assert(rows(salted).toSeq == plain.toSeq, s"salts=$salts diverged")
+    }
+    // the point of the form: no window partition anywhere (nothing a hot
+    // class can pin), and the basis-side join key carries the salt
+    val physical = Curation.classBounds(df, Seq("h1", "h2"), "doc_id",
+        xxhash64(col("doc_id"), col("pos")), "keeper", "_mx")
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"), "salted form must not use a window")
+    assert(physical.contains("__salt"), "join must run on the salted key")
+  }
+
+  test("classBounds classFilter == post-hoc filter (the shipped q88 shape)") {
+    val df = shingleCorpus(3000, 0.35)
+    def hits(out: org.apache.spark.sql.DataFrame) = out
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(identity)
+    val post = hits(Curation.plainClassBounds(
+        df, Seq("h1", "h2"), "doc_id", "keeper", "_mx")
+      .filter(col("keeper") =!= col("_mx") && col("doc_id") =!= col("keeper")))
+    val pushed = hits(Curation.classBounds(
+        df, Seq("h1", "h2"), "doc_id",
+        xxhash64(col("doc_id"), col("pos")), "keeper", "_mx",
+        classFilter = Some(col("keeper") =!= col("_mx")))
+      .filter(col("doc_id") =!= col("keeper")))
+    assert(pushed.toSeq == post.toSeq)
+  }
+
+  test("q88 window and salted span forms agree end-to-end (sf0.001)") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    def rows() = graft.queries.PipelineCatalog.q88SpanRemoval(spark, d)
+      .collect().map(_.toSeq).toSeq
+    try {
+      sys.props("graft.span.form") = "window"
+      val w = rows()
+      sys.props("graft.span.form") = "salted"
+      val s = rows()
+      assert(w == s, "the two span-removal forms must be value-identical")
+      assert(w.nonEmpty)
+    } finally sys.props.remove("graft.span.form")
+  }
+
+  test("property: classBounds equals a pure-Scala model on random corpora") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        h1 <- Gen.choose(0L, 5L)   // few classes -> dense collisions
+        h2 <- Gen.choose(0, 2)
+        doc <- Gen.choose(-3L, 40L) // negative ids exercise pmod salting
+        pos <- Gen.choose(0, 1000)
+      } yield (h1, h2, doc, pos))
+      salts <- Gen.oneOf(1, 2, 7)
+    } yield (rows, salts)
+    val prop = Prop.forAll(gen) { case (rows, salts) =>
+      val expected = rows.groupBy(r => (r._1, r._2)).flatMap { case (_, rs) =>
+        val docs = rs.map(_._3)
+        rs.map(r => (r._1, r._2, r._3, r._4, docs.min, docs.max))
+      }.toList.sorted
+      val got = Curation.classBounds(
+          rows.toDF("h1", "h2", "doc_id", "pos"), Seq("h1", "h2"),
+          "doc_id", xxhash64(col("doc_id"), col("pos")), "mn", "mx", salts)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+          r.getLong(4), r.getLong(5))).toList.sorted
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("urlDomain: scheme-tolerant, strips userinfo/port/path, lowercases") {
     import spark.implicits._
     val cases = Seq(

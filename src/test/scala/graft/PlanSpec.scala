@@ -442,17 +442,22 @@ class PlanSpec extends AnyFunSuite {
       "an inner component's presentation sort survived under the join")
   }
 
-  test("q102: blocklist broadcasts; per-domain cap window keeps its partition key") {
+  test("q102: blocklist broadcasts; admission rank is range-bucketed, never a bare domain window") {
     val p = plan("q102_domain_curation")
     // thousands of blocked domains must never shuffle the corpus — the
     // blocklist join has to stay a broadcast hash join
     assert(p.contains("BroadcastHashJoin"),
       "domain blocklist join lost its broadcast")
-    assert(!p.contains("SortMergeJoin"),
-      "blocklist join degraded to a corpus shuffle")
-    // the cap rank must be computed per-domain, not in one global window
-    assert(p.contains("windowspecdefinition(domain"),
-      "q102 window lost its domain partitioning")
+    // r11 (VERDICT r10 #2): the exact admission rank ships as
+    // Curation.saltedExactRank — every window whose partition key leads
+    // with `domain` must also carry the __rb range bucket, so a
+    // mega-domain can never pin a single window task. (The offsets
+    // running sum windows over the ≤ salts-rows-per-domain count frame —
+    // bounded by construction — and also carries __rb, as its order key.)
+    val domWins = "windowspecdefinition\\(domain#\\d+, [^ ,]+".r.findAllIn(p).toList
+    assert(domWins.nonEmpty, "q102 lost its per-domain rank windows")
+    assert(domWins.forall(_.contains("__rb")),
+      s"a bare per-domain window reappeared in q102: $domWins")
   }
 
   test("q104: frame ANN prunes cell partitions; serving never re-decodes media") {
