@@ -92,7 +92,8 @@ object BandStore {
     new java.io.File(GenStore.tableDir(path, "bands"))
 
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
-    GenStore.liveRows(spark, path, rows, rowKey = "c_id", tombCol = "doc")
+    GenStore.liveRows(spark, path, rows, rowKey = "c_id", tombCol = "doc",
+      maxGen = GenStore.committedGen(statsPath(path)))
 
   def exists(path: String): Boolean =
     GenStore.hasParquetData(bandsDir(path)) ||

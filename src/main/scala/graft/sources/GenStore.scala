@@ -46,6 +46,19 @@ object GenStore {
     * operation is noise next to the file stat it counts. `tools/StoreProfile`
     * resets + dumps around one batch/serve to attribute fixed costs.
     */
+  /** Test-only fault injection for the crash-consistency fuzz
+    * (ReconcileSpec/CrashFuzzSpec): production leaves `hook` as a no-op;
+    * a spec installs a countdown hook that throws at the N-th lifecycle
+    * point, simulating a kill between any two steps of an upsert,
+    * compaction or rebuild. Points sit in the GenStore primitives (and
+    * one in TextIndex's two-artifact segment write), so every store's
+    * sequence is covered without store-specific plumbing.
+    */
+  private[graft] object CrashPoints {
+    @volatile var hook: String => Unit = _ => ()
+    @inline def hit(name: String): Unit = hook(name)
+  }
+
   object Probe {
     private val counts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     def inc(op: String): Unit =
@@ -255,6 +268,7 @@ object GenStore {
         sorted.write.mode("overwrite").option("partitionOverwriteMode", "static")
           .partitionBy(partitionCols: _*).parquet(path)
       }
+      CrashPoints.hit("table-written")
     } finally cached.unpersist()
   }
 
@@ -309,6 +323,7 @@ object GenStore {
     * (or crash-recovery pass) ever sees a truncated JSON.
     */
   def atomicWrite(p: java.nio.file.Path, s: String): Unit = {
+    CrashPoints.hit(s"sidecar:${p.getFileName}")
     java.nio.file.Files.createDirectories(p.getParent)
     val tmp = p.resolveSibling("." + p.getFileName.toString + ".tmp")
     java.nio.file.Files.writeString(tmp, s)
@@ -394,6 +409,7 @@ object GenStore {
       k.withColumn("gen", lit(gen))
         .write.mode("append").partitionBy("gen")
         .parquet(tableDir(path, "tombstones"))
+    CrashPoints.hit("tombstones-appended")
     n
   }
 
@@ -406,27 +422,55 @@ object GenStore {
     * before the join: drop-by-name(tombCol) would remove EVERY column of
     * that name, including the caller's when rowKey == tombCol.
     *
+    * `maxGen` (r11) is the read-side COMMIT GATE: each store's stats
+    * sidecar is written LAST in an upsert and carries the highest
+    * committed generation, so filtering rows AND tombstones to
+    * `gen <= maxGen` makes the stats write the atomic commit point — a
+    * reader arriving between a crash and the replay sees exactly the
+    * pre-batch state, never the torn middle (tombstones landed, segment
+    * rows not). gen is a partition column, so the gate is partition
+    * pruning, not a scan filter. `Long.MaxValue` (the legacy default)
+    * reads everything.
+    *
     * Between compactions the tombstone list is small, so it broadcasts;
     * churn grows it without bound, so past the byte gate (driver-side
     * file stat only) the filter falls back to a shuffled hash join.
     */
   def liveRows(spark: SparkSession, path: String, rows: DataFrame,
-      rowKey: String, tombCol: String): DataFrame =
-    if (!hasParquetData(tombstonesDir(path))) rows
+      rowKey: String, tombCol: String,
+      maxGen: Long = Long.MaxValue): DataFrame = {
+    val rowsG =
+      if (maxGen == Long.MaxValue) rows else rows.filter(col("gen") <= maxGen)
+    if (!hasParquetData(tombstonesDir(path))) rowsG
     else {
-      val tomb = seg(spark, tableDir(path, "tombstones"))
+      val tombAll = seg(spark, tableDir(path, "tombstones"))
+      val tombG =
+        if (maxGen == Long.MaxValue) tombAll
+        else tombAll.filter(col("gen") <= maxGen)
+      val tomb = tombG
         .groupBy(col(tombCol)).agg(max(col("gen")).as("__tomb_gen"))
         .select(col(tombCol).as("__tomb_id"), col("__tomb_gen"))
       val joined =
         if (dirBytes(tombstonesDir(path)) <= MaxTombstoneBroadcastBytes)
-          rows.join(broadcast(tomb), rows(rowKey) === col("__tomb_id"), "left")
+          rowsG.join(broadcast(tomb), rowsG(rowKey) === col("__tomb_id"), "left")
         else
-          rows.hint("shuffle_hash")
+          rowsG.hint("shuffle_hash")
             .join(tomb.hint("shuffle_hash"),
-              rows(rowKey) === col("__tomb_id"), "left")
+              rowsG(rowKey) === col("__tomb_id"), "left")
       joined.filter(col("__tomb_gen").isNull || col("gen") >= col("__tomb_gen"))
         .drop("__tomb_id", "__tomb_gen")
     }
+  }
+
+  /** The committed-generation gate value for [[liveRows]]' `maxGen`: the
+    * `gen` recorded in the store's stats sidecar, or `Long.MaxValue`
+    * (fail-open, the legacy read) when the sidecar is absent/corrupt —
+    * hiding data behind a damaged metadata file would turn a rebuildable
+    * nuisance into an outage.
+    */
+  def committedGen(statsPath: java.nio.file.Path): Long =
+    readSidecar(statsPath).map(jLong(_, "gen", Long.MaxValue))
+      .getOrElse(Long.MaxValue)
 
   // ---------------------------------------------------------------------
   // Crash-redo for interrupted upserts
@@ -454,5 +498,6 @@ object GenStore {
         spark.catalog.refreshByPath(s"$path/$sub/e$e")
       }
     }
+    CrashPoints.hit("partials-cleaned")
   }
 }

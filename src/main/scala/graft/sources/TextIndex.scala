@@ -183,6 +183,7 @@ object TextIndex {
       .write.mode(mode).option("partitionOverwriteMode", "static")
       .partitionBy("gen", "term_bucket")
       .parquet(s"$path/postings/e$epoch")
+    GenStore.CrashPoints.hit("postings-segment-written")
     segmentDoclens(withDl, gen)
       .repartition(col("doc_bucket"))
       .write.mode(mode).option("partitionOverwriteMode", "static")
@@ -191,7 +192,8 @@ object TextIndex {
   }
 
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame): DataFrame =
-    GenStore.liveRows(spark, path, rows, rowKey = "doc", tombCol = "doc")
+    GenStore.liveRows(spark, path, rows, rowKey = "doc", tombCol = "doc",
+      maxGen = GenStore.committedGen(statsPath(path)))
 
   /** The LIVE doclens rows of the affected ids — the upsert's only read
     * of pre-existing state: (doc_bucket, doc) equi-join so partition

@@ -185,7 +185,8 @@ object VectorStore {
     */
   private def liveRows(spark: SparkSession, path: String, rows: DataFrame,
       idCol: String): DataFrame =
-    GenStore.liveRows(spark, path, rows, rowKey = idCol, tombCol = "id")
+    GenStore.liveRows(spark, path, rows, rowKey = idCol, tombCol = "id",
+      maxGen = GenStore.committedGen(incStatsPath(path)))
 
   /** The delta's labelled segment rows — cell/bucket assignment from the
     * stored centroid literals ONLY (test-guarded: no scan of the stored
