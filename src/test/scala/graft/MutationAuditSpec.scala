@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Uuid5
+import graft.operators.{Chunker, Curation, Dedup, Similarity}
+import graft.core.Tables
+import graft.queries.Catalog
+
+/** Oracle-sensitivity (mutation) audit — r10 VERDICT next-round #3.
+  *
+  * The q100 lesson: a query was oracle-green in r9 while harboring a real
+  * bug, because impl and oracle shared the same wrong join key — the
+  * correctness gate only proves impl ≡ oracle, not that either reflects
+  * the intended semantics. This audit closes the loop from the other
+  * side: for each query family, ONE semantic choice is perturbed in a
+  * test-only rebuild of the lineage, and the result must HASH-MISMATCH
+  * the shipped query (which the driver proves ≡ oracle, so a mismatch
+  * here is a mismatch the oracle gate would catch if the impl alone
+  * regressed on that axis).
+  *
+  * Every family carries a CONTROL rebuild — byte-identical lineage — that
+  * must hash-MATCH the shipped query first. The control proves the
+  * rebuild is faithful (so the mutation's mismatch is attributable to the
+  * mutated choice, not to rebuild drift), and doubles as a tripwire if
+  * the catalog's literals ever drift from the copies here.
+  *
+  * Scale note: the dedup-keeper and frame-join mutations only produce
+  * different bytes when exact-duplicate texts exist, which the generated
+  * corpus first has at sf0.1 (8 duplicate classes, 1 in the video slot) —
+  * those two families run there; the rest run at sf0.01.
+  */
+class MutationAuditSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Sf01 = "/root/testdata/sf0.01"
+  private val Sf1 = "/root/testdata/sf0.1"
+
+  /** The driver's comparison, in-process: columns sorted by name, rows
+    * sorted, stringified. Equality here ⟺ the driver's hash match.
+    */
+  private def canon(df: DataFrame): Seq[String] =
+    df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+      .collect().map(_.toString).sorted.toSeq
+
+  private def docsWide(d: String) = Tables.fanOut(Tables(spark, d, "documents"))
+
+  private def audit(name: String, sfDir: String,
+      control: DataFrame, mutated: DataFrame): Unit = {
+    val shipped = canon(SparkEntry.queries(name)(spark, sfDir))
+    assert(canon(control) == shipped,
+      s"$name control rebuild drifted from the shipped lineage — fix the " +
+        "copy here before trusting the mutation result")
+    assert(canon(mutated) != shipped,
+      s"$name oracle gate is INSENSITIVE to the mutated semantic choice")
+  }
+
+  test("ids family (q14): uuid5 name-scheme mutation flips the gate") {
+    def build(prefix: String) = docsWide(Sf01)
+      .filter(col("doc_id") < 10)
+      .withColumn("document_id", Uuid5.documentId(concat(lit(prefix), col("doc_id"))))
+      .select(col("doc_id"), col("document_id"),
+        explode(sequence(lit(0), lit(2))).as("idx"))
+      .withColumn("chunk_id", Uuid5.chunkId(col("document_id"), col("idx")))
+      .select(col("doc_id"), col("document_id"), col("idx"), col("chunk_id"))
+      .orderBy(col("doc_id"), col("idx"))
+    audit("q14_chunk_ids", Sf01,
+      control = build("docs/"),
+      mutated = build("doc/")) // the reference's path prefix, one char off
+  }
+
+  test("chunking family (q13): overlap mutation flips the gate") {
+    def build(overlap: Int) = docsWide(Sf01)
+      .select(col("doc_id"),
+        posexplode(Chunker.chunkTextCol(col("text"), 100, overlap))
+          .as(Seq("idx", "chunk")))
+      .orderBy(col("doc_id"), col("idx"))
+    audit("q13_chunks", Sf01, control = build(20), mutated = build(19))
+  }
+
+  test("embedding family (q15): normalization-constant mutation flips the gate") {
+    def build(denom: Double) = docsWide(Sf01)
+      .select(col("doc_id") +:
+        (0 until 8).map(i =>
+          (conv(substring(sha2(col("text"), 256), 2 * i + 1, 2), 16, 10)
+            .cast("long") / lit(denom)).as(s"e$i")): _*)
+      .orderBy(col("doc_id"))
+    audit("q15_embed_dev", Sf01,
+      control = build(256.0),
+      mutated = build(255.0)) // the classic off-by-one byte normalizer
+  }
+
+  test("ANN family (q16): score rounding-grid mutation flips the gate") {
+    def build(scale: Int) = {
+      val emb = Tables(spark, Sf01, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0), "embedding", query, 10)
+        .select(col("vec_id"), col("label"),
+          Catalog.rnd(col("score"), scale).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    }
+    audit("q16_knn_cosine", Sf01, control = build(6), mutated = build(5))
+  }
+
+  test("dedup family (q17): keeper-choice mutation flips the gate (needs sf0.1 dups)") {
+    def build(keeper: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      docsWide(Sf1)
+        .groupBy(sha2(col("text"), 256).as("content_sig"))
+        .agg(keeper(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("content_sig"))
+    audit("q17_dedup_exact", Sf1,
+      control = build(min),   // the shipped rule: keeper = lowest id
+      mutated = build(max))   // a plausible wrong rule, visible only on dups
+  }
+
+  test("curation family (q102): per-domain cap mutation flips the gate") {
+    val pool = Seq("news.example.com", "blog.example.org", "cdn.assets.example",
+      "win.spam-casino.biz", "docs.example.io", "forum.example.net")
+    val blocklist = Seq("cdn.assets.example", "tracker.example.net")
+    def build(cap: Int) = {
+      val domains = array(pool.map(lit): _*)
+      val block = spark.createDataFrame(blocklist.map(Tuple1(_))).toDF("bdomain")
+      val withUrl = docsWide(Sf01)
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", concat(lit("https://"),
+          element_at(domains, (pmod(col("doc_id"), lit(6)) + 1).cast("int")),
+          lit("/"), col("source"), lit("/"), col("doc_id")))
+        .withColumn("domain", Curation.urlDomain(col("url")))
+      val flagged = withUrl
+        .join(broadcast(block), col("domain") === col("bdomain"), "left")
+        .withColumn("blocked",
+          col("bdomain").isNotNull || col("domain").contains("casino"))
+      Curation.saltedExactRank(flagged, "domain", "doc_id", rankCol = "dom_rank")
+        .select(col("doc_id"), col("url"), col("domain"), col("blocked"),
+          col("dom_rank"),
+          (!col("blocked") && col("dom_rank") <= cap).as("kept"))
+        .orderBy(col("doc_id"))
+    }
+    audit("q102_domain_curation", Sf01, control = build(60), mutated = build(61))
+  }
+
+  test("media/frame family (q100): the r10 join-key bug stays caught (needs sf0.1 dups)") {
+    import spark.implicits._
+    def build(frameKey: String) = {
+      val exts = array(lit("png"), lit("mp3"), lit("mp4"))
+      val kinds = array(lit("image"), lit("audio"), lit("video"))
+      val slot = (pmod(col("doc_id"), lit(3)) + 1).cast("int")
+      val media = docsWide(Sf1)
+        .select(
+          sha2(encode(col("text"), "UTF-8"), 256).as("id"),
+          element_at(kinds, slot).as("kind"),
+          concat(lit("media/"), col("doc_id"), lit("."), element_at(exts, slot)).as("path"),
+          encode(col("text"), "UTF-8").as("content"))
+        .as[graft.operators.Multimodal.MediaRow]
+      val dec = graft.operators.Multimodal.decode(media).toDF()
+      val frames = graft.operators.Multimodal.sampleFrames(dec, 500L)
+        .groupBy(col(frameKey)).agg(count(lit(1)).as("n_frames"))
+      graft.operators.Multimodal.resizeTo(dec, 256)
+        .join(frames, Seq(frameKey), "left")
+        .select(
+          regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+          col("kind"), col("width"), col("height"),
+          col("durationMs").as("duration_ms"),
+          col("out_width"), col("out_height"),
+          coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+          col("caption"))
+        .orderBy(col("doc_id"))
+    }
+    audit("q100_media_decode", Sf1,
+      control = build("path"),  // unique per media row (the r10 fix)
+      mutated = build("id"))    // sha256(text): collides on duplicate texts
+  }
+}
