@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.{Chunker, DevEmbed, SearchOps}
-import graft.sources.{FileIngest, Note2Json, Transcript}
+import graft.sources.{FileIngest, GenStore, Note2Json, Transcript}
 
 /** Driver-verified queries over the INGESTION surface (SURVEY §2.1/§2.7/
   * §2.8): each builds an in-memory files frame from the `documents` table
@@ -1036,8 +1036,10 @@ object IngestCatalog {
   private val TagOnlyHtml =
     "<html><head><style>p{color:red}</style></head><body><div></div></body></html>"
 
-  private def ledgerFiles(s: SparkSession, d: String): DataFrame = {
-    val base = docs(s, d)
+  private def ledgerFiles(s: SparkSession, d: String,
+      parity: Option[Int] = None): DataFrame = {
+    val base = parity.map(p => docs(s, d).filter(pmod(col("doc_id"), lit(2)) === p))
+      .getOrElse(docs(s, d))
     def f(path: org.apache.spark.sql.Column, content: org.apache.spark.sql.Column) =
       base.select(path.as("path"), content.as("content"))
     val kept = f(concat(lit("dz/keep/"), col("doc_id"), lit(".txt")),
@@ -1057,6 +1059,53 @@ object IngestCatalog {
   val q101SkipLedger: Q = (s, d) =>
     FileIngest.skipLedger(FileIngest.scanFilesFrame(ledgerFiles(s, d), "dz"))
       .orderBy(col("path"))
+
+  // -------------------------------------------------------------------------
+  // q105: the skip ledger PROMOTED TO THE STREAM (r10 VERDICT next-round
+  // #6) — the same dropped families as q101, delivered as two real
+  // micro-batches through Dropzone.processBatch (even doc_ids in batch 0,
+  // odd in batch 1, the q54 split convention). Each batch lands its drops
+  // under a batch=<id> directory (replays overwrite their own batch —
+  // idempotent), and the query reads the ACCUMULATED ledger back. The
+  // oracle states the same classification as q101 plus which batch each
+  // drop arrived in. The reference records its skip ledger per ingest run
+  // (ingest_dropzone.py:512-522); per-micro-batch is the streaming grain
+  // of the same record.
+  // -------------------------------------------------------------------------
+
+  val q105StreamSkipLedger: Q = (s, d) => {
+    val root = GenStore.artifactPath(d, "documents.parquet", "_graft_dzledger",
+      "graft-dzledger")
+    val store = s"$root/chunks"
+    val ledger = s"$root/ledger"
+    Seq(0, 1).foreach { p =>
+      graft.streaming.Dropzone.processBatch(
+        s, ledgerFiles(s, d, Some(p)), "dz", store,
+        100, 20, 8, skipUnchangedFiles = true,
+        batchId = p.toLong, skipLedgerPath = Some(ledger))
+    }
+    graft.streaming.Dropzone.readSkipLedger(s, ledger)
+      .select(col("batch"), col("path"), col("kind"), col("bytes"),
+        col("reason"))
+      .orderBy(col("batch"), col("path"))
+  }
+
+  private val q105Sql =
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       e AS (
+         SELECT CAST(doc_id % 2 AS BIGINT) AS batch,
+                'blank/' || doc_id || '.txt' AS path, 'text' AS kind,
+                CAST(doc_id % 3 + 1 AS BIGINT) AS bytes, 'empty_file' AS reason
+         FROM d
+         UNION ALL
+         SELECT CAST(doc_id % 2 AS BIGINT), 'scan/' || doc_id || '.pdf', 'pdf',
+                CAST($ScannedPdfLen AS BIGINT), 'extraction_empty'
+         FROM d
+         UNION ALL
+         SELECT CAST(doc_id % 2 AS BIGINT), 'web/' || doc_id || '.html', 'html',
+                CAST(${TagOnlyHtml.length} AS BIGINT), 'extraction_empty'
+         FROM d)
+       SELECT batch, path, kind, bytes, reason FROM e ORDER BY batch, path"""
 
   private val q101Sql =
     s"""WITH d AS (SELECT doc_id FROM documents),
@@ -1099,6 +1148,7 @@ object IngestCatalog {
     "q80_csv_row_chunks" -> q80CsvRowChunks,
     "q91_bloom_dedup" -> q91BloomDedup,
     "q101_skip_ledger" -> q101SkipLedger,
+    "q105_stream_skip_ledger" -> q105StreamSkipLedger,
   )
 
   val oracles: ListMap[String, String] = ListMap(
@@ -1124,5 +1174,6 @@ object IngestCatalog {
     "q80_csv_row_chunks" -> q80Sql,
     "q91_bloom_dedup" -> q91Sql,
     "q101_skip_ledger" -> q101Sql,
+    "q105_stream_skip_ledger" -> q105Sql,
   )
 }

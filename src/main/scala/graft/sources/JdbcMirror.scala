@@ -81,6 +81,15 @@ object JdbcMirror {
            path VARCHAR(4096) NOT NULL,
            caption CLOB,
            tags CLOB,
+           created_at TIMESTAMP)""",
+      "skipped_files" ->
+        """CREATE TABLE skipped_files (
+           id CHAR(36) PRIMARY KEY,
+           path VARCHAR(4096) NOT NULL,
+           kind VARCHAR(16) NOT NULL,
+           size_bytes BIGINT,
+           reason VARCHAR(32) NOT NULL,
+           batch_id BIGINT,
            created_at TIMESTAMP)""")
     def publishExpr(table: String, column: String): String = s"""s."$column""""
     def keyProbe(keyCol: String): String =
@@ -117,6 +126,18 @@ object JdbcMirror {
            path TEXT NOT NULL,
            caption TEXT,
            tags TEXT[],
+           created_at TIMESTAMPTZ DEFAULT now())""",
+      // extension table (not in 0001_init.sql): the reference logs its
+      // per-run skip ledger instead of persisting it
+      // (ingest_dropzone.py:512-522); the mirror publishes it queryable
+      "skipped_files" ->
+        """CREATE TABLE skipped_files (
+           id UUID PRIMARY KEY,
+           path TEXT NOT NULL,
+           kind TEXT NOT NULL,
+           size_bytes BIGINT,
+           reason TEXT CHECK (reason IN ('empty_file','extraction_empty')) NOT NULL,
+           batch_id BIGINT,
            created_at TIMESTAMPTZ DEFAULT now())""")
     def publishExpr(table: String, column: String): String = column match {
       case "id" | "document_id" => s"""CAST(s."$column" AS uuid)"""
@@ -125,6 +146,34 @@ object JdbcMirror {
         s"""string_to_array(NULLIF(s."$column", ''), ',')"""
       case _ => s"""s."$column""""
     }
+    def keyProbe(keyCol: String): String = s"""CAST(s."$keyCol" AS uuid)"""
+  }
+
+  /** The skip-ledger mirror rows: one deterministic id per (batch, path),
+    * so a replayed publish replaces its own rows instead of duplicating.
+    */
+  def skipLedgerRows(ledger: DataFrame,
+      createdAt: java.sql.Timestamp): DataFrame =
+    ledger.select(
+      graft.functions.Uuid5.documentId(
+        concat_ws("#", col("batch"), col("path"))).as("id"),
+      col("path"), col("kind"),
+      col("bytes").as("size_bytes"), col("reason"),
+      col("batch").as("batch_id"),
+      lit(createdAt).as("created_at"))
+
+  /** Publish the accumulated per-batch skip ledger
+    * (`Dropzone.readSkipLedger`'s shape: batch, path, kind, bytes,
+    * reason) into the `skipped_files` mirror table — the reference logs
+    * this per ingest run (ingest_dropzone.py:512-522); here it is
+    * queryable beside documents/chunks. Idempotent by the deterministic
+    * (batch, path) key.
+    */
+  def mirrorSkipLedger(ledger: DataFrame, t: Target,
+      createdAt: java.sql.Timestamp): Unit = {
+    bootstrap(t)
+    upsert(skipLedgerRows(ledger, createdAt), "skipped_files", "id", t)
+  }
     def keyProbe(keyCol: String): String = s"""CAST(s."$keyCol" AS uuid)"""
   }
 

@@ -79,8 +79,29 @@ object Dropzone {
       pqStorePath: Option[String] = None,
       pqM: Int = 4,
       pqKsub: Int = 16,
-      bandStorePath: Option[String] = None): Unit = {
+      bandStorePath: Option[String] = None,
+      skipLedgerPath: Option[String] = None): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
+    // Per-micro-batch skip ledger (r11, the q101 batch ledger promoted to
+    // the stream — the reference records a skip ledger per ingest run,
+    // ingest_dropzone.py:512-522): the empty-content drops of THIS
+    // delivery land under a batch=<id> directory, so a replay after
+    // restart overwrites its own rows (idempotent) and the ledger
+    // accumulates across batches without ever being rewritten wholesale.
+    // With a media service configured, audio/image rows are excluded:
+    // their text arrives via the service annotation (running the router
+    // without it would misfile every media file as extraction_empty), and
+    // fail-soft service skips are already counted by the named
+    // accumulators in routeDocumentsWithMedia.
+    skipLedgerPath.foreach { slp =>
+      val src =
+        if (media.isDefined) scanned.filter(!col("kind").isin("audio", "image"))
+        else scanned
+      val ledger = FileIngest.skipLedger(src)
+      if (!ledger.isEmpty)
+        ledger.coalesce(1).write.mode("overwrite")
+          .parquet(s"$slp/batch=$batchId")
+    }
     // media routing composes with the stream exactly like the batch path:
     // the same scanned frame, STT/caption annotation (dev stubs or batched
     // service transport) BEFORE the text router, then identical lineage
@@ -359,7 +380,8 @@ object Dropzone {
       vectorStorePath: Option[String] = None,
       vectorStoreK: Int = 16,
       pqStorePath: Option[String] = None,
-      bandStorePath: Option[String] = None): StreamingQuery = {
+      bandStorePath: Option[String] = None,
+      skipLedgerPath: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -377,8 +399,25 @@ object Dropzone {
           dropzone, storePath, chunkSize, chunkOverlap, embedDim,
           skipUnchangedFiles, media, textIndexPath, vectorStorePath,
           vectorStoreK, batchId, pqStorePath,
-          bandStorePath = bandStorePath)
+          bandStorePath = bandStorePath,
+          skipLedgerPath = skipLedgerPath)
       }
       .start()
+  }
+
+  /** Read the accumulated per-batch skip ledger:
+    * `(batch, path, kind, bytes, reason)`, empty (with the full schema)
+    * when no batch has skipped anything yet.
+    */
+  def readSkipLedger(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, kind STRING, bytes BIGINT, reason STRING, batch BIGINT")
+    if (!graft.sources.GenStore.hasParquetData(new java.io.File(path)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      spark.catalog.refreshByPath(path) // batches land out-of-band
+      spark.read.parquet(path).withColumn("batch", col("batch").cast("long"))
+    }
   }
 }

@@ -52,6 +52,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("skip ledger accumulates across micro-batches; replays stay idempotent") {
+    val dropzone: Path = Files.createTempDirectory("graft-ledger-dz")
+    val store = Files.createTempDirectory("graft-ledger-store").resolve("chunks").toString
+    val checkpoint = Files.createTempDirectory("graft-ledger-ckpt").toString
+    val ledger = Files.createTempDirectory("graft-ledger-out").resolve("ledger").toString
+
+    // batch 1: one kept file, one whitespace-only (empty_file), one
+    // tag-only html (extraction_empty)
+    Files.writeString(dropzone.resolve("keep.txt"), "a real document body")
+    Files.writeString(dropzone.resolve("blank.txt"), "   ")
+    Files.writeString(dropzone.resolve("tags.html"),
+      "<html><body><div></div></body></html>")
+
+    val query = Dropzone.start(spark, dropzone.toString, store, checkpoint,
+      chunkSize = 200, chunkOverlap = 40, skipLedgerPath = Some(ledger))
+    try {
+      query.processAllAvailable()
+      def rows() = Dropzone.readSkipLedger(spark, ledger)
+        .select("batch", "path", "reason").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val after1 = rows()
+      assert(after1.map(t => (t._2, t._3)) ==
+        Set("blank.txt" -> "empty_file", "tags.html" -> "extraction_empty"),
+        s"first batch ledger wrong: $after1")
+      assert(!after1.exists(_._2 == "keep.txt"), "kept file leaked into the ledger")
+
+      // a later batch's drops land under their own batch id — the ledger
+      // ACCUMULATES (the reference records a ledger per ingest run)
+      Files.writeString(dropzone.resolve("blank2.txt"), " ")
+      query.processAllAvailable()
+      val after2 = rows()
+      assert(after2.map(t => (t._2, t._3)) == after1.map(t => (t._2, t._3)) +
+        ("blank2.txt" -> "empty_file"))
+      assert(after2.map(_._1).size >= 2,
+        s"second batch's drop must carry its own batch id: $after2")
+
+      // an empty trigger rewrites nothing
+      query.processAllAvailable()
+      assert(rows() == after2)
+    } finally query.stop()
+  }
+
   test("streaming ingest maintains the BM25 serving index per micro-batch") {
     import graft.sources.{BandStore, TextIndex, VectorStore}
     val dropzone: Path = Files.createTempDirectory("graft-stream-tidz")
