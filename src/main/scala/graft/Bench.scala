@@ -120,6 +120,10 @@ object Bench {
         graft.sources.BandStore.ensure(spark, docsW, "doc_id", "text", sfDir)
         // frame vector store (q104): same write-time class
         graft.queries.PipelineCatalog.ensureFrameStore(spark, sfDir)
+        // dropzone skip ledger (q105): the two micro-batch ingests are
+        // write-time stream work; the timed query reads the accumulated
+        // ledger (r12 — q105 was 10.3 s with the builds in its timed path)
+        graft.queries.IngestCatalog.ensureDzLedger(spark, sfDir)
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
@@ -574,9 +578,33 @@ object Bench {
             None
           }
         }
+        // Third, LARGER scale point (r10 prescription #4, REPS=30 default)
+        // for the two span-removal lineages — with 3x and 10x already
+        // banked, the 30x ratios pin the growth slope for exactly the
+        // operators whose keeper step re-formed in r11 (window -> salted
+        // past the corpus gate). q99 rides scaleEntries' store-backed
+        // branch (3 runs, build/serve split), q88 the plain 2-run min.
+        val curve30Entry = {
+          val reps3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS3", "30").toInt
+          if (reps3 <= reps) None
+          else if (System.nanoTime() > deadline) { skipped ::= "curve30"; None }
+          else try {
+            val (dir3, gen3) = ensureScaledCorpus(reps3)
+            val (e3, sk3) = scaleEntries(dir3,
+              Seq("q88_span_removal", "q99_full_recipe"), deadline,
+              record = false)
+            skipped = sk3.map(n => s"curve30:$n") ::: skipped
+            Some((Seq(f""""reps":$reps3""", f""""gen_sec":$gen3%.3f""") ++ e3)
+              .mkString("\"curve30\":{", ",", "}"))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scale curve30 FAILED: ${e.getMessage}")
+            None
+          }
+        }
         val sk = skipped.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
         (Seq(s""""reps":$reps""", s""""gen_sec":$genSec""", s""""skipped":$sk""")
-          ++ entries ++ ingestEntry ++ curveEntry).mkString("{", ",", "}")
+          ++ entries ++ ingestEntry ++ curveEntry ++ curve30Entry)
+          .mkString("{", ",", "}")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale check failed: ${e.getMessage}")
         "null"

@@ -91,12 +91,26 @@ object Curation {
     require(salts > 0, "salts must be positive")
     val bounds = df.agg(min(col(orderCol)).cast("long"),
       max(col(orderCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) // empty input: schema-complete, zero rows
-      return df.withColumn(rankCol, lit(1L))
-    val mn = bounds.getLong(0)
-    val q = math.max(1L, (bounds.getLong(1) - mn) / salts + 1)
-    val bucketed = df.withColumn("__rb",
-      floor((col(orderCol).cast("long") - lit(mn)) / lit(q)).cast("int"))
+    // Null bounds cover empty input AND an orderCol that is entirely
+    // null / non-castable: both flow through the generic path (mn/q are
+    // arbitrary then — every such row lands in the -1 bucket below), so
+    // no early-exit can mis-rank a non-empty frame (r11 advice: the old
+    // `return rank=1` did exactly that on all-null order keys).
+    val (mn, mx) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(1))
+    val q = math.max(1L, (mx - mn) / salts + 1)
+    // Rows whose orderCol casts to null (null key, or a non-numeric type)
+    // ride the sentinel bucket -1: it sorts before every real bucket —
+    // matching the plain window's nulls-first ascending order — and keeps
+    // the row alive through the inner join-back instead of silently
+    // dropping it on a null __rb. Within the sentinel bucket the sub-rank
+    // still orders by the ORIGINAL orderCol, so an entirely non-numeric
+    // key degrades to correct-but-unsalted ranks (one bucket per key),
+    // never to wrong ones.
+    val bucketed = df.withColumn("__rb", coalesce(
+      floor((col(orderCol).cast("long") - lit(mn)) / lit(q)).cast("int"),
+      lit(-1)))
     val withSub = bucketed
       .withColumn("__sub", row_number().over(
         Window.partitionBy(col(keyCol), col("__rb")).orderBy(col(orderCol)))
@@ -154,7 +168,15 @@ object Curation {
       salts: Int = 16, classFilter: Option[Column] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
     val ks = keyCols.map(col)
-    val salted = df.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    // A null saltExpr must not become a null __salt: null never equals
+    // anything in the inner join-back, so the row would silently vanish —
+    // the window form it is value-identical with keeps it (r11 advice).
+    // Salt 0 always exists in the lookup (the filter branch explodes all
+    // salts; the partial branch enumerates occurring combos, which now
+    // includes 0 for these rows), and WHICH salt a row rides only affects
+    // distribution, never the bounds.
+    val salted = df.withColumn("__salt",
+      coalesce(pmod(saltExpr, lit(salts)).cast("int"), lit(0)))
     // The aggregation itself never needs a salt: a two-phase hash agg
     // map-side-combines a hot class to ONE partial row per map task, so
     // the exchange and the final agg stay balanced no matter how hot a

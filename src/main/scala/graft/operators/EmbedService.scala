@@ -45,22 +45,17 @@ object EmbedService {
     def post(requestBodyJson: String): String
   }
 
-  /** java.net.http POST to `{base}/api/embed` (embed_ollama.py:90-95). */
-  final case class HttpTransport(baseUrl: String, timeoutSeconds: Long = 180)
+  /** java.net.http POST to `{base}/api/embed` (embed_ollama.py:90-95),
+    * with [[HttpSupport]]'s fault handling: full-exchange deadline
+    * (covers mid-body stalls), bounded 429/503 backoff retries.
+    */
+  final case class HttpTransport(baseUrl: String, timeoutSeconds: Long = 180,
+      maxRetries: Int = 3, retryBaseMillis: Long = 250)
       extends Transport {
     @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
-    override def post(body: String): String = {
-      val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(baseUrl.stripSuffix("/") + "/api/embed"))
-        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
-        .header("Content-Type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-        .build()
-      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new RuntimeException(s"Ollama API error: HTTP ${resp.statusCode()}")
-      resp.body()
-    }
+    override def post(body: String): String =
+      HttpSupport.postJson(client, baseUrl.stripSuffix("/") + "/api/embed",
+        body, timeoutSeconds, maxRetries, retryBaseMillis, "Ollama API error")
   }
 
   case class Config(

@@ -1,0 +1,77 @@
+package graft.operators
+
+/** Shared HTTP plumbing for the service transports ([[EmbedService]],
+  * [[MediaService]]) — one place that gets the transport failure modes
+  * right (r10 prescription: the fault matrix below is pinned by
+  * ServiceHttpSpec against real loopback sockets):
+  *
+  *  - FULL-exchange deadline: java.net.http's request `.timeout()` only
+  *    covers up to receipt of the response HEADERS — a server that stalls
+  *    MID-BODY would hang the Spark task forever. `sendAsync` +
+  *    `orTimeout` bounds the header wait and the body streaming under one
+  *    deadline.
+  *  - Backpressure retry: 429/503 are a model fleet saying "later", not a
+  *    broken batch — bounded exponential backoff (honoring a numeric
+  *    `Retry-After` seconds header) runs INSIDE the transport, so the
+  *    caller's fail-soft skip machinery only sees genuine failures.
+  *  - Everything else — connection refused/reset, malformed responses,
+  *    other non-2xx — throws immediately: per-batch skip policy and the
+  *    consecutive-failure dead-backend threshold belong to the caller.
+  */
+object HttpSupport {
+
+  /** POST `body` as JSON to `uri`; returns the response body. Retries
+    * 429/503 up to `maxRetries` times with exponential backoff starting
+    * at `retryBaseMillis` (a numeric Retry-After header overrides the
+    * computed backoff; sleeps are capped at the deadline). `what`
+    * prefixes error messages so embed/media failures stay tellable apart
+    * in task logs.
+    */
+  def postJson(
+      client: java.net.http.HttpClient,
+      uri: String,
+      body: String,
+      timeoutSeconds: Long,
+      maxRetries: Int,
+      retryBaseMillis: Long,
+      what: String): String = {
+    var attempt = 0
+    while (true) {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(uri))
+        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp =
+        try client.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .orTimeout(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+          .join()
+        catch {
+          case e: java.util.concurrent.CompletionException => e.getCause match {
+            case t: java.util.concurrent.TimeoutException =>
+              throw new RuntimeException(
+                s"$what: response stalled past ${timeoutSeconds}s (mid-body timeout)", t)
+            case t: Throwable =>
+              throw new RuntimeException(s"$what: ${t.getMessage}", t)
+          }
+        }
+      val code = resp.statusCode()
+      if (code / 100 == 2) return resp.body()
+      if ((code == 429 || code == 503) && attempt < maxRetries) {
+        val retryAfterMs = {
+          val h = resp.headers().firstValue("Retry-After")
+          if (h.isPresent)
+            scala.util.Try(h.get.trim.toLong * 1000L).toOption
+          else None
+        }
+        val backoff = retryAfterMs.getOrElse(retryBaseMillis << attempt)
+        Thread.sleep(math.max(0L, math.min(backoff, timeoutSeconds * 1000L)))
+        attempt += 1
+      } else
+        throw new RuntimeException(s"$what: HTTP $code" +
+          (if (attempt > 0) s" (after $attempt backoff retries)" else ""))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -43,7 +43,8 @@ object MediaService {
     * stage uses.
     */
   final case class HttpTransport(baseUrl: String, endpoint: String,
-      timeoutSeconds: Long = 300) extends Transport {
+      timeoutSeconds: Long = 300, maxRetries: Int = 3,
+      retryBaseMillis: Long = 250) extends Transport {
     @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
     override def post(paths: Seq[String], payloads: Seq[Array[Byte]]): String = {
       val mapper = new ObjectMapper()
@@ -52,17 +53,11 @@ object MediaService {
       paths.foreach(ps.add)
       val ds = node.putArray("data")
       payloads.foreach(b => ds.add(java.util.Base64.getEncoder.encodeToString(b)))
-      val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(baseUrl.stripSuffix("/") + endpoint))
-        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
-        .header("Content-Type", "application/json")
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
-          mapper.writeValueAsString(node)))
-        .build()
-      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new RuntimeException(s"media service error: HTTP ${resp.statusCode()}")
-      resp.body()
+      // same fault handling as the embed transport ([[HttpSupport]]):
+      // full-exchange deadline + bounded 429/503 backoff
+      HttpSupport.postJson(client, baseUrl.stripSuffix("/") + endpoint,
+        mapper.writeValueAsString(node), timeoutSeconds, maxRetries,
+        retryBaseMillis, "media service error")
     }
   }
 

@@ -174,8 +174,6 @@ object JdbcMirror {
     bootstrap(t)
     upsert(skipLedgerRows(ledger, createdAt), "skipped_files", "id", t)
   }
-    def keyProbe(keyCol: String): String = s"""CAST(s."$keyCol" AS uuid)"""
-  }
 
   def dialectFor(url: String): Dialect =
     if (url.startsWith("jdbc:postgresql")) PostgresDialect else DerbyDialect

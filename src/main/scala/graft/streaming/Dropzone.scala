@@ -98,9 +98,15 @@ object Dropzone {
         if (media.isDefined) scanned.filter(!col("kind").isin("audio", "image"))
         else scanned
       val ledger = FileIngest.skipLedger(src)
-      if (!ledger.isEmpty)
-        ledger.coalesce(1).write.mode("overwrite")
-          .parquet(s"$slp/batch=$batchId")
+      // Written UNCONDITIONALLY (r11 advice): guarding on !isEmpty left a
+      // replayed batch whose files no longer skip (an emptied file
+      // re-delivered with content) serving the prior attempt's stale rows
+      // forever — the empty overwrite is the deletion. coalesce(1): a
+      // batch's drop ledger is a handful of rows by construction (only
+      // empty/extraction-empty files land here), so one task per batch
+      // beats 32 near-empty part files per batch directory.
+      ledger.coalesce(1).write.mode("overwrite")
+        .parquet(s"$slp/batch=$batchId")
     }
     // media routing composes with the stream exactly like the batch path:
     // the same scanned frame, STT/caption annotation (dev stubs or batched

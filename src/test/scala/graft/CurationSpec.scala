@@ -140,6 +140,41 @@ class CurationSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("saltedExactRank keeps null-order rows, ranked nulls-first (r11 advice)") {
+    import spark.implicits._
+    // the silent-row-loss hazard: a null orderCol used to yield a null
+    // __rb bucket that never matched the inner join-back
+    val df = Seq(
+      (Option(10L), "a"), (Option(3L), "a"), (None: Option[Long], "a"),
+      (None: Option[Long], "b"), (Option(7L), "b"),
+      (Option(1L), "c")).toDF("doc_id", "domain")
+    for (salts <- Seq(1, 4)) {
+      val out = Curation.saltedExactRank(df, "domain", "doc_id", salts)
+        .collect().map(r => (r.isNullAt(0), if (r.isNullAt(0)) -1L else r.getLong(0),
+          r.getString(1), r.getLong(2)))
+      assert(out.length == 6, s"salts=$salts dropped rows: ${out.length}/6")
+      // per key: ranks are exactly 1..n, nulls take the smallest ranks
+      // (the plain window's ascending nulls-first order)
+      for ((k, rs) <- out.groupBy(_._3)) {
+        assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq,
+          s"key $k ranks not a permutation: ${rs.toSeq}")
+        val nullRanks = rs.filter(_._1).map(_._4)
+        assert(nullRanks.forall(nr => rs.filterNot(_._1).map(_._4).forall(nr < _)),
+          s"key $k null rows must rank before non-null: ${rs.toSeq}")
+      }
+      // and non-null order restores the sorted sequence after the nulls
+      val aRanks = out.filter(t => t._3 == "a" && !t._1).sortBy(_._2).map(_._4)
+      assert(aRanks.toSeq == Seq(2L, 3L))
+    }
+    // entirely-null order key: every row must still get a DISTINCT rank
+    // (the old early-exit returned rank=1 for all of them)
+    val allNull = Seq.fill(5)(None: Option[Long]).map((_, "z"))
+      .toDF("doc_id", "domain")
+    val zr = Curation.saltedExactRank(allNull, "domain", "doc_id", 3)
+      .collect().map(_.getLong(2)).sorted
+    assert(zr.toSeq == (1L to 5L).toSeq, s"all-null key mis-ranked: ${zr.toSeq}")
+  }
+
   // --- classBounds: the skew-safe min/max attach behind q88/q99's
   //     span-removal keeper test (r10 VERDICT next-round #1)
 
@@ -200,6 +235,30 @@ class CurationSpec extends AnyFunSuite {
         classFilter = Some(col("keeper") =!= col("_mx")))
       .filter(col("doc_id") =!= col("keeper")))
     assert(pushed.toSeq == post.toSeq)
+  }
+
+  test("classBounds keeps rows whose saltExpr is null (r11 advice)") {
+    import spark.implicits._
+    // a null salt used to become a null __salt that never matched the
+    // join-back — the row vanished while plainClassBounds kept it
+    val df = Seq(
+      (1L, 1, Option(10L), 100L), (1L, 1, None: Option[Long], 200L),
+      (1L, 1, Option(4L), 300L), (2L, 2, None: Option[Long], 400L))
+      .toDF("h1", "h2", "salt_src", "doc_id")
+    def rows(out: org.apache.spark.sql.DataFrame) = out
+      .select("h1", "doc_id", "keeper", "_mx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(identity)
+    val plain = rows(Curation.plainClassBounds(
+      df, Seq("h1", "h2"), "doc_id", "keeper", "_mx"))
+    for (salts <- Seq(1, 4);
+         filt <- Seq(None, Some(col("keeper") =!= col("_mx")))) {
+      val salted = rows(Curation.classBounds(df, Seq("h1", "h2"), "doc_id",
+        col("salt_src"), "keeper", "_mx", salts, classFilter = filt))
+      val expect = filt.fold(plain)(_ => plain.filter(t => t._3 != t._4))
+      assert(salted.toSeq == expect.toSeq,
+        s"salts=$salts filter=${filt.nonEmpty}: $salted vs $expect")
+    }
   }
 
   test("q88 window and salted span forms agree end-to-end (sf0.001)") {

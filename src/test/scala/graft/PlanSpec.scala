@@ -460,9 +460,50 @@ class PlanSpec extends AnyFunSuite {
       s"a bare per-domain window reappeared in q102: $domWins")
   }
 
+  test("q88: span-form gate runs zero jobs at plan construction (stats, not count)") {
+    // r11 verdict #4: the window-vs-salted gate used docs.count() — a full
+    // eager scan of the corpus lineage every time q88/q99 was CONSTRUCTED.
+    // The gate now reads optimizedPlan.stats; building the frame must
+    // launch no Spark job at all.
+    val started = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        started.add(js.stageInfos.map(_.name).mkString("|")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = SparkEntry.queries("q88_span_removal")(spark, Sf)
+      df.queryExecution.executedPlan // force full planning, still no action
+      // listener events post asynchronously; give the bus time to drain —
+      // an eager count() inside construction is synchronous, so its
+      // JobStart would long since be enqueued. The ONE job construction
+      // legitimately runs is parquet schema inference ("parquet at" —
+      // bounded footer metadata, per-table fixed cost); anything else
+      // (count/head/collect-shaped stages) is an eager gate regression.
+      Thread.sleep(1500)
+      import scala.jdk.CollectionConverters._
+      val offending = started.iterator.asScala.toList
+        .filterNot(_.split('|').forall(_.startsWith("parquet at ")))
+      assert(offending.isEmpty,
+        s"constructing q88 launched data job(s): $offending — the span-form " +
+        "gate regressed to an eager action")
+      // and with accurate small-corpus stats the gate must still pick the
+      // window form (salted-by-default would mean the estimate was lost)
+      assert(df.queryExecution.executedPlan.toString
+          .contains("windowspecdefinition"),
+        "tiny corpus no longer selects the window span form — plan-stats " +
+        "estimate unavailable?")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("q104: frame ANN prunes cell partitions; serving never re-decodes media") {
     val p = plan("q104_frame_ann")
-    assert(p.contains("PartitionFilters: [cell"),
+    // tolerate leading filters (the r11 read-side commit gate prepends
+    // `isnotnull(gen), gen <= committedGen` to the partition filter list);
+    // what must survive is the cell IN (...) prune itself
+    assert("PartitionFilters: \\[[^\\]]*cell#\\d+ IN ".r.findFirstIn(p).nonEmpty,
       "frame store probe lost cell partition pruning")
     assert(p.contains("graft-framestore") || p.contains("_graft_frames"),
       "frames must serve from the persisted store")

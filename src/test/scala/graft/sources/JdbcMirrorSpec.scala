@@ -90,19 +90,61 @@ class JdbcMirrorSpec extends AnyFunSuite {
     assert(images.map(_._1) == Set("i2"))
   }
 
+  test("skip-ledger mirror publishes to skipped_files; replay replaces by (batch, path)") {
+    import spark.implicits._
+    val t = freshTarget("skipledger")
+    def ledger(rows: Seq[(Long, String, String, Long, String)]) =
+      rows.toDF("batch", "path", "kind", "bytes", "reason")
+    def read = JdbcMirror.readTable(spark, "skipped_files", t)
+      .select("batch_id", "path", "kind", "size_bytes", "reason")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4))).toSet
+
+    JdbcMirror.mirrorSkipLedger(ledger(Seq(
+      (0L, "blank/1.txt", "text", 2L, "empty_file"),
+      (0L, "scan/1.pdf", "pdf", 900L, "extraction_empty"),
+      (1L, "blank/2.txt", "text", 1L, "empty_file"))), t, T0)
+    assert(read == Set(
+      (0L, "blank/1.txt", "text", 2L, "empty_file"),
+      (0L, "scan/1.pdf", "pdf", 900L, "extraction_empty"),
+      (1L, "blank/2.txt", "text", 1L, "empty_file")))
+
+    // a replayed publish of batch 0 with a CHANGED row must replace its
+    // own (batch, path) rows — the deterministic UUIDv5 id — and leave
+    // other batches' rows alone; the same path in a NEW batch is a new row
+    JdbcMirror.mirrorSkipLedger(ledger(Seq(
+      (0L, "blank/1.txt", "text", 3L, "empty_file"),
+      (2L, "blank/1.txt", "text", 3L, "empty_file"))), t, T0)
+    assert(read == Set(
+      (0L, "blank/1.txt", "text", 3L, "empty_file"),
+      (0L, "scan/1.pdf", "pdf", 900L, "extraction_empty"),
+      (1L, "blank/2.txt", "text", 1L, "empty_file"),
+      (2L, "blank/1.txt", "text", 3L, "empty_file")))
+
+    // the id really is content-independent: the two publishes of
+    // (0, blank/1.txt) produced ONE row, keyed like Uuid5("0#blank/1.txt")
+    val n = JdbcMirror.readTable(spark, "skipped_files", t).count()
+    assert(n == 4, s"replay duplicated instead of replacing: $n rows")
+  }
+
   test("postgres dialect reproduces the reference migration's type shapes") {
     // reference db/migrations/0001_init.sql:1-25 — UUID keys, TEXT,
     // TIMESTAMPTZ DEFAULT now(), TEXT[] tags, CHECK'd kind, FK CASCADE
     val d = JdbcMirror.PostgresDialect
     val ddl = d.bootstrapDdl.toMap
-    assert(d.bootstrapDdl.map(_._1) == Seq("documents", "chunks", "images"),
-      "FK order: parents before children")
+    assert(d.bootstrapDdl.map(_._1) ==
+      Seq("documents", "chunks", "images", "skipped_files"),
+      "FK order: parents before children; skip ledger last")
     for ((_, sql) <- d.bootstrapDdl)
       assert(sql.contains("id UUID PRIMARY KEY"))
     assert(ddl("documents").contains(
       "kind TEXT CHECK (kind IN ('text','image','pdf','audio')) NOT NULL"))
-    for (t <- Seq("documents", "chunks", "images"))
+    for (t <- Seq("documents", "chunks", "images", "skipped_files"))
       assert(ddl(t).contains("created_at TIMESTAMPTZ DEFAULT now()"))
+    // the skip-ledger mirror constrains reasons to the classifier's enum
+    assert(ddl("skipped_files").contains(
+      "reason TEXT CHECK (reason IN ('empty_file','extraction_empty')) NOT NULL"))
+    assert(ddl("skipped_files").contains("batch_id BIGINT"))
     for (t <- Seq("chunks", "images"))
       assert(ddl(t).contains(
         "document_id UUID REFERENCES documents(id) ON DELETE CASCADE"))
