@@ -1036,7 +1036,9 @@ object IngestCatalog {
   private val TagOnlyHtml =
     "<html><head><style>p{color:red}</style></head><body><div></div></body></html>"
 
-  private def ledgerFiles(s: SparkSession, d: String,
+  // private[graft]: MutationAuditSpec's control rebuild reuses the exact
+  // synthetic delivery frame
+  private[graft] def ledgerFiles(s: SparkSession, d: String,
       parity: Option[Int] = None): DataFrame = {
     val base = parity.map(p => docs(s, d).filter(pmod(col("doc_id"), lit(2)) === p))
       .getOrElse(docs(s, d))

@@ -177,7 +177,9 @@ object FileIngest {
   /** The routed document text: binary kinds parse from the raw bytes
     * (JDK-native extractors); everything else routes on the decoded text.
     */
-  private def routedTextCol(scanned: DataFrame): Column =
+  // private[graft]: MutationAuditSpec rebuilds the skip-ledger lineage
+  // with a perturbed classifier to prove the oracle gate is sensitive
+  private[graft] def routedTextCol(scanned: DataFrame): Column =
     when(col("kind") === "pdf", BinaryDocs.pdfTextCol(col("content")))
       .when(col("kind") === "doc", BinaryDocs.docxTextCol(col("content")))
       .otherwise(routeText(col("kind"), col("raw_text"), col("relpath"),

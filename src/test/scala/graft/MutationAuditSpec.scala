@@ -149,6 +149,27 @@ class MutationAuditSpec extends AnyFunSuite {
     audit("q102_domain_curation", Sf01, control = build(60), mutated = build(61))
   }
 
+  test("skip-ledger family (q101): drop-reason classifier mutation flips the gate") {
+    import graft.sources.FileIngest
+    import graft.queries.IngestCatalog
+    val scanned = FileIngest.scanFilesFrame(
+      IngestCatalog.ledgerFiles(spark, Sf01), "dz")
+    // control: the exact shipped lineage (scan → route → empty filter →
+    // two-way reason classification)
+    val control = FileIngest.skipLedger(scanned).orderBy(col("path"))
+    // mutation: drop the whitespace disjunct from the empty_file rule —
+    // a plausible "bytes==0 is what empty means" regression that
+    // reclassifies every whitespace-only file as extraction_empty
+    val mutated = scanned
+      .withColumn("text", FileIngest.routedTextCol(scanned))
+      .filter(trim(col("text")) === "")
+      .select(col("relpath").as("path"), col("kind"), col("bytes"),
+        when(col("bytes") === 0, "empty_file")
+          .otherwise("extraction_empty").as("reason"))
+      .orderBy(col("path"))
+    audit("q101_skip_ledger", Sf01, control = control, mutated = mutated)
+  }
+
   test("media/frame family (q100): the r10 join-key bug stays caught (needs sf0.1 dups)") {
     import spark.implicits._
     def build(frameKey: String) = {

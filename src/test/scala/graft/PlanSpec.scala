@@ -498,6 +498,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("q105: skip-ledger serving reads the persisted ledger, never the corpus") {
+    // r11 verdict #2: both micro-batch builds used to run INSIDE the
+    // timed query (10.3 s); the build is now write-time
+    // (IngestCatalog.ensureDzLedger) and the serving plan must be a scan
+    // of the accumulated ledger only. Construction may ensure (build on
+    // a cold /tmp), but the PLAN must not carry the ingest lineage.
+    val p = plan("q105_stream_skip_ledger")
+    assert(p.contains("graft-dzledger") || p.contains("_graft_dzledger"),
+      "q105 must serve from the persisted ledger directory")
+    assert(!p.contains("documents.parquet"),
+      "q105 serving plan re-derives the ledger from the corpus")
+    assert(!p.contains("chunk_text(") && !p.contains("dev_embed("),
+      "q105 serving plan carries the ingest chunk/embed lineage")
+  }
+
   test("q104: frame ANN prunes cell partitions; serving never re-decodes media") {
     val p = plan("q104_frame_ann")
     // tolerate leading filters (the r11 read-side commit gate prepends

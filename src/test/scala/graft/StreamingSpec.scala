@@ -94,6 +94,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a replayed batch whose files no longer skip clears its stale ledger rows") {
+    // r11 advice: the batch=N overwrite used to be guarded by !isEmpty,
+    // so an emptied file re-delivered WITH content left the prior
+    // attempt's skip row in batch=N forever; the unconditional write is
+    // the deletion
+    import org.apache.spark.sql.DataFrame
+    val store = Files.createTempDirectory("graft-replay-store").resolve("chunks").toString
+    val ledger = Files.createTempDirectory("graft-replay-ledger").resolve("ledger").toString
+    def files(body: String): DataFrame = {
+      import spark.implicits._
+      Seq(("dz/x.txt", body.getBytes("UTF-8")))
+        .toDF("path", "content")
+        .withColumn("length", octet_length(col("content")).cast("long"))
+    }
+    def run(body: String): Unit = Dropzone.processBatch(
+      spark, files(body), "dz", store, 200, 40, 8, skipUnchangedFiles = true,
+      batchId = 7L, skipLedgerPath = Some(ledger))
+    def ledgerRows() = Dropzone.readSkipLedger(spark, ledger)
+      .select("batch", "path", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    run("   ") // whitespace-only delivery: a skip row lands under batch=7
+    assert(ledgerRows() == Set((7L, "x.txt", "empty_file")))
+
+    run("now a real document body") // batch 7 REPLAYED with content
+    assert(ledgerRows() == Set(),
+      "the replayed batch's stale skip row must be cleared")
+    assert(ChunkStore.read(spark, store)
+      .select("path").distinct().collect().map(_.getString(0)).toSet
+      == Set("x.txt"), "the re-delivered content must be ingested")
+  }
+
   test("streaming ingest maintains the BM25 serving index per micro-batch") {
     import graft.sources.{BandStore, TextIndex, VectorStore}
     val dropzone: Path = Files.createTempDirectory("graft-stream-tidz")
