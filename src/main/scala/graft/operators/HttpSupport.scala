@@ -43,18 +43,23 @@ object HttpSupport {
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
+      // get(timeout) + cancel(true), NOT orTimeout: orTimeout completes
+      // the future but leaves the exchange streaming in the background —
+      // a stalled backend would leak one live connection per skipped
+      // batch. cancel(true) on the sendAsync future aborts the in-flight
+      // exchange (supported since JDK 16), releasing the connection.
+      val fut = client.sendAsync(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
       val resp =
-        try client.sendAsync(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-          .orTimeout(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
-          .join()
+        try fut.get(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
         catch {
-          case e: java.util.concurrent.CompletionException => e.getCause match {
-            case t: java.util.concurrent.TimeoutException =>
-              throw new RuntimeException(
-                s"$what: response stalled past ${timeoutSeconds}s (mid-body timeout)", t)
-            case t: Throwable =>
-              throw new RuntimeException(s"$what: ${t.getMessage}", t)
-          }
+          case t: java.util.concurrent.TimeoutException =>
+            fut.cancel(true)
+            throw new RuntimeException(
+              s"$what: response stalled past ${timeoutSeconds}s (mid-body timeout)", t)
+          case e: java.util.concurrent.ExecutionException =>
+            val c = if (e.getCause != null) e.getCause else e
+            throw new RuntimeException(s"$what: ${c.getMessage}", c)
         }
       val code = resp.statusCode()
       if (code / 100 == 2) return resp.body()
