@@ -83,14 +83,26 @@ object Curation {
     * trade the range bucketing makes explicitly (hash salts cannot rank
     * exactly; ranges can).
     *
-    * The min/max probe is one driver-side agg over two longs — the same
-    * cost class as a count gate.
+    * The min/max probe is one driver-side agg over two longs — cheaper
+    * than a count gate but still a column scan at plan-construction time.
+    * Callers that already KNOW the order key's domain (a crawl with
+    * monotone ids, a store whose stats sidecar records id bounds) pass
+    * `orderBounds` and the probe job disappears entirely; loose bounds
+    * only skew the bucket split toward the plain window's balance, never
+    * the VALUES (bucketing is monotone under any covering bounds — the
+    * spec pins equality between probed and supplied-bounds forms).
     */
   def saltedExactRank(df: DataFrame, keyCol: String, orderCol: String,
-      salts: Int = 16, rankCol: String = "rank"): DataFrame = {
+      salts: Int = 16, rankCol: String = "rank",
+      orderBounds: Option[(Long, Long)] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val bounds = df.agg(min(col(orderCol)).cast("long"),
-      max(col(orderCol)).cast("long")).head()
+    require(orderBounds.forall { case (lo, hi) => lo <= hi },
+      "orderBounds must be (min, max) with min <= max")
+    val bounds = orderBounds match {
+      case Some((lo, hi)) => org.apache.spark.sql.Row(lo, hi)
+      case None => df.agg(min(col(orderCol)).cast("long"),
+        max(col(orderCol)).cast("long")).head()
+    }
     // Null bounds cover empty input AND an orderCol that is entirely
     // null / non-castable: both flow through the generic path (mn/q are
     // arbitrary then — every such row lands in the -1 bucket below), so
@@ -108,8 +120,17 @@ object Curation {
     // still orders by the ORIGINAL orderCol, so an entirely non-numeric
     // key degrades to correct-but-unsalted ranks (one bucket per key),
     // never to wrong ones.
+    // Clamped to [0, salts]: with SUPPLIED bounds a value below lo would
+    // floor to a negative bucket — colliding with (or sorting before) the
+    // null sentinel and breaking the nulls-first order — and a value far
+    // above hi could overflow the int cast outright. Clamping keeps
+    // bucket assignment monotone (everything below lo shares bucket 0,
+    // everything past hi shares bucket `salts`; the within-bucket sort by
+    // orderCol restores exact order) and reserves -1 for nulls alone.
+    // A no-op for probed bounds (mn/mx are the true extremes).
     val bucketed = df.withColumn("__rb", coalesce(
-      floor((col(orderCol).cast("long") - lit(mn)) / lit(q)).cast("int"),
+      least(greatest(floor((col(orderCol).cast("long") - lit(mn)) / lit(q)),
+        lit(0L)), lit(salts.toLong)).cast("int"),
       lit(-1)))
     val withSub = bucketed
       .withColumn("__sub", row_number().over(

@@ -140,6 +140,36 @@ class CurationSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("saltedExactRank with supplied orderBounds == probed form (incl. non-covering bounds)") {
+    // callers that know their id domain skip the min/max probe job; the
+    // result must be value-identical under tight, loose, AND non-covering
+    // bounds (out-of-range rows clamp into the edge buckets), with null
+    // order keys still ranked first
+    import spark.implicits._
+    val df = hotCorpus(2000, 0.5)
+    def ranks(out: org.apache.spark.sql.DataFrame) = out
+      .select("doc_id", "domain", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(identity).toSeq
+    val probed = ranks(Curation.saltedExactRank(df, "domain", "doc_id", 8))
+    for (b <- Seq((0L, 1999L),            // exact
+                  (-50000L, 50000L),      // loose: coarser buckets, same values
+                  (500L, 900L))) {        // non-covering: edges clamp
+      val supplied = ranks(Curation.saltedExactRank(df, "domain", "doc_id", 8,
+        orderBounds = Some(b)))
+      assert(supplied == probed, s"bounds=$b diverged")
+    }
+    // nulls-first survives non-covering bounds (the clamp keeps -1 for
+    // nulls alone — a sub-lo value must NOT outrank a null)
+    val withNulls = Seq((Option(-100L), "k"), (None: Option[Long], "k"),
+      (Option(5L), "k")).toDF("doc_id", "domain")
+    val out = Curation.saltedExactRank(withNulls, "domain", "doc_id", 4,
+        orderBounds = Some((0L, 10L)))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(2)))
+      .toMap
+    assert(out(None) == 1L && out(Some(-100L)) == 2L && out(Some(5L)) == 3L,
+      s"nulls-first or sub-lo ordering broke under non-covering bounds: $out")
+  }
+
   test("saltedExactRank keeps null-order rows, ranked nulls-first (r11 advice)") {
     import spark.implicits._
     // the silent-row-loss hazard: a null orderCol used to yield a null
