@@ -126,6 +126,46 @@ class StreamingSpec extends AnyFunSuite {
       == Set("x.txt"), "the re-delivered content must be ingested")
   }
 
+  test("ensureDzLedger: a stale/corrupt artifact rebuilds from scratch (manifest-last)") {
+    // the q105 write-time build is crash-safe by the manifest-last
+    // contract: a missing/mismatched manifest must trigger a full
+    // rebuild whose subtree cleanup clears any half-written prior state
+    val d = "/root/testdata/sf0.001"
+    def rows() = {
+      val ledger = graft.queries.IngestCatalog.ensureDzLedger(spark, d)
+      Dropzone.readSkipLedger(spark, ledger)
+        .select("batch", "path", "kind", "bytes", "reason").collect()
+        .map(_.toString).sorted.toSeq
+    }
+    val baseline = rows()
+    assert(baseline.nonEmpty, "fixture must produce skip rows")
+
+    val root = java.nio.file.Path.of(
+      graft.queries.IngestCatalog.ensureDzLedger(spark, d)).getParent
+    // simulate a crash mid-build: kill the manifest AND one batch dir,
+    // and plant a junk file where the stream writes — the rebuild must
+    // clear it, not merge with it
+    java.nio.file.Files.deleteIfExists(root.resolve("_graft_manifest.json"))
+    val b0 = root.resolve("ledger").resolve("batch=0")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(b0).iterator().asScala.toSeq
+      .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.writeString(
+      root.resolve("ledger").resolve("junk.txt"), "leftover")
+    assert(rows() == baseline,
+      "rebuild after simulated crash must reproduce the exact ledger")
+    assert(!java.nio.file.Files.exists(root.resolve("ledger").resolve("junk.txt")),
+      "stale-rebuild cleanup must clear leftover files in the subtree")
+
+    // a mismatched manifest (artifact of a DIFFERENT corpus stamp) also
+    // rebuilds — and a second call after that is a manifest-hit no-op
+    java.nio.file.Files.writeString(
+      root.resolve("_graft_manifest.json"), """{"source_stamp":"bogus"}""")
+    assert(rows() == baseline)
+    val mf = java.nio.file.Files.readString(root.resolve("_graft_manifest.json"))
+    assert(mf.contains("dzledger-v1") && !mf.contains("bogus"))
+  }
+
   test("streaming ingest maintains the BM25 serving index per micro-batch") {
     import graft.sources.{BandStore, TextIndex, VectorStore}
     val dropzone: Path = Files.createTempDirectory("graft-stream-tidz")
