@@ -170,6 +170,35 @@ class MutationAuditSpec extends AnyFunSuite {
     audit("q101_skip_ledger", Sf01, control = control, mutated = mutated)
   }
 
+  test("stream-ledger family (q105): batch-attribution mutation flips the gate") {
+    import graft.queries.IngestCatalog
+    import graft.streaming.Dropzone
+    // Rebuild the two-micro-batch ledger into a FRESH directory (a true
+    // independent rebuild — the shipped query reads the write-time
+    // artifact); the mutation swaps which parity ships in which batch.
+    // The oracle states each drop's ARRIVAL batch, so misattributing
+    // deliveries to the wrong micro-batch must hash-mismatch even though
+    // the classified file set is identical.
+    def build(parity0: Int) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-mut-dzledger-$parity0").toString
+      Seq(0, 1).foreach { b =>
+        Dropzone.processBatch(spark,
+          IngestCatalog.ledgerFiles(spark, Sf01,
+            Some(if (b == 0) parity0 else 1 - parity0)),
+          "dz", s"$root/chunks", 100, 20, 8, skipUnchangedFiles = true,
+          batchId = b.toLong, skipLedgerPath = Some(s"$root/ledger"))
+      }
+      Dropzone.readSkipLedger(spark, s"$root/ledger")
+        .select(col("batch"), col("path"), col("kind"), col("bytes"),
+          col("reason"))
+        .orderBy(col("batch"), col("path"))
+    }
+    audit("q105_stream_skip_ledger", Sf01,
+      control = build(0),  // the shipped convention: even doc_ids in batch 0
+      mutated = build(1))  // batches swapped: same drops, wrong arrival
+  }
+
   test("media/frame family (q100): the r10 join-key bug stays caught (needs sf0.1 dups)") {
     import spark.implicits._
     def build(frameKey: String) = {
