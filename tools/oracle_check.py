@@ -3,13 +3,22 @@
 
 NOT part of the Spark library (driver-side python). Usage:
     sbt -batch "runMain graft.Verify <sfDir> <outDir>"
-    python3 tools/oracle_check.py <sfDir> <outDir>
+    python3 tools/oracle_check.py <sfDir> <outDir> [names]
 
 Compares each <outDir>/<name>/ parquet (Spark result) against the
 corresponding oracle SQL from <outDir>/oracle_sql.json executed in DuckDB
 over the same tables: columns sorted by name, rows sorted by all columns,
 values compared with exact equality (floats: repr equality after rounding
 already applied in-query).
+
+The optional comma-separated [names] arg restricts the run — used for the
+sf0.1 sweep (docs/PROFILE_r12.md §7), where the BM25-family oracles
+(q60/q61/q68/q77/q87) are DuckDB-side infeasible (the token-unnest ×
+postings replay spills >40 GB at 5000 docs). DuckDB is pinned to an
+absolute temp dir with a size cap: its DEFAULT temp_directory is `.tmp`
+RELATIVE TO THE CWD, so an uncapped big-spill run fills the disk and
+strands tens of GB inside whatever directory you ran from (r12 learned
+this at 41 GB inside the repo).
 """
 import json
 import math
@@ -40,12 +49,21 @@ def norm(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, names=None):
     con = duckdb.connect()
+    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if names:
+        keep = set(names.split(","))
+        missing = keep - set(oracle)
+        if missing:
+            print(f"ERROR     unknown names: {sorted(missing)}")
+            return 1
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -81,9 +99,11 @@ def main(sf_dir, out_dir):
             failures += 1
         else:
             print(f"OK        {name}: {len(gr)} rows")
-    # rows-only queries (no oracle): just report counts
+    # rows-only queries (no oracle): just report counts (skipped when a
+    # name filter is active — everything outside the filter is untested
+    # by intent, not rows-only)
     import os
-    for entry in sorted(os.listdir(out_dir)):
+    for entry in [] if names else sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, entry)
         if os.path.isdir(path) and entry not in oracle:
             try:
@@ -98,4 +118,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
