@@ -120,16 +120,27 @@ object Curation {
     // still orders by the ORIGINAL orderCol, so an entirely non-numeric
     // key degrades to correct-but-unsalted ranks (one bucket per key),
     // never to wrong ones.
-    // Clamped to [0, salts]: with SUPPLIED bounds a value below lo would
-    // floor to a negative bucket — colliding with (or sorting before) the
-    // null sentinel and breaking the nulls-first order — and a value far
-    // above hi could overflow the int cast outright. Clamping keeps
-    // bucket assignment monotone (everything below lo shares bucket 0,
-    // everything past hi shares bucket `salts`; the within-bucket sort by
-    // orderCol restores exact order) and reserves -1 for nulls alone.
-    // A no-op for probed bounds (mn/mx are the true extremes).
+    // The VALUE is clamped into [mn, mx] BEFORE the subtraction: with
+    // SUPPLIED bounds, `orderCol - mn` on an out-of-range value can wrap
+    // the long subtraction negative (e.g. orderCol near Long.MaxValue with
+    // a negative lo), and a post-subtraction bucket clamp would then land
+    // the row in bucket 0 — below rows that sort before it — breaking the
+    // documented "loose bounds never affect the VALUES" monotonicity
+    // (r12 ADVICE). Clamping the value first keeps the difference in
+    // [0, mx-mn], so bucketing is monotone for ANY bounds short of a
+    // >Long.MaxValue [mn, mx] span: everything below mn shares bucket 0,
+    // everything past mx shares the top bucket, and the within-bucket
+    // sort by the ORIGINAL orderCol restores exact order. The outer
+    // [0, salts] clamp stays as belt-and-braces; -1 is reserved for
+    // nulls alone. All no-ops for probed bounds (mn/mx are true extremes).
+    // when(isNotNull, …) keeps a null orderCol NULL through the clamp —
+    // Spark's least/greatest SKIP null arguments, so a bare
+    // greatest(least(v, mx), mn) would turn null into mx and steal the
+    // row from the -1 sentinel bucket
+    val v = col(orderCol).cast("long")
+    val clamped = when(v.isNotNull, greatest(least(v, lit(mx)), lit(mn)))
     val bucketed = df.withColumn("__rb", coalesce(
-      least(greatest(floor((col(orderCol).cast("long") - lit(mn)) / lit(q)),
+      least(greatest(floor((clamped - lit(mn)) / lit(q)),
         lit(0L)), lit(salts.toLong)).cast("int"),
       lit(-1)))
     val withSub = bucketed

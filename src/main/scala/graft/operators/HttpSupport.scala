@@ -23,9 +23,16 @@ object HttpSupport {
   /** POST `body` as JSON to `uri`; returns the response body. Retries
     * 429/503 up to `maxRetries` times with exponential backoff starting
     * at `retryBaseMillis` (a numeric Retry-After header overrides the
-    * computed backoff; sleeps are capped at the deadline). `what`
-    * prefixes error messages so embed/media failures stay tellable apart
-    * in task logs.
+    * computed backoff). `what` prefixes error messages so embed/media
+    * failures stay tellable apart in task logs.
+    *
+    * `timeoutSeconds` is the OVERALL per-call budget, shared across every
+    * attempt and sleep: each exchange gets the REMAINING time, and a
+    * backoff that would not leave room for another exchange gives up
+    * instead of sleeping (r12 advice — per-attempt deadlines let a
+    * stalling-then-429ing backend hold one task ~20 min at the embed
+    * defaults; now worst case stays near timeoutSeconds regardless of
+    * retries, so the caller's fail-soft skip fires on schedule).
     */
   def postJson(
       client: java.net.http.HttpClient,
@@ -35,11 +42,14 @@ object HttpSupport {
       maxRetries: Int,
       retryBaseMillis: Long,
       what: String): String = {
+    val deadlineNanos = System.nanoTime() + timeoutSeconds * 1000000000L
+    def remainingMs: Long = (deadlineNanos - System.nanoTime()) / 1000000L
     var attempt = 0
     while (true) {
+      val budgetMs = math.max(1L, remainingMs)
       val req = java.net.http.HttpRequest.newBuilder()
         .uri(java.net.URI.create(uri))
-        .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+        .timeout(java.time.Duration.ofMillis(budgetMs))
         .header("Content-Type", "application/json")
         .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
@@ -51,12 +61,14 @@ object HttpSupport {
       val fut = client.sendAsync(req,
         java.net.http.HttpResponse.BodyHandlers.ofString())
       val resp =
-        try fut.get(timeoutSeconds, java.util.concurrent.TimeUnit.SECONDS)
+        try fut.get(budgetMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         catch {
           case t: java.util.concurrent.TimeoutException =>
             fut.cancel(true)
             throw new RuntimeException(
-              s"$what: response stalled past ${timeoutSeconds}s (mid-body timeout)", t)
+              s"$what: response stalled past the ${timeoutSeconds}s call budget" +
+                (if (attempt > 0) s" ($attempt backoff retries consumed it)"
+                 else " (mid-body timeout)"), t)
           case e: java.util.concurrent.ExecutionException =>
             val c = if (e.getCause != null) e.getCause else e
             throw new RuntimeException(s"$what: ${c.getMessage}", c)
@@ -71,7 +83,14 @@ object HttpSupport {
           else None
         }
         val backoff = retryAfterMs.getOrElse(retryBaseMillis << attempt)
-        Thread.sleep(math.max(0L, math.min(backoff, timeoutSeconds * 1000L)))
+        // Give up rather than sleep the budget away: a retry whose backoff
+        // leaves no time for the exchange itself can only end in a timeout
+        // with a less truthful message.
+        if (backoff >= remainingMs)
+          throw new RuntimeException(s"$what: HTTP $code and the " +
+            s"${timeoutSeconds}s call budget cannot cover another " +
+            s"${backoff}ms backoff (after $attempt retries)")
+        Thread.sleep(math.max(0L, backoff))
         attempt += 1
       } else
         throw new RuntimeException(s"$what: HTTP $code" +

@@ -170,7 +170,7 @@ object JdbcMirror {
     * (batch, path) key.
     */
   def mirrorSkipLedger(ledger: DataFrame, t: Target,
-      createdAt: java.sql.Timestamp): Unit = {
+      createdAt: java.sql.Timestamp): Long = {
     bootstrap(t)
     upsert(skipLedgerRows(ledger, createdAt), "skipped_files", "id", t)
   }
@@ -229,8 +229,13 @@ object JdbcMirror {
     * name is unique per call (concurrent upserts into the same table
     * cannot interleave each other's deltas) and is dropped in a finally
     * block, so a failed publish does not strand it.
+    *
+    * Returns the published row count as reported by the DB's INSERT
+    * update count — callers that want to log it must NOT re-execute the
+    * frame's read lineage with a `df.count()` (r12 advice: that doubled
+    * MirrorPublish's store-read cost just to print a number).
     */
-  def upsert(df: DataFrame, table: String, keyCol: String, t: Target): Unit = {
+  def upsert(df: DataFrame, table: String, keyCol: String, t: Target): Long = {
     val stage = s"${table}_stg_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     df.write.mode("overwrite").jdbc(t.url, stage, t.props)
@@ -244,9 +249,12 @@ object JdbcMirror {
         // against the stage and silently CORRELATE to the outer table —
         // `WHERE id IN (SELECT id)` is a tautology that deletes every row
         try {
-          publishSql(table, keyCol, df.columns.toSeq, stage, t.dialect)
-            .foreach(st.executeUpdate)
+          // the last statement is the INSERT … SELECT; its update count
+          // IS the published row count, for free
+          val counts = publishSql(table, keyCol, df.columns.toSeq, stage,
+            t.dialect).map(st.executeUpdate(_).toLong)
           c.commit()
+          counts.last
         } catch { case e: Throwable => c.rollback(); throw e }
         finally st.close()
       }
@@ -265,7 +273,7 @@ object JdbcMirror {
     * DB default); here it is supplied by the caller for determinism.
     */
   def mirrorChunks(chunks: DataFrame, t: Target,
-      createdAt: java.sql.Timestamp): Unit = {
+      createdAt: java.sql.Timestamp): Long = {
     bootstrap(t)
     val docs = chunks
       .groupBy(col("document_id"))
@@ -299,7 +307,7 @@ object JdbcMirror {
     * splits them back into the reference's TEXT[] at publish.
     */
   def mirrorImages(images: DataFrame, t: Target,
-      createdAt: java.sql.Timestamp): Unit = {
+      createdAt: java.sql.Timestamp): Long = {
     bootstrap(t)
     upsert(images.select(col("id"), col("document_id"), col("path"),
         col("caption"),

@@ -26,6 +26,11 @@ object MirrorPublish {
     require(args.length >= 2,
       "usage: MirrorPublish <chunkStorePath> <jdbcUrl> [skipLedgerDir]")
     val Array(store, url) = args.take(2)
+    // A session may already exist when main() runs embedded (the
+    // EntrySmoke-style spec drives the real entry point); getOrCreate
+    // returns it unchanged then, and stopping it on exit would kill the
+    // host's session — only stop what this run created.
+    val hadSession = SparkSession.getDefaultSession.isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -39,15 +44,18 @@ object MirrorPublish {
       sys.env.getOrElse("GRAFT_PG_PASSWORD", ""))
     val now = new java.sql.Timestamp(System.currentTimeMillis())
 
+    // row counts come back from the publish INSERT's update count — a
+    // `df.count()` here would re-execute the full store-read lineage a
+    // second time just to print a number (r12 advice)
     val chunks = ChunkStore.read(spark, store)
-    JdbcMirror.mirrorChunks(chunks, t, now)
-    println(s"mirrored ${chunks.count()} chunk rows -> $url")
+    val nChunks = JdbcMirror.mirrorChunks(chunks, t, now)
+    println(s"mirrored $nChunks chunk rows -> $url")
 
     args.drop(2).headOption.foreach { ledgerDir =>
       val ledger = Dropzone.readSkipLedger(spark, ledgerDir)
-      JdbcMirror.mirrorSkipLedger(ledger, t, now)
-      println(s"mirrored ${ledger.count()} skip-ledger rows -> skipped_files")
+      val nSkips = JdbcMirror.mirrorSkipLedger(ledger, t, now)
+      println(s"mirrored $nSkips skip-ledger rows -> skipped_files")
     }
-    spark.stop()
+    if (!hadSession) spark.stop()
   }
 }

@@ -170,6 +170,28 @@ class CurationSpec extends AnyFunSuite {
       s"nulls-first or sub-lo ordering broke under non-covering bounds: $out")
   }
 
+  test("saltedExactRank: extreme out-of-range values don't wrap past negative bounds (r12 advice)") {
+    import spark.implicits._
+    // the long-wrap hazard: with supplied bounds (lo negative), a value
+    // near Long.MaxValue made `orderCol - mn` wrap negative, landing the
+    // row in bucket 0 BELOW moderate values in higher buckets — a silent
+    // rank inversion the small-value bounds test could never catch. The
+    // value is now clamped into [mn, mx] before the subtraction, so the
+    // row rides the top bucket and the within-bucket sort (by the
+    // ORIGINAL orderCol) keeps exact order.
+    val df = Seq(
+      (Long.MaxValue - 1L, "k"), (0L, "k"), (500L, "k"), (2000L, "k"),
+      (Long.MinValue + 1L, "k")).toDF("doc_id", "domain")
+    for (b <- Seq((-1000L, 1000L), (-1L, 1L))) {
+      val got = Curation.saltedExactRank(df, "domain", "doc_id", 8,
+          orderBounds = Some(b))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == Map(Long.MinValue + 1L -> 1L, 0L -> 2L, 500L -> 3L,
+        2000L -> 4L, (Long.MaxValue - 1L) -> 5L),
+        s"bounds=$b mis-ranked extreme values: $got")
+    }
+  }
+
   test("saltedExactRank keeps null-order rows, ranked nulls-first (r11 advice)") {
     import spark.implicits._
     // the silent-row-loss hazard: a null orderCol used to yield a null

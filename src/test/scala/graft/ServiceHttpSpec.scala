@@ -230,6 +230,40 @@ class ServiceHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("fault: retries share ONE overall call budget (r12 advice)") {
+    import graft.operators.EmbedService
+    import spark.implicits._
+    // a stalling-then-429ing backend used to hold a task for
+    // retries × (fresh deadline + backoff) — ~20 min at the embed
+    // defaults. The budget is now per CALL: a Retry-After the remaining
+    // budget cannot cover gives up instead of sleeping.
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val handler: HttpExchange => Unit = { ex =>
+      hits.incrementAndGet()
+      ex.getResponseHeaders.set("Retry-After", "30") // far past the budget
+      respond(ex, 429, """{"error": "rate limited"}""")
+    }
+    withServer("/api/embed" -> handler) { base =>
+      val cfg = EmbedService.Config("stub-model", 1,
+        EmbedService.HttpTransport(base, timeoutSeconds = 2, maxRetries = 5,
+          retryBaseMillis = 10),
+        batchSize = 8)
+      val skipped = spark.sparkContext.longAccumulator("skipped")
+      val t0 = System.nanoTime()
+      val out = EmbedService.embedColumn(
+          Seq("a", "bb").toDF("text").coalesce(1), "text", "vector", cfg,
+          Some(skipped))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(out == 0)
+      assert(skipped.value == 2, "budget-exhausted batch must fail-soft")
+      assert(hits.get() == 1,
+        s"an uncoverable Retry-After must stop the retry loop, saw ${hits.get()} requests")
+      assert(sec < 6.0,
+        f"gave up after $sec%.1fs — retries are not sharing the 2s call budget")
+    }
+  }
+
   test("fault: chunked split response reassembles bit-for-bit") {
     import graft.operators.EmbedService
     import spark.implicits._

@@ -18,7 +18,12 @@ if [ "${GRAFT_PRECOMMIT:-1}" = "0" ]; then
   echo "[precommit] bypassed (GRAFT_PRECOMMIT=0)"
   exit 0
 fi
-if ! git diff --cached --name-only | grep -qE '\.(scala|sbt)$' &&
+# Capture the staged list FIRST: with pipefail, `git diff | grep -q`
+# could report failure even when a .scala file IS staged — grep -q exits
+# on first match, the SIGPIPE'd git diff makes the pipeline status 141,
+# and the hook would silently skip the compile gate (r12 advice).
+staged_files=$(git diff --cached --name-only)
+if ! printf '%s\n' "$staged_files" | grep -E '\.(scala|sbt)$' > /dev/null &&
    [ "${PRECOMMIT_FORCE:-0}" != "1" ]; then
   echo "[precommit] no scala/sbt changes staged; skipping compile"
   exit 0
