@@ -579,11 +579,14 @@ object Bench {
           }
         }
         // Third, LARGER scale point (r10 prescription #4, REPS=30 default)
-        // for the two span-removal lineages — with 3x and 10x already
-        // banked, the 30x ratios pin the growth slope for exactly the
-        // operators whose keeper step re-formed in r11 (window -> salted
-        // past the corpus gate). q99 rides scaleEntries' store-backed
-        // branch (3 runs, build/serve split), q88 the plain 2-run min.
+        // — with 3x and 10x already banked, the 30x ratios pin the growth
+        // slope for the operators whose keeper step re-formed in r11
+        // (window -> salted past the corpus gate) AND, since r13
+        // (r12 prescription #3), the incremental/stream near-dup serve
+        // families q96/q97/q85/q98. Store-backed lineages (q96/q97/q99)
+        // ride scaleEntries' 3-run build/serve split; q88/q85/q98 the
+        // plain 2-run min. Cheap lineages lead so their ratios are
+        // banked before q97 triggers the shared 30x streaming build.
         val curve30Entry = {
           val reps3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS3", "30").toInt
           if (reps3 <= reps) None
@@ -591,7 +594,9 @@ object Bench {
           else try {
             val (dir3, gen3) = ensureScaledCorpus(reps3)
             val (e3, sk3) = scaleEntries(dir3,
-              Seq("q88_span_removal", "q99_full_recipe"), deadline,
+              Seq("q88_span_removal", "q96_inc_near_dup", "q85_dedup_apply",
+                "q98_curation_pipeline", "q99_full_recipe",
+                "q97_stream_near_dup"), deadline,
               record = false)
             skipped = sk3.map(n => s"curve30:$n") ::: skipped
             Some((Seq(f""""reps":$reps3""", f""""gen_sec":$gen3%.3f""") ++ e3)
@@ -626,8 +631,12 @@ object Bench {
     // a 6x gap invisible while only the single slowest query was sampled)
     val slowestNames = suiteByName.filterNot { case (k, _) => failed.contains(k) }
       .toSeq.sortBy(-_._2).take(2).map(_._1)
-    val sampleNames = (Seq("q28_embedding_near_dup", "q31_asof_join",
-      "q35_provenance_search") ++ slowestNames).distinct
+    // q03 rides the FIXED sample (r12 prescription #4): its documented
+    // ambient contamination (one r12 run drew 3.8s in-suite vs 1.5s
+    // isolated — a 25-row agg with a clean plan) is now measured every
+    // round instead of only when it lands in the slowest-two set.
+    val sampleNames = (Seq("q03_regional_revenue", "q28_embedding_near_dup",
+      "q31_asof_join", "q35_provenance_search") ++ slowestNames).distinct
       .filter(SparkEntry.queries.contains)
       .filterNot(failed.contains)
     val (isolated: Seq[(String, Double)], scaleRecheck: String) = {

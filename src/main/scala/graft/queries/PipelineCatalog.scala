@@ -1272,9 +1272,17 @@ object PipelineCatalog {
          SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
          FROM wdl
        ), p AS (
-         SELECT w.doc_id, w.dl, tok AS term
-         FROM d, wdl w, unnest(d.toks) AS u(tok)
-         WHERE d.doc_id = w.doc_id AND tok IN ($terms)
+         -- dl comes from len(toks) on the SAME d row: the previous
+         -- `FROM d, wdl w, unnest(d.toks) WHERE d.doc_id = w.doc_id`
+         -- form made DuckDB materialize the d x wdl product (every doc
+         -- row, full token array, x every dl row) BEFORE the lateral
+         -- unnest's correlation filter — >40 GB of spill at 5000 docs,
+         -- which aborted the sf0.1 oracle sweep (r12 verdict #1). The
+         -- join-free lateral unnests |tokens| rows total and is
+         -- value-identical (dl is the same len(toks) wdl computed).
+         SELECT doc_id, len(toks) AS dl, tok AS term
+         FROM d, unnest(d.toks) AS u(tok)
+         WHERE tok IN ($terms)
        ), tf AS (
          SELECT doc_id, dl, term, count(*) AS tf FROM p GROUP BY 1, 2, 3
        ), df AS (
@@ -2229,6 +2237,23 @@ object PipelineCatalog {
     val docs = docs0.withColumn("w", split(col("body"), " "))
     removeDupSpansFrom(docs, positionalShingleHashes(docs))
   }
+
+  /** Test hook (PlanSpec, r12 prescription #5): the span-removal lineage
+    * over an ARBITRARY (doc_id, body) frame, so the form gate's
+    * direction can be pinned against planted plan statistics. The two
+    * forms are value-identical, which makes a gate regression (a stats
+    * misread picking the window form on a 100 TB corpus — one
+    * unsplittable task per hot shingle class) invisible to every oracle;
+    * only a plan-shape assertion can catch it.
+    */
+  private[graft] def spanRemovalForGateSpec(docs0: DataFrame): DataFrame =
+    removeDupSpans(docs0)
+
+  /** [[SpanSaltedDocsGate]]/[[SpanSaltedBytesGate]] for the gate-direction
+    * spec — the thresholds the planted stats must straddle.
+    */
+  private[graft] def spanGateThresholds: (Long, Long) =
+    (SpanSaltedDocsGate, SpanSaltedBytesGate)
 
   /** [[removeDupSpans]] with the positional-hash basis passed in, so a
     * composition (q99) can compute it once for several consumers.

@@ -498,6 +498,46 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("span-form gate direction: planted row stats flip window->salted at the gate (r12 prescription #5)") {
+    // The two span forms are VALUE-identical, so a gate regression (a
+    // stats misread keeping the window form on a 100 TB corpus — one
+    // unsplittable task per hot shingle class) is invisible to the
+    // oracle; only a plan assertion can pin the gate's DIRECTION. CBO
+    // propagates Range's exact rowCount through the projections, so
+    // range(n) PLANTS a row count on either side of SpanSaltedDocsGate
+    // without materializing anything.
+    import org.apache.spark.sql.functions._
+    val (docsGate, _) = graft.queries.PipelineCatalog.spanGateThresholds
+    val orig = spark.conf.getOption("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def planOf(n: Long): String = {
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("alpha beta gamma "), col("id").cast("string")).as("body"))
+        // planted stats must actually arrive at the gate
+        assert(docs.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(n)),
+          s"CBO did not propagate Range's rowCount=$n — the test plants nothing")
+        graft.queries.PipelineCatalog.spanRemovalForGateSpec(docs)
+          .queryExecution.executedPlan.toString
+      }
+      val below = planOf(docsGate - 1)
+      assert(below.contains("windowspecdefinition"),
+        "below the gate the keeper step must stay the window form " +
+        "(salted-by-default = the fixed-overhead regression)")
+      assert(!below.contains("__salt"),
+        "below-gate plan unexpectedly carries the salted machinery")
+      val above = planOf(docsGate + 1)
+      assert(above.contains("__salt"),
+        "above the gate the keeper step must take the salted form — " +
+        "the 100 TB skew-safety regression the oracle cannot see")
+      assert(!above.contains("windowspecdefinition"),
+        "above-gate plan still contains an unsplittable class window")
+    } finally orig match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+  }
+
   test("q105: skip-ledger serving reads the persisted ledger, never the corpus") {
     // r11 verdict #2: both micro-batch builds used to run INSIDE the
     // timed query (10.3 s); the build is now write-time
