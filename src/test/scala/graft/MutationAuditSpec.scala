@@ -199,6 +199,24 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(1))  // batches swapped: same drops, wrong arrival
   }
 
+  test("search family (q60): BM25 length-normalization mutation flips the gate") {
+    // 10th family (r13): the BM25 oracle SQL was reformulated this round
+    // (join-free postings CTE for the sf0.1 sweep), so the family gets a
+    // standing sensitivity check — a b-constant drift (0.75 -> 0.74, the
+    // classic transcribed-hyperparameter error) changes every score's
+    // length-normalization denominator and must hash-mismatch through
+    // the 6dp rounding grid. k1=1.5/b=0.75 are the shipped constants
+    // (PipelineCatalog.q60Bm25); the control replays them exactly.
+    def build(b: Double) = graft.operators.SearchOps.bm25Scores(
+        docsWide(Sf01), "doc_id", "text", Seq("spark", "join", "hash"),
+        k1 = 1.5, b = b)
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(15)
+      .select(col("doc").as("doc_id"), Catalog.rnd(col("bm25"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    audit("q60_bm25", Sf01, control = build(0.75), mutated = build(0.74))
+  }
+
   test("media/frame family (q100): the r10 join-key bug stays caught (needs sf0.1 dups)") {
     import spark.implicits._
     def build(frameKey: String) = {
