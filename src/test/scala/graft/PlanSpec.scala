@@ -538,6 +538,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("span-form gate direction: the BYTES branch flips too (no CBO rowCount)") {
+    // Without CBO, the Project over range(n) DROPS the leaf's rowCount
+    // (size-only stats visitor), so the gate falls to its sizeInBytes
+    // branch — the branch a real parquet corpus without ANALYZE stats
+    // takes. Width-scaled size (≈28 bytes/row estimated for
+    // long + string) straddles SpanSaltedBytesGate at ~10M rows; still
+    // zero execution, only planning.
+    import org.apache.spark.sql.functions._
+    val (_, bytesGate) = graft.queries.PipelineCatalog.spanGateThresholds
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "this test pins the NO-rowCount branch; run with CBO off")
+    def docsOf(n: Long) = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma "), col("id").cast("string")).as("body"))
+    def planted(n: Long) = {
+      val st = docsOf(n).queryExecution.optimizedPlan.stats
+      assert(st.rowCount.isEmpty,
+        "size-only stats unexpectedly carry rowCount — the bytes branch is not exercised")
+      st.sizeInBytes
+    }
+    val small = 1000L
+    val big = 24L * 1000 * 1000 // ≈ 430 MB at the 8 B/row leaf × width scale-up
+    assert(planted(small) <= bytesGate && planted(big) > bytesGate,
+      s"planted sizes ${planted(small)}/${planted(big)} do not straddle the $bytesGate gate")
+    val below = graft.queries.PipelineCatalog.spanRemovalForGateSpec(docsOf(small))
+      .queryExecution.executedPlan.toString
+    assert(below.contains("windowspecdefinition") && !below.contains("__salt"),
+      "below the bytes gate the keeper step must stay the window form")
+    val above = graft.queries.PipelineCatalog.spanRemovalForGateSpec(docsOf(big))
+      .queryExecution.executedPlan.toString
+    assert(above.contains("__salt") && !above.contains("windowspecdefinition"),
+      "above the bytes gate the keeper step must take the salted form")
+  }
+
   test("q105: skip-ledger serving reads the persisted ledger, never the corpus") {
     // r11 verdict #2: both micro-batch builds used to run INSIDE the
     // timed query (10.3 s); the build is now write-time
