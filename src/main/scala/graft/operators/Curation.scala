@@ -111,38 +111,54 @@ object Curation {
     val (mn, mx) =
       if (bounds.isNullAt(0)) (0L, 0L)
       else (bounds.getLong(0), bounds.getLong(1))
-    val q = math.max(1L, (mx - mn) / salts + 1)
-    // Rows whose orderCol casts to null (null key, or a non-numeric type)
-    // ride the sentinel bucket -1: it sorts before every real bucket —
-    // matching the plain window's nulls-first ascending order — and keeps
-    // the row alive through the inner join-back instead of silently
-    // dropping it on a null __rb. Within the sentinel bucket the sub-rank
-    // still orders by the ORIGINAL orderCol, so an entirely non-numeric
-    // key degrades to correct-but-unsalted ranks (one bucket per key),
-    // never to wrong ones.
-    // The VALUE is clamped into [mn, mx] BEFORE the subtraction: with
-    // SUPPLIED bounds, `orderCol - mn` on an out-of-range value can wrap
-    // the long subtraction negative (e.g. orderCol near Long.MaxValue with
-    // a negative lo), and a post-subtraction bucket clamp would then land
-    // the row in bucket 0 — below rows that sort before it — breaking the
-    // documented "loose bounds never affect the VALUES" monotonicity
-    // (r12 ADVICE). Clamping the value first keeps the difference in
-    // [0, mx-mn], so bucketing is monotone for ANY bounds short of a
-    // >Long.MaxValue [mn, mx] span: everything below mn shares bucket 0,
-    // everything past mx shares the top bucket, and the within-bucket
-    // sort by the ORIGINAL orderCol restores exact order. The outer
-    // [0, salts] clamp stays as belt-and-braces; -1 is reserved for
-    // nulls alone. All no-ops for probed bounds (mn/mx are true extremes).
-    // when(isNotNull, …) keeps a null orderCol NULL through the clamp —
-    // Spark's least/greatest SKIP null arguments, so a bare
-    // greatest(least(v, mx), mn) would turn null into mx and steal the
-    // row from the -1 sentinel bucket
+    // Bucket assignment only needs MONOTONICITY — the within-bucket sort
+    // is by the ORIGINAL orderCol and the offsets fold by bucket order,
+    // so ANY monotone value→bucket map yields exact ranks; bucket edges
+    // only shape the distribution. Two monotone maps, chosen driver-side
+    // by whether the [mn, mx] span fits in a Long:
+    //  - long path (the common case): clamp the VALUE into [mn, mx]
+    //    BEFORE subtracting — with SUPPLIED bounds, `orderCol - mn` on an
+    //    out-of-range value can wrap the long subtraction negative (e.g.
+    //    orderCol near Long.MaxValue with a negative lo), and a
+    //    post-subtraction clamp would then land the row in bucket 0 below
+    //    rows that sort before it (r12 ADVICE). Clamp-first keeps the
+    //    difference in [0, mx-mn]: everything below mn shares bucket 0,
+    //    everything past mx the top bucket.
+    //  - double path (span > Long.MaxValue — full-range keys, e.g. a
+    //    64-bit hash as the order column, where even PROBED bounds span
+    //    ~2^64 and the long subtraction wraps): bucket on
+    //    (v - mn) in DOUBLE arithmetic. long→double conversion is
+    //    monotone (never order-inverting; ties from precision loss just
+    //    share a bucket), so ranks stay exact while the arithmetic
+    //    cannot overflow.
     val v = col(orderCol).cast("long")
-    val clamped = when(v.isNotNull, greatest(least(v, lit(mx)), lit(mn)))
-    val bucketed = df.withColumn("__rb", coalesce(
-      least(greatest(floor((clamped - lit(mn)) / lit(q)),
-        lit(0L)), lit(salts.toLong)).cast("int"),
-      lit(-1)))
+    val span = BigInt(mx) - BigInt(mn)
+    val rawBucket =
+      if (span > Long.MaxValue) {
+        val qd = math.max(span.toDouble / salts, 1.0)
+        floor((v.cast("double") - lit(mn.toDouble)) / lit(qd))
+      } else {
+        val q = math.max(1L, (mx - mn) / salts + 1)
+        // least/greatest SKIP nulls, but the when(isNull…) branch below
+        // catches null v before this expression is consulted
+        floor((greatest(least(v, lit(mx)), lit(mn)) - lit(mn)) / lit(q))
+      }
+    // Rows whose orderCol casts to null (null key, or a non-numeric type)
+    // ride an EXPLICIT sentinel bucket -1: it sorts before every real
+    // bucket — matching the plain window's nulls-first ascending order —
+    // and keeps the row alive through the inner join-back instead of
+    // silently dropping it on a null __rb. (The branch must be explicit:
+    // a null flowing into the clamp chain would come out as bucket 0 via
+    // null-skipping greatest — correct by accident, but then __rb = -1
+    // would never exist and the sentinel would be a lie.) Within the
+    // sentinel bucket the sub-rank still orders by the ORIGINAL orderCol,
+    // so an entirely non-numeric key degrades to correct-but-unsalted
+    // ranks, never to wrong ones. The outer [0, salts] clamp bounds
+    // supplied-bounds stragglers on the long path and is a no-op
+    // elsewhere.
+    val bucketed = df.withColumn("__rb",
+      when(v.isNull, lit(-1)).otherwise(
+        least(greatest(rawBucket, lit(0L)), lit(salts.toLong)).cast("int")))
     val withSub = bucketed
       .withColumn("__sub", row_number().over(
         Window.partitionBy(col(keyCol), col("__rb")).orderBy(col(orderCol)))

@@ -84,9 +84,10 @@ object HttpSupport {
         }
         val backoff = retryAfterMs.getOrElse(retryBaseMillis << attempt)
         // Give up rather than sleep the budget away: a retry whose backoff
-        // leaves no time for the exchange itself can only end in a timeout
-        // with a less truthful message.
-        if (backoff >= remainingMs)
+        // leaves no real time for the exchange itself can only end in a
+        // timeout with a less truthful message (plus one wasted request) —
+        // reserve 100ms of headroom for the exchange, not just > 0.
+        if (backoff + 100 >= remainingMs)
           throw new RuntimeException(s"$what: HTTP $code and the " +
             s"${timeoutSeconds}s call budget cannot cover another " +
             s"${backoff}ms backoff (after $attempt retries)")

@@ -131,7 +131,12 @@ object ConstructAudit {
     graft.SparkEntry.queries.keys.foreach { name =>
       try {
         construct(name) // pass 1: absorb one-time ensure builds
-        Thread.sleep(50)
+        // full listener-bus drain BEFORE clearing: a lagging pass-1 event
+        // (q99 emits ~87 stages; bus delivery is async) that lands after
+        // clear() would count against pass 2 — harmless when classes were
+        // blanket-allowed, but a false MAGNITUDE suspect now that stage
+        // counts are ceilinged
+        Thread.sleep(300)
         jobs.clear()
         construct(name) // pass 2: steady-state construction
         Thread.sleep(300) // let the listener bus drain

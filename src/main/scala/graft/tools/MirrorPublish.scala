@@ -26,18 +26,28 @@ object MirrorPublish {
     require(args.length >= 2,
       "usage: MirrorPublish <chunkStorePath> <jdbcUrl> [skipLedgerDir]")
     val Array(store, url) = args.take(2)
-    // A session may already exist when main() runs embedded (the
-    // EntrySmoke-style spec drives the real entry point); getOrCreate
-    // returns it unchanged then, and stopping it on exit would kill the
-    // host's session — only stop what this run created.
-    val hadSession = SparkSession.getDefaultSession.isDefined
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // A session may already exist when main() runs embedded (the spec
+    // drives the real entry point; a driver script may publish several
+    // stores). Use a LIVE existing session completely untouched — going
+    // through the builder would silently apply this tool's runtime confs
+    // (shuffle.partitions=4, UTC, log level) to the HOST's session, a
+    // config leak that outlives the publish — and only stop what this
+    // run created. The isStopped filter matters for back-to-back main()
+    // calls: a stopped default session can linger until Spark's app-end
+    // listener clears it.
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .filterNot(_.sparkContext.isStopped)
+    val spark = existing.getOrElse {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
     val t = JdbcMirror.Target(url,
       sys.env.getOrElse("GRAFT_PG_USER", ""),
@@ -56,6 +66,6 @@ object MirrorPublish {
       val nSkips = JdbcMirror.mirrorSkipLedger(ledger, t, now)
       println(s"mirrored $nSkips skip-ledger rows -> skipped_files")
     }
-    if (!hadSession) spark.stop()
+    if (existing.isEmpty) spark.stop()
   }
 }

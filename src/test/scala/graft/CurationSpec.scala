@@ -192,6 +192,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("saltedExactRank: full-Long-range keys rank exactly, probed OR supplied bounds") {
+    import spark.implicits._
+    // the PROBED-bounds overflow (r13 review): a 64-bit-hash order key
+    // probes mn≈MinValue / mx≈MaxValue, the [mn,mx] span exceeds
+    // Long.MaxValue, and the long bucket arithmetic wraps — MaxValue-1
+    // silently ranked BEFORE 0. Such spans now bucket in (monotone)
+    // double arithmetic; ranks must be exact regardless of span.
+    val df = Seq(
+      (Long.MinValue + 1L, "k"), (-7L, "k"), (0L, "k"), (12345L, "k"),
+      (Long.MaxValue - 1L, "k"),
+      (Long.MaxValue - 2L, "j"), (Long.MinValue + 2L, "j")).toDF("doc_id", "domain")
+    val expected = Map(
+      (Long.MinValue + 1L, "k") -> 1L, (-7L, "k") -> 2L, (0L, "k") -> 3L,
+      (12345L, "k") -> 4L, (Long.MaxValue - 1L, "k") -> 5L,
+      (Long.MinValue + 2L, "j") -> 1L, (Long.MaxValue - 2L, "j") -> 2L)
+    for (b <- Seq(None, Some((Long.MinValue + 1L, Long.MaxValue - 1L)))) {
+      for (salts <- Seq(1, 8)) {
+        val got = Curation.saltedExactRank(df, "domain", "doc_id", salts,
+            orderBounds = b)
+          .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+        assert(got == expected,
+          s"salts=$salts bounds=$b mis-ranked a full-range key: $got")
+      }
+    }
+    // nulls still rank first when real values span the full range
+    val withNull = Seq((Option(Long.MaxValue - 1L), "k"),
+      (None: Option[Long], "k"), (Option(Long.MinValue + 1L), "k"))
+      .toDF("doc_id", "domain")
+    val out = Curation.saltedExactRank(withNull, "domain", "doc_id", 4)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(2)))
+      .toMap
+    assert(out == Map(None -> 1L, Some(Long.MinValue + 1L) -> 2L,
+      Some(Long.MaxValue - 1L) -> 3L), s"nulls-first broke on a full-range key: $out")
+  }
+
   test("saltedExactRank keeps null-order rows, ranked nulls-first (r11 advice)") {
     import spark.implicits._
     // the silent-row-loss hazard: a null orderCol used to yield a null

@@ -217,9 +217,18 @@ class JdbcMirrorSpec extends AnyFunSuite {
     assert(usage.getMessage.contains("usage: MirrorPublish"))
 
     val url = s"jdbc:derby:$dir/db;create=true"
-    graft.tools.MirrorPublish.main(Array(store, url, ledgerDir))
-    assert(!spark.sparkContext.isStopped,
-      "embedded main() must not stop the host session")
+    // the host's runtime conf must survive the embedded run untouched —
+    // routing an existing session through the tool's builder would
+    // silently apply its configs (shuffle.partitions=4 etc.) to the host
+    val origShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      graft.tools.MirrorPublish.main(Array(store, url, ledgerDir))
+      assert(!spark.sparkContext.isStopped,
+        "embedded main() must not stop the host session")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7",
+        "embedded main() leaked its builder configs into the host session")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origShuffle)
     val t = JdbcMirror.Target(url)
     assert(JdbcMirror.readTable(spark, "documents", t)
       .select("id").collect().map(_.getString(0).trim).toSet == Set("d1", "d2"))
