@@ -276,4 +276,61 @@ object Curation {
     */
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+
+  // ---------------------------------------------------------------------
+  // PII anonymization (q106) — the release stage every published web
+  // corpus runs before shipping (FineWeb anonymizes emails and IPs;
+  // C4/Dolma variants do the same): detect with fixed regexes, replace
+  // with a stable placeholder token, count what was replaced.
+  // ---------------------------------------------------------------------
+
+  /** Email detector. Deliberately restricted to a dialect with IDENTICAL
+    * semantics in Java regex (Spark codegen) and RE2 (the DuckDB oracle):
+    * character classes + greedy quantifiers only — no lookaround, no
+    * backreferences (RE2 has neither), and both engines match
+    * leftmost-first, so the replacement spans agree byte-for-byte.
+    */
+  val PiiEmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** One IPv4 octet, range-exact: 0-255 with optional leading zeros only
+    * where the value still fits (so `001` matches, `300` never does).
+    * Alternation order matters under leftmost-first and is the same in
+    * both engines.
+    */
+  private val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+
+  /** Valid dotted-quad IPv4, word-bounded so `10.1.2.300` (invalid last
+    * octet) is NOT partially redacted: `\b` after a shorter octet match
+    * fails against the trailing digit, and no alternative start position
+    * inside the token has a word boundary. `\b` is ASCII-`\w`-based in
+    * both Java (default, no UNICODE_CHARACTER_CLASS) and RE2.
+    */
+  val PiiIpv4Re: String =
+    s"\\b$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\.$Ipv4Octet\\b"
+
+  val PiiEmailToken = "<EMAIL>"
+  val PiiIpToken = "<IP>"
+
+  /** Redact emails then IPs from `text`, returning
+    * `struct(n_emails, n_ips, text_clean)`. Counts are REPLACEMENT
+    * counts: `n_emails` over the raw text, `n_ips` over the
+    * email-redacted text — an IP-shaped local part (`9.9.9.9@host.tld`)
+    * is one email, zero IPs, matching what the output actually contains.
+    * The placeholder tokens contain no word characters adjacent to
+    * digits, so the second pass can't match inside the first pass's
+    * replacements.
+    *
+    * 100 TB shape: three codegen'd regex passes per row, no shuffle, no
+    * UDF — pipelines with the scan inside one WholeStageCodegen span;
+    * cost is O(bytes scanned), embarrassingly parallel.
+    */
+  def redactPii(text: Column): Column = {
+    val emailClean = regexp_replace(text, PiiEmailRe, PiiEmailToken)
+    struct(
+      size(regexp_extract_all(text, lit(PiiEmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(emailClean, lit(PiiIpv4Re), lit(0)))
+        .cast("long").as("n_ips"),
+      regexp_replace(emailClean, PiiIpv4Re, PiiIpToken).as("text_clean"))
+  }
 }

@@ -4147,6 +4147,70 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q106: PII anonymization — the release stage the published pipelines run
+  // last (FineWeb §3.4 replaces emails and IP addresses before shipping the
+  // corpus; reference scope: jsonify2ai ships raw chunk text, so this is a
+  // training-data addition like q102). The corpus text carries no PII, so
+  // (exactly like q88's boilerplate tails) deterministic PII fixtures are
+  // appended from doc_id residues and the oracle replays the construction.
+  // The fixtures pin the contract's sharp edges cross-engine: a valid IP
+  // with a trailing sentence period, a zero-padded octet (001 — still
+  // redacted), an INVALID octet (300 — must survive untouched, the \b
+  // boundary proof), and an IP-shaped email local part (9.9.9.9@host —
+  // email pass wins, IP pass sees nothing). 100 TB shape: see
+  // Curation.redactPii — three codegen'd regex passes fused into the scan's
+  // WholeStageCodegen span, zero exchanges before the presentation sort.
+  // -------------------------------------------------------------------------
+
+  private val PiiTailA =
+    " contact alice.smith+news@mail.example.org or bob@sub.example.co.uk now"
+  private val PiiTailB =
+    " origin 203.0.113.47 relay 10.1.2.300 backup 192.168.001.5"
+  private val PiiTailC =
+    " forwarded by 9.9.9.9@relay.example.net from 172.16.254.1."
+
+  val q106PiiRedact: Q = (s, d) => {
+    val body = concat(col("text"),
+      when(col("doc_id") % 4 === 0, lit(PiiTailA)).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, lit(PiiTailB)).otherwise(lit("")),
+      when(col("doc_id") % 9 === 0, lit(PiiTailC)).otherwise(lit("")))
+    docsWide(s, d).select(col("doc_id"), body.as("body"))
+      .withColumn("r", graft.operators.Curation.redactPii(col("body")))
+      .select(col("doc_id"),
+        col("r.n_emails").as("n_emails"), col("r.n_ips").as("n_ips"),
+        (col("r.n_emails") + col("r.n_ips") > 0).as("has_pii"),
+        col("r.text_clean").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q106Sql = {
+    val er = graft.operators.Curation.PiiEmailRe
+    val ir = graft.operators.Curation.PiiIpv4Re
+    val et = graft.operators.Curation.PiiEmailToken
+    val it = graft.operators.Curation.PiiIpToken
+    s"""WITH b AS (
+         SELECT doc_id,
+                text || (CASE WHEN doc_id % 4 = 0 THEN '$PiiTailA' ELSE '' END)
+                     || (CASE WHEN doc_id % 6 = 0 THEN '$PiiTailB' ELSE '' END)
+                     || (CASE WHEN doc_id % 9 = 0 THEN '$PiiTailC' ELSE '' END)
+                  AS body
+         FROM documents
+       ), e AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(body, '$er')) AS BIGINT)
+                  AS n_emails,
+                regexp_replace(body, '$er', '$et', 'g') AS body_e
+         FROM b
+       )
+       SELECT doc_id, n_emails,
+              CAST(len(regexp_extract_all(body_e, '$ir')) AS BIGINT) AS n_ips,
+              (n_emails + len(regexp_extract_all(body_e, '$ir'))) > 0
+                AS has_pii,
+              regexp_replace(body_e, '$ir', '$it', 'g') AS text_clean
+       FROM e ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4433,6 +4497,7 @@ object PipelineCatalog {
     "q99_full_recipe" -> q99FullRecipe,
     "q100_media_decode" -> q100MediaDecode,
     "q102_domain_curation" -> q102DomainCuration,
+    "q106_pii_redact" -> q106PiiRedact,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4521,6 +4586,7 @@ object PipelineCatalog {
     "q99_full_recipe" -> q99Sql,
     "q100_media_decode" -> q100Sql,
     "q102_domain_curation" -> q102Sql,
+    "q106_pii_redact" -> q106Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -405,4 +405,46 @@ class CurationSpec extends AnyFunSuite {
       .select(Curation.urlDomain(col("url"))).collect().map(_.getString(0))
     assert(got.toSeq == cases.map(_._2), s"got ${got.toSeq}")
   }
+
+  private def redact(texts: Seq[String]): Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    texts.toDF("t").select(Curation.redactPii(col("t")).as("r"))
+      .select("r.n_emails", "r.n_ips", "r.text_clean").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+  }
+
+  test("redactPii: emails and valid IPs replaced, counts = replacements") {
+    val got = redact(Seq(
+      "mail a.b+tag@example.org and ping 10.0.0.1 then 8.8.8.8 done",
+      "no pii here at all",
+      "from 172.16.254.1. end"))  // trailing sentence period stays
+    assert(got == Seq(
+      (1L, 2L, "mail <EMAIL> and ping <IP> then <IP> done"),
+      (0L, 0L, "no pii here at all"),
+      (0L, 1L, "from <IP>. end")), s"got $got")
+  }
+
+  test("redactPii: octet range is exact — 300 survives, 001 is redacted") {
+    val got = redact(Seq(
+      "bad 10.1.2.300 host",      // invalid octet: nothing redacted
+      "pad 192.168.001.5 host",   // zero-padded octet: still a valid IP
+      "ver 1.2.3 tag"))           // three components: never an IP
+    assert(got == Seq(
+      (0L, 0L, "bad 10.1.2.300 host"),
+      (0L, 1L, "pad <IP> host"),
+      (0L, 0L, "ver 1.2.3 tag")), s"got $got")
+  }
+
+  test("redactPii: email pass wins over an IP-shaped local part") {
+    // 9.9.9.9@relay… is ONE email and ZERO IPs: the email pass consumes
+    // the dotted quad before the IP pass runs (the documented order).
+    val got = redact(Seq("sent by 9.9.9.9@relay.example.net today"))
+    assert(got == Seq((1L, 0L, "sent by <EMAIL> today")), s"got $got")
+  }
+
+  test("redactPii: placeholders are never re-matched by the second pass") {
+    // An email whose redaction abuts digits must not synthesize an IP.
+    val got = redact(Seq("1.2.3.4 x@y.zw 5.6.7.8"))
+    assert(got == Seq((1L, 2L, "<IP> <EMAIL> <IP>")), s"got $got")
+  }
 }

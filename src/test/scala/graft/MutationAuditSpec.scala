@@ -248,4 +248,37 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build("path"),  // unique per media row (the r10 fix)
       mutated = build("id"))    // sha256(text): collides on duplicate texts
   }
+
+  test("PII family (q106): octet-bound mutation flips the gate") {
+    // The classic sloppy IP regex ([0-9]{1,3} octets, no 0-255 bound)
+    // redacts the fixture's INVALID address 10.1.2.300 — exactly the
+    // over-redaction the range-exact octet alternation exists to prevent.
+    // If the gate can't see that choice, a regex "simplification" would
+    // ship silently.
+    val tailA =
+      " contact alice.smith+news@mail.example.org or bob@sub.example.co.uk now"
+    val tailB = " origin 203.0.113.47 relay 10.1.2.300 backup 192.168.001.5"
+    val tailC = " forwarded by 9.9.9.9@relay.example.net from 172.16.254.1."
+    def build(ipRe: String) = {
+      val emailRe = Curation.PiiEmailRe
+      val body = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(tailA)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(tailB)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(tailC)).otherwise(lit("")))
+      val emailClean = regexp_replace(body, emailRe, "<EMAIL>")
+      docsWide(Sf01).select(col("doc_id"),
+          size(regexp_extract_all(body, lit(emailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(emailClean, lit(ipRe), lit(0)))
+            .cast("long").as("n_ips"),
+          regexp_replace(emailClean, ipRe, "<IP>").as("text_clean"))
+        .withColumn("has_pii", col("n_emails") + col("n_ips") > 0)
+        .select("doc_id", "n_emails", "n_ips", "has_pii", "text_clean")
+        .orderBy(col("doc_id"))
+    }
+    val loose = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    audit("q106_pii_redact", Sf01,
+      control = build(Curation.PiiIpv4Re),
+      mutated = build(loose))
+  }
 }
