@@ -13,7 +13,12 @@
 # stall automation worse than the risk it guards. GRAFT_PRECOMMIT=0
 # bypasses explicitly.
 set -uo pipefail
-cd "$(dirname "$0")/.."
+# Resolve the REPO ROOT via git, not $0: when git runs this as
+# .git/hooks/pre-commit (a symlink), dirname "$0" is .git/hooks and
+# "$0"/.. is .git — sbt then "succeeds" in 1 s against a synthetic
+# empty project ("set current project to root--git"), silently voiding
+# the compile gate this script exists to provide.
+cd "$(git rev-parse --show-toplevel)"
 if [ "${GRAFT_PRECOMMIT:-1}" = "0" ]; then
   echo "[precommit] bypassed (GRAFT_PRECOMMIT=0)"
   exit 0
