@@ -95,6 +95,32 @@ object Curation {
   def saltedExactRank(df: DataFrame, keyCol: String, orderCol: String,
       salts: Int = 16, rankCol: String = "rank",
       orderBounds: Option[(Long, Long)] = None): DataFrame = {
+    val bucketed = withRangeBuckets(df, orderCol, salts, orderBounds)
+    val withSub = bucketed
+      .withColumn("__sub", row_number().over(
+        Window.partitionBy(col(keyCol), col("__rb")).orderBy(col(orderCol)))
+        .cast("long"))
+    // offsets derive from the pre-window frame: counts don't need ranks,
+    // and the map-side-combined agg is skew-safe on its own
+    val offsets = bucketed.groupBy(col(keyCol), col("__rb"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__rb"), col("__off"))
+    withSub.join(offsets, Seq(keyCol, "__rb"))
+      .withColumn(rankCol, col("__sub") + col("__off"))
+      // pin caller column order (using-column joins reorder the schema)
+      .select((df.columns.map(col) :+ col(rankCol)): _*)
+  }
+
+  /** Monotone range-bucket assignment shared by [[saltedExactRank]] and
+    * [[saltedPrefixSum]]: adds `__rb` ∈ {-1} ∪ [0, salts] such that
+    * sorting by (`__rb`, orderCol) IS sorting by orderCol nulls-first —
+    * the property both consumers' two-phase folds rest on.
+    */
+  private def withRangeBuckets(df: DataFrame, orderCol: String,
+      salts: Int, orderBounds: Option[(Long, Long)]): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(orderBounds.forall { case (lo, hi) => lo <= hi },
       "orderBounds must be (min, max) with min <= max")
@@ -156,26 +182,61 @@ object Curation {
     // ranks, never to wrong ones. The outer [0, salts] clamp bounds
     // supplied-bounds stragglers on the long path and is a no-op
     // elsewhere.
-    val bucketed = df.withColumn("__rb",
+    df.withColumn("__rb",
       when(v.isNull, lit(-1)).otherwise(
         least(greatest(rawBucket, lit(0L)), lit(salts.toLong)).cast("int")))
-    val withSub = bucketed
-      .withColumn("__sub", row_number().over(
-        Window.partitionBy(col(keyCol), col("__rb")).orderBy(col(orderCol)))
-        .cast("long"))
-    // offsets derive from the pre-window frame: counts don't need ranks,
-    // and the map-side-combined agg is skew-safe on its own
-    val offsets = bucketed.groupBy(col(keyCol), col("__rb"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(
-        Window.partitionBy(col(keyCol)).orderBy(col("__rb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(keyCol), col("__rb"), col("__off"))
-    withSub.join(offsets, Seq(keyCol, "__rb"))
-      .withColumn(rankCol, col("__sub") + col("__off"))
-      // pin caller column order (using-column joins reorder the schema)
-      .select((df.columns.map(col) :+ col(rankCol)): _*)
   }
+
+  /** Global EXCLUSIVE prefix sum of `weightCol` in `orderCol` order —
+    * `out[i] = Σ weight[j] for all j with order[j] < order[i]` — WITHOUT
+    * the single-task global window (`sum().over(Window.orderBy(...))`
+    * with no partitionBy funnels the whole corpus through ONE task, the
+    * canonical scale killer). Same two-phase shape as [[saltedExactRank]]
+    * with the key dropped and `count` generalized to `sum`: range-bucket
+    * the order key ([[withRangeBuckets]] — monotone, so (bucket, order)
+    * sorts like order), within-bucket exclusive running sums are windows
+    * over ~1/salts of the rows each, bucket totals fold into offsets on a
+    * ≤ salts+2-row frame, and the offset join-back broadcasts. This is
+    * the distributed prefix-sum every concat-and-chunk packing needs
+    * (q107): at 100 TB the bucket windows are the only heavy exchange,
+    * and they are exactly as parallel as `salts`.
+    *
+    * Determinism needs `orderCol` unique (ties make any order-based
+    * prefix nondeterministic — same caveat as the rank forms). Null
+    * order keys ride the nulls-first sentinel bucket, matching the plain
+    * window's nulls-first ascending order; null weights count as 0
+    * (what a null-skipping window sum yields too).
+    */
+  def saltedPrefixSum(df: DataFrame, orderCol: String, weightCol: String,
+      salts: Int = 16, outCol: String = "prefix_sum",
+      orderBounds: Option[(Long, Long)] = None): DataFrame = {
+    val bucketed = withRangeBuckets(df, orderCol, salts, orderBounds)
+    val wv = coalesce(col(weightCol).cast("long"), lit(0L))
+    val withSub = bucketed.withColumn("__sub",
+      coalesce(sum(wv).over(
+        Window.partitionBy(col("__rb")).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = bucketed.groupBy(col("__rb"))
+      .agg(sum(wv).as("__tot"))
+      // ≤ salts+2 rows: the keyless ordered window here is bounded by
+      // construction, not by data volume
+      .withColumn("__off", coalesce(sum(col("__tot")).over(
+        Window.orderBy(col("__rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rb"), col("__off"))
+    withSub.join(offsets, Seq("__rb"))
+      .withColumn(outCol, col("__sub") + col("__off"))
+      .select((df.columns.map(col) :+ col(outCol)): _*)
+  }
+
+  /** The plain global-window form of [[saltedPrefixSum]] — here so the
+    * spec can pin value-equality against the shape we refuse to ship.
+    */
+  def plainPrefixSum(df: DataFrame, orderCol: String, weightCol: String,
+      outCol: String = "prefix_sum"): DataFrame =
+    df.withColumn(outCol, coalesce(sum(col(weightCol).cast("long")).over(
+      Window.orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
 
   /** Skew-safe per-class min/max attach — the [[saltedRankCap]] two-phase
     * idea applied to ASSOCIATIVE aggregates (q88/q99's span-removal core:

@@ -4211,6 +4211,68 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q107: concat-and-chunk sequence packing — the GPT-pretraining default
+  // (docs concatenated in a fixed order with boundaries IGNORED, the token
+  // stream cut into fixed-length training sequences; contrast q43, which
+  // packs WHOLE docs greedily within shards). The per-doc deliverable is
+  // where each doc lands in the packed stream: its exclusive token offset,
+  // the first/last sequence it touches, and whether it straddles a cut.
+  // The scale shape is the interesting part: the offset is a GLOBAL prefix
+  // sum, and the naive `sum().over(Window.orderBy(doc_id))` is a
+  // single-task plan — Curation.saltedPrefixSum is the two-phase salted
+  // form (range-bucket windows ~1/salts of the corpus each, a ≤ salts+2
+  // row offset fold, broadcast join-back), value-identical and
+  // spec-pinned. Tokenization is ws-split-v2 (the SEARCH/ANALYTICS
+  // contract, q94's), so the oracle replays counts exactly.
+  // -------------------------------------------------------------------------
+
+  private val PackSeqLen = 512L
+
+  val q107SequencePacking: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Curation.saltedPrefixSum(toks, "doc_id", "n_tok",
+        outCol = "tok_offset")
+      .withColumn("first_seq",
+        floor(col("tok_offset") / lit(PackSeqLen)))
+      .withColumn("last_seq",
+        when(col("n_tok") > 0,
+          floor((col("tok_offset") + col("n_tok") - 1) / lit(PackSeqLen))))
+      .withColumn("n_seqs",
+        when(col("n_tok") > 0, col("last_seq") - col("first_seq") + 1)
+          .otherwise(lit(0L)))
+      .withColumn("crosses",
+        col("n_tok") > 0 && col("last_seq") > col("first_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q107Sql =
+    s"""WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), o AS (
+         SELECT doc_id, n_tok,
+                CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+         FROM t
+       )
+       SELECT doc_id, n_tok, tok_offset,
+              tok_offset // $PackSeqLen AS first_seq,
+              CASE WHEN n_tok > 0
+                   THEN (tok_offset + n_tok - 1) // $PackSeqLen END
+                AS last_seq,
+              CASE WHEN n_tok > 0
+                   THEN (tok_offset + n_tok - 1) // $PackSeqLen
+                        - tok_offset // $PackSeqLen + 1
+                   ELSE 0 END AS n_seqs,
+              (n_tok > 0 AND (tok_offset + n_tok - 1) // $PackSeqLen
+                             > tok_offset // $PackSeqLen) AS crosses
+       FROM o ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4498,6 +4560,7 @@ object PipelineCatalog {
     "q100_media_decode" -> q100MediaDecode,
     "q102_domain_curation" -> q102DomainCuration,
     "q106_pii_redact" -> q106PiiRedact,
+    "q107_sequence_packing" -> q107SequencePacking,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4587,6 +4650,7 @@ object PipelineCatalog {
     "q100_media_decode" -> q100Sql,
     "q102_domain_curation" -> q102Sql,
     "q106_pii_redact" -> q106Sql,
+    "q107_sequence_packing" -> q107Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -406,6 +406,93 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == cases.map(_._2), s"got ${got.toSeq}")
   }
 
+  test("saltedPrefixSum == plain exclusive window sum (uniform, clustered, supplied bounds)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // clustered order keys: most ids packed into one narrow range, so
+    // most rows share one bucket — the adversarial case the range split
+    // degrades on (balance suffers, values must not)
+    val uniform = (0 until 3000)
+      .map(i => (i.toLong * 7 + 3, rng.nextInt(400).toLong))
+    val clustered = (0 until 3000)
+      .map(i => (if (i < 2400) 1000000L + i else i.toLong * 977,
+        rng.nextInt(400).toLong))
+    for ((rows, tag) <- Seq((uniform, "uniform"), (clustered, "clustered"));
+         salts <- Seq(1, 4, 16)) {
+      val df = rng.shuffle(rows).toDF("id", "w")
+      def got(out: org.apache.spark.sql.DataFrame) = out
+        .select("id", "w", "ps").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val plain = got(Curation.plainPrefixSum(df, "id", "w", "ps"))
+      assert(got(Curation.saltedPrefixSum(df, "id", "w", salts, "ps"))
+          .toSeq == plain.toSeq, s"$tag salts=$salts diverged")
+      // loose AND non-covering supplied bounds must not change values
+      assert(got(Curation.saltedPrefixSum(df, "id", "w", salts, "ps",
+          orderBounds = Some((-5000000L, 50000000L)))).toSeq == plain.toSeq,
+        s"$tag salts=$salts loose bounds diverged")
+      assert(got(Curation.saltedPrefixSum(df, "id", "w", salts, "ps",
+          orderBounds = Some((500L, 2000L)))).toSeq == plain.toSeq,
+        s"$tag salts=$salts non-covering bounds diverged")
+    }
+  }
+
+  test("saltedPrefixSum: null order key rides nulls-first; null weight counts 0") {
+    import spark.implicits._
+    val df = Seq((Some(5L), Some(10L)), (Some(9L), None),
+        (None, Some(7L)), (Some(20L), Some(1L)))
+      .toDF("id", "w")
+    val got = Curation.saltedPrefixSum(df, "id", "w", salts = 4, "ps")
+      .collect().map(r => (Option(r.get(0)), r.getLong(2))).toMap
+    // null id sorts first (prefix 0); its weight is visible downstream;
+    // the null WEIGHT at id=9 contributes nothing to id=20
+    assert(got(None) == 0L && got(Some(5L)) == 7L &&
+      got(Some(9L)) == 17L && got(Some(20L)) == 17L, s"got $got")
+  }
+
+  test("saltedPrefixSum plan: every corpus window partitions by __rb (no global-order task)") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, 3L)).toDF("id", "w")
+    val plan = Curation.saltedPrefixSum(df, "id", "w", salts = 8, "ps")
+      .queryExecution.sparkPlan
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "expected window nodes in the salted plan")
+    // the offset fold's keyless window is allowed ONLY over the
+    // aggregated <= salts+2-row frame (child carries __tot); any other
+    // unpartitioned window would be the single-task global-order shape
+    // this operator exists to avoid
+    val badGlobal = wins.filter(w => w.partitionSpec.isEmpty &&
+      !w.child.output.exists(_.name == "__tot"))
+    assert(badGlobal.isEmpty,
+      s"corpus-sized window lost its bucket partition:\n$plan")
+    assert(wins.exists(w => w.partitionSpec.exists(_.toString.contains("__rb"))),
+      s"no window partitions by __rb:\n$plan")
+  }
+
+  test("q107 packing: offsets conserve tokens, seq columns match a scalar replay (sf0.001)") {
+    val rows = SparkEntry.queries("q107_sequence_packing")(
+        spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_tok", "tok_offset", "first_seq", "last_seq",
+        "n_seqs", "crosses")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    var expectOff = 0L
+    rows.foreach { r =>
+      val (n, off) = (r.getLong(1), r.getLong(2))
+      assert(off == expectOff,
+        s"doc ${r.getLong(0)}: offset $off != running total $expectOff " +
+          "(the packed stream must have no gaps or overlaps)")
+      expectOff += n
+      val first = off / 512
+      assert(r.getLong(3) == first)
+      if (n > 0) {
+        val last = (off + n - 1) / 512
+        assert(r.getLong(4) == last && r.getLong(5) == last - first + 1 &&
+          r.getBoolean(6) == (last > first))
+      } else assert(r.isNullAt(4) && r.getLong(5) == 0L && !r.getBoolean(6))
+    }
+  }
+
   private def redact(texts: Seq[String]): Seq[(Long, Long, String)] = {
     import spark.implicits._
     texts.toDF("t").select(Curation.redactPii(col("t")).as("r"))
