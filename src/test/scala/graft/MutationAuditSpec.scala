@@ -281,4 +281,36 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(Curation.PiiIpv4Re),
       mutated = build(loose))
   }
+
+  test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
+    // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
+    // at CURRENT ROW) as the token offset shifts every doc one
+    // own-length too far down the packed stream — sequences still tile,
+    // totals still conserve, only each doc's claimed placement is wrong,
+    // so nothing coarser than the per-row gate would notice.
+    import graft.operators.{Curation => C, TextAnalytics}
+    def build(inclusive: Boolean) = {
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val off0 = C.saltedPrefixSum(toks, "doc_id", "n_tok", outCol = "__ex")
+      val off = off0.withColumn("tok_offset",
+          if (inclusive) col("__ex") + col("n_tok") else col("__ex"))
+        .drop("__ex")
+      off.withColumn("first_seq", floor(col("tok_offset") / lit(512L)))
+        .withColumn("last_seq",
+          when(col("n_tok") > 0,
+            floor((col("tok_offset") + col("n_tok") - 1) / lit(512L))))
+        .withColumn("n_seqs",
+          when(col("n_tok") > 0, col("last_seq") - col("first_seq") + 1)
+            .otherwise(lit(0L)))
+        .withColumn("crosses",
+          col("n_tok") > 0 && col("last_seq") > col("first_seq"))
+        .select("doc_id", "n_tok", "tok_offset", "first_seq", "last_seq",
+          "n_seqs", "crosses")
+        .orderBy(col("doc_id"))
+    }
+    audit("q107_sequence_packing", Sf01,
+      control = build(inclusive = false),
+      mutated = build(inclusive = true))
+  }
 }
