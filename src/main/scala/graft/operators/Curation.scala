@@ -216,14 +216,22 @@ object Curation {
       coalesce(sum(wv).over(
         Window.partitionBy(col("__rb")).orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // Bucket totals fold into offsets WITHOUT a window: the frame is
+    // ≤ salts+2 rows, and the keyless ordered window the textbook form
+    // would use here plans as an unpartitioned WindowExec and logs "No
+    // Partition Defined" — a warning this engine keeps meaningful by
+    // never emitting it from shipped plans (r6 verdict; the constant-
+    // partition-key trick does NOT suppress it, Catalyst folds the
+    // constant away). Same collect + array_sort + aggregate shape as
+    // SearchOps.selectSnippets' bounded budget fold.
     val offsets = bucketed.groupBy(col("__rb"))
       .agg(sum(wv).as("__tot"))
-      // ≤ salts+2 rows: the keyless ordered window here is bounded by
-      // construction, not by data volume
-      .withColumn("__off", coalesce(sum(col("__tot")).over(
-        Window.orderBy(col("__rb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__rb"), col("__off"))
+      .agg(collect_list(struct(col("__rb"), col("__tot"))).as("bs"))
+      .select(array_sort(col("bs")).as("bs"))
+      .select(col("bs"), posexplode(col("bs")).as(Seq("__i", "__b")))
+      .withColumn("__off", expr(
+        "aggregate(slice(bs, 1, __i), 0L, (acc, x) -> acc + x.__tot)"))
+      .select(col("__b.__rb").as("__rb"), col("__off"))
     withSub.join(offsets, Seq("__rb"))
       .withColumn(outCol, col("__sub") + col("__off"))
       .select((df.columns.map(col) :+ col(outCol)): _*)

@@ -457,13 +457,12 @@ class CurationSpec extends AnyFunSuite {
     val wins = plan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
     assert(wins.nonEmpty, "expected window nodes in the salted plan")
-    // the offset fold's keyless window is allowed ONLY over the
-    // aggregated <= salts+2-row frame (child carries __tot); any other
-    // unpartitioned window would be the single-task global-order shape
-    // this operator exists to avoid
-    val badGlobal = wins.filter(w => w.partitionSpec.isEmpty &&
-      !w.child.output.exists(_.name == "__tot"))
-    assert(badGlobal.isEmpty,
+    // the offset fold is a collect+array_sort+aggregate over the
+    // <= salts+2-row bucket-total frame (no window at all), so EVERY
+    // window in the plan must be bucket-partitioned — an unpartitioned
+    // one would be the single-task global-order shape this operator
+    // exists to avoid (and would log "No Partition Defined")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
       s"corpus-sized window lost its bucket partition:\n$plan")
     assert(wins.exists(w => w.partitionSpec.exists(_.toString.contains("__rb"))),
       s"no window partitions by __rb:\n$plan")

@@ -460,6 +460,33 @@ class PlanSpec extends AnyFunSuite {
       s"a bare per-domain window reappeared in q102: $domWins")
   }
 
+  test("q106: PII redaction is a narrow pass over a pruned two-column scan") {
+    val p = plan("q106_pii_redact")
+    // the three regex passes must fuse with the scan: reading any column
+    // beyond (doc_id, text) or shuffling before the presentation sort
+    // would turn a pipelined O(bytes) pass into real cluster work
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "PII scan reads more than (doc_id, text)")
+    // allowed exchanges: the presentation sort's rangepartitioning and the
+    // small-input fanOut round-robin (a guarded no-op on multi-row-group
+    // production files — Tables.fanOut). A hashpartitioning shuffle would
+    // mean the regex passes picked up a key they don't have.
+    val exch = "Exchange [A-Za-z]+".r.findAllIn(p).toList
+    assert(exch.forall(e => e.contains("rangepartitioning") ||
+        e.contains("RoundRobinPartitioning")),
+      s"unexpected shuffle kind in q106: $exch\n$p")
+    assert(exch.count(_.contains("rangepartitioning")) <= 1,
+      s"more than one sort exchange in q106: $exch")
+  }
+
+  test("q107: every packing window carries the __rb bucket (no global-order window)") {
+    val p = plan("q107_sequence_packing")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q107 lost its prefix-sum windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a global-order window reappeared in q107: $wins")
+  }
+
   test("q88: span-form gate runs zero jobs at plan construction (stats, not count)") {
     // r11 verdict #4: the window-vs-salted gate used docs.count() — a full
     // eager scan of the corpus lineage every time q88/q99 was CONSTRUCTED.
