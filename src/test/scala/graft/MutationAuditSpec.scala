@@ -282,6 +282,53 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(loose))
   }
 
+  test("PII family (q106): pass-order mutation flips the gate") {
+    // 13th family: the OTHER load-bearing choice in redactPii — emails are
+    // redacted BEFORE the IP pass, so an IP-shaped email local part
+    // (9.9.9.9@relay.example.net) is one email and zero IPs. Running the
+    // IP pass first redacts the local part in place (<IP>@relay…), which
+    // then no longer matches the email regex: counts shift AND the
+    // cleaned text differs. Same octet alternation both ways — only the
+    // order is perturbed, so a mismatch is attributable to order alone.
+    val tailA =
+      " contact alice.smith+news@mail.example.org or bob@sub.example.co.uk now"
+    val tailB = " origin 203.0.113.47 relay 10.1.2.300 backup 192.168.001.5"
+    val tailC = " forwarded by 9.9.9.9@relay.example.net from 172.16.254.1."
+    def build(ipFirst: Boolean) = {
+      val emailRe = Curation.PiiEmailRe
+      val ipRe = Curation.PiiIpv4Re
+      val body = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(tailA)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit(tailB)).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(tailC)).otherwise(lit("")))
+      val base = docsWide(Sf01)
+      val withCols =
+        if (ipFirst) {
+          val ipClean = regexp_replace(body, ipRe, "<IP>")
+          base.select(col("doc_id"),
+            size(regexp_extract_all(ipClean, lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(body, lit(ipRe), lit(0)))
+              .cast("long").as("n_ips"),
+            regexp_replace(ipClean, emailRe, "<EMAIL>").as("text_clean"))
+        } else {
+          val emailClean = regexp_replace(body, emailRe, "<EMAIL>")
+          base.select(col("doc_id"),
+            size(regexp_extract_all(body, lit(emailRe), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(emailClean, lit(ipRe), lit(0)))
+              .cast("long").as("n_ips"),
+            regexp_replace(emailClean, ipRe, "<IP>").as("text_clean"))
+        }
+      withCols.withColumn("has_pii", col("n_emails") + col("n_ips") > 0)
+        .select("doc_id", "n_emails", "n_ips", "has_pii", "text_clean")
+        .orderBy(col("doc_id"))
+    }
+    audit("q106_pii_redact", Sf01,
+      control = build(ipFirst = false),
+      mutated = build(ipFirst = true))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one
