@@ -4273,6 +4273,40 @@ object PipelineCatalog {
        FROM o ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q108: leakage-safe train/val holdout — the split a pretraining corpus
+  // actually needs: hash-bucketing DOCUMENT ids leaks, because two near-
+  // duplicates of the same page routinely land on opposite sides and the
+  // "held-out" loss is partially memorization (the contamination q57/q93
+  // guard against for EXTERNAL benchmarks, happening inside your own
+  // split). The fix is to key the holdout hash on the near-dup CLUSTER
+  // (q85's canonical_id): every member of a cluster inherits its
+  // canonical's side, so no near-dup pair can straddle by construction —
+  // unclustered docs are their own canonical and behave exactly like an
+  // id-keyed split. hash60 (q86's portable shard hash) keeps the
+  // assignment engine/worker-independent and RNG-free. 100 TB: q85's
+  // lineage + one narrow codegen'd projection — no new shuffle, no new
+  // pass over text.
+  // -------------------------------------------------------------------------
+
+  private val ValHoldoutPct = 10L
+
+  val q108LeakageSplit: Q = (s, d) =>
+    q85DedupApply(s, d)
+      .withColumn("split",
+        when(pmod(TextAnalytics.hash60(col("canonical_id").cast("string")),
+          lit(100L)) < ValHoldoutPct, lit("val")).otherwise(lit("train")))
+      .orderBy(col("doc_id"))
+
+  private val q108Sql =
+    s"""SELECT doc_id, canonical_id, kept,
+              CASE WHEN CAST(CAST('0x' ||
+                       substr(sha256(CAST(canonical_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 AS BIGINT) < $ValHoldoutPct
+                   THEN 'val' ELSE 'train' END AS split
+       FROM (${q85Sql.replace("\n", "\n  ")}) q
+       ORDER BY doc_id"""
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4561,6 +4595,7 @@ object PipelineCatalog {
     "q102_domain_curation" -> q102DomainCuration,
     "q106_pii_redact" -> q106PiiRedact,
     "q107_sequence_packing" -> q107SequencePacking,
+    "q108_leakage_split" -> q108LeakageSplit,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4651,6 +4686,7 @@ object PipelineCatalog {
     "q102_domain_curation" -> q102Sql,
     "q106_pii_redact" -> q106Sql,
     "q107_sequence_packing" -> q107Sql,
+    "q108_leakage_split" -> q108Sql,
     "q103_video_search" -> q103Sql,
   )
 }

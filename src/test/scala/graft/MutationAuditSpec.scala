@@ -329,6 +329,36 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(ipFirst = true))
   }
 
+  test("split family (q108): id-keyed holdout hash mutation flips the gate") {
+    // 14th family: q108's entire reason to exist is that the holdout
+    // hash keys on the near-dup CLUSTER (canonical_id), not the document
+    // id — id-keying puts near-duplicates on opposite sides (train-test
+    // leakage). The corpus demonstrably leaks under id-keying (the q19
+    // pair (70,447) at sf0.01 straddles), so the mutated rebuild must
+    // hash-mismatch. Everything else — banding, clustering, the hash,
+    // the 10% threshold — is byte-identical to the control.
+    import graft.operators.TextAnalytics
+    def build(keyCol: String) = {
+      val pairs = Dedup.minhashNearDuplicates(docsWide(Sf01), "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"),
+          col("is_canonical"))
+      docsWide(Sf01).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+          coalesce(col("is_canonical"), lit(true)).as("kept"))
+        .withColumn("split",
+          when(pmod(TextAnalytics.hash60(col(keyCol).cast("string")),
+            lit(100L)) < 10L, lit("val")).otherwise(lit("train")))
+        .orderBy(col("doc_id"))
+    }
+    audit("q108_leakage_split", Sf01,
+      control = build("canonical_id"),
+      mutated = build("doc_id"))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

@@ -487,6 +487,18 @@ class PlanSpec extends AnyFunSuite {
       s"a global-order window reappeared in q107: $wins")
   }
 
+  test("q108: the holdout split adds zero exchanges over q85's lineage") {
+    // q108 = q85 + one codegen'd projection (hash60 of a column already
+    // in hand). Any extra shuffle would mean the split stopped being a
+    // free rider on the dedup lineage — the property its 100 TB story
+    // rests on.
+    val ex85 = "Exchange ".r.findAllIn(plan("q85_dedup_apply")).size
+    val ex108 = "Exchange ".r.findAllIn(plan("q108_leakage_split")).size
+    assert(ex108 == ex85,
+      s"q108 has $ex108 exchanges vs q85's $ex85 — the split projection " +
+        "must not introduce plan work")
+  }
+
   test("q88: span-form gate runs zero jobs at plan construction (stats, not count)") {
     // r11 verdict #4: the window-vs-salted gate used docs.count() — a full
     // eager scan of the corpus lineage every time q88/q99 was CONSTRUCTED.
