@@ -4307,6 +4307,88 @@ object PipelineCatalog {
        ORDER BY doc_id"""
 
   // -------------------------------------------------------------------------
+  // q109: token-budget corpus selection — rank the corpus by quality and
+  // keep the best documents until a fixed token budget is spent
+  // (FineWeb-Edu's selection shape: classifier score DESC, cut at the
+  // target token count; greedy-include, so the one doc that crosses the
+  // budget line ships). The ranking needs the EXCLUSIVE cumulative token
+  // count of all strictly-better-ranked docs — a global prefix sum over
+  // (quality DESC, doc_id), which is q107's saltedPrefixSum problem on a
+  // non-id ordering with ties. The (score, doc_id) lexicographic order
+  // packs EXACTLY into one long: q22's score is 4-decimal quantized, so
+  // key = (10^4 - score·10^4)·span + (doc_id − min_id) — monotone, and
+  // its bounds are ANALYTIC (0 ≤ key < (10^4+1)·span), so the prefix sum
+  // needs no bounds probe over the text lineage; the only eager probe is
+  // min/max doc_id off the pruned id column (parquet-stats cheap). Fits
+  // while (10^4+1)·id_span < 2^63 — nine hundred trillion ids. Score is
+  // q22's three-term heuristic verbatim (proven oracle-portable).
+  // -------------------------------------------------------------------------
+
+  private val TokenBudget = 12050L
+  private val QualityLevels = 10000L
+
+  val q109BudgetSelect: Q = (s, d) => {
+    val scored = docsWide(s, d)
+      .withColumn("toks", TextAnalytics.tokens(col("text")))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("avg_raw",
+        TextAnalytics.totalTokenChars(col("toks")).cast("double") / col("n_tok"))
+      .withColumn("stop_raw",
+        TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
+          .cast("double") / col("n_tok"))
+      .withColumn("q_score", rnd(
+        lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * col("stop_raw") +
+          lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
+        4))
+      .select(col("doc_id"), col("q_score"), col("n_tok"))
+    val b = Tables(s, d, "documents")
+      .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+    val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val keyed = scored.withColumn("__ord",
+      (lit(QualityLevels) -
+        round(col("q_score") * QualityLevels.toDouble).cast("long")) * span
+        + (col("doc_id") - mn))
+    graft.operators.Curation.saltedPrefixSum(keyed, "__ord", "n_tok",
+        outCol = "cum_before",
+        orderBounds = Some((0L, (QualityLevels + 1) * span)))
+      .withColumn("selected", col("cum_before") < TokenBudget)
+      .select("doc_id", "q_score", "n_tok", "cum_before", "selected")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q109Sql = {
+    val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH w AS (
+         SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> t <> '') AS toks FROM documents
+       ), m AS (
+         SELECT doc_id, len(toks) AS n_tok_i,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / len(toks) AS avg_raw,
+           CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE)
+             / len(toks) AS stop_raw
+         FROM w
+       ), q AS (
+         SELECT doc_id, CAST(n_tok_i AS BIGINT) AS n_tok,
+           floor((0.2 * least(CAST(n_tok_i AS DOUBLE) / 100.0, 1.0)
+               + 0.5 * stop_raw
+               + 0.3 * (1.0 - least(abs(avg_raw - 5.0) / 10.0, 1.0)))
+             * $QualityLevels + 0.5) / $QualityLevels.0 AS q_score
+         FROM m
+       ), c AS (
+         SELECT doc_id, q_score, n_tok,
+           CAST(COALESCE(sum(n_tok) OVER (ORDER BY q_score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS cum_before
+         FROM q
+       )
+       SELECT doc_id, q_score, n_tok, cum_before,
+              (cum_before < $TokenBudget) AS selected
+       FROM c ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4596,6 +4678,7 @@ object PipelineCatalog {
     "q106_pii_redact" -> q106PiiRedact,
     "q107_sequence_packing" -> q107SequencePacking,
     "q108_leakage_split" -> q108LeakageSplit,
+    "q109_budget_select" -> q109BudgetSelect,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4687,6 +4770,7 @@ object PipelineCatalog {
     "q106_pii_redact" -> q106Sql,
     "q107_sequence_packing" -> q107Sql,
     "q108_leakage_split" -> q108Sql,
+    "q109_budget_select" -> q109Sql,
     "q103_video_search" -> q103Sql,
   )
 }

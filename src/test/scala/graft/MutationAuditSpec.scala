@@ -359,6 +359,49 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build("doc_id"))
   }
 
+  test("budget family (q109): must-fit selection mutation flips the gate") {
+    // 15th family: the boundary-doc policy. q109 ships greedy-include
+    // (the doc that CROSSES the budget line is kept — FineWeb-style "cut
+    // at the target count"); the other published policy is must-fit
+    // (keep only docs that fit ENTIRELY under the budget). They differ
+    // on exactly the boundary doc — the sf0.01 corpus has one — and
+    // nothing coarser than the per-row gate would see a single flipped
+    // boolean. Ranking, scores, and prefix sums are byte-identical.
+    import graft.operators.TextAnalytics
+    def build(mustFit: Boolean) = {
+      val scored = docsWide(Sf01)
+        .withColumn("toks", TextAnalytics.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("avg_raw",
+          TextAnalytics.totalTokenChars(col("toks")).cast("double") / col("n_tok"))
+        .withColumn("stop_raw",
+          TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
+            .cast("double") / col("n_tok"))
+        .withColumn("q_score", floor((
+          lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+            lit(0.5) * col("stop_raw") +
+            lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))))
+          * 10000.0 + lit(0.5)) / 10000.0)
+        .select(col("doc_id"), col("q_score"), col("n_tok"))
+      val b = Tables(spark, Sf01, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+      val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val keyed = scored.withColumn("__ord",
+        (lit(10000L) - round(col("q_score") * 10000.0).cast("long")) * span
+          + (col("doc_id") - mn))
+      Curation.saltedPrefixSum(keyed, "__ord", "n_tok", outCol = "cum_before",
+          orderBounds = Some((0L, 10001L * span)))
+        .withColumn("selected",
+          if (mustFit) col("cum_before") + col("n_tok") <= 12050L
+          else col("cum_before") < 12050L)
+        .select("doc_id", "q_score", "n_tok", "cum_before", "selected")
+        .orderBy(col("doc_id"))
+    }
+    audit("q109_budget_select", Sf01,
+      control = build(mustFit = false),
+      mutated = build(mustFit = true))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

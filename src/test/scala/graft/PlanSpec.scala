@@ -499,6 +499,17 @@ class PlanSpec extends AnyFunSuite {
         "must not introduce plan work")
   }
 
+  test("q109: every budget-selection window carries the __rb bucket (no global-order window)") {
+    // same invariant as q107, on the quality-packed order key: the global
+    // prefix sum must stay in its salted two-phase form — a keyless
+    // ordered window here would serialize the corpus onto one task
+    val p = plan("q109_budget_select")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q109 lost its prefix-sum windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a global-order window reappeared in q109: $wins")
+  }
+
   test("q88: span-form gate runs zero jobs at plan construction (stats, not count)") {
     // r11 verdict #4: the window-vs-salted gate used docs.count() — a full
     // eager scan of the corpus lineage every time q88/q99 was CONSTRUCTED.
