@@ -4389,6 +4389,88 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q110: mixture diagnostics — per-source unigram Jensen–Shannon
+  // divergence against the corpus distribution, the number a data-mixing
+  // loop (DoReMi-style domain reweighting; FineWeb's per-dump QA) watches
+  // to spot a source whose token distribution drifts from the blend.
+  // JS(P_s‖Q) = ½KL(P_s‖M) + ½KL(Q‖M), M=(P_s+Q)/2, natural log; tokens
+  // ABSENT from a source contribute exactly q·ln2 to the second term, so
+  // the whole statistic folds over only the (source, token) pairs that
+  // EXIST plus each source's covered corpus mass — no dense
+  // vocab × sources matrix ever materializes. 100 TB shape: one token
+  // explode (the only O(corpus-tokens) pass), two vocabulary-bounded
+  // hash aggregations with map-side partials, broadcast joins for the
+  // per-source/corpus totals, a 20-row deliverable; no window, no sort
+  // beyond presentation. Cross-engine double policy: cross-row sums of
+  // transcendental terms round at 6 dp (q03's convention; summation-order
+  // noise is ~1e-13, five orders under the grain).
+  // -------------------------------------------------------------------------
+
+  val q110MixtureDiag: Q = (s, d) => {
+    val st = docsWide(s, d)
+      .select(col("source"),
+        explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val srcTot = st.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("vocab"))
+    val tokTot = st.groupBy(col("tok")).agg(sum(col("c")).as("c_t"))
+    val corpusTot = tokTot.agg(sum(col("c_t")).cast("double").as("n_all"))
+    val srcDocs = docsWide(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    st.join(tokTot, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("p", col("c").cast("double") / col("n_s"))
+      .withColumn("q", col("c_t").cast("double") / col("n_all"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .groupBy(col("source"), col("n_s"), col("vocab"))
+      .agg(sum(col("p") * log(col("p") / col("m"))).as("kl_p"),
+        sum(col("q") * log(col("q") / col("m"))).as("kl_q_cov"),
+        sum(col("q")).as("q_cov"))
+      .withColumn("js", lit(0.5) * col("kl_p") +
+        lit(0.5) * (col("kl_q_cov") + log(lit(2.0)) * (lit(1.0) - col("q_cov"))))
+      .join(broadcast(srcDocs), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_s").as("n_tokens"),
+        col("vocab"), rnd(col("js"), 6).as("js_divergence"))
+      .orderBy(col("source"))
+  }
+
+  private val q110Sql =
+    s"""WITH t AS (
+         SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                           x -> x <> '')) AS tok
+         FROM documents
+       ), st AS (
+         SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2
+       ), srct AS (
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+                CAST(count(*) AS BIGINT) AS vocab
+         FROM st GROUP BY 1
+       ), tt AS (
+         SELECT tok, sum(c) AS c_t FROM st GROUP BY 1
+       ), n AS (
+         SELECT CAST(sum(c_t) AS DOUBLE) AS n_all FROM tt
+       ), j AS (
+         SELECT st.source,
+                st.c / CAST(srct.n_s AS DOUBLE) AS p,
+                tt.c_t / n.n_all AS q
+         FROM st JOIN tt USING (tok) JOIN srct USING (source) CROSS JOIN n
+       ), a AS (
+         SELECT source,
+                sum(p * ln(p / ((p + q) / 2))) AS kl_p,
+                sum(q * ln(q / ((p + q) / 2))) AS kl_q_cov,
+                sum(q) AS q_cov
+         FROM j GROUP BY 1
+       )
+       SELECT srct.source, sd.n_docs, srct.n_s AS n_tokens, srct.vocab,
+              floor((0.5 * kl_p + 0.5 * (kl_q_cov + ln(2) * (1 - q_cov)))
+                * 1000000 + 0.5) / 1000000.0 AS js_divergence
+       FROM a JOIN srct USING (source)
+       JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1) sd USING (source)
+       ORDER BY source"""
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4679,6 +4761,7 @@ object PipelineCatalog {
     "q107_sequence_packing" -> q107SequencePacking,
     "q108_leakage_split" -> q108LeakageSplit,
     "q109_budget_select" -> q109BudgetSelect,
+    "q110_mixture_diag" -> q110MixtureDiag,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4771,6 +4854,7 @@ object PipelineCatalog {
     "q107_sequence_packing" -> q107Sql,
     "q108_leakage_split" -> q108Sql,
     "q109_budget_select" -> q109Sql,
+    "q110_mixture_diag" -> q110Sql,
     "q103_video_search" -> q103Sql,
   )
 }

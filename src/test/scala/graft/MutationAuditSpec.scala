@@ -402,6 +402,51 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(mustFit = true))
   }
 
+  test("mixture family (q110): intersection-only JS mutation flips the gate") {
+    // 16th family: the classic sparse-JS bug — computing KL(Q‖M) only
+    // over tokens PRESENT in the source and forgetting that every absent
+    // token contributes q·ln2 (the ln2·(1−q_cov) closure term). The
+    // statistic still lands in [0, ln 2], still orders sources
+    // plausibly — it's just systematically too small, which only the
+    // per-value gate can see. Tokenization, counts, and both
+    // distributions are byte-identical between control and mutation.
+    import graft.operators.TextAnalytics
+    def build(closure: Boolean) = {
+      val st = docsWide(Sf01)
+        .select(col("source"),
+          explode(TextAnalytics.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val srcTot = st.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"), count(lit(1)).as("vocab"))
+      val tokTot = st.groupBy(col("tok")).agg(sum(col("c")).as("c_t"))
+      val corpusTot = tokTot.agg(sum(col("c_t")).cast("double").as("n_all"))
+      val srcDocs = docsWide(Sf01).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      st.join(tokTot, Seq("tok"))
+        .join(broadcast(srcTot), Seq("source"))
+        .crossJoin(broadcast(corpusTot))
+        .withColumn("p", col("c").cast("double") / col("n_s"))
+        .withColumn("q", col("c_t").cast("double") / col("n_all"))
+        .withColumn("m", (col("p") + col("q")) / 2.0)
+        .groupBy(col("source"), col("n_s"), col("vocab"))
+        .agg(sum(col("p") * log(col("p") / col("m"))).as("kl_p"),
+          sum(col("q") * log(col("q") / col("m"))).as("kl_q_cov"),
+          sum(col("q")).as("q_cov"))
+        .withColumn("js", lit(0.5) * col("kl_p") + lit(0.5) * (col("kl_q_cov") +
+          (if (closure) log(lit(2.0)) * (lit(1.0) - col("q_cov"))
+           else lit(0.0))))
+        .join(broadcast(srcDocs), Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_s").as("n_tokens"),
+          col("vocab"),
+          (floor(col("js") * 1000000.0 + lit(0.5)) / 1000000.0)
+            .as("js_divergence"))
+        .orderBy(col("source"))
+    }
+    audit("q110_mixture_diag", Sf01,
+      control = build(closure = true),
+      mutated = build(closure = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

@@ -510,6 +510,22 @@ class PlanSpec extends AnyFunSuite {
       s"a global-order window reappeared in q109: $wins")
   }
 
+  test("q110: mixture diagnostics is window-free and reads only (source, text)") {
+    // the statistic folds over existing (source, token) pairs + broadcast
+    // totals: a window or an unpruned scan would mean the sparse-JS
+    // formulation regressed to a dense or sorted shape
+    val p = plan("q110_mixture_diag")
+    assert(!p.contains("windowspecdefinition"),
+      s"q110 grew a window:\n$p")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toList
+    assert(schemas.nonEmpty, "no parquet scan in q110's plan")
+    schemas.foreach { sc =>
+      val cols = sc.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(Set("source", "text")),
+        s"q110 scan reads more than (source, text): $sc") }
+  }
+
   test("q88: span-form gate runs zero jobs at plan construction (stats, not count)") {
     // r11 verdict #4: the window-vs-salted gate used docs.count() — a full
     // eager scan of the corpus lineage every time q88/q99 was CONSTRUCTED.
