@@ -4345,6 +4345,13 @@ object PipelineCatalog {
     val b = Tables(s, d, "documents")
       .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
     val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    // the packed key's headroom is checked, not assumed: past this span
+    // the multiply would WRAP and silently mis-order the selection — fail
+    // loud at construction instead (at 2 KB/doc this bound is ~1.8 EB of
+    // corpus, ~200x the design target, but ids need not be dense)
+    require(span <= Long.MaxValue / (QualityLevels + 1),
+      s"doc_id span $span overflows the quality-packed order key; " +
+        "re-key the corpus or densify ids before budget selection")
     val keyed = scored.withColumn("__ord",
       (lit(QualityLevels) -
         round(col("q_score") * QualityLevels.toDouble).cast("long")) * span
@@ -4469,6 +4476,51 @@ object PipelineCatalog {
        JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
              FROM documents GROUP BY 1) sd USING (source)
        ORDER BY source"""
+
+  // -------------------------------------------------------------------------
+  // q111: duplicate-leakage matrix — WHERE the near-duplication comes
+  // from: q19's verified pairs attributed to their (source, source)
+  // cell (unordered — least/greatest canonicalization, so a cell is one
+  // row regardless of pair direction). The dump-overlap diagnostic a
+  // web-corpus pipeline runs before choosing dedup scope: a heavy
+  // diagonal means within-source crawl churn (dedup per source is
+  // enough), heavy off-diagonal cells mean cross-dump overlap (dedup
+  // must be global — exactly FineWeb's finding across CC dumps). 100 TB
+  // shape: the pair list (collision-verified, ≪ corpus) shuffle-joins
+  // the pruned (doc_id, source) projection twice on ids; the matrix is
+  // ≤ sources² rows; no window, presentation sort only.
+  // -------------------------------------------------------------------------
+
+  val q111DupLeakage: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val src = docsWide(s, d).select(col("doc_id"), col("source"))
+    pairs.select(col("a_id"), col("b_id"))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+        Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q111Sql =
+    s"""WITH p AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) q19
+       )
+       SELECT least(da.source, db.source) AS src_a,
+              greatest(da.source, db.source) AS src_b,
+              count(*) AS n_pairs,
+              (least(da.source, db.source) <> greatest(da.source, db.source))
+                AS cross_source
+       FROM p
+       JOIN documents da ON p.a_id = da.doc_id
+       JOIN documents db ON p.b_id = db.doc_id
+       GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
@@ -4762,6 +4814,7 @@ object PipelineCatalog {
     "q108_leakage_split" -> q108LeakageSplit,
     "q109_budget_select" -> q109BudgetSelect,
     "q110_mixture_diag" -> q110MixtureDiag,
+    "q111_dup_leakage" -> q111DupLeakage,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4855,6 +4908,7 @@ object PipelineCatalog {
     "q108_leakage_split" -> q108Sql,
     "q109_budget_select" -> q109Sql,
     "q110_mixture_diag" -> q110Sql,
+    "q111_dup_leakage" -> q111Sql,
     "q103_video_search" -> q103Sql,
   )
 }
