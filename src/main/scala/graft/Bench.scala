@@ -526,6 +526,7 @@ object Bench {
         // q99 after q96: both ensure the scaled-dir band store, so q96's
         // 3-run split banks the build cost and q99 measures its own serve
         val lineup = Seq("q96_inc_near_dup", "q88_span_removal",
+          "q107_sequence_packing", // the salted global prefix-sum kernel
           "q85_dedup_apply", "q98_curation_pipeline", "q99_full_recipe",
           "q97_stream_near_dup", "q89_stream_ivf", "q90_stream_pq")
         val (entries, skipped0) = scaleEntries(dirPath, lineup, deadline, record = true)
@@ -566,7 +567,8 @@ object Bench {
           else try {
             val (dir2, gen2) = ensureScaledCorpus(reps2)
             val (e2, sk2) = scaleEntries(dir2,
-              Seq("q88_span_removal", "q96_inc_near_dup"), deadline,
+              Seq("q88_span_removal", "q96_inc_near_dup",
+                "q107_sequence_packing"), deadline,
               record = false)
             skipped = sk2.map(n => s"curve:$n") ::: skipped
             // fixed fields join the entry list so an all-skipped e2 cannot
@@ -595,6 +597,7 @@ object Bench {
             val (dir3, gen3) = ensureScaledCorpus(reps3)
             val (e3, sk3) = scaleEntries(dir3,
               Seq("q88_span_removal", "q96_inc_near_dup", "q85_dedup_apply",
+                "q107_sequence_packing",
                 "q98_curation_pipeline", "q99_full_recipe",
                 "q97_stream_near_dup"), deadline,
               record = false)
