@@ -79,7 +79,13 @@ object HttpSupport {
         val retryAfterMs = {
           val h = resp.headers().firstValue("Retry-After")
           if (h.isPresent)
-            scala.util.Try(h.get.trim.toLong * 1000L).toOption
+            // clamp BEFORE the *1000: a negative header would sleep 0 and
+            // slip past the budget give-up below (zero-delay retry storm),
+            // and a huge one would overflow the multiply negative with the
+            // same effect — cap at a day, far past any budget this client
+            // accepts, so the give-up guard fires instead
+            scala.util.Try(h.get.trim.toLong).toOption
+              .map(s => math.min(math.max(0L, s), 86400L) * 1000L)
           else None
         }
         val backoff = retryAfterMs.getOrElse(retryBaseMillis << attempt)

@@ -4233,11 +4233,15 @@ object PipelineCatalog {
       size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
     graft.operators.Curation.saltedPrefixSum(toks, "doc_id", "n_tok",
         outCol = "tok_offset")
-      .withColumn("first_seq",
-        floor(col("tok_offset") / lit(PackSeqLen)))
+      // `div`, not floor(a / b): long/long division promotes to DOUBLE,
+      // which silently drops low bits once the global token offset passes
+      // 2^53 (~9e15 tokens — squarely the 100 TB regime this kernel is
+      // for) and can land a doc one sequence off; integral div is exact
+      // at any offset and matches the oracle's `//` semantics
+      .withColumn("first_seq", expr(s"tok_offset div $PackSeqLen"))
       .withColumn("last_seq",
         when(col("n_tok") > 0,
-          floor((col("tok_offset") + col("n_tok") - 1) / lit(PackSeqLen))))
+          expr(s"(tok_offset + n_tok - 1) div $PackSeqLen")))
       .withColumn("n_seqs",
         when(col("n_tok") > 0, col("last_seq") - col("first_seq") + 1)
           .otherwise(lit(0L)))

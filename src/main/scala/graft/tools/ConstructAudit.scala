@@ -126,21 +126,33 @@ object ConstructAudit {
     }
 
     import scala.jdk.CollectionConverters._
+    // Deterministic listener-bus drain: the bus is FIFO, so once a
+    // sentinel job (run AFTER the pass) is visible to the listener, every
+    // event the pass emitted has been delivered. The old fixed
+    // Thread.sleep(300) was a timing guess — a GC pause during q99's
+    // ~87-stage pass could lag delivery past it, leak pass-1 stages into
+    // pass 2, and trip the magnitude ceilings with a FALSE suspect.
+    val SentinelName = "auditDrainSentinel"
+    def drain(): Unit = {
+      val sc = spark.sparkContext
+      sc.setCallSite(SentinelName)
+      try spark.range(1).count() finally sc.clearCallSite()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!jobs.iterator.asScala.exists(_.name.contains(SentinelName)) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
     var flagged = 0
     val verbose = sys.env.get("GRAFT_AUDIT_VERBOSE").contains("1")
     graft.SparkEntry.queries.keys.foreach { name =>
       try {
         construct(name) // pass 1: absorb one-time ensure builds
-        // full listener-bus drain BEFORE clearing: a lagging pass-1 event
-        // (q99 emits ~87 stages; bus delivery is async) that lands after
-        // clear() would count against pass 2 — harmless when classes were
-        // blanket-allowed, but a false MAGNITUDE suspect now that stage
-        // counts are ceilinged
-        Thread.sleep(300)
+        drain()
         jobs.clear()
         construct(name) // pass 2: steady-state construction
-        Thread.sleep(300) // let the listener bus drain
+        drain()
         val steady = jobs.iterator.asScala.toList
+          .filterNot(_.name.contains(SentinelName))
         val bad = suspectsFor(steady)
         val summary = steady.groupBy(s => classify(s.name)).view
           .map { case (k, ss) => s"$k:${ss.size}(max ${

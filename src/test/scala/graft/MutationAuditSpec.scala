@@ -462,10 +462,10 @@ class MutationAuditSpec extends AnyFunSuite {
       val off = off0.withColumn("tok_offset",
           if (inclusive) col("__ex") + col("n_tok") else col("__ex"))
         .drop("__ex")
-      off.withColumn("first_seq", floor(col("tok_offset") / lit(512L)))
+      off.withColumn("first_seq", expr("tok_offset div 512"))
         .withColumn("last_seq",
           when(col("n_tok") > 0,
-            floor((col("tok_offset") + col("n_tok") - 1) / lit(512L))))
+            expr("(tok_offset + n_tok - 1) div 512")))
         .withColumn("n_seqs",
           when(col("n_tok") > 0, col("last_seq") - col("first_seq") + 1)
             .otherwise(lit(0L)))

@@ -18,7 +18,11 @@ set -uo pipefail
 # "$0"/.. is .git — sbt then "succeeds" in 1 s against a synthetic
 # empty project ("set current project to root--git"), silently voiding
 # the compile gate this script exists to provide.
-cd "$(git rev-parse --show-toplevel)"
+# ...and check BOTH steps: `cd ""` silently succeeds in bash without
+# moving, which would re-open the exact wrong-directory hole above.
+toplevel=$(git rev-parse --show-toplevel) || exit 1
+[ -n "$toplevel" ] || { echo "[precommit] cannot resolve repo root" >&2; exit 1; }
+cd "$toplevel" || exit 1
 if [ "${GRAFT_PRECOMMIT:-1}" = "0" ]; then
   echo "[precommit] bypassed (GRAFT_PRECOMMIT=0)"
   exit 0
