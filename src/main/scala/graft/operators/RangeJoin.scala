@@ -35,6 +35,10 @@ object RangeJoin {
 
     // The true window [t-before, t+after] fits inside [t-span, t+span], so
     // with bins of width `span`, matching rows' bins differ by at most 1.
+    // floor(long/long) promotes to double: exact while |t| < 2^53 µs
+    // (epoch micros stay under that until ~year 2255; `div` is NOT a
+    // drop-in — it truncates toward zero and would break bin adjacency
+    // for negative pre-1970 times, which floor handles correctly).
     val l = left.withColumn("_bin", floor(col(time) / span))
     val r = right
       .select((Seq(col(key).as("_rk"), col(time).as(s"r_$time")) ++
