@@ -96,37 +96,86 @@ object Bench {
     }
 
     // write-time ANN indexing for this sfDir (probe queries then only scan
-    // the probed partitions)
-    val indexBuild = {
+    // the probed partitions). Each build is timed INDIVIDUALLY so the
+    // artifact itemizes where write-time cost goes, and one failed build
+    // doesn't silently void the rest of the block.
+    val buildDetail = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def build(name: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
-      try {
-        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        graft.sources.VectorStore.ensure(
-          spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
-        graft.sources.VectorStore.ensurePq(
-          spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
-        // quality-classifier coefficients are a write-time artifact too
-        // (q67 serves the stored literals; training = index build)
-        graft.operators.QualityModel.ensure(
-          spark, spark.read.parquet(s"$sfDir/documents.parquet"), sfDir)
-        // the corpus text index (q68) and MinHash band store (q96/q99
-        // probe the persisted corpus fingerprints) are the same class of
-        // write-time artifact: production ingests build them once; the
-        // timed queries measure SERVE. Same docsWide frame as the catalog
-        // so the manifest stamp matches and the queries reuse the build.
-        val docsW = graft.core.Tables.fanOut(
-          graft.core.Tables(spark, sfDir, "documents"))
-        graft.sources.TextIndex.ensure(spark, docsW, "doc_id", "text", sfDir)
-        graft.sources.BandStore.ensure(spark, docsW, "doc_id", "text", sfDir)
-        // frame vector store (q104): same write-time class
-        graft.queries.PipelineCatalog.ensureFrameStore(spark, sfDir)
-        // dropzone skip ledger (q105): the two micro-batch ingests are
-        // write-time stream work; the timed query reads the accumulated
-        // ledger (r12 — q105 was 10.3 s with the builds in its timed path)
-        graft.queries.IngestCatalog.ensureDzLedger(spark, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      val ok =
+        try { f; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] index build $name FAILED: " +
+            e.getMessage.linesIterator.nextOption().getOrElse(""))
+          false
+        }
+      buildDetail(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    build("vector_ivf") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.sources.VectorStore.ensure(
+        spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
+    }
+    build("vector_pq") {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.sources.VectorStore.ensurePq(
+        spark, emb.filter(col("vec_id") =!= 0), "embedding", sfDir)
+    }
+    // quality-classifier coefficients are a write-time artifact too
+    // (q67 serves the stored literals; training = index build)
+    build("quality_model") {
+      graft.operators.QualityModel.ensure(
+        spark, spark.read.parquet(s"$sfDir/documents.parquet"), sfDir)
+    }
+    // the corpus text index (q68) and MinHash band store (q96/q99
+    // probe the persisted corpus fingerprints) are the same class of
+    // write-time artifact: production ingests build them once; the
+    // timed queries measure SERVE. Same docsWide frame as the catalog
+    // so the manifest stamp matches and the queries reuse the build.
+    build("text_index") {
+      val docsW = graft.core.Tables.fanOut(
+        graft.core.Tables(spark, sfDir, "documents"))
+      graft.sources.TextIndex.ensure(spark, docsW, "doc_id", "text", sfDir)
+    }
+    build("band_store") {
+      val docsW = graft.core.Tables.fanOut(
+        graft.core.Tables(spark, sfDir, "documents"))
+      graft.sources.BandStore.ensure(spark, docsW, "doc_id", "text", sfDir)
+    }
+    // frame vector store (q104): same write-time class
+    build("frame_store") {
+      graft.queries.PipelineCatalog.ensureFrameStore(spark, sfDir)
+    }
+    // dropzone skip ledger (q105): the two micro-batch ingests are
+    // write-time stream work; the timed query reads the accumulated
+    // ledger (r12 — q105 was 10.3 s with the builds in its timed path)
+    build("dz_ledger") {
+      graft.queries.IngestCatalog.ensureDzLedger(spark, sfDir)
+    }
+    // incremental text/IVF/PQ artifacts (q77/q78/q79) and the streaming
+    // dropzone stores (q87/q89/q90/q97 serve from them): the SAME
+    // write-time class, previously hydrated inside the first timed run —
+    // q87's run-1 carried a ~41 s gen-store build that min-of-2 silently
+    // discarded (r13 verdict #1). Production ingests build these at write
+    // time exactly like the stores above; the suite times SERVE.
+    build("inc_text_index") {
+      graft.queries.PipelineCatalog.q77EnsureIncremental(spark, sfDir)
+    }
+    build("inc_vector_ivf") {
+      graft.queries.PipelineCatalog.q78EnsureIncremental(spark, sfDir)
+    }
+    build("inc_vector_pq") {
+      graft.queries.PipelineCatalog.q79EnsureIncremental(spark, sfDir)
+    }
+    build("stream_stores") {
+      graft.queries.PipelineCatalog.q87EnsureStreaming(spark, sfDir)
+    }
+    val indexBuild =
+      if (buildDetail.values.forall(_ < 0)) -1.0
+      else buildDetail.values.filter(_ >= 0).sum
+    val buildDetailJson = buildDetail
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
 
     // Two timed runs per query, report the MIN: single-shot timings on a
     // 32-thread local box carry ±1s scheduler/GC noise (round-2's "q03
@@ -609,9 +658,43 @@ object Bench {
             None
           }
         }
+        // Fourth, 100x point (r13 prescription #6): PROFILE_r13 §7's two
+        // one-off REPS3=100 runs are the direct evidence behind the
+        // 100 TB claim — promote them to a standing tier. Same serve
+        // families + the q107 prefix-sum kernel, same build/serve split
+        // (store-backed lineages run 3x; gen time reported, excluded from
+        // ratios). Gated on the REMAINING deadline: the tier costs ~3-5
+        // min (the 100x streaming build alone measured ~101 s), so it
+        // runs when the budget allows and lands in "skipped" — never a
+        // hung bench — when it doesn't. SPARK_GRAFT_SCALE_REPS4=0
+        // disables it outright.
+        val curve100Entry = {
+          val reps4 = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS4", "100").toInt
+          val reps3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS3", "30").toInt
+          val minHeadroomSec = 420.0
+          if (reps4 <= reps3) None
+          else if ((deadline - System.nanoTime()) / 1e9 < minHeadroomSec) {
+            skipped ::= "curve100"; None
+          } else try {
+            val (dir4, gen4) = ensureScaledCorpus(reps4)
+            val (e4, sk4) = scaleEntries(dir4,
+              Seq("q96_inc_near_dup", "q85_dedup_apply",
+                "q107_sequence_packing", "q98_curation_pipeline",
+                "q88_span_removal", "q99_full_recipe",
+                "q97_stream_near_dup"), deadline,
+              record = false)
+            skipped = sk4.map(n => s"curve100:$n") ::: skipped
+            Some((Seq(f""""reps":$reps4""", f""""gen_sec":$gen4%.3f""") ++ e4)
+              .mkString("\"curve100\":{", ",", "}"))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scale curve100 FAILED: ${e.getMessage}")
+            None
+          }
+        }
         val sk = skipped.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
         (Seq(s""""reps":$reps""", s""""gen_sec":$genSec""", s""""skipped":$sk""")
-          ++ entries ++ ingestEntry ++ curveEntry ++ curve30Entry)
+          ++ entries ++ ingestEntry ++ curveEntry ++ curve30Entry
+          ++ curve100Entry)
           .mkString("{", ",", "}")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale check failed: ${e.getMessage}")
@@ -754,6 +837,10 @@ object Bench {
       "inflated late-suite numbers 3-17x); isolation_check re-measures a " +
       "fixed 3-query sample PLUS the suite's two slowest queries in a " +
       "fresh SparkContext and must agree within 2x; " +
+      "index_build_detail itemizes write-time store builds, now including " +
+      "the q77/q78/q79 incremental and q87 streaming stores that used to " +
+      "hydrate inside the first timed run (r13 #1: q87 run-1 carried ~41s " +
+      "of build that min-of-2 discarded); " +
       "ingest_chars_per_sec = best of 3 passes (r6: one-shot figure had 2x " +
       "run-to-run spread); skew_stress = hot-key join task balance in the " +
       "join stage (row_ratio is the scale-true signal; fixed task overhead " +
@@ -775,6 +862,18 @@ object Bench {
       "1.3-1.6x on identical plans cover the r7-r8 deltas — ambient " +
       "variance + multi-job serve pipelines, not store fixed cost " +
       "(full numbers: docs/PROFILE_r9.md)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"index_build_detail":$buildDetailJson,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    // Compact summary LAST (r13 prescription #2): the round harness keeps
+    // only a ~2 KB tail of stdout, so BENCH_r12/r13 carried just the last
+    // fragment of the ~28 KB detail line and parsed:null. A sub-kilobyte
+    // line printed AFTER the detail line survives the tail capture whole,
+    // giving the grader a machine-readable record without scraping logs.
+    val okTimes = results.collect {
+      case (k, v, _, _, _) if v >= 0 && !CorrectnessOnly.contains(k) => v
+    }.sorted
+    def pct(p: Double): Double =
+      if (okTimes.isEmpty) -1.0
+      else okTimes(math.min(okTimes.size - 1, (okTimes.size * p).toInt))
+    println(s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","sf":"$sfDir"}""")
   }
 }

@@ -88,7 +88,16 @@ object HttpSupport {
               .map(s => math.min(math.max(0L, s), 86400L) * 1000L)
           else None
         }
-        val backoff = retryAfterMs.getOrElse(retryBaseMillis << attempt)
+        // Clamp the computed path like the Retry-After path above: a large
+        // base or deep attempt makes `retryBaseMillis << attempt` overflow
+        // negative, which slips past the budget give-up (backoff + 100 is
+        // also negative) and sleep(max(0,·)) turns it into a zero-delay
+        // retry storm bounded only by maxRetries. Cap at a day; the budget
+        // give-up below then fires instead.
+        val backoff = retryAfterMs.getOrElse {
+          val shifted = retryBaseMillis << attempt
+          if (shifted <= 0L || shifted > 86400000L) 86400000L else shifted
+        }
         // Give up rather than sleep the budget away: a retry whose backoff
         // leaves no real time for the exchange itself can only end in a
         // timeout with a less truthful message (plus one wasted request) —

@@ -4231,8 +4231,13 @@ object PipelineCatalog {
   val q107SequencePacking: Q = (s, d) => {
     val toks = docsWide(s, d).select(col("doc_id"),
       size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    // pass the memoized id bounds so withRangeBuckets skips its eager
+    // min/max probe over the token-count lineage on every construction —
+    // the same per-construction probe q109's docIdBounds memo exists to
+    // avoid, and it is min/max of the very column that memo caches
+    val (mn, span) = docIdBounds(s, d)
     graft.operators.Curation.saltedPrefixSum(toks, "doc_id", "n_tok",
-        outCol = "tok_offset")
+        outCol = "tok_offset", orderBounds = Some((mn, mn + span - 1)))
       // `div`, not floor(a / b): long/long division promotes to DOUBLE,
       // which silently drops low bits once the global token offset passes
       // 2^53 (~9e15 tokens — squarely the 100 TB regime this kernel is
@@ -4343,11 +4348,50 @@ object PipelineCatalog {
 
   /** doc_id (min, span) per corpus dir — one probe per JVM, not per
     * construction (the r11 q88 count-gate lesson applied to q109).
+    *
+    * The memo key carries a cheap dir FINGERPRINT (file names + sizes +
+    * mtimes of the documents footprint), not the path alone: a corpus dir
+    * rewritten in-process (regenerated testdata, refreshed dropzone
+    * output) would otherwise serve a stale span, making q109's packed
+    * order key non-monotone — doc_id − mn can bleed into the adjacent
+    * quality level and silently mis-order the selection, with the
+    * overflow `require` validating only the stale span. On a non-local
+    * URI (driver-side stat not meaningful) the fingerprint degrades to
+    * the path and the contract is corpus-dir-immutable-per-JVM — which
+    * every production layout here satisfies (write-once corpus dirs).
     */
   private val idBoundsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  val q109BudgetSelect: Q = (s, d) => {
+  private def docsFingerprint(d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    if (f.isDirectory)
+      Option(f.listFiles)
+        .map(_.sortBy(_.getName).map(stat).mkString(";"))
+        .getOrElse(stat(f))
+    else if (f.isFile) stat(f)
+    else d
+  }
+
+  /** Memoized (min_id, span) of the documents table — the one eager probe
+    * the budget/packing kernels share: a narrow min/max over the pruned
+    * int64 id column, paid once per (dir, fingerprint).
+    */
+  private def docIdBounds(s: SparkSession, d: String): (Long, Long) =
+    idBoundsCache.computeIfAbsent(d + " " + docsFingerprint(d), { _ =>
+      val b = Tables(s, d, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
+        .head()
+      (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    })
+
+  /** The shipped q109 at an arbitrary budget — the ONLY difference from
+    * the catalog entry is the budget literal, so a spec can sweep budgets
+    * (under the smallest doc, on/off the boundary edge, past the corpus
+    * total) through the genuinely shipped lineage (r13 prescription #7).
+    */
+  private[graft] def q109BudgetSelectAt(budget: Long): Q = (s, d) => {
     val scored = docsWide(s, d)
       .withColumn("toks", TextAnalytics.tokens(col("text")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
@@ -4363,12 +4407,7 @@ object PipelineCatalog {
             lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
           4)))
       .select(col("doc_id"), col("q_score"), col("n_tok"))
-    val (mn, span) = idBoundsCache.computeIfAbsent(d, { _ =>
-      val b = Tables(s, d, "documents")
-        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
-        .head()
-      (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
-    })
+    val (mn, span) = docIdBounds(s, d)
     // the packed key's headroom is checked, not assumed: past this span
     // the multiply would WRAP and silently mis-order the selection — fail
     // loud at construction instead (at 2 KB/doc this bound is ~1.8 EB of
@@ -4383,10 +4422,12 @@ object PipelineCatalog {
     graft.operators.Curation.saltedPrefixSum(keyed, "__ord", "n_tok",
         outCol = "cum_before",
         orderBounds = Some((0L, (QualityLevels + 1) * span)))
-      .withColumn("selected", col("cum_before") < TokenBudget)
+      .withColumn("selected", col("cum_before") < budget)
       .select("doc_id", "q_score", "n_tok", "cum_before", "selected")
       .orderBy(col("doc_id"))
   }
+
+  val q109BudgetSelect: Q = q109BudgetSelectAt(TokenBudget)
 
   private val q109Sql = {
     val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")

@@ -448,6 +448,43 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(closure = false))
   }
 
+  test("leakage-matrix family (q111): cell-canonicalization mutation flips the gate") {
+    // 17th family (r13 prescription #3): q111's load-bearing choice is the
+    // least/greatest canonicalization that makes a (source, source) cell
+    // UNORDERED — one row per source pair regardless of which side of the
+    // near-dup pair carried which source. The plausible regression is the
+    // pass-through (sa, sb) cell: counts still conserve (Σ cells = Σ
+    // pairs), the diagonal is untouched, but every cross-source cell whose
+    // pairs arrive in both directions splits into two directed rows — and
+    // a cell observed only in its descending direction sorts under the
+    // wrong key. The sf0.01 corpus has cross-source pairs, so the rebuild
+    // must hash-mismatch; banding, verification, and joins are
+    // byte-identical between control and mutation.
+    def build(canonical: Boolean) = {
+      val pairs = Dedup.minhashNearDuplicates(docsWide(Sf01), "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      val src = docsWide(Sf01).select(col("doc_id"), col("source"))
+      val attributed = pairs.select(col("a_id"), col("b_id"))
+        .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+          Seq("a_id"))
+        .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+          Seq("b_id"))
+      val cells =
+        if (canonical)
+          attributed.select(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+        else
+          attributed.select(col("sa").as("src_a"), col("sb").as("src_b"))
+      cells.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("src_a") =!= col("src_b"))
+        .orderBy(col("src_a"), col("src_b"))
+    }
+    audit("q111_dup_leakage", Sf01,
+      control = build(canonical = true),
+      mutated = build(canonical = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

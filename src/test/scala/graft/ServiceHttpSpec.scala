@@ -264,6 +264,40 @@ class ServiceHttpSpec extends AnyFunSuite {
     }
   }
 
+  test("fault: overflowing computed backoff gives up, not a zero-delay storm") {
+    import graft.operators.EmbedService
+    import spark.implicits._
+    // No Retry-After header, so the COMPUTED path runs: a base large
+    // enough that `base << attempt` exceeds (or overflows past) the
+    // clamp must hit the budget give-up on the first 429 — before the
+    // clamp, overflow-negative backoff made `backoff + 100 >= remaining`
+    // false and sleep(max(0,·)) retried instantly, maxRetries times.
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val handler: HttpExchange => Unit = { ex =>
+      hits.incrementAndGet()
+      respond(ex, 429, """{"error": "rate limited"}""")
+    }
+    withServer("/api/embed" -> handler) { base =>
+      val cfg = EmbedService.Config("stub-model", 1,
+        EmbedService.HttpTransport(base, timeoutSeconds = 2, maxRetries = 5,
+          retryBaseMillis = Long.MaxValue / 2),
+        batchSize = 8)
+      val skipped = spark.sparkContext.longAccumulator("skipped")
+      val t0 = System.nanoTime()
+      val out = EmbedService.embedColumn(
+          Seq("a", "bb").toDF("text").coalesce(1), "text", "vector", cfg,
+          Some(skipped))
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(out == 0)
+      assert(skipped.value == 2, "clamped-backoff batch must fail-soft")
+      assert(hits.get() == 1,
+        s"an uncoverable computed backoff must stop the loop, saw ${hits.get()} requests")
+      assert(sec < 6.0,
+        f"gave up after $sec%.1fs — the computed backoff is not clamped")
+    }
+  }
+
   test("fault: chunked split response reassembles bit-for-bit") {
     import graft.operators.EmbedService
     import spark.implicits._
