@@ -4589,6 +4589,88 @@ object PipelineCatalog {
        GROUP BY 1, 2 ORDER BY 1, 2"""
 
   // -------------------------------------------------------------------------
+  // q112: packed-sequence manifest — the INVERSE of q107, and what a
+  // training loader actually consumes: per fixed-length sequence, which
+  // documents compose it and at what offsets. q107 answers "where does
+  // doc X land in the packed stream"; q112 answers "what is sequence S
+  // made of" — (seq_id, doc_id, doc_tok_start, seq_tok_start, n_tok) span
+  // rows, one per (document, sequence) intersection, plus the per-seq
+  // n_fill (only the global LAST sequence can be short: concatenation is
+  // gap-free, so every earlier sequence tiles exactly PackSeqLen — the
+  // invariant QueriesSpec pins). Reference anchor: the sliding chunker's
+  // idx-assignment contract (worker/app/services/chunker.py:56-131) at
+  // sequence rather than character granularity — same "cut a stream into
+  // fixed windows, report each piece's provenance" shape, over tokens.
+  // 100 TB shape: q107's salted prefix sum (no global-order window), then
+  // a BOUNDED explode — sequence(first_seq, last_seq) fans each doc into
+  // its touched sequences, Σ rows = corpus_tokens/PackSeqLen + n_docs −
+  // (docs that end exactly on a cut), linear in input. total_tok rides a
+  // broadcast one-row aggregate over the NARROW (doc_id, n_tok) lineage
+  // (not the prefix-summed frame — no second pass through the salted
+  // fold); span arithmetic is codegen'd greatest/least; the only ordering
+  // is the presentation sort.
+  // -------------------------------------------------------------------------
+
+  val q112PackedManifest: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val (mn, span) = docIdBounds(s, d)
+    val off = graft.operators.Curation.saltedPrefixSum(toks, "doc_id",
+      "n_tok", outCol = "tok_offset", orderBounds = Some((mn, mn + span - 1)))
+    val spans = off.filter(col("n_tok") > 0)
+      // integral div, like q107: exact past 2^53 tokens
+      .withColumn("first_seq", expr(s"tok_offset div $PackSeqLen"))
+      .withColumn("last_seq", expr(s"(tok_offset + n_tok - 1) div $PackSeqLen"))
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("gstart", greatest(col("tok_offset"), col("seq_id") * PackSeqLen))
+      .withColumn("gend",
+        least(col("tok_offset") + col("n_tok"), (col("seq_id") + 1) * PackSeqLen))
+    val total = toks.agg(sum(col("n_tok")).as("total_tok"))
+    spans.crossJoin(broadcast(total))
+      .select(col("seq_id"), col("doc_id"),
+        (col("gstart") - col("tok_offset")).as("doc_tok_start"),
+        (col("gstart") - col("seq_id") * PackSeqLen).as("seq_tok_start"),
+        (col("gend") - col("gstart")).as("n_tok"),
+        when(col("seq_id") === expr(s"(total_tok - 1) div $PackSeqLen"),
+          (col("seq_id") + 1) * PackSeqLen - col("total_tok"))
+          .otherwise(lit(0L)).as("n_fill"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  private val q112Sql =
+    s"""WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), o AS (
+         SELECT doc_id, n_tok,
+                CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+         FROM t
+       ), tot AS (
+         SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM t
+       ), sp AS (
+         SELECT doc_id, n_tok, tok_offset,
+                unnest(generate_series(tok_offset // $PackSeqLen,
+                  (tok_offset + n_tok - 1) // $PackSeqLen)) AS seq_id
+         FROM o WHERE n_tok > 0
+       )
+       SELECT sp.seq_id, sp.doc_id,
+              greatest(sp.tok_offset, sp.seq_id * $PackSeqLen) - sp.tok_offset
+                AS doc_tok_start,
+              greatest(sp.tok_offset, sp.seq_id * $PackSeqLen)
+                - sp.seq_id * $PackSeqLen AS seq_tok_start,
+              least(sp.tok_offset + sp.n_tok, (sp.seq_id + 1) * $PackSeqLen)
+                - greatest(sp.tok_offset, sp.seq_id * $PackSeqLen) AS n_tok,
+              CASE WHEN sp.seq_id = (tot.total_tok - 1) // $PackSeqLen
+                   THEN (sp.seq_id + 1) * $PackSeqLen - tot.total_tok
+                   ELSE 0 END AS n_fill
+       FROM sp CROSS JOIN tot
+       ORDER BY sp.seq_id, sp.doc_id"""
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4881,6 +4963,7 @@ object PipelineCatalog {
     "q109_budget_select" -> q109BudgetSelect,
     "q110_mixture_diag" -> q110MixtureDiag,
     "q111_dup_leakage" -> q111DupLeakage,
+    "q112_packed_manifest" -> q112PackedManifest,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -4975,6 +5058,7 @@ object PipelineCatalog {
     "q109_budget_select" -> q109Sql,
     "q110_mixture_diag" -> q110Sql,
     "q111_dup_leakage" -> q111Sql,
+    "q112_packed_manifest" -> q112Sql,
     "q103_video_search" -> q103Sql,
   )
 }

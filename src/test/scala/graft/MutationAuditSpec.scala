@@ -485,6 +485,45 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(canonical = false))
   }
 
+  test("manifest family (q112): span-base mutation flips the gate") {
+    // 18th family: q112's per-span arithmetic anchors seq_tok_start on
+    // THE SPAN'S OWN sequence (seq_id·L). The plausible copy bug anchors
+    // on the doc's FIRST sequence (first_seq·L) — correct for every
+    // non-crossing doc and for every crossing doc's first span, wrong by
+    // exactly L·(seq_id−first_seq) on continuation spans. Totals, tiling
+    // by n_tok, and doc coverage all still conserve; only the per-row
+    // gate sees it. The sf0.01 corpus has crossing docs (manifest rows >
+    // doc count), so the rebuild must hash-mismatch.
+    import graft.operators.{Curation => C, TextAnalytics}
+    def build(anchorOwnSeq: Boolean) = {
+      val L = 512L
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val off = C.saltedPrefixSum(toks, "doc_id", "n_tok", outCol = "tok_offset")
+      val spans = off.filter(col("n_tok") > 0)
+        .withColumn("first_seq", expr(s"tok_offset div $L"))
+        .withColumn("last_seq", expr(s"(tok_offset + n_tok - 1) div $L"))
+        .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+        .withColumn("gstart", greatest(col("tok_offset"), col("seq_id") * L))
+        .withColumn("gend",
+          least(col("tok_offset") + col("n_tok"), (col("seq_id") + 1) * L))
+      val base = if (anchorOwnSeq) col("seq_id") else col("first_seq")
+      val total = toks.agg(sum(col("n_tok")).as("total_tok"))
+      spans.crossJoin(broadcast(total))
+        .select(col("seq_id"), col("doc_id"),
+          (col("gstart") - col("tok_offset")).as("doc_tok_start"),
+          (col("gstart") - base * L).as("seq_tok_start"),
+          (col("gend") - col("gstart")).as("n_tok"),
+          when(col("seq_id") === expr(s"(total_tok - 1) div $L"),
+            (col("seq_id") + 1) * L - col("total_tok"))
+            .otherwise(lit(0L)).as("n_fill"))
+        .orderBy(col("seq_id"), col("doc_id"))
+    }
+    audit("q112_packed_manifest", Sf01,
+      control = build(anchorOwnSeq = true),
+      mutated = build(anchorOwnSeq = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

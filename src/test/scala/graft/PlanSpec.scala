@@ -487,6 +487,19 @@ class PlanSpec extends AnyFunSuite {
       s"a global-order window reappeared in q107: $wins")
   }
 
+  test("q112: manifest windows carry __rb; corpus total joins as a broadcast") {
+    // the inverse-manifest explode rides q107's salted prefix sum — the
+    // same no-global-order-window invariant — and total_tok must arrive
+    // as a broadcast one-row aggregate, never a shuffle keyed on nothing
+    val p = plan("q112_packed_manifest")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q112 lost its prefix-sum windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a global-order window reappeared in q112: $wins")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q112's corpus-total join lost its broadcast")
+  }
+
   test("q108: the holdout split adds zero exchanges over q85's lineage") {
     // q108 = q85 + one codegen'd projection (hash60 of a column already
     // in hand). Any extra shuffle would mean the split stopped being a
