@@ -4671,6 +4671,77 @@ object PipelineCatalog {
        ORDER BY sp.seq_id, sp.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q113: temperature-sampled mixture weights — the PLANNING step q110
+  // diagnoses after the fact: given per-source token counts, compute the
+  // α-temperature sampling weights (w_s ∝ p_s^α, the multilingual/
+  // multi-corpus standard since GPT-3 / XLM-R; α < 1 upweights small
+  // sources) and the oversampling each weight implies at a fixed training
+  // budget — epochs_s = budget·w_s / n_tok_s — flagging sources the blend
+  // would repeat past the ~4-epoch point where repeated data measurably
+  // degrades (Muennighoff et al. 2023). The flag reads the ROUNDED epochs
+  // so the Spark/DuckDB comparison sits on the same 6-dp grid as the
+  // published value (pow/libm may differ in the last ulp between
+  // engines). 100 TB shape: one partial-aggregated groupBy(source) over a
+  // pruned (source, text) scan — the shuffle carries ≤ |sources| rows —
+  // then a broadcast one-row normalizer; window-free, no second text
+  // pass. w ∝ n^α directly: p_s^α / Σ p^α = n^α / Σ n^α (total^α cancels),
+  // so the blend needs no share intermediate.
+  // -------------------------------------------------------------------------
+
+  private val MixAlpha = 0.7
+  private val MixBudgetMult = 2.0 // train-budget = 2x the corpus tokens
+  private val MixEpochCap = 4.0
+
+  val q113MixtureWeights: Q = (s, d) => {
+    val st = docsWide(s, d)
+      .select(col("source"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+    val tot = st.agg(sum(col("n_tok")).cast("double").as("total_tok"),
+      sum(pow(col("n_tok").cast("double"), MixAlpha)).as("z"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("weight_raw",
+        pow(col("n_tok").cast("double"), MixAlpha) / col("z"))
+      .withColumn("epochs_6dp", rnd(
+        lit(MixBudgetMult) * col("total_tok") * col("weight_raw")
+          / col("n_tok"), 6))
+      .select(col("source"), col("n_docs"), col("n_tok"),
+        rnd(col("n_tok") / col("total_tok"), 6).as("p_share"),
+        rnd(col("weight_raw"), 6).as("weight"),
+        col("epochs_6dp").as("epochs"),
+        (col("epochs_6dp") > MixEpochCap).as("over_cap"))
+      .orderBy(col("source"))
+  }
+
+  private val q113Sql =
+    s"""WITH t AS (
+         SELECT source,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), s AS (
+         SELECT source, COUNT(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
+         FROM t GROUP BY source
+       ), tot AS (
+         SELECT CAST(sum(n_tok) AS DOUBLE) AS total_tok,
+                sum(power(CAST(n_tok AS DOUBLE), $MixAlpha)) AS z
+         FROM s
+       )
+       SELECT source, n_docs, n_tok,
+              floor(n_tok / total_tok * 1000000 + 0.5) / 1000000.0 AS p_share,
+              floor(power(CAST(n_tok AS DOUBLE), $MixAlpha) / z * 1000000 + 0.5)
+                / 1000000.0 AS weight,
+              floor($MixBudgetMult * total_tok
+                    * (power(CAST(n_tok AS DOUBLE), $MixAlpha) / z) / n_tok
+                    * 1000000 + 0.5) / 1000000.0 AS epochs,
+              (floor($MixBudgetMult * total_tok
+                     * (power(CAST(n_tok AS DOUBLE), $MixAlpha) / z) / n_tok
+                     * 1000000 + 0.5) / 1000000.0 > $MixEpochCap) AS over_cap
+       FROM s CROSS JOIN tot
+       ORDER BY source"""
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -4964,6 +5035,7 @@ object PipelineCatalog {
     "q110_mixture_diag" -> q110MixtureDiag,
     "q111_dup_leakage" -> q111DupLeakage,
     "q112_packed_manifest" -> q112PackedManifest,
+    "q113_mixture_weights" -> q113MixtureWeights,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5059,6 +5131,7 @@ object PipelineCatalog {
     "q110_mixture_diag" -> q110Sql,
     "q111_dup_leakage" -> q111Sql,
     "q112_packed_manifest" -> q112Sql,
+    "q113_mixture_weights" -> q113Sql,
     "q103_video_search" -> q103Sql,
   )
 }

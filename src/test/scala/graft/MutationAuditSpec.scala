@@ -524,6 +524,39 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(anchorOwnSeq = false))
   }
 
+  test("mixture family (q113): temperature mutation flips the gate") {
+    // 19th family: the load-bearing constant is α=0.7 — at α=1 the
+    // "temperature" weights silently degenerate to the raw shares
+    // (w = n/Σn), which still normalize, still conserve the budget, and
+    // still order sources by size: every invariant the QueriesSpec pins
+    // survives. Only the per-value gate can see that the blend stopped
+    // flattening. Counts and the normalizer structure are byte-identical.
+    import graft.operators.TextAnalytics
+    def build(alpha: Double) = {
+      val st = docsWide(Sf01)
+        .select(col("source"),
+          size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      val tot = st.agg(sum(col("n_tok")).cast("double").as("total_tok"),
+        sum(pow(col("n_tok").cast("double"), alpha)).as("z"))
+      st.crossJoin(broadcast(tot))
+        .withColumn("weight_raw",
+          pow(col("n_tok").cast("double"), alpha) / col("z"))
+        .withColumn("epochs_6dp", Catalog.rnd(
+          lit(2.0) * col("total_tok") * col("weight_raw") / col("n_tok"), 6))
+        .select(col("source"), col("n_docs"), col("n_tok"),
+          Catalog.rnd(col("n_tok") / col("total_tok"), 6).as("p_share"),
+          Catalog.rnd(col("weight_raw"), 6).as("weight"),
+          col("epochs_6dp").as("epochs"),
+          (col("epochs_6dp") > 4.0).as("over_cap"))
+        .orderBy(col("source"))
+    }
+    audit("q113_mixture_weights", Sf01,
+      control = build(0.7),
+      mutated = build(1.0))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

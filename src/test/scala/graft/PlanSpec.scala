@@ -500,6 +500,24 @@ class PlanSpec extends AnyFunSuite {
       "q112's corpus-total join lost its broadcast")
   }
 
+  test("q113: mixture weights — window-free, pruned scan, broadcast normalizer") {
+    // one partial-aggregated groupBy(source) over (source, text), a
+    // broadcast one-row normalizer, nothing else: a window, an unpruned
+    // scan, or a non-broadcast join would mean the ≤|sources|-row plan
+    // grew corpus-shaped work
+    val p = plan("q113_mixture_weights")
+    assert(!p.contains("windowspecdefinition"), s"q113 grew a window:\n$p")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toList
+    assert(schemas.nonEmpty, "no parquet scan in q113's plan")
+    schemas.foreach { sc =>
+      val cols = sc.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(Set("source", "text")),
+        s"q113 scan reads more than (source, text): $sc") }
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q113's normalizer join lost its broadcast")
+  }
+
   test("q108: the holdout split adds zero exchanges over q85's lineage") {
     // q108 = q85 + one codegen'd projection (hash60 of a column already
     // in hand). Any extra shuffle would mean the split stopped being a
