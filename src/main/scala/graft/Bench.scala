@@ -576,6 +576,7 @@ object Bench {
         // 3-run split banks the build cost and q99 measures its own serve
         val lineup = Seq("q96_inc_near_dup", "q88_span_removal",
           "q107_sequence_packing", // the salted global prefix-sum kernel
+          "q112_packed_manifest", // its inverse: bounded explode + broadcast
           "q85_dedup_apply", "q98_curation_pipeline", "q99_full_recipe",
           "q97_stream_near_dup", "q89_stream_ivf", "q90_stream_pq")
         val (entries, skipped0) = scaleEntries(dirPath, lineup, deadline, record = true)
@@ -646,7 +647,7 @@ object Bench {
             val (dir3, gen3) = ensureScaledCorpus(reps3)
             val (e3, sk3) = scaleEntries(dir3,
               Seq("q88_span_removal", "q96_inc_near_dup", "q85_dedup_apply",
-                "q107_sequence_packing",
+                "q107_sequence_packing", "q112_packed_manifest",
                 "q98_curation_pipeline", "q99_full_recipe",
                 "q97_stream_near_dup"), deadline,
               record = false)
@@ -679,7 +680,8 @@ object Bench {
             val (dir4, gen4) = ensureScaledCorpus(reps4)
             val (e4, sk4) = scaleEntries(dir4,
               Seq("q96_inc_near_dup", "q85_dedup_apply",
-                "q107_sequence_packing", "q98_curation_pipeline",
+                "q107_sequence_packing", "q112_packed_manifest",
+                "q98_curation_pipeline",
                 "q88_span_removal", "q99_full_recipe",
                 "q97_stream_near_dup"), deadline,
               record = false)

@@ -4742,6 +4742,73 @@ object PipelineCatalog {
        ORDER BY source"""
 
   // -------------------------------------------------------------------------
+  // q114: SFT loss-mask manifest — the supervised-finetuning counterpart
+  // of q112's pretraining manifest: per conversation turn, the token
+  // offsets and the assistant-only loss mask a finetuning loader consumes
+  // (user/system tokens attend but take no loss — the standard SFT
+  // objective). Rides the REAL chat lineage end-to-end: q40's ChatGPT
+  // export parse (detection → mapping salvage → create_time sort →
+  // formatted turns), re-split into turns, re-tokenized with ws-split-v2.
+  // 100 TB shape: the prefix sum is PER CONVERSATION — a window
+  // partitioned by conv_id, key cardinality = conversations (massive),
+  // partition size = turns per conversation (bounded by chat UX, ~10³
+  // worst case) — the benign window shape, unlike the global-order
+  // windows q107/q109 salt away. The mask is a codegen'd equality; no
+  // joins, no second text pass. Fence: the turn re-split keys on the
+  // "\n\n" join q40's formatter emits (parse_chatgpt.py:268-280), so a
+  // message whose CONTENT carries a blank line would split early — the
+  // same ambiguity any consumer of the reference's flat text format
+  // inherits; a loader needing blank-line-safe turns should read the
+  // structured ChatExport rows, not the formatted text.
+  // -------------------------------------------------------------------------
+
+  private val ChatTurnRe = "^\\[[^\\]]+\\] (user|assistant): "
+
+  val q114SftMask: Q = (s, d) => {
+    val turns = IngestCatalog.q40ChatExport(s, d)
+      .select(col("document_id").as("conv_id"),
+        posexplode(split(col("text"), "\n\n")).as(Seq("turn_idx", "line")))
+      .select(col("conv_id"), col("turn_idx"),
+        regexp_extract(col("line"), ChatTurnRe, 1).as("role"),
+        regexp_replace(col("line"), ChatTurnRe, "").as("content"))
+      .withColumn("n_tok",
+        size(TextAnalytics.tokens(col("content"))).cast("long"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("n_tok"),
+        col("tok_start"), (col("role") === "assistant").as("loss_mask"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+  }
+
+  private val q114Sql =
+    s"""WITH w AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS ws,
+                CAST(2 + doc_id % 3 AS INT) AS k
+         FROM documents
+       ), turns AS (
+         SELECT 'chatgpt:conv-' || doc_id AS conv_id,
+                unnest(range(0, k)) AS j, ws
+         FROM w
+       ), tk AS (
+         SELECT conv_id, CAST(j AS INT) AS turn_idx,
+                CASE WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                CAST(len(list_filter(regexp_split_to_array(
+                  ws[2*j + 1] || ' ' || ws[2*j + 2], '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM turns
+       )
+       SELECT conv_id, turn_idx, role, n_tok,
+              CAST(COALESCE(sum(n_tok) OVER (PARTITION BY conv_id
+                ORDER BY turn_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS tok_start,
+              (role = 'assistant') AS loss_mask
+       FROM tk
+       ORDER BY conv_id, turn_idx"""
+
+  // -------------------------------------------------------------------------
   // q103: video-frame ANN search — the multimodal RETRIEVAL composition:
   // q100's batched decode contract feeds frame sampling, every frame gets
   // an embedding (dev-stub, bit-replayable), frames are scored against a
@@ -5036,6 +5103,7 @@ object PipelineCatalog {
     "q111_dup_leakage" -> q111DupLeakage,
     "q112_packed_manifest" -> q112PackedManifest,
     "q113_mixture_weights" -> q113MixtureWeights,
+    "q114_sft_mask" -> q114SftMask,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5132,6 +5200,7 @@ object PipelineCatalog {
     "q111_dup_leakage" -> q111Sql,
     "q112_packed_manifest" -> q112Sql,
     "q113_mixture_weights" -> q113Sql,
+    "q114_sft_mask" -> q114Sql,
     "q103_video_search" -> q103Sql,
   )
 }

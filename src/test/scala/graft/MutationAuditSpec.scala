@@ -557,6 +557,41 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(1.0))
   }
 
+  test("SFT-mask family (q114): conversation-scoped offset mutation flips the gate") {
+    // 20th family: q114's load-bearing choice is that token offsets
+    // restart per CONVERSATION. The plausible regression reuses the
+    // corpus-global prefix sum (q107's kernel, one partition for all
+    // conversations ordered by (conv_id, turn_idx)) — masks, roles,
+    // per-turn counts, even each conversation's INTERNAL deltas all stay
+    // right; only the absolute offsets shift by everything before the
+    // conversation, which is exactly what a loader would mis-seek by.
+    import graft.queries.IngestCatalog
+    import org.apache.spark.sql.expressions.{Window => W}
+    val re = "^\\[[^\\]]+\\] (user|assistant): "
+    def build(perConv: Boolean) = {
+      val turns = IngestCatalog.q40ChatExport(spark, Sf01)
+        .select(col("document_id").as("conv_id"),
+          posexplode(split(col("text"), "\n\n")).as(Seq("turn_idx", "line")))
+        .select(col("conv_id"), col("turn_idx"),
+          regexp_extract(col("line"), re, 1).as("role"),
+          regexp_replace(col("line"), re, "").as("content"))
+        .withColumn("n_tok", size(graft.operators.TextAnalytics
+          .tokens(col("content"))).cast("long"))
+      val w =
+        (if (perConv) W.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+         else W.orderBy(col("conv_id"), col("turn_idx")))
+          .rowsBetween(W.unboundedPreceding, -1)
+      turns
+        .withColumn("tok_start", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("n_tok"),
+          col("tok_start"), (col("role") === "assistant").as("loss_mask"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }
+    audit("q114_sft_mask", Sf01,
+      control = build(perConv = true),
+      mutated = build(perConv = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

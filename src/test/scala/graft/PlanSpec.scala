@@ -518,6 +518,18 @@ class PlanSpec extends AnyFunSuite {
       "q113's normalizer join lost its broadcast")
   }
 
+  test("q114: the turn-offset window is conv-partitioned, never global-order") {
+    // per-conversation prefix sums are the BENIGN window shape (partition
+    // key cardinality = conversations, partition size = turns) — but only
+    // while the partition spec actually carries conv_id; an empty
+    // partition spec here is the q107 scale-killer wearing chat clothes
+    val p = plan("q114_sft_mask")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q114 lost its offset window")
+    assert(wins.forall(_.contains("conv_id")),
+      s"a window without conv_id partitioning in q114: $wins")
+  }
+
   test("q108: the holdout split adds zero exchanges over q85's lineage") {
     // q108 = q85 + one codegen'd projection (hash60 of a column already
     // in hand). Any extra shuffle would mean the split stopped being a
