@@ -4671,6 +4671,96 @@ object PipelineCatalog {
        ORDER BY sp.seq_id, sp.doc_id"""
 
   // -------------------------------------------------------------------------
+  // q115: packing-efficiency ablation curve — the table a context-length
+  // choice is made from: for each candidate sequence length L, what does
+  // concat-and-chunk packing (q107's scheme) cost? Per L: the sequence
+  // count, how many documents straddle a cut (cross-document attention
+  // contamination unless the trainer masks boundaries), the average
+  // number of documents touching a sequence (the document-mask fan-in),
+  // and the tail padding. Everything is CLOSED-FORM from the one
+  // L-independent prefix sum: n_seqs = ceil(total/L), a doc crosses iff
+  // floor((off+n-1)/L) > floor(off/L), a doc touches last−first+1
+  // sequences. 100 TB shape: ONE salted prefix sum (shared with
+  // q107/q112), a 5-row broadcast of candidate lengths, per-(doc, L)
+  // codegen arithmetic, and a ≤|L|-row aggregate — the whole ablation
+  // table costs one extra pass over the narrow offsets frame, not one
+  // packing run per candidate length.
+  // -------------------------------------------------------------------------
+
+  private val PackCurveLens = Seq(128L, 256L, 512L, 1024L, 2048L)
+
+  val q115PackingCurve: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val (mn, span) = docIdBounds(s, d)
+    val off = graft.operators.Curation.saltedPrefixSum(toks, "doc_id",
+      "n_tok", outCol = "tok_offset", orderBounds = Some((mn, mn + span - 1)))
+    val lens = s.range(1).select(
+      explode(array(PackCurveLens.map(lit): _*)).as("seq_len"))
+    off.filter(col("n_tok") > 0)
+      .crossJoin(broadcast(lens))
+      .withColumn("first_seq", expr("tok_offset div seq_len"))
+      .withColumn("last_seq", expr("(tok_offset + n_tok - 1) div seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        // the packed stream is gap-free, so the global sequence count is
+        // ceil(total/L) — derived from the max END rather than a second
+        // aggregate over a different frame
+        expr("(max(tok_offset + n_tok) + seq_len - 1) div seq_len")
+          .as("n_seqs"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .as("n_crossing"),
+        sum(col("last_seq") - col("first_seq") + 1).as("doc_seq_spans"))
+      .select(col("seq_len"), col("n_seqs"), col("n_crossing"),
+        rnd(col("n_crossing").cast("double") / col("n_docs"), 6)
+          .as("crossing_frac"),
+        rnd(col("doc_seq_spans").cast("double") / col("n_seqs"), 6)
+          .as("avg_docs_per_seq"),
+        (col("n_seqs") * col("seq_len") - col("total_tok")).as("tail_fill"))
+      .orderBy(col("seq_len"))
+  }
+
+  private val q115Sql = {
+    val lenList = PackCurveLens.mkString("[", ", ", "]")
+    s"""WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), o AS (
+         SELECT doc_id, n_tok,
+                CAST(COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+         FROM t
+       ), l AS (
+         SELECT unnest($lenList::BIGINT[]) AS seq_len
+       ), x AS (
+         SELECT o.doc_id, o.n_tok, o.tok_offset, l.seq_len,
+                o.tok_offset // l.seq_len AS first_seq,
+                (o.tok_offset + o.n_tok - 1) // l.seq_len AS last_seq
+         FROM o CROSS JOIN l WHERE o.n_tok > 0
+       )
+       SELECT seq_len,
+              (max(tok_offset + n_tok) + seq_len - 1) // seq_len AS n_seqs,
+              CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_crossing,
+              floor(CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000.0
+                AS crossing_frac,
+              floor(CAST(sum(last_seq - first_seq + 1) AS DOUBLE)
+                      / ((max(tok_offset + n_tok) + seq_len - 1) // seq_len)
+                      * 1000000 + 0.5) / 1000000.0 AS avg_docs_per_seq,
+              ((max(tok_offset + n_tok) + seq_len - 1) // seq_len) * seq_len
+                - CAST(sum(n_tok) AS BIGINT) AS tail_fill
+       FROM x
+       GROUP BY seq_len
+       ORDER BY seq_len"""
+  }
+
+  // -------------------------------------------------------------------------
   // q113: temperature-sampled mixture weights — the PLANNING step q110
   // diagnoses after the fact: given per-source token counts, compute the
   // α-temperature sampling weights (w_s ∝ p_s^α, the multilingual/
@@ -5104,6 +5194,7 @@ object PipelineCatalog {
     "q112_packed_manifest" -> q112PackedManifest,
     "q113_mixture_weights" -> q113MixtureWeights,
     "q114_sft_mask" -> q114SftMask,
+    "q115_packing_curve" -> q115PackingCurve,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5201,6 +5292,7 @@ object PipelineCatalog {
     "q112_packed_manifest" -> q112Sql,
     "q113_mixture_weights" -> q113Sql,
     "q114_sft_mask" -> q114Sql,
+    "q115_packing_curve" -> q115Sql,
     "q103_video_search" -> q103Sql,
   )
 }

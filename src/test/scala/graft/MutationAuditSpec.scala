@@ -592,6 +592,49 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(perConv = false))
   }
 
+  test("curve family (q115): fan-in/fan-out transposition flips the gate") {
+    // 21st family: avg_docs_per_seq is doc-sequence SPANS over SEQUENCES
+    // (the document-mask fan-in a trainer pays per sequence). The
+    // plausible transposition divides by DOCS instead — the same spans
+    // total, a statistic that still rises with L and still looks like a
+    // fan measure (it's avg sequences per doc), wrong in every row. The
+    // other five columns are byte-identical, so the mismatch is
+    // attributable to the denominator alone.
+    import graft.operators.{Curation => C, TextAnalytics}
+    def build(perSeq: Boolean) = {
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val off = C.saltedPrefixSum(toks, "doc_id", "n_tok", outCol = "tok_offset")
+      val lens = spark.range(1).select(
+        explode(array(Seq(128L, 256L, 512L, 1024L, 2048L).map(lit): _*))
+          .as("seq_len"))
+      off.filter(col("n_tok") > 0)
+        .crossJoin(broadcast(lens))
+        .withColumn("first_seq", expr("tok_offset div seq_len"))
+        .withColumn("last_seq", expr("(tok_offset + n_tok - 1) div seq_len"))
+        .groupBy(col("seq_len"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"),
+          expr("(max(tok_offset + n_tok) + seq_len - 1) div seq_len")
+            .as("n_seqs"),
+          sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+            .as("n_crossing"),
+          sum(col("last_seq") - col("first_seq") + 1).as("doc_seq_spans"))
+        .select(col("seq_len"), col("n_seqs"), col("n_crossing"),
+          Catalog.rnd(col("n_crossing").cast("double") / col("n_docs"), 6)
+            .as("crossing_frac"),
+          Catalog.rnd(col("doc_seq_spans").cast("double") /
+              (if (perSeq) col("n_seqs") else col("n_docs")), 6)
+            .as("avg_docs_per_seq"),
+          (col("n_seqs") * col("seq_len") - col("total_tok")).as("tail_fill"))
+        .orderBy(col("seq_len"))
+    }
+    audit("q115_packing_curve", Sf01,
+      control = build(perSeq = true),
+      mutated = build(perSeq = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

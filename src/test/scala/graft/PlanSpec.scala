@@ -518,6 +518,20 @@ class PlanSpec extends AnyFunSuite {
       "q113's normalizer join lost its broadcast")
   }
 
+  test("q115: ablation curve — __rb windows only, candidate lengths broadcast") {
+    // five candidate lengths over the whole corpus must fan out as a
+    // broadcast against the ONE shared prefix-sum frame — a shuffle keyed
+    // on seq_len or a second prefix pass per L would multiply the packing
+    // cost by the ablation width
+    val p = plan("q115_packing_curve")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q115 lost its prefix-sum windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a global-order window reappeared in q115: $wins")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q115's candidate-length fan-out lost its broadcast")
+  }
+
   test("q114: the turn-offset window is conv-partitioned, never global-order") {
     // per-conversation prefix sums are the BENIGN window shape (partition
     // key cardinality = conversations, partition size = turns) — but only
