@@ -4761,6 +4761,126 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q116: span-corruption mask generation — the denoising-objective
+  // (T5/UL2 "span corruption") preprocessing step: per document, a
+  // deterministic set of noise spans covering ~15% of tokens with mean
+  // length 3, emitted as (doc_id, span_id, span_start, span_len) rows a
+  // trainer turns into sentinel-delimited inputs/targets. RNG-free by
+  // construction: a position starts a candidate span iff
+  // hash60(doc:pos) % 20 == 0 (5% of positions) with length
+  // 1 + hash60(doc:pos:len) % 5 (mean 3 → ~15% mass), so the mask is
+  // engine-portable (the DuckDB oracle replays it bit-for-bit through
+  // the same sha256-based hash, like q86/q108's shard hashes) and
+  // reproducible across reruns/workers — the property an actual training
+  // pipeline needs from its noise. Overlapping/adjacent candidates merge
+  // (sentinel collapse), exactly q88's interval-union shape. 100 TB:
+  // the position explode is linear in corpus tokens (the shingle
+  // pipelines already pay this), candidates are ~1/20 of positions, the
+  // merge is a per-doc in-array fold (collect_list + array_sort +
+  // aggregate — NO window, bounded by candidates-per-doc), and the only
+  // shuffle carries candidate rows, not tokens.
+  // -------------------------------------------------------------------------
+
+  private val NoiseStartMod = 20L // 1-in-20 positions start a span
+  private val NoiseLenMod = 5L    // length 1 + h%5 ∈ [1,5], mean 3
+
+  val q116NoiseSpans: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val cand = toks.filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), col("n_tok") - 1)).as("p"))
+      .filter(pmod(TextAnalytics.hash60(
+        concat(col("doc_id"), lit(":"), col("p"))), lit(NoiseStartMod)) === 0)
+      .withColumn("e", least(
+        col("p") + 1L + pmod(TextAnalytics.hash60(
+          concat(col("doc_id"), lit(":"), col("p"), lit(":len"))),
+          lit(NoiseLenMod)),
+        col("n_tok")))
+    // per-doc interval union: fold the sorted candidates, merging any
+    // start ≤ the running max end (adjacent spans collapse, as a
+    // sentinel-based objective requires); accumulator carries the merged
+    // list + the open interval
+    val acc0 = struct(
+      array().cast("array<struct<s:bigint,e:bigint>>").as("spans"),
+      lit(-1L).as("cs"), lit(-1L).as("ce"))
+    val merged = cand
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(array_sort(collect_list(struct(col("p").as("s"), col("e")))).as("cs"))
+      .select(col("doc_id"), col("n_tok"),
+        aggregate(col("cs"), acc0,
+          (acc, x) => {
+            val open = acc.getField("cs") >= 0L
+            val overlaps = open && x.getField("s") <= acc.getField("ce")
+            struct(
+              when(overlaps || !open, acc.getField("spans"))
+                .otherwise(array_append(acc.getField("spans"),
+                  struct(acc.getField("cs").as("s"), acc.getField("ce").as("e"))))
+                .as("spans"),
+              when(overlaps, acc.getField("cs")).otherwise(x.getField("s")).as("cs"),
+              when(overlaps, greatest(acc.getField("ce"), x.getField("e")))
+                .otherwise(x.getField("e")).as("ce"))
+          },
+          acc => when(acc.getField("cs") >= 0L,
+            array_append(acc.getField("spans"),
+              struct(acc.getField("cs").as("s"), acc.getField("ce").as("e"))))
+            .otherwise(acc.getField("spans"))).as("spans"))
+    merged
+      .withColumn("n_masked", aggregate(col("spans"), lit(0L),
+        (a, sp) => a + sp.getField("e") - sp.getField("s")))
+      .select(col("doc_id"), col("n_tok"), col("n_masked"),
+        rnd(col("n_masked").cast("double") / col("n_tok"), 6).as("mask_frac"),
+        posexplode(col("spans")).as(Seq("span_id", "sp")))
+      .select(col("doc_id"), col("span_id").cast("long").as("span_id"),
+        col("sp.s").as("span_start"), (col("sp.e") - col("sp.s")).as("span_len"),
+        col("n_tok"), col("n_masked"), col("mask_frac"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
+  private val q116Sql = {
+    def h60(x: String) = s"CAST(CAST('0x' || substr(sha256($x), 1, 15) AS BIGINT) AS BIGINT)"
+    s"""WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), pos AS (
+         SELECT doc_id, n_tok, unnest(range(0, n_tok)) AS p
+         FROM t WHERE n_tok > 0
+       ), cand AS (
+         SELECT doc_id, n_tok, p,
+                least(p + 1 + ${h60("doc_id || ':' || p || ':len'")}
+                        % $NoiseLenMod, n_tok) AS e
+         FROM pos
+         WHERE ${h60("doc_id || ':' || p")} % $NoiseStartMod = 0
+       ), isl AS (
+         SELECT doc_id, n_tok, p, e,
+                CASE WHEN p <= COALESCE(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) THEN 0 ELSE 1 END AS ni
+         FROM cand
+       ), isl2 AS (
+         SELECT doc_id, n_tok, p, e,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+         FROM isl
+       ), spans AS (
+         SELECT doc_id, n_tok, CAST(span_id AS BIGINT) AS span_id,
+                min(p) AS span_start, max(e) - min(p) AS span_len
+         FROM isl2 GROUP BY doc_id, n_tok, span_id
+       ), ds AS (
+         SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_masked
+         FROM spans GROUP BY doc_id
+       )
+       SELECT s.doc_id, s.span_id, s.span_start, s.span_len, s.n_tok,
+              ds.n_masked,
+              floor(CAST(ds.n_masked AS DOUBLE) / s.n_tok * 1000000 + 0.5)
+                / 1000000.0 AS mask_frac
+       FROM spans s JOIN ds ON s.doc_id = ds.doc_id
+       ORDER BY s.doc_id, s.span_id"""
+  }
+
+  // -------------------------------------------------------------------------
   // q113: temperature-sampled mixture weights — the PLANNING step q110
   // diagnoses after the fact: given per-source token counts, compute the
   // α-temperature sampling weights (w_s ∝ p_s^α, the multilingual/
@@ -5195,6 +5315,7 @@ object PipelineCatalog {
     "q113_mixture_weights" -> q113MixtureWeights,
     "q114_sft_mask" -> q114SftMask,
     "q115_packing_curve" -> q115PackingCurve,
+    "q116_noise_spans" -> q116NoiseSpans,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5293,6 +5414,7 @@ object PipelineCatalog {
     "q113_mixture_weights" -> q113Sql,
     "q114_sft_mask" -> q114Sql,
     "q115_packing_curve" -> q115Sql,
+    "q116_noise_spans" -> q116Sql,
     "q103_video_search" -> q103Sql,
   )
 }

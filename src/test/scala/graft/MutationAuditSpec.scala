@@ -635,6 +635,76 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(perSeq = false))
   }
 
+  test("noise-span family (q116): dropping the interval union flips the gate") {
+    // 22nd family: the merge step. The mutant emits each clipped
+    // candidate as its own span — ids still dense, lengths still 1..5,
+    // every span still in bounds, the mask still ~15%; only where
+    // candidates overlap/touch do rows multiply and n_masked
+    // double-count. A sentinel-based objective with unmerged spans is
+    // corrupt training data that LOOKS fine — exactly the regression the
+    // per-row gate must see. The corpus has overlapping candidates
+    // (merged mean span length measures > 3), so the hashes diverge.
+    import graft.operators.TextAnalytics
+    def lineage(merge: Boolean) = {
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val cand = toks.filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0L), col("n_tok") - 1)).as("p"))
+        .filter(pmod(TextAnalytics.hash60(
+          concat(col("doc_id"), lit(":"), col("p"))), lit(20L)) === 0)
+        .withColumn("e", least(
+          col("p") + 1L + pmod(TextAnalytics.hash60(
+            concat(col("doc_id"), lit(":"), col("p"), lit(":len"))),
+            lit(5L)),
+          col("n_tok")))
+      val acc0 = struct(
+        array().cast("array<struct<s:bigint,e:bigint>>").as("spans"),
+        lit(-1L).as("cs"), lit(-1L).as("ce"))
+      val grouped = cand
+        .groupBy(col("doc_id"), col("n_tok"))
+        .agg(array_sort(collect_list(struct(col("p").as("s"), col("e")))).as("cs"))
+      val withSpans =
+        if (merge)
+          grouped.select(col("doc_id"), col("n_tok"),
+            aggregate(col("cs"), acc0,
+              (acc, x) => {
+                val open = acc.getField("cs") >= 0L
+                val overlaps = open && x.getField("s") <= acc.getField("ce")
+                struct(
+                  when(overlaps || !open, acc.getField("spans"))
+                    .otherwise(array_append(acc.getField("spans"),
+                      struct(acc.getField("cs").as("s"),
+                        acc.getField("ce").as("e"))))
+                    .as("spans"),
+                  when(overlaps, acc.getField("cs"))
+                    .otherwise(x.getField("s")).as("cs"),
+                  when(overlaps, greatest(acc.getField("ce"), x.getField("e")))
+                    .otherwise(x.getField("e")).as("ce"))
+              },
+              acc => when(acc.getField("cs") >= 0L,
+                array_append(acc.getField("spans"),
+                  struct(acc.getField("cs").as("s"), acc.getField("ce").as("e"))))
+                .otherwise(acc.getField("spans"))).as("spans"))
+        else grouped.select(col("doc_id"), col("n_tok"), col("cs").as("spans"))
+      withSpans
+        .withColumn("n_masked", aggregate(col("spans"), lit(0L),
+          (a, sp) => a + sp.getField("e") - sp.getField("s")))
+        .select(col("doc_id"), col("n_tok"), col("n_masked"),
+          Catalog.rnd(col("n_masked").cast("double") / col("n_tok"), 6)
+            .as("mask_frac"),
+          posexplode(col("spans")).as(Seq("span_id", "sp")))
+        .select(col("doc_id"), col("span_id").cast("long").as("span_id"),
+          col("sp.s").as("span_start"),
+          (col("sp.e") - col("sp.s")).as("span_len"),
+          col("n_tok"), col("n_masked"), col("mask_frac"))
+        .orderBy(col("doc_id"), col("span_id"))
+    }
+    audit("q116_noise_spans", Sf01,
+      control = lineage(merge = true),
+      mutated = lineage(merge = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

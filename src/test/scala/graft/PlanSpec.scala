@@ -532,6 +532,22 @@ class PlanSpec extends AnyFunSuite {
       "q115's candidate-length fan-out lost its broadcast")
   }
 
+  test("q116: noise-span merge is an in-array fold — no window at all") {
+    // the interval union runs as collect_list + array_sort + aggregate
+    // inside the per-doc hash aggregate; a window here (the "easy"
+    // islands formulation the ORACLE uses) would re-sort candidate rows
+    // per doc and regress the no-window contract the salted kernels keep
+    val p = plan("q116_noise_spans")
+    assert(!p.contains("windowspecdefinition"), s"q116 grew a window:\n$p")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toList
+    assert(schemas.nonEmpty, "no parquet scan in q116's plan")
+    schemas.foreach { sc =>
+      val cols = sc.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(Set("doc_id", "text")),
+        s"q116 scan reads more than (doc_id, text): $sc") }
+  }
+
   test("q114: the turn-offset window is conv-partitioned, never global-order") {
     // per-conversation prefix sums are the BENIGN window shape (partition
     // key cardinality = conversations, partition size = turns) — but only
