@@ -4391,8 +4391,12 @@ object PipelineCatalog {
     * (under the smallest doc, on/off the boundary edge, past the corpus
     * total) through the genuinely shipped lineage (r13 prescription #7).
     */
-  private[graft] def q109BudgetSelectAt(budget: Long): Q = (s, d) => {
-    val scored = docsWide(s, d)
+  /** (doc_id, q_score, n_tok): q22's three-term quality heuristic,
+    * totalized with the zero-token pin — the shared scoring frame of the
+    * budget selection (q109) and the train-prep recipe (q117).
+    */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    docsWide(s, d)
       .withColumn("toks", TextAnalytics.tokens(col("text")))
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("avg_raw",
@@ -4407,6 +4411,9 @@ object PipelineCatalog {
             lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
           4)))
       .select(col("doc_id"), col("q_score"), col("n_tok"))
+
+  private[graft] def q109BudgetSelectAt(budget: Long): Q = (s, d) => {
+    val scored = scoredDocs(s, d)
     val (mn, span) = docIdBounds(s, d)
     // the packed key's headroom is checked, not assumed: past this span
     // the multiply would WRAP and silently mis-order the selection — fail
@@ -4881,6 +4888,99 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q117: the end-to-end train-prep recipe — the composition a pretraining
+  // data pipeline actually ships, each stage an already-oracle-verified
+  // kernel: near-dup dedup keeps the canonical survivors (q85) → the
+  // quality gate drops the bottom tail (q22's score, ≥ 0.35 ≈ p10 of the
+  // corpus) → the leakage-safe holdout assigns train/val on the CLUSTER
+  // hash (q108's rule — for survivors canonical_id = doc_id, but the rule
+  // is stated on the cluster so re-admitting non-canonicals can never
+  // split a near-dup pair) → each split is packed into its own token
+  // stream (q107's kernel; splits must NOT share a stream, or one straddling
+  // sequence leaks val into train). The per-split restart costs no second
+  // kernel: ONE salted prefix sum over the composite (split, doc_id)
+  // packed key, then each split's base — the min cumulative in the split,
+  // i.e. its first doc's exclusive prefix — joins back as a 2-row
+  // broadcast and subtracts. 100 TB note: the 2-row base aggregate is a
+  // second pass over the dedup lineage at bench; a production deployment
+  // materializes the dedup table once at write time (the ChunkStore
+  // pattern) and both passes read the artifact.
+  // -------------------------------------------------------------------------
+
+  private val TrainPrepQualityMin = 0.35
+
+  val q117TrainPrep: Q = (s, d) => {
+    val selected = scoredDocs(s, d)
+      .join(q85DedupApply(s, d)
+        .select(col("doc_id"), col("canonical_id"), col("kept")), Seq("doc_id"))
+      .filter(col("kept") && col("q_score") >= TrainPrepQualityMin)
+      .withColumn("split",
+        when(pmod(TextAnalytics.hash60(col("canonical_id").cast("string")),
+          lit(100L)) < ValHoldoutPct, lit("val")).otherwise(lit("train")))
+    val (mn, span) = docIdBounds(s, d)
+    require(span <= Long.MaxValue / 2,
+      s"doc_id span $span overflows the split-packed order key")
+    val keyed = selected.withColumn("__ord",
+      when(col("split") === "val", lit(span)).otherwise(lit(0L))
+        + (col("doc_id") - mn))
+    val cum = graft.operators.Curation.saltedPrefixSum(keyed, "__ord",
+      "n_tok", outCol = "__cum", orderBounds = Some((0L, 2 * span)))
+    val bases = cum.groupBy(col("split")).agg(min(col("__cum")).as("__base"))
+    cum.join(broadcast(bases), Seq("split"))
+      .withColumn("tok_offset", col("__cum") - col("__base"))
+      .select(col("doc_id"), col("split"), col("q_score"), col("n_tok"),
+        col("tok_offset"),
+        expr(s"tok_offset div $PackSeqLen").as("first_seq"),
+        expr(s"(tok_offset + n_tok - 1) div $PackSeqLen").as("last_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q117Sql = {
+    val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH w AS (
+         SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> t <> '') AS toks FROM documents
+       ), m AS (
+         SELECT doc_id, len(toks) AS n_tok_i,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / len(toks) AS avg_raw,
+           CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS DOUBLE)
+             / len(toks) AS stop_raw
+         FROM w
+       ), q AS (
+         SELECT doc_id, CAST(n_tok_i AS BIGINT) AS n_tok,
+           CASE WHEN n_tok_i = 0 THEN 0.0 ELSE
+             floor((0.2 * least(CAST(n_tok_i AS DOUBLE) / 100.0, 1.0)
+                 + 0.5 * stop_raw
+                 + 0.3 * (1.0 - least(abs(avg_raw - 5.0) / 10.0, 1.0)))
+               * $QualityLevels + 0.5) / $QualityLevels.0 END AS q_score
+         FROM m
+       ), dd AS (
+         SELECT doc_id, canonical_id, kept
+         FROM (${q85Sql.replace("\n", "\n  ")}) q85
+       ), sel AS (
+         SELECT q.doc_id, dd.canonical_id, q.q_score, q.n_tok,
+                CASE WHEN CAST(CAST('0x' ||
+                         substr(sha256(CAST(dd.canonical_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 AS BIGINT) < $ValHoldoutPct
+                     THEN 'val' ELSE 'train' END AS split
+         FROM q JOIN dd ON q.doc_id = dd.doc_id
+         WHERE dd.kept AND q.q_score >= $TrainPrepQualityMin
+       ), o AS (
+         SELECT doc_id, split, q_score, n_tok,
+                CAST(COALESCE(sum(n_tok) OVER (PARTITION BY split
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+         FROM sel
+       )
+       SELECT doc_id, split, q_score, n_tok, tok_offset,
+              tok_offset // $PackSeqLen AS first_seq,
+              (tok_offset + n_tok - 1) // $PackSeqLen AS last_seq
+       FROM o ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
   // q113: temperature-sampled mixture weights — the PLANNING step q110
   // diagnoses after the fact: given per-source token counts, compute the
   // α-temperature sampling weights (w_s ∝ p_s^α, the multilingual/
@@ -5316,6 +5416,7 @@ object PipelineCatalog {
     "q114_sft_mask" -> q114SftMask,
     "q115_packing_curve" -> q115PackingCurve,
     "q116_noise_spans" -> q116NoiseSpans,
+    "q117_train_prep" -> q117TrainPrep,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5415,6 +5516,7 @@ object PipelineCatalog {
     "q114_sft_mask" -> q114Sql,
     "q115_packing_curve" -> q115Sql,
     "q116_noise_spans" -> q116Sql,
+    "q117_train_prep" -> q117Sql,
     "q103_video_search" -> q103Sql,
   )
 }

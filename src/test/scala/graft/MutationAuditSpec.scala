@@ -705,6 +705,68 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = lineage(merge = false))
   }
 
+  test("recipe family (q117): shared-stream packing mutation flips the gate") {
+    // 23rd family: the recipe packs each split into ITS OWN token stream
+    // (base-subtracted per-split offsets). The plausible regression skips
+    // the restart — one shared stream ordered (train, val) — so one
+    // straddling sequence would mix val tokens into a train window.
+    // Train offsets stay byte-identical (base 0); every val doc shifts by
+    // the train total, and nothing coarser than the per-row gate notices
+    // (counts, splits, scores, even within-val deltas all survive).
+    import graft.operators.{Curation => C, TextAnalytics}
+    def build(restart: Boolean) = {
+      val scored = docsWide(Sf01)
+        .withColumn("toks", TextAnalytics.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("avg_raw",
+          TextAnalytics.totalTokenChars(col("toks")).cast("double") / col("n_tok"))
+        .withColumn("stop_raw",
+          TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
+            .cast("double") / col("n_tok"))
+        .withColumn("q_score",
+          when(col("n_tok") === 0, lit(0.0)).otherwise(Catalog.rnd(
+            lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+              lit(0.5) * col("stop_raw") +
+              lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
+            4)))
+        .select(col("doc_id"), col("q_score"), col("n_tok"))
+      val pairs = Dedup.minhashNearDuplicates(docsWide(Sf01), "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"), col("is_canonical"))
+      val dd = docsWide(Sf01).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+          coalesce(col("is_canonical"), lit(true)).as("kept"))
+      val selected = scored.join(dd, Seq("doc_id"))
+        .filter(col("kept") && col("q_score") >= 0.35)
+        .withColumn("split",
+          when(pmod(TextAnalytics.hash60(col("canonical_id").cast("string")),
+            lit(100L)) < 10L, lit("val")).otherwise(lit("train")))
+      val b = Tables(spark, Sf01, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+      val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val keyed = selected.withColumn("__ord",
+        when(col("split") === "val", lit(span)).otherwise(lit(0L))
+          + (col("doc_id") - mn))
+      val cum = C.saltedPrefixSum(keyed, "__ord", "n_tok", outCol = "__cum",
+        orderBounds = Some((0L, 2 * span)))
+      val bases = cum.groupBy(col("split")).agg(min(col("__cum")).as("__base"))
+      cum.join(broadcast(bases), Seq("split"))
+        .withColumn("tok_offset",
+          if (restart) col("__cum") - col("__base") else col("__cum"))
+        .select(col("doc_id"), col("split"), col("q_score"), col("n_tok"),
+          col("tok_offset"),
+          expr("tok_offset div 512").as("first_seq"),
+          expr("(tok_offset + n_tok - 1) div 512").as("last_seq"))
+        .orderBy(col("doc_id"))
+    }
+    audit("q117_train_prep", Sf01,
+      control = build(restart = true),
+      mutated = build(restart = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

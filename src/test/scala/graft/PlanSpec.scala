@@ -548,6 +548,19 @@ class PlanSpec extends AnyFunSuite {
         s"q116 scan reads more than (doc_id, text): $sc") }
   }
 
+  test("q117: recipe windows all carry __rb; split bases join as a broadcast") {
+    // the composed recipe must inherit every component's scale shape: the
+    // only windows are the salted prefix sum's (__rb-bucketed), and the
+    // 2-row per-split base frame joins back broadcast, never shuffled
+    val p = plan("q117_train_prep")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q117 lost its prefix-sum windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a global-order window appeared in q117: $wins")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q117's split-base join lost its broadcast")
+  }
+
   test("q114: the turn-offset window is conv-partitioned, never global-order") {
     // per-conversation prefix sums are the BENIGN window shape (partition
     // key cardinality = conversations, partition size = turns) — but only
