@@ -4981,6 +4981,62 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q118: dedup-impact report — the sizing table a pipeline reads BEFORE
+  // committing to dedup scope (the q111 matrix says WHERE duplication
+  // lives; this says HOW MUCH deleting it buys): per near-dup cluster
+  // size k, how many clusters, documents, and tokens exist, and how many
+  // tokens dedup would remove (every non-canonical member's). Singleton
+  // "clusters" (docs with no near-dup) ride the same frame with
+  // removable 0, so the report TILES the corpus — Σ n_docs = |corpus|,
+  // Σ n_tok = corpus tokens — and the spec pins the tiling. 100 TB
+  // shape: q85's cluster lineage + one narrow token-count join, then two
+  // hash aggregates whose keys shrink monotonically (canonical_id →
+  // cluster_size); output ≤ max-cluster-size rows; window-free.
+  // -------------------------------------------------------------------------
+
+  val q118DedupImpact: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    q85DedupApply(s, d)
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("n_tok")).as("c_tok"),
+        sum(when(!col("kept"), col("n_tok")).otherwise(lit(0L)))
+          .as("c_removable"))
+      .groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("k")).as("n_docs"),
+        sum(col("c_tok")).as("n_tok"),
+        sum(col("c_removable")).as("n_tok_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val q118Sql =
+    s"""WITH t AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), dd AS (
+         SELECT doc_id, canonical_id, kept
+         FROM (${q85Sql.replace("\n", "\n  ")}) q85
+       ), c AS (
+         SELECT dd.canonical_id, count(*) AS k,
+                CAST(sum(t.n_tok) AS BIGINT) AS c_tok,
+                CAST(sum(CASE WHEN dd.kept THEN 0 ELSE t.n_tok END) AS BIGINT)
+                  AS c_removable
+         FROM dd JOIN t ON dd.doc_id = t.doc_id
+         GROUP BY dd.canonical_id
+       )
+       SELECT CAST(k AS BIGINT) AS cluster_size,
+              count(*) AS n_clusters,
+              CAST(sum(k) AS BIGINT) AS n_docs,
+              CAST(sum(c_tok) AS BIGINT) AS n_tok,
+              CAST(sum(c_removable) AS BIGINT) AS n_tok_removable
+       FROM c GROUP BY k ORDER BY cluster_size"""
+
+  // -------------------------------------------------------------------------
   // q113: temperature-sampled mixture weights — the PLANNING step q110
   // diagnoses after the fact: given per-source token counts, compute the
   // α-temperature sampling weights (w_s ∝ p_s^α, the multilingual/
@@ -5417,6 +5473,7 @@ object PipelineCatalog {
     "q115_packing_curve" -> q115PackingCurve,
     "q116_noise_spans" -> q116NoiseSpans,
     "q117_train_prep" -> q117TrainPrep,
+    "q118_dedup_impact" -> q118DedupImpact,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5517,6 +5574,7 @@ object PipelineCatalog {
     "q115_packing_curve" -> q115Sql,
     "q116_noise_spans" -> q116Sql,
     "q117_train_prep" -> q117Sql,
+    "q118_dedup_impact" -> q118Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -767,6 +767,51 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(restart = false))
   }
 
+  test("impact family (q118): canonical-exempt mutation flips the gate") {
+    // 24th family: removable tokens must EXCLUDE each cluster's canonical
+    // (dedup keeps one copy; its tokens are not savings). The plausible
+    // regression counts the whole cluster's mass as removable — the
+    // report still tiles, sizes and counts are untouched, the numbers
+    // merely overstate savings by one kept doc per cluster; only the
+    // per-value gate notices. The corpus has k≥2 clusters at sf0.01, so
+    // the rebuild must hash-mismatch.
+    import graft.operators.TextAnalytics
+    def build(exemptCanonical: Boolean) = {
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val pairs = Dedup.minhashNearDuplicates(docsWide(Sf01), "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"), col("is_canonical"))
+      val dd = docsWide(Sf01).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"),
+          coalesce(col("is_canonical"), lit(true)).as("kept"))
+      val perCluster = dd.join(toks, Seq("doc_id"))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("n_tok")).as("c_tok"),
+          sum(when(!col("kept"), col("n_tok")).otherwise(lit(0L)))
+            .as("c_removable"))
+      val removable =
+        if (exemptCanonical) col("c_removable")
+        // the mutant: "savings = the duplicate clusters' mass" — whole
+        // cluster counted, canonical included
+        else when(col("k") >= 2, col("c_tok")).otherwise(lit(0L))
+      perCluster
+        .groupBy(col("k").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("k")).as("n_docs"),
+          sum(col("c_tok")).as("n_tok"),
+          sum(removable).as("n_tok_removable"))
+        .orderBy(col("cluster_size"))
+    }
+    audit("q118_dedup_impact", Sf01,
+      control = build(exemptCanonical = true),
+      mutated = build(exemptCanonical = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one
