@@ -5037,6 +5037,71 @@ object PipelineCatalog {
        FROM c GROUP BY k ORDER BY cluster_size"""
 
   // -------------------------------------------------------------------------
+  // q119: deterministic per-epoch shuffle order — the last train-prep
+  // stage: every epoch must visit the corpus in a DIFFERENT pseudorandom
+  // order, and the order must be reproducible on any executor, any
+  // retry, any engine (no RNG state to checkpoint or coordinate). The
+  // shuffle key is a hash BUCKET, not the raw hash: rank by
+  // (hash60(epoch:doc) % 10^6) with doc_id breaking ties inside a
+  // bucket — ~n/10^6 docs share a bucket, plenty of shuffle granularity,
+  // and the composite packs into one long with ANALYTIC bounds, so the
+  // rank is EXACT (raw-hash ordering would be nondeterministic on a
+  // 60-bit collision, which a 10^10-doc corpus makes likely). Ranking is
+  // Curation.saltedExactRank on that key — per-epoch partitions are the
+  // hot-key shape (2 keys over the whole corpus), exactly what the
+  // range-bucketed rank exists for. 100 TB: one narrow (doc_id) scan,
+  // a 2-row epoch broadcast, the salted rank's bounded fold; no probe
+  // (bounds are analytic), no text pass at all.
+  // -------------------------------------------------------------------------
+
+  private val ShuffleBuckets = 1000000L
+  private val ShuffleEpochs = 2L
+
+  val q119EpochShuffle: Q = (s, d) => {
+    val (mn, span) = docIdBounds(s, d)
+    require(span <= Long.MaxValue / ShuffleBuckets,
+      s"doc_id span $span overflows the bucket-packed shuffle key")
+    val docs = docsWide(s, d).select(col("doc_id"))
+    val epochs = s.range(ShuffleEpochs).select(col("id").as("epoch"))
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .withColumn("shuffle_bucket",
+        pmod(TextAnalytics.hash60(
+          concat(col("epoch"), lit(":"), col("doc_id"))), lit(ShuffleBuckets)))
+      .withColumn("__shuf",
+        col("shuffle_bucket") * span + (col("doc_id") - mn))
+    graft.operators.Curation.saltedExactRank(keyed, "epoch", "__shuf",
+        rankCol = "epoch_rank",
+        orderBounds = Some((0L, ShuffleBuckets * span)))
+      .select(col("epoch"), col("doc_id"), col("shuffle_bucket"),
+        col("epoch_rank"))
+      .orderBy(col("epoch"), col("epoch_rank"))
+  }
+
+  private val q119Sql =
+    s"""WITH d AS (
+         SELECT doc_id FROM documents
+       ), b AS (
+         SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+                CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+         FROM d
+       ), e AS (
+         SELECT unnest(range(0, $ShuffleEpochs)) AS epoch
+       ), k AS (
+         SELECT e.epoch, d.doc_id,
+                CAST(CAST('0x' || substr(sha256(e.epoch || ':' || d.doc_id),
+                  1, 15) AS BIGINT) % $ShuffleBuckets AS BIGINT)
+                  AS shuffle_bucket,
+                b.mn, b.span
+         FROM d CROSS JOIN e CROSS JOIN b
+       )
+       SELECT epoch, doc_id, shuffle_bucket,
+              CAST(row_number() OVER (PARTITION BY epoch
+                ORDER BY shuffle_bucket * span + (doc_id - mn))
+                AS BIGINT) AS epoch_rank
+       FROM k
+       ORDER BY epoch, epoch_rank"""
+
+  // -------------------------------------------------------------------------
   // q113: temperature-sampled mixture weights — the PLANNING step q110
   // diagnoses after the fact: given per-source token counts, compute the
   // α-temperature sampling weights (w_s ∝ p_s^α, the multilingual/
@@ -5474,6 +5539,7 @@ object PipelineCatalog {
     "q116_noise_spans" -> q116NoiseSpans,
     "q117_train_prep" -> q117TrainPrep,
     "q118_dedup_impact" -> q118DedupImpact,
+    "q119_epoch_shuffle" -> q119EpochShuffle,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5575,6 +5641,7 @@ object PipelineCatalog {
     "q116_noise_spans" -> q116Sql,
     "q117_train_prep" -> q117Sql,
     "q118_dedup_impact" -> q118Sql,
+    "q119_epoch_shuffle" -> q119Sql,
     "q103_video_search" -> q103Sql,
   )
 }

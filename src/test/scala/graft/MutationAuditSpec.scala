@@ -812,6 +812,40 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(exemptCanonical = false))
   }
 
+  test("shuffle family (q119): epoch-blind hash mutation flips the gate") {
+    // 25th family: the epoch must be INSIDE the shuffle hash. The
+    // plausible regression hashes the doc alone (seeding once, reusing
+    // the order) — each epoch is still a valid permutation, still
+    // pseudorandom, still deterministic; the two epochs are just
+    // IDENTICAL, which silently costs the regularization epoch-varying
+    // order exists to buy. Only epoch 1's rows change, so the per-value
+    // gate flips while every per-epoch invariant survives.
+    import graft.operators.{Curation => C, TextAnalytics}
+    def build(epochInHash: Boolean) = {
+      val b = Tables(spark, Sf01, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long")).head()
+      val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val docs = docsWide(Sf01).select(col("doc_id"))
+      val epochs = spark.range(2).select(col("id").as("epoch"))
+      val hashIn =
+        if (epochInHash) concat(col("epoch"), lit(":"), col("doc_id"))
+        else concat(lit("0"), lit(":"), col("doc_id"))
+      val keyed = docs.crossJoin(broadcast(epochs))
+        .withColumn("shuffle_bucket",
+          pmod(TextAnalytics.hash60(hashIn), lit(1000000L)))
+        .withColumn("__shuf",
+          col("shuffle_bucket") * span + (col("doc_id") - mn))
+      C.saltedExactRank(keyed, "epoch", "__shuf", rankCol = "epoch_rank",
+          orderBounds = Some((0L, 1000000L * span)))
+        .select(col("epoch"), col("doc_id"), col("shuffle_bucket"),
+          col("epoch_rank"))
+        .orderBy(col("epoch"), col("epoch_rank"))
+    }
+    audit("q119_epoch_shuffle", Sf01,
+      control = build(epochInHash = true),
+      mutated = build(epochInHash = false))
+  }
+
   test("packing family (q107): prefix-frame fencepost mutation flips the gate") {
     // The classic frame off-by-one: an INCLUSIVE running sum (frame ends
     // at CURRENT ROW) as the token offset shifts every doc one

@@ -561,6 +561,17 @@ class PlanSpec extends AnyFunSuite {
       "q117's split-base join lost its broadcast")
   }
 
+  test("q119: epoch-shuffle ranks are range-bucketed — 2 epochs never pin 2 tasks") {
+    // per-epoch rank is the hot-key shape taken to the extreme (two keys
+    // over the whole corpus): every rank window must carry the __rb
+    // bucket or each epoch's entire corpus sorts in one task
+    val p = plan("q119_epoch_shuffle")
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(wins.nonEmpty, "q119 lost its rank windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a bare per-epoch window appeared in q119: $wins")
+  }
+
   test("q114: the turn-offset window is conv-partitioned, never global-order") {
     // per-conversation prefix sums are the BENIGN window shape (partition
     // key cardinality = conversations, partition size = turns) — but only
