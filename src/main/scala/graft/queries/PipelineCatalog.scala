@@ -5129,6 +5129,10 @@ object PipelineCatalog {
         size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+      // a zero-token source cannot be sampled — and dividing by its
+      // n_tok would make `epochs` 0/0, where Spark says NaN and DuckDB
+      // disagrees; exclude it from the blend in BOTH engines
+      .filter(col("n_tok") > 0)
     val tot = st.agg(sum(col("n_tok")).cast("double").as("total_tok"),
       sum(pow(col("n_tok").cast("double"), MixAlpha)).as("z"))
     st.crossJoin(broadcast(tot))
@@ -5154,6 +5158,7 @@ object PipelineCatalog {
        ), s AS (
          SELECT source, COUNT(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tok
          FROM t GROUP BY source
+         HAVING sum(n_tok) > 0
        ), tot AS (
          SELECT CAST(sum(n_tok) AS DOUBLE) AS total_tok,
                 sum(power(CAST(n_tok AS DOUBLE), $MixAlpha)) AS z
