@@ -5461,6 +5461,112 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q120: BPE merge induction — the tokenizer-TRAINING step the corpus
+  // profile (q56) and token counting (TextAnalytics.tokens) feed. Classic
+  // byte-pair encoding: start from characters, repeatedly merge the
+  // globally most-frequent adjacent symbol pair. The distributed shape is
+  // the one production trainers use (HF tokenizers / SentencePiece train
+  // on WORD COUNTS, not the raw stream): ONE corpus scan builds the
+  // distinct-word frequency table (Heaps-law bounded, orders of magnitude
+  // smaller than a 100 TB corpus; localCheckpoint materializes it once,
+  // the same iterative-algorithm pattern as the CC label-propagation
+  // loops), then every merge round runs over that table only — a
+  // partial-aggregated pair count (shuffle ≤ distinct pairs), a 1-row
+  // deterministic argmax (count DESC, pair ASC), and a broadcast
+  // merge-application. No driver-side loop over data: each round's winner
+  // is a checkpointed 1-row frame crossJoined back in.
+  //
+  // Symbolizations are engine-portable strings — each symbol wrapped in
+  // single spaces (" a  b  c "), so applying merge (A,B) is a plain
+  // left-to-right `replace(" A  B " -> " AB ")`, which reproduces BPE's
+  // greedy leftmost-non-overlapping semantics in Spark codegen AND the
+  // DuckDB oracle byte-for-byte (both engines' replace() scan
+  // left-to-right over non-overlapping occurrences). The alphabet is the
+  // lowercased ^[a-z]+$ word slice, so no engine-divergent unicode enters
+  // the symbol space (real trainers operate on bytes for the same
+  // reason). The oracle unrolls all rounds as CTEs, so every round's
+  // argmax transitively verifies the application of every prior merge.
+  // -------------------------------------------------------------------------
+
+  private val BpeMerges = 6
+
+  val q120BpeMerges: Q = (s, d) => {
+    val w0 = docsWide(s, d)
+      .select(explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+      .localCheckpoint()
+    val noPairs = array().cast("array<struct<lhs:string,rhs:string>>")
+    var w = w0
+    val merges = (1 to BpeMerges).map { i =>
+      val syms = split(trim(col("r")), "  ")
+      val pairs = w.select(col("freq"),
+          explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1), j =>
+              struct(element_at(syms, j).as("lhs"),
+                element_at(syms, j + 1).as("rhs"))))
+            .otherwise(noPairs)).as("p"))
+        .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      val best = pairs.groupBy(col("lhs"), col("rhs"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .localCheckpoint() // 1 row; cuts the cross-round recompute chain
+      w = w.crossJoin(broadcast(
+          best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+        .withColumn("r", replace(col("r"),
+          concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .drop("__l", "__r")
+      best.select(lit(i.toLong).as("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    }
+    merges.reduce(_ union _).orderBy(col("merge_rank"))
+  }
+
+  /** Full unrolled replay: round i extracts adjacent pairs from w{i-1}'s
+    * symbolizations, takes the same deterministic argmax, and applies the
+    * same wrapped-string replace — so a drift in ANY round's counting,
+    * tie-break, or application moves a later round's winner and fails the
+    * hash.
+    */
+  private val q120Sql = {
+    val rounds = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         SELECT w.freq, w.syms[j] AS lhs, w.syms[j + 1] AS rhs
+         FROM (SELECT freq, string_split(trim(r), '  ') AS syms FROM w${i - 1}) w,
+              unnest(range(1, greatest(len(w.syms), 1))) AS u(j)
+       ), b$i AS (
+         SELECT lhs, rhs, sum(freq) AS pair_count
+         FROM p$i GROUP BY lhs, rhs
+         ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+       ), w$i AS (
+         SELECT w.freq,
+                replace(w.r, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS r
+         FROM w${i - 1} w, b$i b
+       )"""
+    }.mkString(", ")
+    val out = (1 to BpeMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs,
+              lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count
+         FROM b$i"""
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+         SELECT lower(t) AS word
+         FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+               FROM documents)
+         WHERE regexp_matches(lower(t), '^[a-z]+$$')
+       ), w0 AS (
+         SELECT CAST(count(*) AS BIGINT) AS freq,
+                regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
+         FROM toks GROUP BY word
+       ), $rounds
+       $out ORDER BY merge_rank"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -5545,6 +5651,7 @@ object PipelineCatalog {
     "q117_train_prep" -> q117TrainPrep,
     "q118_dedup_impact" -> q118DedupImpact,
     "q119_epoch_shuffle" -> q119EpochShuffle,
+    "q120_bpe_merges" -> q120BpeMerges,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5647,6 +5754,7 @@ object PipelineCatalog {
     "q117_train_prep" -> q117Sql,
     "q118_dedup_impact" -> q118Sql,
     "q119_epoch_shuffle" -> q119Sql,
+    "q120_bpe_merges" -> q120Sql,
     "q103_video_search" -> q103Sql,
   )
 }
