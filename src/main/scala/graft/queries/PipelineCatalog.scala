@@ -5567,6 +5567,115 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q121: ANN recall evaluation — "measure, don't guess" for the serving
+  // indexes. Before trusting an IVF layout at a given probe budget, a
+  // production deployment measures recall@k against exact search on a
+  // QUERY SAMPLE; this query is that harness: for each sampled query and
+  // each nProbe in {1,2,4,8}, recall@10 of the IVF result against the
+  // exact top-10 (computed by probing ALL cells — the same kernel, zero
+  // probe pruning, so ground truth and candidate share every arithmetic
+  // choice and tie-break). 100 TB shape: the probe sets broadcast (5
+  // queries x <=16 cells), each ANN arm scans only its probed partitions,
+  // and the exact arm — the expensive leg — runs over a bounded query
+  // SAMPLE by design (that is how recall is estimated in practice; it is
+  // an eval, not a serving path). The left join from the (nprobe x query)
+  // grid keeps zero-recall cells visible instead of silently dropping
+  // them. NOTE: near-uniform random test vectors are the documented
+  // worst case for cell pruning (recall ~= scan fraction, see q27); the
+  // harness is exactly what surfaces that.
+  // -------------------------------------------------------------------------
+
+  private val RecallProbes = Seq(1, 2, 4, 8)
+  private val RecallK = 10
+
+  val q121AnnRecall: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val store = graft.sources.VectorStore.ensure(
+      s, emb.filter(col("vec_id") =!= 0), "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val exact = Similarity.ivfBatchTopK(store.vectors, "embedding",
+        store.centroids, queries, RecallK, nProbe = store.centroids.length)
+      .select(col("query_id"), col("vec_id"))
+    val approx = RecallProbes.map { p =>
+      Similarity.ivfBatchTopK(store.vectors, "embedding",
+          store.centroids, queries, RecallK, nProbe = p)
+        .select(lit(p).as("nprobe"), col("query_id"), col("vec_id"))
+    }.reduce(_ union _)
+    val hits = approx.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val grid = queries.select(col("query_id"))
+      .crossJoin(s.createDataFrame(RecallProbes.map(Tuple1(_))).toDF("nprobe"))
+    grid.join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        rnd(coalesce(col("n_hit"), lit(0L)) / lit(RecallK.toDouble), 6)
+          .as("recall"))
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
+  /** Centroid-literal replay (same machinery as [[q62Sql]]): per-query
+    * probe RANKS once, then every nProbe tier filters that rank — so the
+    * oracle's ground truth (all cells) and candidates (tiered) share the
+    * assignment arithmetic exactly like the engine's arms do.
+    */
+  private def q121Sql(cs: Array[Array[Double]]): String = {
+    val cn2 = graft.functions.VectorFunctions.centroidNorm2(cs)
+    val dExprs = cs.indices.map { i =>
+      val cl = cs(i).map(_.toString).mkString("[", ",", "]")
+      s"(1.0 + ${cn2(i)} - 2.0*list_inner_product(nv, $cl::DOUBLE[]))"
+    }.mkString("[", ", ", "]")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), dd AS (
+         SELECT vec_id, label, v, $dExprs AS ds FROM n
+       ), a AS (
+         SELECT vec_id, v, list_position(ds, list_min(ds)) - 1 AS cell
+         FROM dd WHERE vec_id <> 0
+       ), q AS (
+         SELECT vec_id AS query_id, v AS qv, ds FROM dd WHERE vec_id < 5
+       ), pr AS (
+         SELECT query_id, qv, i AS cell,
+                row_number() OVER (PARTITION BY query_id ORDER BY dd, i) AS prank
+         FROM (SELECT query_id, qv, unnest(range(${cs.length})) AS i,
+                      unnest(ds) AS dd FROM q)
+       ), ps AS (
+         SELECT unnest([${RecallProbes.mkString(", ")}]) AS nprobe
+       ), ann AS (
+         SELECT ps.nprobe, p.query_id, a.vec_id,
+                row_number() OVER (PARTITION BY ps.nprobe, p.query_id
+                  ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rnk
+         FROM a JOIN pr p USING (cell) CROSS JOIN ps
+         WHERE p.prank <= ps.nprobe
+       ), ex AS (
+         SELECT p.query_id, a.vec_id,
+                row_number() OVER (PARTITION BY p.query_id
+                  ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rnk
+         FROM a JOIN pr p USING (cell)
+       ), hits AS (
+         SELECT ann.nprobe, ann.query_id, count(*) AS n_hit
+         FROM ann JOIN ex ON ann.query_id = ex.query_id AND ann.vec_id = ex.vec_id
+         WHERE ann.rnk <= $RecallK AND ex.rnk <= $RecallK
+         GROUP BY 1, 2
+       )
+       SELECT ps.nprobe, g.query_id,
+              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              floor(coalesce(h.n_hit, 0) / ${RecallK.toDouble} * 1000000 + 0.5)
+                / 1000000.0 AS recall
+       FROM (SELECT query_id FROM q) g CROSS JOIN ps
+       LEFT JOIN hits h ON h.nprobe = ps.nprobe AND h.query_id = g.query_id
+       ORDER BY ps.nprobe, g.query_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -5652,6 +5761,7 @@ object PipelineCatalog {
     "q118_dedup_impact" -> q118DedupImpact,
     "q119_epoch_shuffle" -> q119EpochShuffle,
     "q120_bpe_merges" -> q120BpeMerges,
+    "q121_ann_recall" -> q121AnnRecall,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5664,6 +5774,7 @@ object PipelineCatalog {
     lastQcWeights.map(w => "q67_quality_classifier" -> q67Sql(w)) ++
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
     lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
+    lastIvfCentroids.map(cs => "q121_ann_recall" -> q121Sql(cs)) ++
     lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs)) ++
     lastPqCodebooks.map(cbs => "q73_batch_pq" -> q73Sql(cbs)) ++
     (for { cs <- lastIvfCentroids; cbs <- lastPqCodebooks }
