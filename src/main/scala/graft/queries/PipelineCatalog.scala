@@ -209,7 +209,10 @@ object PipelineCatalog {
         numHashes = 32, bands = 8, threshold = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
-  private val q19Sql = {
+  /** The q19 replay's WITH-chain, ending in `prs(a_id, b_id, inter,
+    * jaccard)` — shared by q19's pair listing and q122's threshold sweep.
+    */
+  private val minhashPrsCte = {
     import graft.functions.BandMinhash
     val numHashes = 32
     val bands = 8
@@ -249,15 +252,19 @@ object PipelineCatalog {
          JOIN sh sa ON sa.doc_id = c.a_id
          JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
          GROUP BY c.a_id, c.b_id
-       )
-       SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
-              floor((CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
-       FROM inter i
-       JOIN sizes sa ON sa.doc_id = i.a_id
-       JOIN sizes sb ON sb.doc_id = i.b_id
-       WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
-       ORDER BY a_id, b_id"""
+       ), prs AS (
+         SELECT i.a_id, i.b_id, CAST(i.inter AS BIGINT) AS inter,
+                floor((CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter)) * 1000000 + 0.5) / 1000000.0 AS jaccard
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.a_id
+         JOIN sizes sb ON sb.doc_id = i.b_id
+         WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+       )"""
   }
+
+  private val q19Sql =
+    s"""$minhashPrsCte
+       SELECT a_id, b_id, inter, jaccard FROM prs ORDER BY a_id, b_id"""
 
   // -------------------------------------------------------------------------
   // q20: SimHash fingerprints
@@ -5676,6 +5683,102 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q122: dedup threshold sensitivity — the ablation a pipeline runs
+  // BEFORE committing to a near-dup cutoff (the FineWeb/RefinedWeb-style
+  // threshold study): one LSH candidate pass (the q19 kernel at the
+  // band family's design floor 0.5), then every candidate threshold is a
+  // FILTER over the verified pair list — the sweep costs one broadcast
+  // of 5 thresholds, not 5 dedup runs. Per threshold: surviving pairs,
+  // docs touched, docs dropped, and the token savings those drops buy.
+  // "Dropped" uses the one-pass greedy estimator — doc b is dropped iff
+  // some DIRECT pair partner a < b has J >= t — deliberately NOT the
+  // q75/q85 connected-component keeper (which would need a CC run per
+  // threshold): on a transitive chain the estimator can keep a doc CC
+  // would drop, so it is a savings LOWER bound, the cheap-but-sound
+  // direction for a sizing study (QueriesSpec pins the direction against
+  // q85's canonical drops at 0.5). 100 TB: the pair list is << corpus, so
+  // every aggregate here is over pairs; the only corpus touch is the
+  // pruned (doc_id, text) token-count scan semi-joined down to dropped
+  // ids (broadcast — dropped docs are pair-bounded).
+  // -------------------------------------------------------------------------
+
+  // Grid top-weighted on purpose: the synthetic dup classes are small
+  // edits (every sf0.01 pair sits at J >= 0.9), so uniform 0.5–0.9 steps
+  // would measure a flat curve; 0.9/0.95/0.98 is where this corpus's
+  // decision actually lives.
+  private val DedupTaus = Seq(0.5, 0.7, 0.9, 0.95, 0.98)
+
+  val q122ThresholdCurve: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val taus = s.createDataFrame(DedupTaus.map(Tuple1(_))).toDF("threshold")
+    val tp = pairs.crossJoin(broadcast(taus))
+      .filter(col("jaccard") >= col("threshold"))
+    val nPairs = tp.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tp
+      .select(col("threshold"),
+        explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+    val dropped = tp.select(col("threshold"), col("b_id")).distinct()
+    val docTok = docs.select(col("doc_id").as("b_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val savings = docTok.join(broadcast(dropped), Seq("b_id"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_dropped"), sum(col("n_tok")).as("tok_saved"))
+    taus
+      .join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .join(savings, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("tok_saved"), lit(0L)).as("tok_saved"))
+      .orderBy(col("threshold"))
+  }
+
+  private val q122Sql =
+    s"""$minhashPrsCte
+       , taus AS (
+         SELECT CAST(unnest([${DedupTaus.mkString(", ")}]) AS DOUBLE) AS threshold
+       ), tp AS (
+         SELECT t.threshold, p.a_id, p.b_id
+         FROM prs p JOIN taus t ON p.jaccard >= t.threshold
+       ), np AS (
+         SELECT threshold, count(*) AS n_pairs FROM tp GROUP BY 1
+       ), ndc AS (
+         SELECT threshold, count(*) AS n_docs
+         FROM (SELECT DISTINCT threshold, id
+               FROM (SELECT threshold, unnest([a_id, b_id]) AS id FROM tp))
+         GROUP BY 1
+       ), dr AS (
+         SELECT DISTINCT threshold, b_id FROM tp
+       ), tk AS (
+         SELECT doc_id,
+                len(list_filter(regexp_split_to_array(text, '\\s+'),
+                    t -> t <> '')) AS n_tok
+         FROM documents
+       ), sv AS (
+         SELECT dr.threshold, count(*) AS n_dropped,
+                sum(tk.n_tok) AS tok_saved
+         FROM dr JOIN tk ON tk.doc_id = dr.b_id GROUP BY 1
+       )
+       SELECT t.threshold,
+              CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(ndc.n_docs, 0) AS BIGINT) AS n_docs,
+              CAST(coalesce(sv.n_dropped, 0) AS BIGINT) AS n_dropped,
+              CAST(coalesce(sv.tok_saved, 0) AS BIGINT) AS tok_saved
+       FROM taus t
+       LEFT JOIN np ON np.threshold = t.threshold
+       LEFT JOIN ndc ON ndc.threshold = t.threshold
+       LEFT JOIN sv ON sv.threshold = t.threshold
+       ORDER BY t.threshold"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -5762,6 +5865,7 @@ object PipelineCatalog {
     "q119_epoch_shuffle" -> q119EpochShuffle,
     "q120_bpe_merges" -> q120BpeMerges,
     "q121_ann_recall" -> q121AnnRecall,
+    "q122_threshold_curve" -> q122ThresholdCurve,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5866,6 +5970,7 @@ object PipelineCatalog {
     "q118_dedup_impact" -> q118Sql,
     "q119_epoch_shuffle" -> q119Sql,
     "q120_bpe_merges" -> q120Sql,
+    "q122_threshold_curve" -> q122Sql,
     "q103_video_search" -> q103Sql,
   )
 }
