@@ -5779,6 +5779,99 @@ object PipelineCatalog {
        ORDER BY t.threshold"""
 
   // -------------------------------------------------------------------------
+  // q123: per-benchmark-item contamination attribution — the report that
+  // turns q57's per-DOC flags into the question an eval owner actually
+  // asks: WHICH benchmark items are compromised, how badly, and which
+  // corpus source is leaking them (the q111 attribution direction, applied
+  // to decontamination). Same 8-gram basis and benchmark extracts as q57,
+  // but the corpus side EXCLUDES the extract donors (doc_id >= 35): an
+  // item's footprint counts independent corpus hits, not its own donor.
+  // Zero-contamination items stay visible via the left join from the
+  // item list (their top_source is NULL). 100 TB: the benchmark shingle
+  // set broadcasts (eval suites are tiny); everything after the
+  // broadcast-semi-join is hit-bounded — the per-source window ranks a
+  // table of at most items x sources rows.
+  // -------------------------------------------------------------------------
+
+  val q123ContamAttribution: Q = (s, d) => {
+    import graft.operators.WordShingles
+    val docs = docsWide(s, d)
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(col("doc_id").as("bench_id"),
+        explode(WordShingles.wordShingles(
+          substring(col("text"), 21, 120), 8)).as("shingle"))
+    val corpus = docs.filter(col("doc_id") >= 35)
+      .select(col("doc_id"), col("source"),
+        explode(WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+    val hits = corpus.join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("bench_id"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+    val perItem = hits.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_shared")).as("n_hits"))
+    val w = Window.partitionBy(col("bench_id"))
+      .orderBy(col("n_docs_src").desc, col("source"))
+    val top = hits.groupBy(col("bench_id"), col("source"))
+      .agg(count(lit(1)).as("n_docs_src"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bench_id"), col("source").as("top_source"),
+        col("n_docs_src").as("top_source_docs"))
+    docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(col("doc_id").as("bench_id"))
+      .join(perItem, Seq("bench_id"), "left")
+      .join(top, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("top_source"),
+        coalesce(col("top_source_docs"), lit(0L)).as("top_source_docs"))
+      .orderBy(col("bench_id"))
+  }
+
+  private val q123Sql = {
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    s"""WITH bw AS (
+         SELECT doc_id AS bench_id, string_split(trim(substr(text, 21, 120)), ' ') AS w
+         FROM documents WHERE doc_id >= 25 AND doc_id < 35
+       ), bs AS (
+         SELECT DISTINCT bench_id, shingle
+         FROM bw, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), cw AS (
+         SELECT doc_id, source, string_split(trim(text), ' ') AS w
+         FROM documents WHERE doc_id >= 35
+       ), cs AS (
+         SELECT DISTINCT doc_id, source, shingle
+         FROM cw, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), h AS (
+         SELECT b.bench_id, c.doc_id, c.source, count(*) AS n_shared
+         FROM cs c JOIN bs b USING (shingle)
+         GROUP BY 1, 2, 3
+       ), pb AS (
+         SELECT bench_id, count(*) AS n_docs, sum(n_shared) AS n_hits
+         FROM h GROUP BY 1
+       ), srcs AS (
+         SELECT bench_id, source, count(*) AS nds FROM h GROUP BY 1, 2
+       ), top AS (
+         SELECT bench_id, source AS top_source, nds AS top_source_docs
+         FROM srcs
+         QUALIFY row_number() OVER (PARTITION BY bench_id
+           ORDER BY nds DESC, source) = 1
+       )
+       SELECT b.bench_id,
+              CAST(coalesce(pb.n_docs, 0) AS BIGINT) AS n_docs,
+              CAST(coalesce(pb.n_hits, 0) AS BIGINT) AS n_hits,
+              top.top_source,
+              CAST(coalesce(top.top_source_docs, 0) AS BIGINT) AS top_source_docs
+       FROM (SELECT doc_id AS bench_id FROM documents
+             WHERE doc_id >= 25 AND doc_id < 35) b
+       LEFT JOIN pb USING (bench_id)
+       LEFT JOIN top USING (bench_id)
+       ORDER BY bench_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -5866,6 +5959,7 @@ object PipelineCatalog {
     "q120_bpe_merges" -> q120BpeMerges,
     "q121_ann_recall" -> q121AnnRecall,
     "q122_threshold_curve" -> q122ThresholdCurve,
+    "q123_contam_attribution" -> q123ContamAttribution,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -5971,6 +6065,7 @@ object PipelineCatalog {
     "q119_epoch_shuffle" -> q119Sql,
     "q120_bpe_merges" -> q120Sql,
     "q122_threshold_curve" -> q122Sql,
+    "q123_contam_attribution" -> q123Sql,
     "q103_video_search" -> q103Sql,
   )
 }
