@@ -5497,7 +5497,13 @@ object PipelineCatalog {
 
   private val BpeMerges = 6
 
-  val q120BpeMerges: Q = (s, d) => {
+  /** The shared BPE induction: the checkpointed word-count table in its
+    * initial symbolization (ws(0)) plus, per round i, the 1-row winning
+    * merge (bests(i-1)) and the post-merge symbolizations (ws(i)). q120
+    * reports the merges; q124 measures what they buy.
+    */
+  private def bpeChain(s: SparkSession, d: String)
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
     val w0 = docsWide(s, d)
       .select(explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
@@ -5505,8 +5511,10 @@ object PipelineCatalog {
       .select(col("freq"), regexp_replace(col("word"), "(.)", " $1 ").as("r"))
       .localCheckpoint()
     val noPairs = array().cast("array<struct<lhs:string,rhs:string>>")
-    var w = w0
-    val merges = (1 to BpeMerges).map { i =>
+    val ws = scala.collection.mutable.ArrayBuffer(w0)
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to BpeMerges).foreach { _ =>
+      val w = ws.last
       val syms = split(trim(col("r")), "  ")
       val pairs = w.select(col("freq"),
           explode(when(size(syms) >= 2,
@@ -5520,16 +5528,23 @@ object PipelineCatalog {
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
         .limit(1)
         .localCheckpoint() // 1 row; cuts the cross-round recompute chain
-      w = w.crossJoin(broadcast(
+      bests += best
+      ws += w.crossJoin(broadcast(
           best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
         .withColumn("r", replace(col("r"),
           concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
           concat(lit(" "), col("__l"), col("__r"), lit(" "))))
         .drop("__l", "__r")
-      best.select(lit(i.toLong).as("merge_rank"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
     }
-    merges.reduce(_ union _).orderBy(col("merge_rank"))
+    (ws.toIndexedSeq, bests.toIndexedSeq)
+  }
+
+  val q120BpeMerges: Q = (s, d) => {
+    val (_, bests) = bpeChain(s, d)
+    bests.zipWithIndex.map { case (best, i0) =>
+      best.select(lit((i0 + 1).toLong).as("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    }.reduce(_ union _).orderBy(col("merge_rank"))
   }
 
   /** Full unrolled replay: round i extracts adjacent pairs from w{i-1}'s
@@ -5538,7 +5553,12 @@ object PipelineCatalog {
     * tie-break, or application moves a later round's winner and fails the
     * hash.
     */
-  private val q120Sql = {
+  /** The q120 replay's WITH-chain — w0 (word counts, char-wrapped
+    * symbolizations) and per round i: pairs p_i, 1-row argmax b_i,
+    * post-merge w_i. Shared by q120's merge listing and q124's fertility
+    * curve.
+    */
+  private val q120CteChain = {
     val rounds = (1 to BpeMerges).map { i =>
       s"""p$i AS (
          SELECT w.freq, w.syms[j] AS lhs, w.syms[j + 1] AS rhs
@@ -5555,11 +5575,6 @@ object PipelineCatalog {
          FROM w${i - 1} w, b$i b
        )"""
     }.mkString(", ")
-    val out = (1 to BpeMerges).map { i =>
-      s"""SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs,
-              lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count
-         FROM b$i"""
-    }.mkString(" UNION ALL ")
     s"""WITH toks AS (
          SELECT lower(t) AS word
          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
@@ -5569,7 +5584,16 @@ object PipelineCatalog {
          SELECT CAST(count(*) AS BIGINT) AS freq,
                 regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
          FROM toks GROUP BY word
-       ), $rounds
+       ), $rounds"""
+  }
+
+  private val q120Sql = {
+    val out = (1 to BpeMerges).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs,
+              lhs || rhs AS merged, CAST(pair_count AS BIGINT) AS pair_count
+         FROM b$i"""
+    }.mkString(" UNION ALL ")
+    s"""$q120CteChain
        $out ORDER BY merge_rank"""
   }
 
@@ -5872,6 +5896,51 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q124: tokenizer fertility curve — what each BPE merge actually BUYS,
+  // measured on the corpus the tokenizer was induced from (the standard
+  // tokenizer-eval axis: symbols per unit text, a.k.a. fertility /
+  // compression). For every merge depth r in 0..BpeMerges: total corpus
+  // symbol count (sum over the word table of freq x symbols-after-r-
+  // merges), total characters, and the chars-per-symbol compression
+  // ratio. The character total is recomputed FROM EACH ROUND'S
+  // symbolization, so the oracle's per-depth row also proves every merge
+  // application is character-preserving — a corrupted replace would move
+  // total_chars, not just total_symbols. Same cost shape as q120: all
+  // depths are 1-row aggregates over the checkpointed word table (the
+  // corpus text is scanned once, by the table build).
+  // -------------------------------------------------------------------------
+
+  val q124FertilityCurve: Q = (s, d) => {
+    val (ws, _) = bpeChain(s, d)
+    ws.zipWithIndex.map { case (w, r) =>
+      w.agg(
+          sum(col("freq") * size(split(trim(col("r")), "  ")))
+            .as("total_symbols"),
+          sum(col("freq") * length(replace(col("r"), lit(" "), lit(""))))
+            .as("total_chars"))
+        .select(lit(r.toLong).as("merge_depth"),
+          col("total_symbols"), col("total_chars"),
+          rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
+            .as("chars_per_symbol"))
+    }.reduce(_ union _).orderBy(col("merge_depth"))
+  }
+
+  private val q124Sql = {
+    val rows = (0 to BpeMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_depth,
+              CAST(sum(freq * len(string_split(trim(r), '  '))) AS BIGINT) AS total_symbols,
+              CAST(sum(freq * length(replace(r, ' ', ''))) AS BIGINT) AS total_chars
+         FROM w$r"""
+    }.mkString(" UNION ALL ")
+    s"""${q120CteChain}
+       SELECT merge_depth, total_symbols, total_chars,
+              floor(CAST(total_chars AS DOUBLE) / total_symbols * 1000000 + 0.5)
+                / 1000000.0 AS chars_per_symbol
+       FROM ($rows)
+       ORDER BY merge_depth"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -5960,6 +6029,7 @@ object PipelineCatalog {
     "q121_ann_recall" -> q121AnnRecall,
     "q122_threshold_curve" -> q122ThresholdCurve,
     "q123_contam_attribution" -> q123ContamAttribution,
+    "q124_fertility_curve" -> q124FertilityCurve,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6066,6 +6136,7 @@ object PipelineCatalog {
     "q120_bpe_merges" -> q120Sql,
     "q122_threshold_curve" -> q122Sql,
     "q123_contam_attribution" -> q123Sql,
+    "q124_fertility_curve" -> q124Sql,
     "q103_video_search" -> q103Sql,
   )
 }
