@@ -5941,6 +5941,92 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q125: decontamination n-gram-length ablation — the parameter study
+  // behind q57's fixed n=8 (the published pipelines disagree: GPT-3 used
+  // 13-grams, FineWeb 10, some eval suites 8; too short over-flags common
+  // phrasing, too long misses paraphrase-adjacent leaks). For each n in
+  // {4, 6, 8, 12}: how many corpus docs the benchmark check would flag
+  // and how many distinct-shingle hits they carry. ONE corpus pass
+  // computes all four shingle families (per-n transforms fused into a
+  // single flatten+explode over the same token scan — at 100 TB you do
+  // not re-scan per parameter); the benchmark side stays a broadcast.
+  // Population and window match q57 exactly, so the n=8 row must equal
+  // q57's totals — a cross-query invariant QueriesSpec pins. Containment
+  // (a 12-gram match implies 8/6/4-gram matches) makes n_docs
+  // non-increasing in n.
+  // -------------------------------------------------------------------------
+
+  private val DecontamNs = Seq(4, 6, 8, 12)
+
+  val q125DecontamAblation: Q = (s, d) => {
+    import graft.operators.WordShingles
+    val docs = docsWide(s, d)
+    def fused(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      flatten(array(DecontamNs.map { n =>
+        transform(WordShingles.wordShingles(text, n), sh =>
+          struct(lit(n).as("ngram_n"), sh.as("shingle")))
+      }: _*))
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(explode(fused(substring(col("text"), 21, 120))).as("g"))
+      .select(col("g.ngram_n").as("ngram_n"), col("g.shingle").as("shingle"))
+      .distinct()
+    val hits = docs.filter(col("doc_id") >= 25)
+      .select(col("doc_id"), explode(fused(col("text"))).as("g"))
+      .select(col("doc_id"), col("g.ngram_n").as("ngram_n"),
+        col("g.shingle").as("shingle"))
+      .join(broadcast(bench), Seq("ngram_n", "shingle"))
+      .groupBy(col("ngram_n"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    s.createDataFrame(DecontamNs.map(Tuple1(_))).toDF("ngram_n")
+      .join(hits.groupBy(col("ngram_n"))
+          .agg(count(lit(1)).as("n_docs_flagged"),
+            sum(col("n_shared")).as("total_hits")),
+        Seq("ngram_n"), "left")
+      .select(col("ngram_n"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+        coalesce(col("total_hits"), lit(0L)).as("total_hits"))
+      .orderBy(col("ngram_n"))
+  }
+
+  private val q125Sql = {
+    def gN(n: Int) = (0 until n).map(k => s"w[i+$k]").mkString("||' '||")
+    val blocks = DecontamNs.map { n =>
+      s"""(SELECT $n AS ngram_n, doc_id, shingle
+          FROM cw, unnest(list_transform(range(1, greatest(len(w) - ${n - 2}, 1)),
+               i -> ${gN(n)})) AS u(shingle))"""
+    }.mkString(" UNION ALL ")
+    val bblocks = DecontamNs.map { n =>
+      s"""(SELECT $n AS ngram_n, shingle
+          FROM bw, unnest(list_transform(range(1, greatest(len(w) - ${n - 2}, 1)),
+               i -> ${gN(n)})) AS u(shingle))"""
+    }.mkString(" UNION ALL ")
+    s"""WITH cw AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w
+         FROM documents WHERE doc_id >= 25
+       ), bw AS (
+         SELECT string_split(trim(substr(text, 21, 120)), ' ') AS w
+         FROM documents WHERE doc_id >= 25 AND doc_id < 35
+       ), cs AS (
+         SELECT DISTINCT ngram_n, doc_id, shingle FROM ($blocks)
+       ), bs AS (
+         SELECT DISTINCT ngram_n, shingle FROM ($bblocks)
+       ), h AS (
+         SELECT c.ngram_n, c.doc_id, count(*) AS n_shared
+         FROM cs c JOIN bs b ON b.ngram_n = c.ngram_n AND b.shingle = c.shingle
+         GROUP BY 1, 2
+       ), agg AS (
+         SELECT ngram_n, count(*) AS n_docs_flagged, sum(n_shared) AS total_hits
+         FROM h GROUP BY 1
+       )
+       SELECT n.ngram_n,
+              CAST(coalesce(a.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+              CAST(coalesce(a.total_hits, 0) AS BIGINT) AS total_hits
+       FROM (SELECT unnest([${DecontamNs.mkString(", ")}]) AS ngram_n) n
+       LEFT JOIN agg a USING (ngram_n)
+       ORDER BY n.ngram_n"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -6030,6 +6116,7 @@ object PipelineCatalog {
     "q122_threshold_curve" -> q122ThresholdCurve,
     "q123_contam_attribution" -> q123ContamAttribution,
     "q124_fertility_curve" -> q124FertilityCurve,
+    "q125_decontam_ablation" -> q125DecontamAblation,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6137,6 +6224,7 @@ object PipelineCatalog {
     "q122_threshold_curve" -> q122Sql,
     "q123_contam_attribution" -> q123Sql,
     "q124_fertility_curve" -> q124Sql,
+    "q125_decontam_ablation" -> q125Sql,
     "q103_video_search" -> q103Sql,
   )
 }
