@@ -784,4 +784,81 @@ class PlanSpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).size == 1,
       "expected exactly the one per-video roll-up exchange")
   }
+
+  /** Scan-schema helper: every documents ReadSchema in the plan must stay
+    * within `allowed` — a widened scan means a pruning regression.
+    */
+  private def assertScansWithin(p: String, q: String, allowed: Set[String]): Unit = {
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toList
+    assert(schemas.nonEmpty, s"no parquet scan in $q's plan")
+    schemas.foreach { sc =>
+      val cols = sc.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(allowed),
+        s"$q scan reads more than $allowed: $sc")
+    }
+  }
+
+  test("q120/q124: BPE merge application joins broadcast; training scan reads text only") {
+    // The shipped plan roots at the checkpointed word table (the
+    // iterative-trainer pattern), so the corpus scan is asserted on the
+    // training lineage itself: word counts must read ONLY text.
+    val words = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextAnalytics.tokens(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")))).as("word"))
+      .groupBy("word").count()
+    assertScansWithin(words.queryExecution.executedPlan.toString,
+      "q120-training", Set("text"))
+    // and the served plans must never degrade the 1-row merge joins
+    for (q <- Seq("q120_bpe_merges", "q124_fertility_curve")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q merge application degraded to a cartesian product")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q grew a sort-merge join on 1-row merge frames")
+    }
+  }
+
+  test("q121: recall harness broadcasts probe sets and prunes the store") {
+    val p = plan("q121_ann_recall")
+    assert(p.contains("BroadcastHashJoin"), "probe frames not broadcast")
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+      "cell joins do not dynamically prune store partitions")
+  }
+
+  test("q122: threshold sweep is one pair pass — taus and dropped ids broadcast") {
+    val p = plan("q122_threshold_curve")
+    // 5 thresholds broadcast over the verified pair list; the dropped-id
+    // semi-structure broadcasts into the pruned token-count scan — a
+    // shuffle on either would exchange corpus-scale bytes for a 5-row axis
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "tau axis not broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+      "dropped ids not broadcast into the token scan")
+    assertScansWithin(p, "q122", Set("doc_id", "text"))
+  }
+
+  test("q123: benchmark shingles broadcast; attribution windows stay hit-bounded") {
+    val p = plan("q123_contam_attribution")
+    assert(p.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assertScansWithin(p, "q123", Set("doc_id", "source", "text"))
+    // the top-source window ranks the per-(item, source) aggregate — its
+    // input must sit ABOVE an aggregate, never directly on a scan
+    val win = p.indexOf("windowspecdefinition")
+    assert(win >= 0, "q123 lost its top-source ranking window")
+    assert(p.substring(win).contains("HashAggregate") ||
+      p.take(win).contains("HashAggregate"),
+      "top-source window no longer rides the hit-bounded aggregate")
+  }
+
+  test("q125: all n-gram families fuse into TWO document scans") {
+    val p = plan("q125_decontam_ablation")
+    val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).size
+    assert(scans == 2,
+      s"q125 expected exactly 2 document scans (corpus + benchmark), got $scans")
+    assert(p.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assert(!p.contains("SortMergeJoin"), "q125 degraded to sort-merge")
+  }
 }
