@@ -877,4 +877,263 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(inclusive = false),
       mutated = build(inclusive = true))
   }
+
+  /** Shared rebuild of the q120/q124 BPE induction with two mutation
+    * knobs: `weighted` (pair counts weighted by word frequency — the
+    * shipped token-frequency semantics — vs the plausible type-frequency
+    * confusion) and `doubleSep` (symbols split on the two-space separator
+    * vs the single-space miscount that sees phantom empty symbols).
+    */
+  private def bpeRebuild(sfDir: String, weighted: Boolean, doubleSep: Boolean)
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
+    import graft.operators.TextAnalytics
+    val w0 = docsWide(sfDir)
+      .select(explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+      .localCheckpoint()
+    val noPairs = array().cast("array<struct<lhs:string,rhs:string>>")
+    val ws = scala.collection.mutable.ArrayBuffer(w0)
+    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val sep = if (doubleSep) "  " else " "
+    (1 to 6).foreach { _ =>
+      val w = ws.last
+      val syms = split(trim(col("r")), sep)
+      val pairs = w.select(col("freq"),
+          explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1), j =>
+              struct(element_at(syms, j).as("lhs"),
+                element_at(syms, j + 1).as("rhs"))))
+            .otherwise(noPairs)).as("p"))
+        .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      val weight = if (weighted) sum(col("freq")) else count(lit(1))
+      val best = pairs.groupBy(col("lhs"), col("rhs"))
+        .agg(weight.as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .localCheckpoint()
+      bests += best
+      ws += w.crossJoin(broadcast(
+          best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+        .withColumn("r", replace(col("r"),
+          concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .drop("__l", "__r")
+    }
+    (ws.toIndexedSeq, bests.toIndexedSeq)
+  }
+
+  test("tokenizer family (q120): type-vs-token pair counting flips the gate") {
+    // 26th family: BPE merges must be ranked by TOKEN frequency (freq-
+    // weighted pair counts). The plausible confusion counts word TYPES
+    // containing the pair — still a valid-looking induction, still
+    // deterministic, but every pair_count (and eventually the winners)
+    // drifts from the token statistics a tokenizer is supposed to fit.
+    def out(weighted: Boolean) = {
+      val (_, bests) = bpeRebuild(Sf01, weighted, doubleSep = true)
+      bests.zipWithIndex.map { case (best, i0) =>
+        best.select(lit((i0 + 1).toLong).as("merge_rank"), col("lhs"),
+          col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+          col("pair_count"))
+      }.reduce(_ union _).orderBy(col("merge_rank"))
+    }
+    audit("q120_bpe_merges", Sf01,
+      control = out(weighted = true),
+      mutated = out(weighted = false))
+  }
+
+  test("fertility family (q124): separator miscount flips the gate") {
+    // 30th family: symbol counting must split on the TWO-space separator.
+    // The single-space miscount sees a phantom empty symbol between every
+    // pair (" a  b " -> [a, '', b]), inflating every depth's symbol total
+    // while chars stay conserved — a report that still LOOKS consistent.
+    def out(doubleSep: Boolean) = {
+      val (ws, _) = bpeRebuild(Sf01, weighted = true, doubleSep = true)
+      val sep = if (doubleSep) "  " else " "
+      ws.zipWithIndex.map { case (w, r) =>
+        w.agg(
+            sum(col("freq") * size(split(trim(col("r")), sep)))
+              .as("total_symbols"),
+            sum(col("freq") * length(replace(col("r"), lit(" "), lit(""))))
+              .as("total_chars"))
+          .select(lit(r.toLong).as("merge_depth"),
+            col("total_symbols"), col("total_chars"),
+            Catalog.rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
+              .as("chars_per_symbol"))
+      }.reduce(_ union _).orderBy(col("merge_depth"))
+    }
+    audit("q124_fertility_curve", Sf01,
+      control = out(doubleSep = true),
+      mutated = out(doubleSep = false))
+  }
+
+  test("recall family (q121): pruned ground truth flips the gate") {
+    // 27th family: the recall denominator must be EXACT search (all cells
+    // probed). The plausible shortcut reuses the widest candidate tier
+    // (nProbe=8) as "truth" — recall at 8 probes then reads 1.0 by
+    // construction and every tier's score inflates: an eval that can no
+    // longer fail is the regression this family pins.
+    def build(exactProbes: Int) = {
+      val emb = Tables(spark, Sf01, "embeddings")
+      val store = graft.sources.VectorStore.ensure(
+        spark, emb.filter(col("vec_id") =!= 0), "embedding", Sf01)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val exact = Similarity.ivfBatchTopK(store.vectors, "embedding",
+          store.centroids, queries, 10, nProbe = exactProbes)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Seq(1, 2, 4, 8).map { p =>
+        Similarity.ivfBatchTopK(store.vectors, "embedding",
+            store.centroids, queries, 10, nProbe = p)
+          .select(lit(p).as("nprobe"), col("query_id"), col("vec_id"))
+      }.reduce(_ union _)
+      val hits = approx.join(exact, Seq("query_id", "vec_id"))
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      queries.select(col("query_id"))
+        .crossJoin(spark.createDataFrame(Seq(1, 2, 4, 8).map(Tuple1(_))).toDF("nprobe"))
+        .join(hits, Seq("nprobe", "query_id"), "left")
+        .select(col("nprobe"), col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          Catalog.rnd(coalesce(col("n_hit"), lit(0L)) / lit(10.0), 6).as("recall"))
+        .orderBy(col("nprobe"), col("query_id"))
+    }
+    val allCells = graft.sources.VectorStore.ensure(
+      spark, Tables(spark, Sf01, "embeddings").filter(col("vec_id") =!= 0),
+      "embedding", Sf01).centroids.length
+    audit("q121_ann_recall", Sf01,
+      control = build(exactProbes = allCells),
+      mutated = build(exactProbes = 8))
+  }
+
+  test("threshold-curve family (q122): drop-side mutation flips the gate") {
+    // 28th family: the greedy estimator drops the LATER doc of each
+    // qualifying pair (b_id — keep-first, the q17/q85 keeper direction).
+    // Dropping the EARLIER doc is the same-looking rule with the keeper
+    // inverted; pair/doc counts can coincide but the token savings are
+    // charged to different documents.
+    import graft.operators.{Dedup, TextAnalytics}
+    def build(dropLater: Boolean) = {
+      val docs = docsWide(Sf01)
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+      val taus = spark.createDataFrame(
+        Seq(0.5, 0.7, 0.9, 0.95, 0.98).map(Tuple1(_))).toDF("threshold")
+      val tp = pairs.crossJoin(broadcast(taus))
+        .filter(col("jaccard") >= col("threshold"))
+      val nPairs = tp.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nDocs = tp.select(col("threshold"),
+          explode(array(col("a_id"), col("b_id"))).as("id"))
+        .distinct()
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_docs"))
+      val dropCol = if (dropLater) "b_id" else "a_id"
+      val dropped = tp.select(col("threshold"), col(dropCol).as("b_id")).distinct()
+      val docTok = docs.select(col("doc_id").as("b_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val savings = docTok.join(broadcast(dropped), Seq("b_id"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_dropped"), sum(col("n_tok")).as("tok_saved"))
+      taus
+        .join(nPairs, Seq("threshold"), "left")
+        .join(nDocs, Seq("threshold"), "left")
+        .join(savings, Seq("threshold"), "left")
+        .select(col("threshold"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          coalesce(col("tok_saved"), lit(0L)).as("tok_saved"))
+        .orderBy(col("threshold"))
+    }
+    audit("q122_threshold_curve", Sf01,
+      control = build(dropLater = true),
+      mutated = build(dropLater = false))
+  }
+
+  test("attribution family (q123): donor-inclusive corpus flips the gate") {
+    // 29th family: the corpus side must EXCLUDE the benchmark's extract
+    // donors (doc_id >= 35). The plausible regression reuses q57's
+    // population (>= 25) — every item then "detects" its own donor and
+    // the report inflates by exactly the self-hits.
+    import graft.operators.WordShingles
+    def build(corpusFrom: Int) = {
+      val docs = docsWide(Sf01)
+      val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+        .select(col("doc_id").as("bench_id"),
+          explode(WordShingles.wordShingles(
+            substring(col("text"), 21, 120), 8)).as("shingle"))
+      val corpus = docs.filter(col("doc_id") >= corpusFrom)
+        .select(col("doc_id"), col("source"),
+          explode(WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      val hits = corpus.join(broadcast(bench), Seq("shingle"))
+        .groupBy(col("bench_id"), col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_shared"))
+      val perItem = hits.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_shared")).as("n_hits"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bench_id"))
+        .orderBy(col("n_docs_src").desc, col("source"))
+      val top = hits.groupBy(col("bench_id"), col("source"))
+        .agg(count(lit(1)).as("n_docs_src"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("bench_id"), col("source").as("top_source"),
+          col("n_docs_src").as("top_source_docs"))
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+        .select(col("doc_id").as("bench_id"))
+        .join(perItem, Seq("bench_id"), "left")
+        .join(top, Seq("bench_id"), "left")
+        .select(col("bench_id"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("top_source"),
+          coalesce(col("top_source_docs"), lit(0L)).as("top_source_docs"))
+        .orderBy(col("bench_id"))
+    }
+    audit("q123_contam_attribution", Sf01,
+      control = build(corpusFrom = 35),
+      mutated = build(corpusFrom = 25))
+  }
+
+  test("decontam-ablation family (q125): population fencepost flips the gate") {
+    // 31st family: the sweep must run over q57's exact population
+    // (doc_id >= 25, donors included) or its n=8 row silently stops
+    // reconciling with the shipped decontamination check. The off-by-one
+    // population (>= 26) drops donor 25's self-hit at every n.
+    import graft.operators.WordShingles
+    def build(corpusFrom: Int) = {
+      val ns = Seq(4, 6, 8, 12)
+      val docs = docsWide(Sf01)
+      def fused(text: org.apache.spark.sql.Column) =
+        flatten(array(ns.map { n =>
+          transform(WordShingles.wordShingles(text, n), sh =>
+            struct(lit(n).as("ngram_n"), sh.as("shingle")))
+        }: _*))
+      val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+        .select(explode(fused(substring(col("text"), 21, 120))).as("g"))
+        .select(col("g.ngram_n").as("ngram_n"), col("g.shingle").as("shingle"))
+        .distinct()
+      val hits = docs.filter(col("doc_id") >= corpusFrom)
+        .select(col("doc_id"), explode(fused(col("text"))).as("g"))
+        .select(col("doc_id"), col("g.ngram_n").as("ngram_n"),
+          col("g.shingle").as("shingle"))
+        .join(broadcast(bench), Seq("ngram_n", "shingle"))
+        .groupBy(col("ngram_n"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      spark.createDataFrame(ns.map(Tuple1(_))).toDF("ngram_n")
+        .join(hits.groupBy(col("ngram_n"))
+            .agg(count(lit(1)).as("n_docs_flagged"),
+              sum(col("n_shared")).as("total_hits")),
+          Seq("ngram_n"), "left")
+        .select(col("ngram_n"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"))
+        .orderBy(col("ngram_n"))
+    }
+    audit("q125_decontam_ablation", Sf01,
+      control = build(corpusFrom = 25),
+      mutated = build(corpusFrom = 26))
+  }
 }
