@@ -577,6 +577,7 @@ object Bench {
         val lineup = Seq("q96_inc_near_dup", "q88_span_removal",
           "q107_sequence_packing", // the salted global prefix-sum kernel
           "q112_packed_manifest", // its inverse: bounded explode + broadcast
+          "q120_bpe_merges", // tokenizer training over the word-count table
           "q85_dedup_apply", "q98_curation_pipeline", "q99_full_recipe",
           "q97_stream_near_dup", "q89_stream_ivf", "q90_stream_pq")
         val (entries, skipped0) = scaleEntries(dirPath, lineup, deadline, record = true)
@@ -618,7 +619,7 @@ object Bench {
             val (dir2, gen2) = ensureScaledCorpus(reps2)
             val (e2, sk2) = scaleEntries(dir2,
               Seq("q88_span_removal", "q96_inc_near_dup",
-                "q107_sequence_packing"), deadline,
+                "q107_sequence_packing", "q120_bpe_merges"), deadline,
               record = false)
             skipped = sk2.map(n => s"curve:$n") ::: skipped
             // fixed fields join the entry list so an all-skipped e2 cannot
@@ -648,6 +649,7 @@ object Bench {
             val (e3, sk3) = scaleEntries(dir3,
               Seq("q88_span_removal", "q96_inc_near_dup", "q85_dedup_apply",
                 "q107_sequence_packing", "q112_packed_manifest",
+                "q120_bpe_merges",
                 "q98_curation_pipeline", "q99_full_recipe",
                 "q97_stream_near_dup"), deadline,
               record = false)
@@ -681,6 +683,7 @@ object Bench {
             val (e4, sk4) = scaleEntries(dir4,
               Seq("q96_inc_near_dup", "q85_dedup_apply",
                 "q107_sequence_packing", "q112_packed_manifest",
+                "q120_bpe_merges",
                 "q98_curation_pipeline",
                 "q88_span_removal", "q99_full_recipe",
                 "q97_stream_near_dup"), deadline,
