@@ -4443,9 +4443,13 @@ object PipelineCatalog {
 
   val q109BudgetSelect: Q = q109BudgetSelectAt(TokenBudget)
 
-  private val q109Sql = {
+  /** The q22-shape quality-score replay as a reusable WITH-fragment
+    * (CTEs w/m/q, ending in q(doc_id, n_tok, q_score)) — shared by q109's
+    * budget selection and q126's quality-aware keeper.
+    */
+  private val qualityCteSql = {
     val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH w AS (
+    s"""w AS (
          SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\\s+'),
                                           t -> t <> '') AS toks FROM documents
        ), m AS (
@@ -4463,7 +4467,11 @@ object PipelineCatalog {
                  + 0.3 * (1.0 - least(abs(avg_raw - 5.0) / 10.0, 1.0)))
                * $QualityLevels + 0.5) / $QualityLevels.0 END AS q_score
          FROM m
-       ), c AS (
+       )"""
+  }
+
+  private val q109Sql =
+    s"""WITH $qualityCteSql, c AS (
          SELECT doc_id, q_score, n_tok,
            CAST(COALESCE(sum(n_tok) OVER (ORDER BY q_score DESC, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -4473,7 +4481,6 @@ object PipelineCatalog {
        SELECT doc_id, q_score, n_tok, cum_before,
               (cum_before < $TokenBudget) AS selected
        FROM c ORDER BY doc_id"""
-  }
 
   // -------------------------------------------------------------------------
   // q110: mixture diagnostics — per-source unigram Jensen–Shannon
@@ -6027,6 +6034,87 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q126: quality-aware dedup keeper — the keeper-choice upgrade real
+  // curation pipelines make: inside a near-dup cluster, keep the
+  // HIGHEST-QUALITY member, not the first-seen one (q85's min-id rule is
+  // the ingest-order default; FineWeb-style pipelines re-rank cluster
+  // members by quality before dropping). Per cluster: the first-seen
+  // keeper (== cluster_id by construction), the quality keeper (argmax
+  // q_score, doc_id tie-break), whether the upgrade CHANGES the keeper,
+  // and the quality gained. 100 TB shape: clusters are pair-bounded
+  // (<< corpus), so the member join broadcasts the cluster labels into
+  // the scored lineage and the keeper window ranks a pair-bounded table
+  // — the corpus-wide scan is the quality pass the recipe already pays
+  // elsewhere (shared q22 kernel via scoredDocs).
+  // -------------------------------------------------------------------------
+
+  val q126QualityKeeper: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val members = scoredDocs(s, d).select(col("doc_id"), col("q_score"))
+      .join(broadcast(clusters), Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("q_score").desc, col("doc_id"))
+    val keeper = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("q_keeper"),
+        col("q_score").as("keeper_score"))
+    val firstSeen = members.filter(col("doc_id") === col("cluster_id"))
+      .select(col("cluster_id"), col("q_score").as("first_score"))
+    val sizes = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    sizes.join(keeper, Seq("cluster_id")).join(firstSeen, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("q_keeper"),
+        (col("q_keeper") =!= col("cluster_id")).as("keeper_changed"),
+        rnd(col("keeper_score") - col("first_score"), 4).as("q_gain"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q75's recursive-reachability replay + the shared quality CTE, with a
+    * per-cluster argmax window — the oracle recomputes clusters, scores
+    * and the keeper upgrade end-to-end.
+    */
+  private val q126Sql =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) p
+       ), edges AS (
+         SELECT a_id AS x, b_id AS y FROM pairs
+         UNION
+         SELECT b_id, a_id FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT x FROM edges
+       ), reach(x, r) AS (
+         SELECT x, x FROM nodes
+         UNION
+         SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       ), cl AS (
+         SELECT x AS doc_id, min(r) AS cluster_id FROM reach GROUP BY x
+       ), $qualityCteSql, mem AS (
+         SELECT cl.cluster_id, cl.doc_id, q.q_score
+         FROM cl JOIN q USING (doc_id)
+       ), kp AS (
+         SELECT cluster_id, doc_id AS q_keeper, q_score AS keeper_score
+         FROM mem
+         QUALIFY row_number() OVER (PARTITION BY cluster_id
+           ORDER BY q_score DESC, doc_id) = 1
+       ), fs AS (
+         SELECT cluster_id, q_score AS first_score
+         FROM mem WHERE doc_id = cluster_id
+       ), sz AS (
+         SELECT cluster_id, count(*) AS n_members FROM mem GROUP BY 1
+       )
+       SELECT sz.cluster_id, CAST(sz.n_members AS BIGINT) AS n_members,
+              kp.q_keeper, (kp.q_keeper <> sz.cluster_id) AS keeper_changed,
+              floor((kp.keeper_score - fs.first_score) * 10000 + 0.5)
+                / 10000.0 AS q_gain
+       FROM sz
+       JOIN kp USING (cluster_id)
+       JOIN fs USING (cluster_id)
+       ORDER BY cluster_id"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -6117,6 +6205,7 @@ object PipelineCatalog {
     "q123_contam_attribution" -> q123ContamAttribution,
     "q124_fertility_curve" -> q124FertilityCurve,
     "q125_decontam_ablation" -> q125DecontamAblation,
+    "q126_quality_keeper" -> q126QualityKeeper,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6225,6 +6314,7 @@ object PipelineCatalog {
     "q123_contam_attribution" -> q123Sql,
     "q124_fertility_curve" -> q124Sql,
     "q125_decontam_ablation" -> q125Sql,
+    "q126_quality_keeper" -> q126Sql,
     "q103_video_search" -> q103Sql,
   )
 }
