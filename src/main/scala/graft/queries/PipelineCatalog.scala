@@ -6115,6 +6115,171 @@ object PipelineCatalog {
        ORDER BY cluster_id"""
 
   // -------------------------------------------------------------------------
+  // q127: crawl-yield report — the per-dump novelty accounting a
+  // continuously-fed pretraining corpus runs on every new crawl (the
+  // FineWeb per-dump finding: later dumps are mostly redelivery, so
+  // GLOBAL dedup scope decides the corpus's marginal value). A synthetic
+  // "new dump" arrives (per doc_id % 5: exact redelivery / near-dup
+  // " v2" edit / novel word-reversal — q96's batch convention), and each
+  // dump doc is classified against the EXISTING corpus with precedence
+  // exact > near > novel: exact via a content-sig semi-join (the q17/q44
+  // signature basis; at full scale the q91 bloom pre-filter composes in
+  // front), near via the persisted BandStore incremental probe (the
+  // corpus is never re-fingerprinted — q96's machinery verbatim). The
+  // deliverable: per source, docs/exact/near/novel counts, novel tokens,
+  // and the token yield fraction. 100 TB: redelivery is corpus-scale in
+  // a real re-crawl, so the class-flag joins are dump-keyed shuffle
+  // joins, deliberately NOT broadcasts; the report is |sources| rows.
+  // -------------------------------------------------------------------------
+
+  private val DumpOffset = 700000L
+
+  val q127CrawlYield: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val store = graft.sources.BandStore.ensure(s, docs, "doc_id", "text", d)
+    // class selector strides OVER the source stripe (doc_id % 20 == the
+    // source), so every source's dump mixes all three classes — doc_id % 5
+    // would degenerate to one class per source
+    val cls = pmod((col("doc_id") / 20).cast("long"), lit(5))
+    val dump = docs.select((col("doc_id") + DumpOffset).as("doc_id"),
+      col("source"),
+      when(cls === 0, col("text"))
+        .when(cls === 1, concat(col("text"), lit(" v2")))
+        .otherwise(array_join(reverse(split(trim(col("text")), " ")), " "))
+        .as("text"))
+    val corpusSigs = docs.select(sha2(col("text"), 256).as("sig")).distinct()
+    val exactIds = dump.select(col("doc_id"), sha2(col("text"), 256).as("sig"))
+      .join(corpusSigs, Seq("sig"), "left_semi")
+      .select(col("doc_id")).withColumn("__ex", lit(true))
+    val nearIds = Dedup.incrementalNearDuplicates(dump, docs, store,
+        "doc_id", "text", threshold = 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("__nr", lit(true))
+    dump
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .withColumn("cls",
+        when(col("__ex"), lit("exact"))
+          .when(col("__nr"), lit("near"))
+          .otherwise(lit("novel")))
+      .withColumn("n_tok", size(TextAnalytics.tokens(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === "exact", 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("cls") === "near", 1L).otherwise(0L)).as("n_near"),
+        sum(when(col("cls") === "novel", 1L).otherwise(0L)).as("n_novel"),
+        sum(when(col("cls") === "novel", col("n_tok")).otherwise(0L))
+          .as("novel_tokens"),
+        sum(col("n_tok")).as("dump_tokens"))
+      .withColumn("yield_pct",
+        rnd(col("novel_tokens").cast("double") / col("dump_tokens"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Full replay: the dump synthesis, the sig semi-join, the complete
+    * banded probe (corpus + dump minhashes from the q19 hash family, any-
+    * band candidates, exact Jaccard >= 0.5), precedence and the roll-up.
+    */
+  private val q127Sql = {
+    import graft.functions.BandMinhash
+    val numHashes = 32
+    val bands = 8
+    val rpb = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(k => s"min(${BandMinhash.sqlLcg(k, "x")}) AS m$k")
+      .mkString(",\n           ")
+    val bandCols = (0 until bands).map { b =>
+      val acc = (0 until rpb).foldLeft(BandMinhash.FoldSeed.toString)(
+        (a, r) => BandMinhash.sqlMix(a, s"m${b * rpb + r}"))
+      s"$acc AS bh$b"
+    }.mkString(",\n           ")
+    val anyBand = (0 until bands).map(b => s"p.bh$b = c.bh$b").mkString(" OR ")
+    s"""WITH dump0 AS (
+         SELECT doc_id + $DumpOffset AS doc_id, source,
+                CASE CAST((doc_id // 20) % 5 AS INT)
+                  WHEN 0 THEN text
+                  WHEN 1 THEN text || ' v2'
+                  ELSE array_to_string(list_reverse(string_split(trim(text), ' ')), ' ')
+                END AS text
+         FROM documents
+       ), csig AS (
+         SELECT DISTINCT sha256(text) AS sig FROM documents
+       ), ex AS (
+         SELECT DISTINCT d.doc_id FROM dump0 d
+         JOIN csig ON sha256(d.text) = csig.sig
+       ), cwords AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), csh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM cwords, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), bwords AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM dump0
+       ), bsh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM bwords, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), chh AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM csh
+       ), bhh AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM bsh
+       ), cmins AS (
+         SELECT doc_id,
+           $minCols
+         FROM chh GROUP BY doc_id
+       ), bmins AS (
+         SELECT doc_id,
+           $minCols
+         FROM bhh GROUP BY doc_id
+       ), cbnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM cmins
+       ), bbnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM bmins
+       ), cand AS (
+         SELECT DISTINCT p.doc_id AS b_id, c.doc_id AS c_id
+         FROM bbnd p JOIN cbnd c ON ($anyBand)
+       ), bsizes AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+       csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+       inter AS (
+         SELECT x.b_id, x.c_id, count(*) AS inter
+         FROM cand x
+         JOIN bsh sb ON sb.doc_id = x.b_id
+         JOIN csh sc ON sc.doc_id = x.c_id AND sc.shingle = sb.shingle
+         GROUP BY x.b_id, x.c_id
+       ), nr AS (
+         SELECT DISTINCT i.b_id AS doc_id
+         FROM inter i
+         JOIN bsizes sb ON sb.doc_id = i.b_id
+         JOIN csizes sc ON sc.doc_id = i.c_id
+         WHERE CAST(i.inter AS DOUBLE) / (sb.n + sc.n - i.inter) >= 0.5
+       ), flagged AS (
+         SELECT d.source,
+                len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                    t -> t <> '')) AS n_tok,
+                CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+                     WHEN nr.doc_id IS NOT NULL THEN 'near'
+                     ELSE 'novel' END AS cls
+         FROM dump0 d
+         LEFT JOIN ex ON ex.doc_id = d.doc_id
+         LEFT JOIN nr ON nr.doc_id = d.doc_id
+       )
+       SELECT source,
+              count(*) AS n_docs,
+              CAST(sum(CASE WHEN cls = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+              CAST(sum(CASE WHEN cls = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+              CAST(sum(CASE WHEN cls = 'novel' THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              CAST(sum(CASE WHEN cls = 'novel' THEN n_tok ELSE 0 END) AS BIGINT) AS novel_tokens,
+              CAST(sum(n_tok) AS BIGINT) AS dump_tokens,
+              floor(CAST(sum(CASE WHEN cls = 'novel' THEN n_tok ELSE 0 END) AS DOUBLE)
+                / sum(n_tok) * 1000000 + 0.5) / 1000000.0 AS yield_pct
+       FROM flagged GROUP BY source ORDER BY source"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -6206,6 +6371,7 @@ object PipelineCatalog {
     "q124_fertility_curve" -> q124FertilityCurve,
     "q125_decontam_ablation" -> q125DecontamAblation,
     "q126_quality_keeper" -> q126QualityKeeper,
+    "q127_crawl_yield" -> q127CrawlYield,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6315,6 +6481,7 @@ object PipelineCatalog {
     "q124_fertility_curve" -> q124Sql,
     "q125_decontam_ablation" -> q125Sql,
     "q126_quality_keeper" -> q126Sql,
+    "q127_crawl_yield" -> q127Sql,
     "q103_video_search" -> q103Sql,
   )
 }
