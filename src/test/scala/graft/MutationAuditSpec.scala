@@ -1136,4 +1136,109 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(corpusFrom = 25),
       mutated = build(corpusFrom = 26))
   }
+
+  test("quality-keeper family (q126): argmin regression flips the gate") {
+    // 32nd family: the keeper must MAXIMIZE quality (score DESC, doc_id
+    // tie-break). The classic sort-direction slip keeps the WORST member
+    // — still one keeper per cluster, still deterministic, and the
+    // changed-flag column still LOOKS sane; only the per-value gate sees
+    // the inverted choice.
+    import graft.operators.{Dedup, TextAnalytics}
+    def build(best: Boolean) = {
+      val docs = docsWide(Sf01)
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val scored = docs
+        .withColumn("toks", TextAnalytics.tokens(col("text")))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("avg_raw",
+          TextAnalytics.totalTokenChars(col("toks")).cast("double") / col("n_tok"))
+        .withColumn("stop_raw",
+          TextAnalytics.wordListHits(col("toks"), TextAnalytics.EnStopwords)
+            .cast("double") / col("n_tok"))
+        .withColumn("q_score",
+          when(col("n_tok") === 0, lit(0.0)).otherwise(Catalog.rnd(
+            lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)) +
+              lit(0.5) * col("stop_raw") +
+              lit(0.3) * (lit(1.0) - least(abs(col("avg_raw") - 5.0) / 10.0, lit(1.0))),
+            4)))
+        .select(col("doc_id"), col("q_score"))
+      val members = scored.join(broadcast(clusters), Seq("doc_id"))
+      val ord = if (best) col("q_score").desc else col("q_score").asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(ord, col("doc_id"))
+      val keeper = members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("q_keeper"),
+          col("q_score").as("keeper_score"))
+      val firstSeen = members.filter(col("doc_id") === col("cluster_id"))
+        .select(col("cluster_id"), col("q_score").as("first_score"))
+      val sizes = members.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      sizes.join(keeper, Seq("cluster_id")).join(firstSeen, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"), col("q_keeper"),
+          (col("q_keeper") =!= col("cluster_id")).as("keeper_changed"),
+          Catalog.rnd(col("keeper_score") - col("first_score"), 4).as("q_gain"))
+        .orderBy(col("cluster_id"))
+    }
+    audit("q126_quality_keeper", Sf01,
+      control = build(best = true),
+      mutated = build(best = false))
+  }
+
+  test("crawl-yield family (q127): precedence inversion flips the gate") {
+    // 33rd family: classification precedence must be exact > near — an
+    // identical redelivery IS also a J=1.0 near-dup candidate, so testing
+    // the near flag first silently reclassifies every exact redelivery as
+    // "near" and the report stops saying how much of the crawl is
+    // byte-identical (the dedup path redeliveries should take).
+    import graft.operators.{Dedup, TextAnalytics}
+    def build(exactFirst: Boolean) = {
+      val docs = docsWide(Sf01)
+      val store = graft.sources.BandStore.ensure(spark, docs, "doc_id", "text", Sf01)
+      val cls = pmod((col("doc_id") / 20).cast("long"), lit(5))
+      val dump = docs.select((col("doc_id") + 700000L).as("doc_id"),
+        col("source"),
+        when(cls === 0, col("text"))
+          .when(cls === 1, concat(col("text"), lit(" v2")))
+          .otherwise(array_join(reverse(split(trim(col("text")), " ")), " "))
+          .as("text"))
+      val corpusSigs = docs.select(sha2(col("text"), 256).as("sig")).distinct()
+      val exactIds = dump.select(col("doc_id"), sha2(col("text"), 256).as("sig"))
+        .join(corpusSigs, Seq("sig"), "left_semi")
+        .select(col("doc_id")).withColumn("__ex", lit(true))
+      val nearIds = Dedup.incrementalNearDuplicates(dump, docs, store,
+          "doc_id", "text", threshold = 0.5)
+        .select(col("b_id").as("doc_id")).distinct()
+        .withColumn("__nr", lit(true))
+      val classified =
+        if (exactFirst)
+          when(col("__ex"), lit("exact"))
+            .when(col("__nr"), lit("near")).otherwise(lit("novel"))
+        else
+          when(col("__nr"), lit("near"))
+            .when(col("__ex"), lit("exact")).otherwise(lit("novel"))
+      dump
+        .join(exactIds, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .withColumn("cls", classified)
+        .withColumn("n_tok", size(TextAnalytics.tokens(col("text"))).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cls") === "exact", 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("cls") === "near", 1L).otherwise(0L)).as("n_near"),
+          sum(when(col("cls") === "novel", 1L).otherwise(0L)).as("n_novel"),
+          sum(when(col("cls") === "novel", col("n_tok")).otherwise(0L))
+            .as("novel_tokens"),
+          sum(col("n_tok")).as("dump_tokens"))
+        .withColumn("yield_pct",
+          Catalog.rnd(col("novel_tokens").cast("double") / col("dump_tokens"), 6))
+        .orderBy(col("source"))
+    }
+    audit("q127_crawl_yield", Sf01,
+      control = build(exactFirst = true),
+      mutated = build(exactFirst = false))
+  }
 }

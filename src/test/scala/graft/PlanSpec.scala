@@ -853,6 +853,28 @@ class PlanSpec extends AnyFunSuite {
       "top-source window no longer rides the hit-bounded aggregate")
   }
 
+  test("q126: cluster labels broadcast into the scored lineage") {
+    val p = plan("q126_quality_keeper")
+    // the pair-bounded cluster frame must broadcast into the corpus-wide
+    // quality pass — a shuffled join would exchange every scored doc for
+    // a label set that fits in memory by construction
+    assert(p.contains("BroadcastHashJoin"), "cluster labels not broadcast")
+    assert(!p.contains("CartesianProduct"), "q126 grew a cartesian product")
+    assert(p.contains("windowspecdefinition"), "q126 lost its keeper window")
+  }
+
+  test("q127: near path never re-fingerprints; flags stay dump-keyed") {
+    // the band-store probe is checkpointed at construction (q96's
+    // pattern — its pruning is pinned there); the SERVED plan must verify
+    // and classify without ever re-running band_minhash, and every
+    // documents scan stays within the pruned three columns
+    val p = plan("q127_crawl_yield")
+    assert(!p.contains("band_minhash"),
+      "q127's served plan re-fingerprints the corpus")
+    assert(!p.contains("CartesianProduct"), "q127 grew a cartesian product")
+    assertScansWithin(p, "q127", Set("doc_id", "source", "text"))
+  }
+
   test("q125: all n-gram families fuse into TWO document scans") {
     val p = plan("q125_decontam_ablation")
     val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).size
