@@ -6280,6 +6280,125 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q128: PQ recall vs rerank budget — q121's "measure the index" story
+  // for the SECOND serving family: product quantization's accuracy knob
+  // is the rerank budget (how many ADC candidates get exact-cosine
+  // rescoring), and no deployment should pick it unmeasured. For each
+  // rerank tier in {10, 20, 50} and each sampled query: recall@10 of the
+  // PQ path against exact search. Ground truth = exact cosine over the
+  // full vectors (what probing every cell degenerates to — the q121
+  // contract); candidates = the q69/q73 codes-only ADC cut + rerank.
+  // 100 TB: the ADC pass scans only the 8-byte codes table; every tier's
+  // rerank set is id-broadcast into the full-vector probe; the exact arm
+  // is query-sample-bounded by design. Near-uniform random vectors are
+  // PQ's WORST case (quantization error ~ vector variance) — which is
+  // exactly why the harness exists.
+  // -------------------------------------------------------------------------
+
+  private val PqRerankTiers = Seq(10, 20, 50)
+
+  val q128PqRecall: Q = (s, d) => {
+    val emb = tbl(s, d, "embeddings")
+    val vectors = emb.filter(col("vec_id") =!= 0)
+    val pq = graft.sources.VectorStore.ensurePq(s, vectors, "embedding", d)
+    lastPqCodebooks = Some(pq.codebooks)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val store = graft.sources.VectorStore.ensure(s, vectors, "embedding", d)
+    lastIvfCentroids = Some(store.centroids)
+    val exact = Similarity.ivfBatchTopK(store.vectors, "embedding",
+        store.centroids, queries, RecallK, nProbe = store.centroids.length)
+      .select(col("query_id"), col("vec_id"))
+    val arms = PqRerankTiers.map { r =>
+      Similarity.pqBatchTopK(pq.codes, pq.codebooks, vectors, "embedding",
+          queries, k = RecallK, rerank = r)
+        .select(lit(r).as("rerank"), col("query_id"), col("vec_id"))
+    }.reduce(_ union _)
+    val hits = arms.join(exact, Seq("query_id", "vec_id"))
+      .groupBy(col("rerank"), col("query_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    queries.select(col("query_id"))
+      .crossJoin(s.createDataFrame(PqRerankTiers.map(Tuple1(_))).toDF("rerank"))
+      .join(hits, Seq("rerank", "query_id"), "left")
+      .select(col("rerank"), col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        rnd(coalesce(col("n_hit"), lit(0L)) / lit(RecallK.toDouble), 6)
+          .as("recall"))
+      .orderBy(col("rerank"), col("query_id"))
+  }
+
+  /** Codebook-literal replay (q73's machinery): codes + per-query ADC
+    * RANKS once, every tier filters that rank; ground truth is plain
+    * exact cosine top-10 (== the engine's probe-all-cells arm).
+    */
+  private def q128Sql(cbs: Array[Array[Array[Double]]]): String = {
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val dsub = cbs(0)(0).length
+    val cn2 = graft.functions.VectorFunctions.codebookNorm2(cbs)
+    def subSlice(c: String, mi: Int) =
+      s"list_slice($c, ${mi * dsub + 1}, ${(mi + 1) * dsub})"
+    val codeExprs = (0 until m).map { mi =>
+      val ds = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"(${cn2(mi)(ci)} - 2.0*list_inner_product(${subSlice("nv", mi)}, $cl::DOUBLE[]))"
+      }.mkString("[", ", ", "]")
+      s"list_position($ds, list_min($ds)) - 1 AS c$mi"
+    }.mkString(",\n                ")
+    val adcExpr = (0 until m).map { mi =>
+      val lut = (0 until ksub).map { ci =>
+        val cl = cbs(mi)(ci).map(_.toString).mkString("[", ",", "]")
+        s"list_inner_product(${subSlice("qn", mi)}, $cl::DOUBLE[])"
+      }.mkString("[", ", ", "]")
+      s"($lut[c$mi + 1])"
+    }.mkString(" + ")
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, v,
+                list_transform(v, x -> x * (CASE WHEN list_inner_product(v, v) = 0
+                  THEN 0.0 ELSE 1.0/sqrt(list_inner_product(v, v)) END)) AS nv
+         FROM e
+       ), q AS (
+         SELECT vec_id AS query_id, v AS qv, nv AS qn FROM n WHERE vec_id < 5
+       ), c AS (
+         SELECT vec_id, v, $codeExprs
+         FROM n WHERE vec_id <> 0
+       ), a AS (
+         SELECT q.query_id, q.qv, c.vec_id, c.v,
+                row_number() OVER (PARTITION BY q.query_id
+                  ORDER BY ($adcExpr) DESC, c.vec_id) AS arank
+         FROM c, q
+       ), ts AS (
+         SELECT unnest([${PqRerankTiers.mkString(", ")}]) AS rerank
+       ), ann AS (
+         SELECT ts.rerank, a.query_id, a.vec_id,
+                row_number() OVER (PARTITION BY ts.rerank, a.query_id
+                  ORDER BY list_cosine_similarity(a.v, a.qv) DESC, a.vec_id) AS rnk
+         FROM a CROSS JOIN ts
+         WHERE a.arank <= ts.rerank
+       ), ex AS (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY list_cosine_similarity(v, qv) DESC, vec_id) AS rnk
+         FROM a
+       ), hits AS (
+         SELECT ann.rerank, ann.query_id, count(*) AS n_hit
+         FROM ann JOIN ex ON ann.query_id = ex.query_id AND ann.vec_id = ex.vec_id
+         WHERE ann.rnk <= $RecallK AND ex.rnk <= $RecallK
+         GROUP BY 1, 2
+       )
+       SELECT ts.rerank, g.query_id,
+              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+              floor(coalesce(h.n_hit, 0) / ${RecallK.toDouble} * 1000000 + 0.5)
+                / 1000000.0 AS recall
+       FROM (SELECT DISTINCT query_id FROM q) g CROSS JOIN ts
+       LEFT JOIN hits h ON h.rerank = ts.rerank AND h.query_id = g.query_id
+       ORDER BY ts.rerank, g.query_id"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -6372,6 +6491,7 @@ object PipelineCatalog {
     "q125_decontam_ablation" -> q125DecontamAblation,
     "q126_quality_keeper" -> q126QualityKeeper,
     "q127_crawl_yield" -> q127CrawlYield,
+    "q128_pq_recall" -> q128PqRecall,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6387,6 +6507,7 @@ object PipelineCatalog {
     lastIvfCentroids.map(cs => "q121_ann_recall" -> q121Sql(cs)) ++
     lastPqCodebooks.map(cbs => "q69_ann_pq" -> q69Sql(cbs)) ++
     lastPqCodebooks.map(cbs => "q73_batch_pq" -> q73Sql(cbs)) ++
+    lastPqCodebooks.map(cbs => "q128_pq_recall" -> q128Sql(cbs)) ++
     (for { cs <- lastIvfCentroids; cbs <- lastPqCodebooks }
       yield "q76_ivf_pq" -> q76Sql(cs, cbs)) ++
     // incremental artifacts: final live state = the corpus, so the full
