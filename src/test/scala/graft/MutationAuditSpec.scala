@@ -1241,4 +1241,50 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(exactFirst = true),
       mutated = build(exactFirst = false))
   }
+
+  test("pq-recall family (q128): quantized ground truth flips the gate") {
+    // 34th family: q121's family 27 pinned the PARTITION-pruning axis
+    // (ground truth must probe all cells); this one pins the
+    // QUANTIZATION axis — the plausible shortcut scores "truth" through
+    // the PQ path at the widest rerank tier, so recall@50 reads 1.0 by
+    // construction and the quantization error the harness exists to
+    // measure disappears from the report.
+    import graft.operators.Similarity
+    def build(exactTruth: Boolean) = {
+      val emb = Tables(spark, Sf01, "embeddings")
+      val vectors = emb.filter(col("vec_id") =!= 0)
+      val pq = graft.sources.VectorStore.ensurePq(spark, vectors, "embedding", Sf01)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      val exact =
+        if (exactTruth) {
+          val store = graft.sources.VectorStore.ensure(spark, vectors, "embedding", Sf01)
+          Similarity.ivfBatchTopK(store.vectors, "embedding", store.centroids,
+              queries, 10, nProbe = store.centroids.length)
+            .select(col("query_id"), col("vec_id"))
+        } else
+          Similarity.pqBatchTopK(pq.codes, pq.codebooks, vectors, "embedding",
+              queries, k = 10, rerank = 50)
+            .select(col("query_id"), col("vec_id"))
+      val arms = Seq(10, 20, 50).map { r =>
+        Similarity.pqBatchTopK(pq.codes, pq.codebooks, vectors, "embedding",
+            queries, k = 10, rerank = r)
+          .select(lit(r).as("rerank"), col("query_id"), col("vec_id"))
+      }.reduce(_ union _)
+      val hits = arms.join(exact, Seq("query_id", "vec_id"))
+        .groupBy(col("rerank"), col("query_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      queries.select(col("query_id"))
+        .crossJoin(spark.createDataFrame(Seq(10, 20, 50).map(Tuple1(_))).toDF("rerank"))
+        .join(hits, Seq("rerank", "query_id"), "left")
+        .select(col("rerank"), col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          Catalog.rnd(coalesce(col("n_hit"), lit(0L)) / lit(10.0), 6).as("recall"))
+        .orderBy(col("rerank"), col("query_id"))
+    }
+    audit("q128_pq_recall", Sf01,
+      control = build(exactTruth = true),
+      mutated = build(exactTruth = false))
+  }
 }

@@ -875,6 +875,12 @@ class PlanSpec extends AnyFunSuite {
     assertScansWithin(p, "q127", Set("doc_id", "source", "text"))
   }
 
+  test("q128: PQ recall tiers — ADC over codes, rerank ids broadcast, no SMJ") {
+    val p = plan("q128_pq_recall")
+    assert(p.contains("BroadcastHashJoin"), "rerank survivor ids not broadcast")
+    assert(!p.contains("CartesianProduct"), "q128 grew a cartesian product")
+  }
+
   test("q125: all n-gram families fuse into TWO document scans") {
     val p = plan("q125_decontam_ablation")
     val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).size
