@@ -5745,8 +5745,13 @@ object PipelineCatalog {
         numHashes = 32, bands = 8, threshold = 0.5)
       .select(col("a_id"), col("b_id"), col("jaccard"))
     val taus = s.createDataFrame(DedupTaus.map(Tuple1(_))).toDF("threshold")
+    // the (threshold, pair) frame feeds THREE consumers (pair counts, doc
+    // counts, drop savings) — checkpoint the pair-bounded frame once so
+    // the LSH candidate pass really runs once (the q96 multi-consumer
+    // barrier; without it Spark re-runs the band self-join per consumer)
     val tp = pairs.crossJoin(broadcast(taus))
       .filter(col("jaccard") >= col("threshold"))
+      .localCheckpoint()
     val nPairs = tp.groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_pairs"))
     val nDocs = tp
@@ -5834,9 +5839,13 @@ object PipelineCatalog {
     val corpus = docs.filter(col("doc_id") >= 35)
       .select(col("doc_id"), col("source"),
         explode(WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+    // hit-bounded and read by three consumers (per-item totals, the
+    // top-source ranking, nothing else corpus-scale) — checkpoint once so
+    // the corpus shingle pass is paid once (q96's barrier pattern)
     val hits = corpus.join(broadcast(bench), Seq("shingle"))
       .groupBy(col("bench_id"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("n_shared"))
+      .localCheckpoint()
     val perItem = hits.groupBy(col("bench_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_shared")).as("n_hits"))
     val w = Window.partitionBy(col("bench_id"))
@@ -6053,8 +6062,12 @@ object PipelineCatalog {
       numHashes = 32, bands = 8, threshold = 0.5)
     val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
+    // pair-bounded and read by three consumers (keeper window, first-seen
+    // lookup, sizes) — checkpoint once so the corpus-wide quality pass is
+    // paid once (q96's barrier pattern)
     val members = scoredDocs(s, d).select(col("doc_id"), col("q_score"))
       .join(broadcast(clusters), Seq("doc_id"))
+      .localCheckpoint()
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("q_score").desc, col("doc_id"))
     val keeper = members.withColumn("rn", row_number().over(w))

