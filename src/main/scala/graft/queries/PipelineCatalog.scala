@@ -5546,6 +5546,12 @@ object PipelineCatalog {
     (ws.toIndexedSeq, bests.toIndexedSeq)
   }
 
+  /** Test-only window into the induction so the mutation audit can apply
+    * the SAME learned merges in a perturbed order (family 35).
+    */
+  private[graft] def bpeChainForAudit(s: SparkSession, d: String)
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = bpeChain(s, d)
+
   val q120BpeMerges: Q = (s, d) => {
     val (_, bests) = bpeChain(s, d)
     bests.zipWithIndex.map { case (best, i0) =>
@@ -6412,6 +6418,83 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q129: per-source tokenizer fertility — the fairness axis of q124's
+  // curve: one GLOBAL tokenizer serves every source, so compression is
+  // never uniform (the multilingual-fertility problem: a tokenizer fit
+  // on the blend spends more symbols per character on under-represented
+  // domains). The q120 induction's learned merges are applied — in
+  // LEARNED ORDER, the BPE contract, since later merges consume earlier
+  // merges' output symbols — to a per-(source, word) count table, and
+  // each source reports its own chars-per-symbol at full merge depth.
+  // 100 TB: the source-keyed word table is |sources| x Heaps-bounded;
+  // the 6 merge applications are broadcast 1-row joins over it; one
+  // corpus scan (plus the induction's own — a production run trains
+  // once and reuses the merge table).
+  // -------------------------------------------------------------------------
+
+  val q129FertilityBySource: Q = (s, d) => {
+    val (_, bests) = bpeChain(s, d)
+    val sw0 = docsWide(s, d)
+      .select(col("source"),
+        explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("source"), col("freq"),
+        regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+    val applied = bests.foldLeft(sw0) { (df, best) =>
+      df.crossJoin(broadcast(
+          best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+        .withColumn("r", replace(col("r"),
+          concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+          concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+        .drop("__l", "__r")
+    }
+    applied.groupBy(col("source"))
+      .agg(
+        sum(col("freq") * size(split(trim(col("r")), "  ")))
+          .as("total_symbols"),
+        sum(col("freq") * length(replace(col("r"), lit(" "), lit(""))))
+          .as("total_chars"))
+      .select(col("source"), col("total_symbols"), col("total_chars"),
+        rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
+          .as("chars_per_symbol"))
+      .orderBy(col("source"))
+  }
+
+  /** The q120 chain (which proves the merges) + a source-keyed word table
+    * pushed through the same six replaces in learned order.
+    */
+  private val q129Sql = {
+    val applies = (1 to BpeMerges).map { i =>
+      s"""s$i AS (
+         SELECT s.source, s.freq,
+                replace(s.r, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS r
+         FROM s${i - 1} s, b$i b
+       )"""
+    }.mkString(", ")
+    s"""$q120CteChain, stoks AS (
+         SELECT source, lower(t) AS word
+         FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS t
+               FROM documents)
+         WHERE regexp_matches(lower(t), '^[a-z]+$$')
+       ), s0 AS (
+         SELECT source, CAST(count(*) AS BIGINT) AS freq,
+                regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
+         FROM stoks GROUP BY source, word
+       ), $applies
+       SELECT source,
+              CAST(sum(freq * len(string_split(trim(r), '  '))) AS BIGINT)
+                AS total_symbols,
+              CAST(sum(freq * length(replace(r, ' ', ''))) AS BIGINT)
+                AS total_chars,
+              floor(CAST(sum(freq * length(replace(r, ' ', ''))) AS DOUBLE)
+                / sum(freq * len(string_split(trim(r), '  '))) * 1000000 + 0.5)
+                / 1000000.0 AS chars_per_symbol
+       FROM s$BpeMerges GROUP BY source ORDER BY source"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -6505,6 +6588,7 @@ object PipelineCatalog {
     "q126_quality_keeper" -> q126QualityKeeper,
     "q127_crawl_yield" -> q127CrawlYield,
     "q128_pq_recall" -> q128PqRecall,
+    "q129_fertility_by_source" -> q129FertilityBySource,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6616,6 +6700,7 @@ object PipelineCatalog {
     "q125_decontam_ablation" -> q125Sql,
     "q126_quality_keeper" -> q126Sql,
     "q127_crawl_yield" -> q127Sql,
+    "q129_fertility_by_source" -> q129Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -1287,4 +1287,46 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(exactTruth = true),
       mutated = build(exactTruth = false))
   }
+
+  test("fertility-by-source family (q129): reversed merge order flips the gate") {
+    // 35th family: merges must apply in LEARNED order — later merges
+    // consume earlier merges' output symbols (round 6's 'mer' only exists
+    // after round 1 created 'er'). Applying the same six merges in
+    // reverse is the classic fold-direction slip: every individual
+    // replace is still valid, the totals still look plausible, but
+    // chained merges silently never fire.
+    import graft.operators.TextAnalytics
+    def build(learnedOrder: Boolean) = {
+      val (_, bests) = graft.queries.PipelineCatalog.bpeChainForAudit(spark, Sf01)
+      val sw0 = docsWide(Sf01)
+        .select(col("source"),
+          explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("source"), col("freq"),
+          regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+      val ordered = if (learnedOrder) bests else bests.reverse
+      val applied = ordered.foldLeft(sw0) { (df, best) =>
+        df.crossJoin(broadcast(
+            best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+          .withColumn("r", replace(col("r"),
+            concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+            concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+          .drop("__l", "__r")
+      }
+      applied.groupBy(col("source"))
+        .agg(
+          sum(col("freq") * size(split(trim(col("r")), "  ")))
+            .as("total_symbols"),
+          sum(col("freq") * length(replace(col("r"), lit(" "), lit(""))))
+            .as("total_chars"))
+        .select(col("source"), col("total_symbols"), col("total_chars"),
+          Catalog.rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
+            .as("chars_per_symbol"))
+        .orderBy(col("source"))
+    }
+    audit("q129_fertility_by_source", Sf01,
+      control = build(learnedOrder = true),
+      mutated = build(learnedOrder = false))
+  }
 }
