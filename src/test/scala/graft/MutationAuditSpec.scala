@@ -878,13 +878,14 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = build(inclusive = true))
   }
 
-  /** Shared rebuild of the q120/q124 BPE induction with two mutation
-    * knobs: `weighted` (pair counts weighted by word frequency — the
-    * shipped token-frequency semantics — vs the plausible type-frequency
-    * confusion) and `doubleSep` (symbols split on the two-space separator
-    * vs the single-space miscount that sees phantom empty symbols).
+  /** Shared rebuild of the q120/q124 BPE induction with one mutation
+    * knob: `weighted` — pair counts weighted by word frequency (the
+    * shipped token-frequency semantics) vs the plausible type-frequency
+    * confusion. Family 30's separator mutation lives in its OWN
+    * aggregation code; the rebuild always splits on the shipped
+    * two-space separator.
     */
-  private def bpeRebuild(sfDir: String, weighted: Boolean, doubleSep: Boolean)
+  private def bpeRebuild(sfDir: String, weighted: Boolean)
       : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
     import graft.operators.TextAnalytics
     val w0 = docsWide(sfDir)
@@ -896,10 +897,9 @@ class MutationAuditSpec extends AnyFunSuite {
     val noPairs = array().cast("array<struct<lhs:string,rhs:string>>")
     val ws = scala.collection.mutable.ArrayBuffer(w0)
     val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val sep = if (doubleSep) "  " else " "
     (1 to 6).foreach { _ =>
       val w = ws.last
-      val syms = split(trim(col("r")), sep)
+      val syms = split(trim(col("r")), "  ")
       val pairs = w.select(col("freq"),
           explode(when(size(syms) >= 2,
             transform(sequence(lit(1), size(syms) - 1), j =>
@@ -931,7 +931,7 @@ class MutationAuditSpec extends AnyFunSuite {
     // deterministic, but every pair_count (and eventually the winners)
     // drifts from the token statistics a tokenizer is supposed to fit.
     def out(weighted: Boolean) = {
-      val (_, bests) = bpeRebuild(Sf01, weighted, doubleSep = true)
+      val (_, bests) = bpeRebuild(Sf01, weighted)
       bests.zipWithIndex.map { case (best, i0) =>
         best.select(lit((i0 + 1).toLong).as("merge_rank"), col("lhs"),
           col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
@@ -949,7 +949,7 @@ class MutationAuditSpec extends AnyFunSuite {
     // pair (" a  b " -> [a, '', b]), inflating every depth's symbol total
     // while chars stay conserved — a report that still LOOKS consistent.
     def out(doubleSep: Boolean) = {
-      val (ws, _) = bpeRebuild(Sf01, weighted = true, doubleSep = true)
+      val (ws, _) = bpeRebuild(Sf01, weighted = true)
       val sep = if (doubleSep) "  " else " "
       ws.zipWithIndex.map { case (w, r) =>
         w.agg(
