@@ -52,6 +52,49 @@ case class BandMinhash(child: Expression, numHashes: Int, bands: Int)
     copy(child = newChild)
 }
 
+/** The raw `numHashes` minhashes with NO band fold — the shared signature a
+  * banding-parameter study computes once and then folds per candidate
+  * (bands, rowsPerBand) config via [[BandFold]]. Same hash family as
+  * [[BandMinhash]] (sha256 base + mod-2^60 affine permutations), so a SQL
+  * oracle replays it from the same `mins` CTE the q19 banding uses.
+  */
+case class RawMinhash(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "raw_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandMinhash.rawMins(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BandMinhash$$.MODULE$$.rawMins($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Folds an `array<long>` of raw minhashes ([[RawMinhash]]) into `bands`
+  * 60-bit band bucket ids — exactly [[BandMinhash]]'s fold, split out so
+  * one signature pass can be banded under several (bands, rowsPerBand)
+  * configurations. `BandFold(RawMinhash(sh, n), b) == BandMinhash(sh, n, b)`
+  * element-for-element (KernelsSpec pins the identity).
+  */
+case class BandFold(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_fold"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandMinhash.foldBands(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BandMinhash$$.MODULE$$.foldBands($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BandMinhash {
   val Mask60: Long = (1L << 60) - 1
   val FoldSeed: Long = 42L
@@ -124,9 +167,56 @@ object BandMinhash {
     new GenericArrayData(out)
   }
 
+  /** The minhash loop of [[compute]] without the band fold. */
+  def rawMins(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      val base = Sha256.hash60(s.getBytes)
+      var k = 0
+      while (k < numHashes) {
+        val hk = lcg(mulConst(k), base, addConst(k))
+        if (hk < mins(k)) mins(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** The band fold of [[compute]] over precomputed raw minhashes. */
+  def foldBands(mins: ArrayData, bands: Int): ArrayData = {
+    val numHashes = mins.numElements()
+    require(numHashes % bands == 0, "mins length must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = FoldSeed
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = lcg(MixMul, acc ^ mins.getLong(b * rowsPerBand + r), MixAdd)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** array<long> of `bands` LSH bucket ids for an array<string> of shingles. */
   def bandMinhash(shingles: Column, numHashes: Int, bands: Int): Column =
     GraftSql.column(BandMinhash(GraftSql.expression(shingles), numHashes, bands))
+
+  /** array<long> of the raw `numHashes` minhashes (no fold). */
+  def rawMinhashCol(shingles: Column, numHashes: Int): Column =
+    GraftSql.column(RawMinhash(GraftSql.expression(shingles), numHashes))
+
+  /** array<long> of `bands` bucket ids folded from raw minhashes. */
+  def bandFoldCol(mins: Column, bands: Int): Column =
+    GraftSql.column(BandFold(GraftSql.expression(mins), bands))
 }
 
 /** Shared sha256 kernel helpers (thread-local digest — MessageDigest is

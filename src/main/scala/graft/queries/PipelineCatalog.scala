@@ -6530,6 +6530,662 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q130: LSH banding-parameter planner — the study a pipeline runs BEFORE
+  // committing to q19's (bands, rowsPerBand): for every config that
+  // divides the 32-hash budget, the analytic S-curve catch probability
+  // 1-(1-s^r)^b on each TRUE near-dup pair (exact shingle Jaccard >= 0.3,
+  // the q18 kernel at a study floor below the 0.5 design point so the
+  // curve's knee is visible) versus the EMPIRICAL catch — does the pair
+  // collide in >= 1 band under that config. The signature is computed
+  // ONCE per doc (RawMinhash) and re-FOLDED per config (BandFold) — six
+  // configs cost one minhash pass, not six. Expected mass sums per-pair
+  // 6dp micros as BIGINT, so the cross-engine sum is exact and
+  // order-independent (no float-summation drift); s* = (1/b)^(1/r) is a
+  // Scala-computed literal interpolated into BOTH engines. 100 TB: this
+  // is a planning query over a SAMPLE by construction (the ground-truth
+  // pair pass is the quadratic-within-block q18 exact form); the
+  // signature pass is pruned to pair-participating docs via a broadcast
+  // semi-join before any minhash is computed, and every aggregate is over
+  // the pair list (<< corpus). Production then runs q19 at the chosen
+  // config. Reference: the banding threshold analysis in MMDS ch.3 /
+  // Leskovec et al. — the standard (1/b)^(1/r) design rule, measured
+  // instead of assumed.
+  // -------------------------------------------------------------------------
+
+  private val LshStudyTau = 0.3
+  private val LshNumHashes = 32
+  /** (bands, rowsPerBand) grid: every factorization of the 32-hash budget. */
+  private val LshConfigs: Seq[(Int, Int)] =
+    Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+  private def lshSStarMicros(b: Int, r: Int): Long =
+    math.floor(math.pow(1.0 / b, 1.0 / r) * 1000000 + 0.5).toLong
+
+  val q130LshTuning: Q = (s, d) => {
+    import graft.functions.BandMinhash
+    val docs = docsWide(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", LshStudyTau)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    // signatures only for docs that appear in a true pair: the pair list
+    // is tiny, so the id set broadcasts and the minhash pass never touches
+    // the rest of the corpus
+    val ids = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sigs = docs.join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"),
+        BandMinhash.rawMinhashCol(
+          graft.operators.WordShingles.wordShingles(col("text")),
+          LshNumHashes).as("mins"))
+    // one row per true pair carrying both signatures; SIX config
+    // projections consume it — checkpoint so the pair pass runs once
+    // (the q122 multi-consumer barrier)
+    val base = pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("mins").as("mins_a")),
+        Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("mins").as("mins_b")),
+        Seq("b_id"))
+      .localCheckpoint()
+    val perCfg = LshConfigs.map { case (b, r) =>
+      val folded = base
+        .withColumn("fa", BandMinhash.bandFoldCol(col("mins_a"), b))
+        .withColumn("fb", BandMinhash.bandFoldCol(col("mins_b"), b))
+      val caught = (0 until b)
+        .map(j => element_at(col("fa"), j + 1) === element_at(col("fb"), j + 1))
+        .reduce(_ || _)
+      folded.select(
+        lit(b).as("bands"), lit(r).as("rows_per_band"),
+        caught.as("caught"),
+        floor((lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), lit(r.toDouble)),
+          lit(b.toDouble))) * 1000000 + 0.5).cast("long").as("p_micros"))
+    }.reduce(_ unionAll _)
+    val agg = perCfg.groupBy(col("bands"), col("rows_per_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"),
+        sum(col("p_micros")).as("expected_micros"))
+    val cfg = s.createDataFrame(
+        LshConfigs.map { case (b, r) => (b, r, lshSStarMicros(b, r)) })
+      .toDF("bands", "rows_per_band", "s_star_micros")
+    cfg.join(agg, Seq("bands", "rows_per_band"), "left")
+      .select(col("bands"), col("rows_per_band"), col("s_star_micros"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        coalesce(col("expected_micros"), lit(0L)).as("expected_micros"))
+      .orderBy(col("bands"))
+  }
+
+  private val q130Sql = {
+    import graft.functions.BandMinhash
+    val minCols = (0 until LshNumHashes)
+      .map(k => s"min(${BandMinhash.sqlLcg(k, "x")}) AS m$k")
+      .mkString(",\n           ")
+    // the textually-nested sqlMix chain the q19 oracle uses grows ~3^r
+    // (sqlAffine mentions its argument three times), so a 32-deep band
+    // fold must be a list_reduce with the seed as the first element —
+    // same arithmetic, constant SQL size per band
+    def foldSql(side: String, band: Int, rpb: Int): String = {
+      val elems = (0 until rpb).map(r => s"$side.m${band * rpb + r}")
+        .mkString(", ")
+      s"list_reduce([CAST(${BandMinhash.FoldSeed} AS BIGINT), $elems], " +
+        s"(a, b) -> ${BandMinhash.sqlMix("a", "b")})"
+    }
+    val evBranches = LshConfigs.map { case (b, r) =>
+      val caught = (0 until b)
+        .map(j => s"${foldSql("ma", j, r)} = ${foldSql("mb", j, r)}")
+        .mkString("(", " OR ", ")")
+      s"""SELECT $b AS bands, $r AS rows_per_band, p.jaccard, $caught AS caught
+         FROM pairs p
+         JOIN mins ma ON ma.doc_id = p.a_id
+         JOIN mins mb ON mb.doc_id = p.b_id"""
+    }.mkString("\n         UNION ALL\n         ")
+    val cfgVals = LshConfigs
+      .map { case (b, r) => s"($b, $r, ${lshSStarMicros(b, r)})" }
+      .mkString(", ")
+    s"""WITH words AS (
+         SELECT doc_id, lang, string_split(trim(text), ' ') AS w FROM documents
+       ), sh AS (
+         SELECT DISTINCT doc_id, lang, shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       ip AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.shingle = b.shingle
+           AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ), pairs AS (
+         SELECT a_id, b_id,
+                floor((CAST(inter AS DOUBLE) / (sa.n + sb.n - inter))
+                  * 1000000 + 0.5) / 1000000.0 AS jaccard
+         FROM ip JOIN sizes sa ON sa.doc_id = a_id
+                 JOIN sizes sb ON sb.doc_id = b_id
+         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $LshStudyTau
+       ), ids AS (
+         SELECT DISTINCT id
+         FROM (SELECT unnest([a_id, b_id]) AS id FROM pairs)
+       ), h AS (
+         SELECT sh.doc_id,
+                CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x
+         FROM sh JOIN ids ON ids.id = sh.doc_id
+       ), mins AS (
+         SELECT doc_id,
+           $minCols
+         FROM h GROUP BY doc_id
+       ), ev AS (
+         $evBranches
+       ), agg AS (
+         SELECT bands, rows_per_band, count(*) AS n_pairs,
+                sum(CASE WHEN caught THEN 1 ELSE 0 END) AS n_caught,
+                sum(CAST(floor((1 - power(1 - power(jaccard,
+                      CAST(rows_per_band AS DOUBLE)),
+                      CAST(bands AS DOUBLE))) * 1000000 + 0.5) AS BIGINT))
+                  AS expected_micros
+         FROM ev GROUP BY 1, 2
+       ), cfg(bands, rows_per_band, s_star_micros) AS (
+         VALUES $cfgVals
+       )
+       SELECT cfg.bands, cfg.rows_per_band,
+              CAST(cfg.s_star_micros AS BIGINT) AS s_star_micros,
+              CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+              CAST(coalesce(agg.n_caught, 0) AS BIGINT) AS n_caught,
+              CAST(coalesce(agg.expected_micros, 0) AS BIGINT)
+                AS expected_micros
+       FROM cfg LEFT JOIN agg
+         ON agg.bands = cfg.bands AND agg.rows_per_band = cfg.rows_per_band
+       ORDER BY cfg.bands"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q131: data-constrained repetition value — what the q113 blend's epochs
+  // are WORTH: under the Muennighoff et al. 2023 data-constrained scaling
+  // fit, tokens repeated past the first epoch decay in value, with
+  // effective epochs E' = min(E, 1) + R*·(1 − exp(−R/R*)) for R =
+  // max(E − 1, 0) repetitions and the fitted half-life R* ≈ 15.4 (the
+  // min(E, 1) term is Muennighoff's U' = min(D, U): a source allocated
+  // under one epoch contributes only the fraction it is actually seen). Per source this query
+  // reports the blend's raw epochs (q113's α-temperature allocation at
+  // the same 2× budget), the effective epochs, the effective token count
+  // E'·n_tok, and the value ratio E'/E — flagging sources whose
+  // repetition burns compute (ratio below 0.9). The flag compares exact
+  // BIGINT micros, not floats, so it cannot drift cross-engine. 100 TB
+  // shape: identical to q113 — one partial-aggregated groupBy(source)
+  // over a pruned (source, text) scan, a broadcast 1-row normalizer,
+  // window-free; the decay math is per-source arithmetic over
+  // |sources| rows.
+  // -------------------------------------------------------------------------
+
+  private val RepHalfLife = 15.4 // Muennighoff et al. 2023 fitted R*_D
+  private val RepValueFloorMicros = 900000L // flag sources under 0.9 value
+
+  val q131RepeatValue: Q = (s, d) => {
+    val st = docsWide(s, d)
+      .select(col("source"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+    val tot = st.agg(sum(col("n_tok")).cast("double").as("total_tok"),
+      sum(pow(col("n_tok").cast("double"), MixAlpha)).as("z"))
+    st.crossJoin(broadcast(tot))
+      .withColumn("epochs_raw",
+        lit(MixBudgetMult) * col("total_tok")
+          * (pow(col("n_tok").cast("double"), MixAlpha) / col("z"))
+          / col("n_tok"))
+      .withColumn("reps", greatest(col("epochs_raw") - 1.0, lit(0.0)))
+      // first term = min(E, 1): a source allocated UNDER one epoch sees
+      // only that fraction of its unique tokens (Muennighoff's U' =
+      // min(D, U)); only mass past epoch 1 decays
+      .withColumn("eff_raw",
+        least(col("epochs_raw"), lit(1.0)) + lit(RepHalfLife)
+          * (lit(1.0) - exp(-col("reps") / lit(RepHalfLife))))
+      .withColumn("epochs_micros",
+        floor(col("epochs_raw") * 1000000 + 0.5).cast("long"))
+      .withColumn("eff_epochs_micros",
+        floor(col("eff_raw") * 1000000 + 0.5).cast("long"))
+      .withColumn("value_micros",
+        floor(col("eff_raw") / col("epochs_raw") * 1000000 + 0.5).cast("long"))
+      .select(col("source"), col("n_tok"),
+        col("epochs_micros"), col("eff_epochs_micros"),
+        floor(col("n_tok") * col("eff_raw") + 0.5).cast("long")
+          .as("eff_tok"),
+        col("value_micros"),
+        (col("value_micros") < RepValueFloorMicros).as("diminishing"))
+      .orderBy(col("source"))
+  }
+
+  private val q131Sql =
+    s"""WITH t AS (
+         SELECT source,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), s AS (
+         SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok
+         FROM t GROUP BY source HAVING sum(n_tok) > 0
+       ), tot AS (
+         SELECT CAST(sum(n_tok) AS DOUBLE) AS total_tok,
+                sum(power(CAST(n_tok AS DOUBLE), $MixAlpha)) AS z
+         FROM s
+       ), e AS (
+         SELECT source, n_tok,
+                $MixBudgetMult * total_tok
+                  * (power(CAST(n_tok AS DOUBLE), $MixAlpha) / z)
+                  / n_tok AS epochs_raw
+         FROM s CROSS JOIN tot
+       ), v AS (
+         SELECT source, n_tok, epochs_raw,
+                least(epochs_raw, 1.0) + $RepHalfLife
+                  * (1.0 - exp(-greatest(epochs_raw - 1.0, 0.0)
+                               / $RepHalfLife)) AS eff_raw
+         FROM e
+       )
+       SELECT source, n_tok,
+              CAST(floor(epochs_raw * 1000000 + 0.5) AS BIGINT)
+                AS epochs_micros,
+              CAST(floor(eff_raw * 1000000 + 0.5) AS BIGINT)
+                AS eff_epochs_micros,
+              CAST(floor(n_tok * eff_raw + 0.5) AS BIGINT) AS eff_tok,
+              CAST(floor(eff_raw / epochs_raw * 1000000 + 0.5) AS BIGINT)
+                AS value_micros,
+              (CAST(floor(eff_raw / epochs_raw * 1000000 + 0.5) AS BIGINT)
+                 < $RepValueFloorMicros) AS diminishing
+       FROM v ORDER BY source"""
+
+  // -------------------------------------------------------------------------
+  // q132: quality-classifier calibration — the reliability table a
+  // curation owner reads before trusting q67's learned gate: per FIXED
+  // logit bin (floor of the 6dp-rounded log-odds, clamped to [-5, 4] —
+  // fixed edges, not corpus percentiles, so the report needs no global
+  // sort and bins are comparable across corpus snapshots), the document
+  // count, how many carry the positive silver label (the q22 rule the
+  // classifier was distilled from), how many the classifier keeps, and
+  // how many it gets RIGHT. A well-calibrated distillation shows label
+  // share rising monotonically with the bin and the disagreements
+  // concentrated around logit 0 — anything else localizes WHERE the
+  // cheap model diverges from the rule before it gates a 100 TB corpus.
+  // Scale shape: q67's single narrow serving pass (write-time
+  // coefficients, no training in query time) + one groupBy over <= 10
+  // bin keys; binning on the shared 6dp grid keeps the floor()
+  // cross-engine-exact.
+  // -------------------------------------------------------------------------
+
+  private val CalBinLo = -5
+  private val CalBinHi = 4
+
+  val q132QualityCalibration: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val w = QualityModel.ensure(s, docs, d)
+    lastQcWeights = Some(w.clone())
+    QualityModel.features(docs)
+      .withColumn("logit6", rnd(QualityModel.zCol(w), 6))
+      .withColumn("bin",
+        least(greatest(floor(col("logit6")).cast("int"), lit(CalBinLo)),
+          lit(CalBinHi)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_label_pos"),
+        sum(when(col("logit6") > 0.0, 1L).otherwise(0L)).as("n_pred_keep"),
+        sum(when((col("logit6") > 0.0) === (col("y") === 1), 1L)
+          .otherwise(0L)).as("n_agree"))
+      .orderBy(col("bin"))
+  }
+
+  /** Calibration replay from the exported coefficient literals — the same
+    * z/label CTEs as [[q67Sql]], regrouped by the fixed logit bin.
+    */
+  private def q132Sql(w: Array[Double]): String = {
+    val wvals = w.zipWithIndex
+      .map { case (v, b) => s"($b, CAST($v AS DOUBLE))" }.mkString(", ")
+    val stop = TextAnalytics.EnStopwords.map(x => s"'$x'").mkString("[", ",", "]")
+    s"""WITH d AS (
+         SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '\\s+'),
+                                          t -> t <> '') AS toks FROM documents
+       ), lab AS (
+         SELECT doc_id,
+                (0.2 * least(CAST(len(toks) AS DOUBLE)/100.0, 1.0)
+                 + 0.5 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+                          / len(toks))
+                 + 0.3 * (1.0 - least(abs(CAST(list_aggregate(list_transform(toks,
+                            x -> length(x)), 'sum') AS DOUBLE)/len(toks) - 5.0)/10.0, 1.0))
+                 >= $QcTau) AS yb
+         FROM d WHERE len(toks) > 0
+       ), tb AS (
+         SELECT doc_id,
+                CAST(CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) % $QcB AS INT) AS b
+         FROM d, unnest(d.toks) AS u(tok)
+       ), n AS (
+         SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id
+       ), xr AS (
+         SELECT tf.doc_id, tf.b, CAST(tf.c AS DOUBLE) / n.n AS x
+         FROM (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b) tf
+         JOIN n USING (doc_id)
+         UNION ALL
+         SELECT doc_id, $QcB AS b, least(CAST(n AS DOUBLE) / 100.0, 1.0) AS x FROM n
+         UNION ALL
+         SELECT doc_id, ${QcB + 1} AS b, 1.0 AS x FROM n
+       ), w(b, w) AS (
+         VALUES $wvals
+       ), z AS (
+         SELECT xr.doc_id, floor(sum(w.w * xr.x ORDER BY xr.b) * 1000000 + 0.5)
+                  / 1000000.0 AS logit6
+         FROM xr JOIN w USING (b)
+         GROUP BY xr.doc_id
+       )
+       SELECT CAST(least(greatest(floor(z.logit6), $CalBinLo), $CalBinHi)
+                AS INT) AS bin,
+              count(*) AS n_docs,
+              CAST(sum(CASE WHEN lab.yb THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_label_pos,
+              CAST(sum(CASE WHEN z.logit6 > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pred_keep,
+              CAST(sum(CASE WHEN (z.logit6 > 0.0) = lab.yb THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree
+       FROM z JOIN lab USING (doc_id)
+       GROUP BY 1 ORDER BY bin"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q133: per-label embedding centroid drift — the embedding-space
+  // fingerprint a pipeline monitors across sources or corpus snapshots
+  // (the vector-side analogue of q110's token-distribution JS): each
+  // label's mean vector compared by cosine against the corpus-wide mean.
+  // A label whose centroid swings away from the blend signals ingest
+  // drift (new domain, broken encoder, poisoned source) before any
+  // downstream eval does. 100 TB shape: the dim-explode is the standard
+  // 64x row map; partial aggregation reduces it map-side to
+  // |labels| x dims keys (checkpointed once — its two consumers must not
+  // re-scan the corpus), the global centroid derives from the label
+  // sums (no second corpus pass) and broadcasts back; the cosine is an
+  // ordered fold over a |dims|-bounded collected array (q71's
+  // ascending-index ordered-sum discipline, so the float fold is
+  // replayable) — window-free, join-bounded by labels x dims.
+  // -------------------------------------------------------------------------
+
+  val q133EmbeddingDrift: Q = (s, d) => {
+    val ex = tbl(s, d, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+    // the |labels| x dims sum frame feeds TWO consumers (the global
+    // centroid and the per-label join) — checkpoint it so the embeddings
+    // scan runs once (the q122 multi-consumer barrier); the materialized
+    // frame is labels x dims rows, trivially bounded
+    val lc = ex.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val gc = lc.groupBy(col("pos"))
+      .agg(sum(col("sv")).as("gs"), sum(col("n")).as("gn"))
+    lc.join(broadcast(gc), Seq("pos"))
+      .withColumn("m", col("sv") / col("n"))
+      .withColumn("g", col("gs") / col("gn"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        sort_array(collect_list(struct(col("pos"), col("m"), col("g"))))
+          .as("a"))
+      .withColumn("dot", aggregate(col("a"), lit(0.0),
+        (acc, x) => acc + x.getField("m") * x.getField("g")))
+      .withColumn("nm", aggregate(col("a"), lit(0.0),
+        (acc, x) => acc + x.getField("m") * x.getField("m")))
+      .withColumn("ng", aggregate(col("a"), lit(0.0),
+        (acc, x) => acc + x.getField("g") * x.getField("g")))
+      .select(col("label"), col("n_vecs"),
+        rnd(when(col("nm") * col("ng") === 0.0, lit(0.0))
+          .otherwise(col("dot") / sqrt(col("nm") * col("ng"))), 6)
+          .as("centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val q133Sql =
+    """WITH ex AS (
+         SELECT label, u.pos, CAST(embedding[u.pos] AS DOUBLE) AS v
+         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(pos)
+       ), lc AS (
+         SELECT label, pos, sum(v) AS sv, CAST(count(*) AS BIGINT) AS n
+         FROM ex GROUP BY label, pos
+       ), gc AS (
+         SELECT pos, sum(sv) AS gs, CAST(sum(n) AS BIGINT) AS gn
+         FROM lc GROUP BY pos
+       ), j AS (
+         SELECT lc.label, lc.pos, lc.n,
+                lc.sv / lc.n AS m, gc.gs / gc.gn AS g
+         FROM lc JOIN gc USING (pos)
+       ), f AS (
+         SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+                sum(m * g ORDER BY pos) AS dot,
+                sum(m * m ORDER BY pos) AS nm,
+                sum(g * g ORDER BY pos) AS ng
+         FROM j GROUP BY label
+       )
+       SELECT label, n_vecs,
+              CASE WHEN nm * ng = 0 THEN 0.0
+                   ELSE floor(dot / sqrt(nm * ng) * 1000000 + 0.5) / 1000000.0
+              END AS centroid_cos
+       FROM f ORDER BY label"""
+
+  // -------------------------------------------------------------------------
+  // q134: document-length histogram on power-of-two buckets — the size
+  // profile read before choosing a training sequence length (q115 then
+  // measures packing at the candidate lengths this histogram suggests).
+  // Buckets are floor(log2(n_tok)) computed BIT-EXACTLY as the binary
+  // digit count minus one (length(bin(n)) - 1) — no libm log2 whose
+  // boundary ulps could disagree between engines at exact powers of two.
+  // 100 TB shape: one pruned text scan, map-side-combined groupBy over
+  // <= 64 bucket keys, a broadcast 1-row total; window-free.
+  // -------------------------------------------------------------------------
+
+  val q134LengthHistogram: Q = (s, d) => {
+    val nt = docsWide(s, d)
+      .select(size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", (length(bin(col("n_tok"))) - 1).cast("int"))
+    val ht = nt.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = ht.agg(sum(col("n_tokens")).cast("double").as("tt"))
+    ht.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_tok"),
+        (expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1).as("hi_tok"),
+        col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens") / col("tt") * 1000000 + 0.5).cast("long")
+          .as("tok_share_micros"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q134Sql =
+    """WITH nt AS (
+         SELECT CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), b AS (
+         SELECT n_tok, CAST(length(printf('%b', n_tok)) - 1 AS INT) AS bucket
+         FROM nt WHERE n_tok > 0
+       ), ht AS (
+         SELECT bucket, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM b GROUP BY bucket
+       ), tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt FROM ht)
+       SELECT bucket,
+              (CAST(1 AS BIGINT) << bucket) AS lo_tok,
+              (CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS hi_tok,
+              n_docs, n_tokens,
+              CAST(floor(n_tokens / tt * 1000000 + 0.5) AS BIGINT)
+                AS tok_share_micros
+       FROM ht CROSS JOIN tot
+       ORDER BY bucket"""
+
+  // -------------------------------------------------------------------------
+  // q135: decontamination method overlap — the ablation that justifies
+  // running BOTH scrubbers: against ONE benchmark with two leak shapes,
+  // cross-tabulate the corpus by exact-8-gram flag (q57's method) x
+  // fuzzy-MinHash flag (q93's method, banding + J >= 0.3 verify). The
+  // benchmark mixes (a) SHORT verbatim extracts (120 chars, q57's shape)
+  // — every 8-gram survives so exact catches the donor, but the extract
+  // is a small fraction of the donor's shingle set so Jaccard sits under
+  // the fuzzy threshold: the EXACT-ONLY cell — and (b) PARAPHRASED long
+  // extracts (300 chars, every 8th word swapped for a marker): every
+  // 8-gram window contains a swap so exact matching is blind, while
+  // ~5/8 of the 3-shingles survive and Jaccard stays over 0.3: the
+  // FUZZY-ONLY cell. Both cells non-empty is the measured argument for
+  // the two-method scrub (QueriesSpec pins it). 100 TB shape: each
+  // method is its own broadcast-bench corpus pass (that cost is the
+  // methods', not the cross-tab's); both flag sets are benchmark-bounded
+  // and broadcast into a pruned doc_id scan; the aggregate has exactly
+  // 4 keys, and the 4-row combo frame left-joins so empty cells stay
+  // visible.
+  // -------------------------------------------------------------------------
+
+  val q135DecontamOverlap: Q = (s, d) => {
+    import graft.operators.WordShingles
+    val docs = docsWide(s, d)
+    // paraphrase: every 8th word (0-based) becomes a marker token absent
+    // from the corpus — kills every 8-gram, keeps ~5/8 of the 3-shingles
+    def paraphrase(text: org.apache.spark.sql.Column) =
+      array_join(transform(split(trim(text), " "), (x, j) =>
+        when(j % 8 === 0,
+          concat(lit("pz"), (j / 8).cast("int").cast("string")))
+          .otherwise(x)), " ")
+    val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select(col("doc_id"), substring(col("text"), 21, 120).as("text"))
+      .unionAll(docs.filter(col("doc_id") >= 5 && col("doc_id") < 15)
+        .select((col("doc_id") + 1000).as("doc_id"),
+          paraphrase(substring(col("text"), 21, 300)).as("text")))
+    val fuzzy = Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .select(col("doc_id"), lit(true).as("flag_fuzzy"))
+    val benchSh = bench
+      .select(explode(WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      .distinct()
+    val exact = docs
+      .select(col("doc_id"),
+        explode(WordShingles.wordShingles(col("text"), 8)).as("shingle"))
+      .join(broadcast(benchSh), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+      .withColumn("flag_exact", lit(true))
+    val agg = docs.select(col("doc_id"))
+      .join(broadcast(exact), Seq("doc_id"), "left")
+      .join(broadcast(fuzzy), Seq("doc_id"), "left")
+      .select(coalesce(col("flag_exact"), lit(false)).as("flag_exact"),
+        coalesce(col("flag_fuzzy"), lit(false)).as("flag_fuzzy"))
+      .groupBy(col("flag_exact"), col("flag_fuzzy"))
+      .agg(count(lit(1)).as("n_docs"))
+    val combos = s.createDataFrame(
+        Seq((false, false), (false, true), (true, false), (true, true)))
+      .toDF("flag_exact", "flag_fuzzy")
+    combos.join(broadcast(agg), Seq("flag_exact", "flag_fuzzy"), "left")
+      .select(col("flag_exact"), col("flag_fuzzy"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("flag_exact"), col("flag_fuzzy"))
+  }
+
+  private val q135Sql = {
+    import graft.functions.BandMinhash
+    val numHashes = 32
+    val bands = 8
+    val rpb = numHashes / bands
+    val g8 = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    val minCols = (0 until numHashes)
+      .map(k => s"min(${BandMinhash.sqlLcg(k, "x")}) AS m$k")
+      .mkString(",\n           ")
+    val bandCols = (0 until bands).map { b =>
+      val acc = (0 until rpb).foldLeft(BandMinhash.FoldSeed.toString)(
+        (a, r) => BandMinhash.sqlMix(a, s"m${b * rpb + r}"))
+      s"$acc AS bh$b"
+    }.mkString(",\n           ")
+    val anyBand = (0 until bands).map(b => s"t.bh$b = b.bh$b").mkString(" OR ")
+    s"""WITH bench AS (
+         SELECT doc_id, substr(text, 21, 120) AS text
+         FROM documents WHERE doc_id >= 25 AND doc_id < 35
+         UNION ALL
+         SELECT doc_id + 1000 AS doc_id,
+                array_to_string(list_transform(
+                  string_split(trim(substr(text, 21, 300)), ' '),
+                  (x, i) -> CASE WHEN (i - 1) % 8 = 0
+                                 THEN 'pz' || CAST((i - 1) // 8 AS INT)
+                                 ELSE x END), ' ') AS text
+         FROM documents WHERE doc_id >= 5 AND doc_id < 15
+       ), words AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), sh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM words, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), bwords AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM bench
+       ), bsh AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM bwords, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS u(shingle)
+       ), h AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM sh
+       ), hb AS (
+         SELECT doc_id, CAST('0x' || substr(sha256(shingle), 1, 15) AS BIGINT) AS x FROM bsh
+       ), mins AS (
+         SELECT doc_id,
+           $minCols
+         FROM h GROUP BY doc_id
+       ), minsb AS (
+         SELECT doc_id,
+           $minCols
+         FROM hb GROUP BY doc_id
+       ), bnd AS (
+         SELECT doc_id,
+           $bandCols
+         FROM mins
+       ), bndb AS (
+         SELECT doc_id,
+           $bandCols
+         FROM minsb
+       ), cand AS (
+         SELECT t.doc_id AS t_id, b.doc_id AS bench_id
+         FROM bnd t JOIN bndb b ON ($anyBand)
+       ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       sizesb AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY doc_id),
+       inter AS (
+         SELECT c.t_id, c.bench_id, count(*) AS inter
+         FROM cand c
+         JOIN sh st ON st.doc_id = c.t_id
+         JOIN bsh sb ON sb.doc_id = c.bench_id AND sb.shingle = st.shingle
+         GROUP BY c.t_id, c.bench_id
+       ), fz AS (
+         SELECT DISTINCT i.t_id AS doc_id
+         FROM inter i
+         JOIN sizes st ON st.doc_id = i.t_id
+         JOIN sizesb sb ON sb.doc_id = i.bench_id
+         WHERE CAST(i.inter AS DOUBLE) / (st.n + sb.n - i.inter) >= 0.3
+       ), w8 AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+       ), cs8 AS (
+         SELECT DISTINCT doc_id, shingle
+         FROM w8, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), bw8 AS (
+         SELECT string_split(trim(text), ' ') AS w FROM bench
+       ), bs8 AS (
+         SELECT DISTINCT shingle
+         FROM bw8, unnest(list_transform(range(1, greatest(len(w) - 6, 1)),
+              i -> $g8)) AS u(shingle)
+       ), ex AS (
+         SELECT DISTINCT cs8.doc_id FROM cs8 JOIN bs8 USING (shingle)
+       ), fl AS (
+         SELECT d.doc_id,
+                (ex.doc_id IS NOT NULL) AS flag_exact,
+                (fz.doc_id IS NOT NULL) AS flag_fuzzy
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN ex ON ex.doc_id = d.doc_id
+         LEFT JOIN fz ON fz.doc_id = d.doc_id
+       ), agg AS (
+         SELECT flag_exact, flag_fuzzy, count(*) AS n_docs
+         FROM fl GROUP BY 1, 2
+       ), combos(flag_exact, flag_fuzzy) AS (
+         VALUES (false, false), (false, true), (true, false), (true, true)
+       )
+       SELECT c.flag_exact, c.flag_fuzzy,
+              CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs
+       FROM combos c
+       LEFT JOIN agg a
+         ON a.flag_exact = c.flag_exact AND a.flag_fuzzy = c.flag_fuzzy
+       ORDER BY c.flag_exact, c.flag_fuzzy"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -6624,6 +7280,12 @@ object PipelineCatalog {
     "q127_crawl_yield" -> q127CrawlYield,
     "q128_pq_recall" -> q128PqRecall,
     "q129_fertility_by_source" -> q129FertilityBySource,
+    "q130_lsh_tuning" -> q130LshTuning,
+    "q131_repeat_value" -> q131RepeatValue,
+    "q132_quality_calibration" -> q132QualityCalibration,
+    "q133_embedding_drift" -> q133EmbeddingDrift,
+    "q134_length_histogram" -> q134LengthHistogram,
+    "q135_decontam_overlap" -> q135DecontamOverlap,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -6634,6 +7296,7 @@ object PipelineCatalog {
     */
   def oracles: ListMap[String, String] = staticOracles ++
     lastQcWeights.map(w => "q67_quality_classifier" -> q67Sql(w)) ++
+    lastQcWeights.map(w => "q132_quality_calibration" -> q132Sql(w)) ++
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
     lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
     lastIvfCentroids.map(cs => "q121_ann_recall" -> q121Sql(cs)) ++
@@ -6736,6 +7399,11 @@ object PipelineCatalog {
     "q126_quality_keeper" -> q126Sql,
     "q127_crawl_yield" -> q127Sql,
     "q129_fertility_by_source" -> q129Sql,
+    "q130_lsh_tuning" -> q130Sql,
+    "q131_repeat_value" -> q131Sql,
+    "q133_embedding_drift" -> q133Sql,
+    "q134_length_histogram" -> q134Sql,
+    "q135_decontam_overlap" -> q135Sql,
     "q103_video_search" -> q103Sql,
   )
 }

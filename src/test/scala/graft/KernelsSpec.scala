@@ -100,6 +100,29 @@ class KernelsSpec extends AnyFunSuite {
       == 204651429991967492L)
   }
 
+  test("band_fold over raw_minhash equals band_minhash at every 32-hash config") {
+    // q130's shared-signature design holds ONLY if re-folding the raw
+    // minhashes reproduces the fused expression band-for-band — this is
+    // the identity that lets one minhash pass serve six banding configs
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = new GenericArrayData(Array[Any](
+      UTF8String.fromString("alpha beta gamma"),
+      UTF8String.fromString("beta gamma delta"),
+      UTF8String.fromString("delta epsilon zeta")))
+    val mins = graft.functions.BandMinhash.rawMins(arr, 32)
+    for ((b, _) <- Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))) {
+      val refolded = graft.functions.BandMinhash.foldBands(mins, b)
+      val fused = graft.functions.BandMinhash.compute(arr, 32, b)
+      assert((0 until b).forall(j => refolded.getLong(j) == fused.getLong(j)),
+        s"fold identity broke at bands=$b")
+    }
+    // empty shingle input: raw mins sit at Long.MaxValue, fold still total
+    val empty = graft.functions.BandMinhash.rawMins(
+      new GenericArrayData(Array.empty[Any]), 32)
+    assert((0 until 32).forall(k => empty.getLong(k) == Long.MaxValue))
+  }
+
   test("word_shingles trim/split matches the oracle's string_split semantics") {
     // Space-only trim, empties kept — DuckDB trim + string_split parity, so
     // the q19 cross-engine LSH replay is data-independent (tabs/newlines/

@@ -1329,4 +1329,250 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(learnedOrder = true),
       mutated = build(learnedOrder = false))
   }
+
+  test("lsh-tuning family (q130): transposed S-curve flips the gate") {
+    // 36th family: the banding design rule is P(catch) = 1-(1-s^r)^b —
+    // rows-per-band INSIDE the band power, bands outside. Transposing
+    // them (1-(1-s^b)^r, the classic formula error) still produces a
+    // plausible monotone curve, so only the oracle's expected-mass column
+    // can catch it.
+    import graft.functions.BandMinhash
+    import graft.operators.WordShingles
+    val cfgs = Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+    def build(transpose: Boolean) = {
+      val docs = docsWide(Sf01)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", 0.3)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+      val ids = pairs
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+        .distinct()
+      val sigs = docs.join(broadcast(ids), Seq("doc_id"))
+        .select(col("doc_id"),
+          BandMinhash.rawMinhashCol(
+            WordShingles.wordShingles(col("text")), 32).as("mins"))
+      val base = pairs
+        .join(sigs.select(col("doc_id").as("a_id"), col("mins").as("mins_a")),
+          Seq("a_id"))
+        .join(sigs.select(col("doc_id").as("b_id"), col("mins").as("mins_b")),
+          Seq("b_id"))
+      val perCfg = cfgs.map { case (b, r) =>
+        val (pb, pr) = if (transpose) (r, b) else (b, r)
+        val folded = base
+          .withColumn("fa", BandMinhash.bandFoldCol(col("mins_a"), b))
+          .withColumn("fb", BandMinhash.bandFoldCol(col("mins_b"), b))
+        val caught = (0 until b)
+          .map(j => element_at(col("fa"), j + 1) === element_at(col("fb"), j + 1))
+          .reduce(_ || _)
+        folded.select(
+          lit(b).as("bands"), lit(r).as("rows_per_band"),
+          caught.as("caught"),
+          floor((lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), lit(pr.toDouble)),
+            lit(pb.toDouble))) * 1000000 + 0.5).cast("long").as("p_micros"))
+      }.reduce(_ unionAll _)
+      val agg = perCfg.groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"),
+          sum(col("p_micros")).as("expected_micros"))
+      val cfg = spark.createDataFrame(cfgs.map { case (b, r) =>
+          (b, r, math.floor(math.pow(1.0 / b, 1.0 / r) * 1000000 + 0.5).toLong)
+        }).toDF("bands", "rows_per_band", "s_star_micros")
+      cfg.join(agg, Seq("bands", "rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"), col("s_star_micros"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+          coalesce(col("expected_micros"), lit(0L)).as("expected_micros"))
+        .orderBy(col("bands"))
+    }
+    audit("q130_lsh_tuning", Sf01,
+      control = build(transpose = false),
+      mutated = build(transpose = true))
+  }
+
+  test("repetition-value family (q131): decay half-life mutation flips the gate") {
+    // 37th family: the load-bearing constant is the Muennighoff fitted
+    // R* ≈ 15.4 (q113's α discipline, applied to the decay axis) — a
+    // mis-transcribed half-life rescales every effective-epoch and value
+    // column while keeping all the invariants (ratio <= 1, monotonicity),
+    // so only the oracle hash can notice.
+    def build(halfLife: Double) = {
+      val st = docsWide(Sf01)
+        .select(col("source"),
+          size(graft.operators.TextAnalytics.tokens(col("text")))
+            .cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok"))
+        .filter(col("n_tok") > 0)
+      val tot = st.agg(sum(col("n_tok")).cast("double").as("total_tok"),
+        sum(pow(col("n_tok").cast("double"), 0.7)).as("z"))
+      st.crossJoin(broadcast(tot))
+        .withColumn("epochs_raw",
+          lit(2.0) * col("total_tok")
+            * (pow(col("n_tok").cast("double"), 0.7) / col("z")) / col("n_tok"))
+        .withColumn("reps", greatest(col("epochs_raw") - 1.0, lit(0.0)))
+        .withColumn("eff_raw",
+          least(col("epochs_raw"), lit(1.0)) + lit(halfLife)
+            * (lit(1.0) - exp(-col("reps") / lit(halfLife))))
+        .withColumn("epochs_micros",
+          floor(col("epochs_raw") * 1000000 + 0.5).cast("long"))
+        .withColumn("eff_epochs_micros",
+          floor(col("eff_raw") * 1000000 + 0.5).cast("long"))
+        .withColumn("value_micros",
+          floor(col("eff_raw") / col("epochs_raw") * 1000000 + 0.5).cast("long"))
+        .select(col("source"), col("n_tok"),
+          col("epochs_micros"), col("eff_epochs_micros"),
+          floor(col("n_tok") * col("eff_raw") + 0.5).cast("long").as("eff_tok"),
+          col("value_micros"),
+          (col("value_micros") < 900000L).as("diminishing"))
+        .orderBy(col("source"))
+    }
+    audit("q131_repeat_value", Sf01,
+      control = build(15.4),
+      mutated = build(1.54)) // a dropped decimal point
+  }
+
+  test("calibration family (q132): bin-edge mutation flips the gate") {
+    // 38th family: the report's bins are FIXED edges (floor of the 6dp
+    // logit clamped to [-5, 4]) so tables are comparable across corpus
+    // snapshots — a widened clamp silently re-labels the tail mass other
+    // consumers join on. The corpus has logits below -5, so lowering the
+    // clamp moves rows between bins and the hash must notice.
+    import graft.operators.QualityModel
+    def build(binLo: Int) = {
+      val docs = docsWide(Sf01)
+      val w = QualityModel.ensure(spark, docs, Sf01)
+      QualityModel.features(docs)
+        .withColumn("logit6", Catalog.rnd(QualityModel.zCol(w), 6))
+        .withColumn("bin",
+          least(greatest(floor(col("logit6")).cast("int"), lit(binLo)), lit(4)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("y").cast("long")).as("n_label_pos"),
+          sum(when(col("logit6") > 0.0, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when((col("logit6") > 0.0) === (col("y") === 1), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .orderBy(col("bin"))
+    }
+    audit("q132_quality_calibration", Sf01,
+      control = build(-5),
+      mutated = build(-6))
+  }
+
+  test("drift family (q133): unweighted global centroid flips the gate") {
+    // 39th family: the blend centroid must be the VECTOR-weighted mean
+    // (sum of all vectors / N), never the mean of the label centroids —
+    // with unequal label sizes the unweighted form silently re-weights
+    // the blend toward small labels (the classic aggregation-of-averages
+    // bug), shifting every reported cosine.
+    def build(weighted: Boolean) = {
+      val ex = Tables(spark, Sf01, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      val lc = ex.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      val gc =
+        if (weighted)
+          lc.groupBy(col("pos"))
+            .agg((sum(col("sv")) / sum(col("n"))).as("g"))
+        else
+          lc.groupBy(col("pos"))
+            .agg(avg(col("sv") / col("n")).as("g"))
+      lc.join(broadcast(gc), Seq("pos"))
+        .withColumn("m", col("sv") / col("n"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          sort_array(collect_list(struct(col("pos"), col("m"), col("g"))))
+            .as("a"))
+        .withColumn("dot", aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("m") * x.getField("g")))
+        .withColumn("nm", aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("m") * x.getField("m")))
+        .withColumn("ng", aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("g") * x.getField("g")))
+        .select(col("label"), col("n_vecs"),
+          Catalog.rnd(when(col("nm") * col("ng") === 0.0, lit(0.0))
+            .otherwise(col("dot") / sqrt(col("nm") * col("ng"))), 6)
+            .as("centroid_cos"))
+        .orderBy(col("label"))
+    }
+    audit("q133_embedding_drift", Sf01,
+      control = build(weighted = true),
+      mutated = build(weighted = false))
+  }
+
+  test("histogram family (q134): digit-count fencepost flips the gate") {
+    // 40th family: bucket = binary digit count MINUS ONE is floor(log2) —
+    // the off-by-one (digit count itself, i.e. ceil semantics) relabels
+    // every bucket and its power-of-two bounds while the histogram still
+    // tiles the corpus, so only the hash can notice.
+    def build(off: Int) = {
+      val nt = docsWide(Sf01)
+        .select(size(graft.operators.TextAnalytics.tokens(col("text")))
+          .cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("bucket", (length(bin(col("n_tok"))) - off).cast("int"))
+      val ht = nt.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val tot = ht.agg(sum(col("n_tokens")).cast("double").as("tt"))
+      ht.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), bucket)").as("lo_tok"),
+          (expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 1).as("hi_tok"),
+          col("n_docs"), col("n_tokens"),
+          floor(col("n_tokens") / col("tt") * 1000000 + 0.5).cast("long")
+            .as("tok_share_micros"))
+        .orderBy(col("bucket"))
+    }
+    audit("q134_length_histogram", Sf01,
+      control = build(off = 1),
+      mutated = build(off = 0))
+  }
+
+  test("overlap family (q135): exact-scrubber n-gram length flips the gate") {
+    // 41st family: the exact method's 8-gram basis is WHY the paraphrase
+    // cell exists (every 8-word window carries a swap) — shortening the
+    // basis to 3-grams makes "exact" see through the paraphrase and the
+    // cross-tab silently stops measuring the two methods' difference.
+    import graft.operators.WordShingles
+    def build(exactN: Int) = {
+      val docs = docsWide(Sf01)
+      def paraphrase(text: org.apache.spark.sql.Column) =
+        array_join(transform(split(trim(text), " "), (x, j) =>
+          when(j % 8 === 0,
+            concat(lit("pz"), (j / 8).cast("int").cast("string")))
+            .otherwise(x)), " ")
+      val bench = docs.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+        .select(col("doc_id"), substring(col("text"), 21, 120).as("text"))
+        .unionAll(docs.filter(col("doc_id") >= 5 && col("doc_id") < 15)
+          .select((col("doc_id") + 1000).as("doc_id"),
+            paraphrase(substring(col("text"), 21, 300)).as("text")))
+      val fuzzy = Dedup.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.3)
+        .select(col("doc_id"), lit(true).as("flag_fuzzy"))
+      val benchSh = bench
+        .select(explode(WordShingles.wordShingles(col("text"), exactN)).as("shingle"))
+        .distinct()
+      val exact = docs
+        .select(col("doc_id"),
+          explode(WordShingles.wordShingles(col("text"), exactN)).as("shingle"))
+        .join(broadcast(benchSh), Seq("shingle"))
+        .select(col("doc_id")).distinct()
+        .withColumn("flag_exact", lit(true))
+      val agg = docs.select(col("doc_id"))
+        .join(broadcast(exact), Seq("doc_id"), "left")
+        .join(broadcast(fuzzy), Seq("doc_id"), "left")
+        .select(coalesce(col("flag_exact"), lit(false)).as("flag_exact"),
+          coalesce(col("flag_fuzzy"), lit(false)).as("flag_fuzzy"))
+        .groupBy(col("flag_exact"), col("flag_fuzzy"))
+        .agg(count(lit(1)).as("n_docs"))
+      spark.createDataFrame(
+          Seq((false, false), (false, true), (true, false), (true, true)))
+        .toDF("flag_exact", "flag_fuzzy")
+        .join(broadcast(agg), Seq("flag_exact", "flag_fuzzy"), "left")
+        .select(col("flag_exact"), col("flag_fuzzy"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+        .orderBy(col("flag_exact"), col("flag_fuzzy"))
+    }
+    audit("q135_decontam_overlap", Sf01,
+      control = build(exactN = 8),
+      mutated = build(exactN = 3))
+  }
 }

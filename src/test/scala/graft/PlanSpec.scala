@@ -928,4 +928,100 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "benchmark set not broadcast")
     assert(!p.contains("SortMergeJoin"), "q125 degraded to sort-merge")
   }
+
+  test("q130: signature pass prunes to pair docs via a broadcast semi-join") {
+    // the pair frame is checkpointed (multi-consumer barrier: six config
+    // projections), so the broadcast-pruning shape is asserted on the
+    // pre-checkpoint signature lineage, q122-style: the minhash pass must
+    // sit ABOVE a broadcast join on the pair-participating ids — a plan
+    // that computes signatures for the whole corpus before the join has
+    // lost the planner's entire scale story
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
+    val pairs = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text", "lang", 0.3)
+      .select(col("a_id"), col("b_id"))
+    val ids = pairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+    val sigs = docs.join(broadcast(ids), Seq("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.BandMinhash.rawMinhashCol(
+          graft.operators.WordShingles.wordShingles(col("text")), 32)
+          .as("mins"))
+    val pre = sigs.queryExecution.executedPlan.toString
+    assert(pre.contains("BroadcastHashJoin"),
+      "pair-id set not broadcast into the signature scan")
+    val joinIdx = pre.indexOf("BroadcastHashJoin")
+    val minIdx = pre.indexOf("raw_minhash")
+    assert(minIdx >= 0 && minIdx < joinIdx,
+      "raw_minhash is computed below the pruning join (whole-corpus signatures)")
+    // the served plan: aggregates over the checkpointed pair frame only
+    val p = plan("q130_lsh_tuning")
+    assert(!p.contains("CartesianProduct"), "q130 grew a cartesian product")
+    assert(!p.contains("windowspecdefinition"), s"q130 grew a window:\n$p")
+  }
+
+  test("q131: repetition value — window-free, pruned scan, broadcast normalizer") {
+    // q113's exact shape with the decay arithmetic on top: one
+    // partial-aggregated groupBy(source) over (source, text), a broadcast
+    // one-row normalizer, per-source math over |sources| rows
+    val p = plan("q131_repeat_value")
+    assert(!p.contains("windowspecdefinition"), s"q131 grew a window:\n$p")
+    assertScansWithin(p, "q131", Set("source", "text"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q131's normalizer join lost its broadcast")
+  }
+
+  test("q133: drift monitor — one pruned scan feeds the checkpoint; served plan broadcast") {
+    // the |labels| x dims sum frame is checkpointed (two consumers: global
+    // centroid + per-label join), so the one-corpus-pass shape is asserted
+    // on the pre-checkpoint lineage and the join shape on the served plan
+    import org.apache.spark.sql.functions._
+    val lc = graft.core.Tables(spark, Sf, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val pre = lc.queryExecution.executedPlan.toString
+    val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(pre).size
+    assert(scans == 1, s"q133 sum frame expected ONE embeddings scan, got $scans")
+    assertScansWithin(pre, "q133", Set("label", "embedding"))
+    val p = plan("q133_embedding_drift")
+    assert(!p.contains("windowspecdefinition"), s"q133 grew a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "q133's global centroid lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "q133 degraded to sort-merge")
+  }
+
+  test("q134: length histogram — window-free, text-only scan, broadcast total") {
+    val p = plan("q134_length_histogram")
+    assert(!p.contains("windowspecdefinition"), s"q134 grew a window:\n$p")
+    assertScansWithin(p, "q134", Set("text"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q134's corpus total lost its broadcast")
+    assert(p.contains("HashAggregate"), "q134 lost its hash aggregate")
+  }
+
+  test("q135: overlap cross-tab — flag sets broadcast, no cartesian, window-free") {
+    // both flag sets are benchmark-bounded and must broadcast into the
+    // pruned doc_id scan; the cross-tab itself is a 4-key aggregate
+    val p = plan("q135_decontam_overlap")
+    assert(!p.contains("windowspecdefinition"), s"q135 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "q135 grew a cartesian product")
+    assert(p.contains("BroadcastHashJoin"), "q135's flag joins lost their broadcasts")
+    assert(!p.contains("SortMergeJoin"), "q135 degraded to sort-merge")
+  }
+
+  test("q132: calibration is one serving pass — window-free, <=10-key aggregate") {
+    // q67's single narrow serving scan regrouped by the fixed logit bin:
+    // a window, a join, or an unpruned scan would mean the reliability
+    // table grew corpus-shaped work beyond the serving pass itself
+    val p = plan("q132_quality_calibration")
+    assert(!p.contains("windowspecdefinition"), s"q132 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "q132 grew a join — the serving pass needs none")
+    assertScansWithin(p, "q132", Set("doc_id", "lang", "text"))
+    assert(p.contains("HashAggregate"), "q132 lost its hash aggregate")
+  }
 }
