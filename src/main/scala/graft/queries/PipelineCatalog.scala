@@ -7186,6 +7186,170 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q136: tokenizer staleness on an incoming batch — the ops monitor a
+  // continuously-fed corpus runs before REUSING its frozen tokenizer on
+  // new data: apply the corpus-trained q120 merges (frozen, in learned
+  // order) to a synthetic incoming batch that mixes redelivered text
+  // with an alphabet-shifted slice (a stand-in for a new domain whose
+  // byte statistics the tokenizer never saw), and report fertility per
+  // slice. On the stable slice chars-per-symbol reproduces the corpus
+  // compression; on the shifted slice the learned merges never fire and
+  // cps collapses toward the unmerged 1.0 — the measured signal that the
+  // tokenizer needs retraining before the new domain is ingested at
+  // scale (the q127 crawl-yield discipline, applied to the tokenizer
+  // axis). 100 TB: the batch word table is Heaps-bounded per slice; the
+  // six merge applications are broadcast 1-row joins (applyMerge); the
+  // induction itself is the memoized write-time artifact.
+  // -------------------------------------------------------------------------
+
+  private val DriftAlpha = "abcdefghijklmnopqrstuvwxyz"
+  private val DriftPermuted = "qwertyuiopasdfghjklzxcvbnm"
+
+  val q136TokenizerDrift: Q = (s, d) => {
+    val (_, bests) = bpeChain(s, d)
+    val docs = docsWide(s, d)
+    val batch = docs.select(
+      when(col("doc_id") % 2 === 0, lit("stable")).otherwise(lit("shifted"))
+        .as("slice"),
+      when(col("doc_id") % 2 === 0, lower(col("text")))
+        .otherwise(translate(lower(col("text")), DriftAlpha, DriftPermuted))
+        .as("text"))
+    val sw0 = batch
+      .select(col("slice"), explode(TextAnalytics.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("slice"), col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("slice"), col("freq"),
+        regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+    val applied = bests.foldLeft(sw0)(applyMerge)
+    fertilityAgg(applied, Seq("slice"))
+      .select(col("slice"), col("total_symbols"), col("total_chars"),
+        rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
+          .as("chars_per_symbol"))
+      .orderBy(col("slice"))
+  }
+
+  /** The q120 induction chain (frozen merges proven by replay) + the
+    * batch synthesis + the same six replaces over the slice-keyed word
+    * table (q129's replay shape with the drift batch as input).
+    */
+  private val q136Sql = {
+    val applies = (1 to BpeMerges).map { i =>
+      s"""t$i AS (
+         SELECT t.slice, t.freq,
+                replace(t.r, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS r
+         FROM t${i - 1} t, b$i b
+       )"""
+    }.mkString(", ")
+    s"""$q120CteChain, batch AS (
+         SELECT CASE WHEN doc_id % 2 = 0 THEN 'stable' ELSE 'shifted' END
+                  AS slice,
+                CASE WHEN doc_id % 2 = 0 THEN lower(text)
+                     ELSE translate(lower(text), '$DriftAlpha', '$DriftPermuted')
+                END AS text
+         FROM documents
+       ), btoks AS (
+         SELECT slice, t AS word
+         FROM (SELECT slice, unnest(regexp_split_to_array(text, '\\s+')) AS t
+               FROM batch)
+         WHERE regexp_matches(t, '^[a-z]+$$')
+       ), t0 AS (
+         SELECT slice, CAST(count(*) AS BIGINT) AS freq,
+                regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
+         FROM btoks GROUP BY slice, word
+       ), $applies
+       SELECT slice,
+              CAST(sum(freq * len(string_split(trim(r), '  '))) AS BIGINT)
+                AS total_symbols,
+              CAST(sum(freq * length(replace(r, ' ', ''))) AS BIGINT)
+                AS total_chars,
+              floor(CAST(sum(freq * length(replace(r, ' ', ''))) AS DOUBLE)
+                / sum(freq * len(string_split(trim(r), '  '))) * 1000000 + 0.5)
+                / 1000000.0 AS chars_per_symbol
+       FROM t$BpeMerges GROUP BY slice ORDER BY slice"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q137: curation gate funnel by source — the per-source attribution of
+  // q98's end-to-end pipeline: how many documents each source loses at
+  // each gate, attributed WATERFALL-style to the FIRST failing gate in
+  // pipeline order (quality → near-dup canonicalization → exact
+  // decontamination), plus token retention. This is the report that
+  // decides which sources are worth re-negotiating, re-crawling, or
+  // dropping — the q92 datasheet's actionable sibling. Retention is
+  // exact BIGINT integer division (micros), no float division to drift
+  // cross-engine. 100 TB: the gates' own costs are q98's (already
+  // scale-shaped); the funnel adds ONE id-keyed join of the flag frame
+  // against a pruned (doc_id, source, n_tok) projection — both sides
+  // hash-partition on doc_id — and a |sources|-key rollup.
+  // -------------------------------------------------------------------------
+
+  private def q137FunnelBase(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWide(s, d)
+    val flags = q98Core(docs,
+      Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5),
+      q98Contaminated(docs))
+    val meta = docs.select(col("doc_id"), col("source"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    flags.join(meta, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("q_ok"), 1L).otherwise(0L)).as("n_fail_quality"),
+        sum(when(col("q_ok") && !col("is_canonical"), 1L).otherwise(0L))
+          .as("n_fail_dup"),
+        sum(when(col("q_ok") && col("is_canonical") && !col("clean"), 1L)
+          .otherwise(0L)).as("n_fail_contam"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tok_total"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_kept"))
+  }
+
+  /** Test-only window so the mutation audit can perturb the retention
+    * weighting over the identical funnel base (family 43). */
+  private[graft] def q137FunnelBaseForAudit(s: SparkSession, d: String)
+      : DataFrame = q137FunnelBase(s, d)
+
+  val q137GateFunnel: Q = (s, d) =>
+    q137FunnelBase(s, d)
+      .withColumn("retention_micros",
+        when(col("tok_total") > 0,
+          expr("tok_kept * 1000000 DIV tok_total")).otherwise(lit(0L)))
+      .orderBy(col("source"))
+
+  /** q98's proven per-doc flag replay, joined to the pruned meta
+    * projection and rolled up by source with the same first-failing-gate
+    * attribution.
+    */
+  private val q137Sql =
+    s"""WITH flags AS (
+         ${q98Sql.replace("\n", "\n  ")}
+       ), meta AS (
+         SELECT doc_id, source,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       )
+       SELECT m.source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN NOT f.q_ok THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_fail_quality,
+              CAST(sum(CASE WHEN f.q_ok AND NOT f.is_canonical
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup,
+              CAST(sum(CASE WHEN f.q_ok AND f.is_canonical AND NOT f.clean
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_contam,
+              CAST(sum(CASE WHEN f.kept THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(sum(m.n_tok) AS BIGINT) AS tok_total,
+              CAST(sum(CASE WHEN f.kept THEN m.n_tok ELSE 0 END) AS BIGINT)
+                AS tok_kept,
+              CASE WHEN sum(m.n_tok) > 0
+                   THEN CAST(sum(CASE WHEN f.kept THEN m.n_tok ELSE 0 END)
+                             * 1000000 // sum(m.n_tok) AS BIGINT)
+                   ELSE 0 END AS retention_micros
+       FROM flags f JOIN meta m USING (doc_id)
+       GROUP BY m.source ORDER BY m.source"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -7286,6 +7450,8 @@ object PipelineCatalog {
     "q133_embedding_drift" -> q133EmbeddingDrift,
     "q134_length_histogram" -> q134LengthHistogram,
     "q135_decontam_overlap" -> q135DecontamOverlap,
+    "q136_tokenizer_drift" -> q136TokenizerDrift,
+    "q137_gate_funnel" -> q137GateFunnel,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -7404,6 +7570,8 @@ object PipelineCatalog {
     "q133_embedding_drift" -> q133Sql,
     "q134_length_histogram" -> q134Sql,
     "q135_decontam_overlap" -> q135Sql,
+    "q136_tokenizer_drift" -> q136Sql,
+    "q137_gate_funnel" -> q137Sql,
     "q103_video_search" -> q103Sql,
   )
 }

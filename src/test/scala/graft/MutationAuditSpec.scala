@@ -1575,4 +1575,78 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(exactN = 8),
       mutated = build(exactN = 3))
   }
+
+  test("drift family (q136): word-order shift masquerading as drift flips the gate") {
+    // 42nd family: the drifted slice must perturb the BYTE statistics
+    // (alphabet permutation), not merely the word order — a word-reversed
+    // "drift" leaves the word multiset intact, the frozen merges fire as
+    // usual, and the monitor reports no drift at all. A rebuild that
+    // quietly swaps the synthesis would make the whole query vacuous.
+    import graft.queries.PipelineCatalog
+    def build(permute: Boolean) = {
+      val (_, bests) = PipelineCatalog.bpeChainForAudit(spark, Sf01)
+      val docs = docsWide(Sf01)
+      val shifted =
+        if (permute)
+          translate(lower(col("text")), "abcdefghijklmnopqrstuvwxyz",
+            "qwertyuiopasdfghjklzxcvbnm")
+        else array_join(reverse(split(trim(lower(col("text"))), " ")), " ")
+      val batch = docs.select(
+        when(col("doc_id") % 2 === 0, lit("stable")).otherwise(lit("shifted"))
+          .as("slice"),
+        when(col("doc_id") % 2 === 0, lower(col("text"))).otherwise(shifted)
+          .as("text"))
+      val sw0 = batch
+        .select(col("slice"),
+          explode(graft.operators.TextAnalytics.tokens(col("text"))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+        .groupBy(col("slice"), col("word")).agg(count(lit(1)).as("freq"))
+        .select(col("slice"), col("freq"),
+          regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+      val applied = bests.foldLeft(sw0) { (df, best) =>
+        df.crossJoin(broadcast(
+            best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
+          .withColumn("r", replace(col("r"),
+            concat(lit(" "), col("__l"), lit("  "), col("__r"), lit(" ")),
+            concat(lit(" "), col("__l"), col("__r"), lit(" "))))
+          .drop("__l", "__r")
+      }
+      applied.groupBy(col("slice"))
+        .agg(
+          sum(col("freq") * size(split(trim(col("r")), "  ")))
+            .as("total_symbols"),
+          sum(col("freq") * length(replace(col("r"), lit(" "), lit(""))))
+            .as("total_chars"))
+        .select(col("slice"), col("total_symbols"), col("total_chars"),
+          Catalog.rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
+            .as("chars_per_symbol"))
+        .orderBy(col("slice"))
+    }
+    audit("q136_tokenizer_drift", Sf01,
+      control = build(permute = true),
+      mutated = build(permute = false))
+  }
+
+  test("funnel family (q137): doc-weighted retention flips the gate") {
+    // 43rd family: retention must be TOKEN-weighted (the training budget
+    // is tokens) — a doc-weighted rebuild reports a plausible but wrong
+    // fraction whenever kept docs skew long or short, which is exactly
+    // when the report matters.
+    import graft.queries.PipelineCatalog
+    def build(tokenWeighted: Boolean) = {
+      val base = PipelineCatalog.q137FunnelBaseForAudit(spark, Sf01)
+      val retention =
+        if (tokenWeighted)
+          when(col("tok_total") > 0,
+            expr("tok_kept * 1000000 DIV tok_total")).otherwise(lit(0L))
+        else
+          when(col("n_docs") > 0,
+            expr("n_kept * 1000000 DIV n_docs")).otherwise(lit(0L))
+      base.withColumn("retention_micros", retention)
+        .orderBy(col("source"))
+    }
+    audit("q137_gate_funnel", Sf01,
+      control = build(tokenWeighted = true),
+      mutated = build(tokenWeighted = false))
+  }
 }

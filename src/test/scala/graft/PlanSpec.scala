@@ -1013,6 +1013,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "q135 degraded to sort-merge")
   }
 
+  test("q136: drift batch — merges broadcast, pruned scan, window-free") {
+    // the six frozen-merge applications are 1-row broadcast joins over
+    // the slice-keyed word table (applyMerge); the only corpus touch is
+    // the pruned (doc_id, text) word scan
+    val p = plan("q136_tokenizer_drift")
+    assert(!p.contains("windowspecdefinition"), s"q136 grew a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "q136's merge applications lost their broadcasts")
+    assertScansWithin(p, "q136", Set("doc_id", "text"))
+    assert(!p.contains("SortMergeJoin"), "q136 degraded to sort-merge")
+  }
+
+  test("q137: funnel adds one id-keyed join over q98's gates, window-free") {
+    val p = plan("q137_gate_funnel")
+    assert(!p.contains("windowspecdefinition"), s"q137 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "q137 grew a cartesian product")
+    assertScansWithin(p, "q137", Set("doc_id", "source", "text"))
+  }
+
   test("q132: calibration is one serving pass — window-free, <=10-key aggregate") {
     // q67's single narrow serving scan regrouped by the fixed logit bin:
     // a window, a join, or an unpruned scan would mean the reliability
