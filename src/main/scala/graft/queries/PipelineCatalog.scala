@@ -7350,6 +7350,128 @@ object PipelineCatalog {
        GROUP BY m.source ORDER BY m.source"""
 
   // -------------------------------------------------------------------------
+  // q138: vocabulary growth over corpus prefixes — the Heaps-law
+  // diagnostic read before sizing a tokenizer vocabulary or trusting a
+  // q120-style induction's scale curve: at four id-range prefixes
+  // (quarters of [min_id, max_id]), the number of NEW distinct words
+  // first seen in that quarter, the cumulative vocabulary, cumulative
+  // tokens, and the type-token ratio. A corpus whose vocabulary keeps
+  // growing linearly is OCR noise or adversarial junk, not language —
+  // this is the report that says so before 100 TB of it trains a
+  // tokenizer. Every column is INTEGER-exact (first-seen attribution,
+  // integer-division bucketing on the memoized id bounds, BIGINT TTR
+  // micros): no float anywhere, so the cross-engine hash cannot drift.
+  // 100 TB shape: one word explode partial-aggregated to
+  // (word, min(doc_id)) — vocabulary-bounded, the q56 shuffle shape —
+  // one conditional-sum token pass, a 4-row bucket frame and its
+  // triangle-join cumulative; window-free.
+  // -------------------------------------------------------------------------
+
+  private val VocabPrefixes = 4
+
+  val q138VocabGrowth: Q = (s, d) => {
+    val (mn, span) = docIdBounds(s, d)
+    val docs = docsWide(s, d)
+    val words = docs
+      .select(col("doc_id"), explode(TextAnalytics.tokens(lower(col("text"))))
+        .as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    // first-seen attribution: the word belongs to the prefix quarter its
+    // EARLIEST document falls in (integer bucket over the id range)
+    val firstSeen = words.groupBy(col("word"))
+      .agg(min(col("doc_id")).as("first_id"))
+      .withColumn("prefix_q",
+        least(expr(s"(first_id - $mn) * $VocabPrefixes DIV $span"),
+          lit(VocabPrefixes - 1L)).cast("int") + 1)
+    val newWords = firstSeen.groupBy(col("prefix_q"))
+      .agg(count(lit(1)).as("new_words"))
+    // cumulative tokens per prefix: ONE pass with conditional sums
+    val tokAggs = (1 to VocabPrefixes).map { k =>
+      val upto = mn + span * k / VocabPrefixes
+      sum(when(col("doc_id") < upto, col("n_tok")).otherwise(0L))
+        .as(s"ct$k")
+    }
+    val toks = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"))
+      .agg(tokAggs.head, tokAggs.tail: _*)
+    val qs = s.createDataFrame((1 to VocabPrefixes).map(k =>
+        (k, mn + span * k.toLong / VocabPrefixes))).toDF("prefix_q", "upto_id")
+    val base = qs.join(broadcast(newWords), Seq("prefix_q"), "left")
+      .select(col("prefix_q"), col("upto_id"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+    // 4-row triangle-join cumulative (window-free; the frame is bounded
+    // by the prefix count, never the corpus)
+    val cum = base.as("a")
+      .join(base.select(col("prefix_q").as("qb"), col("new_words").as("nb")),
+        col("qb") <= col("prefix_q"))
+      .groupBy(col("prefix_q"), col("upto_id"), col("new_words"))
+      .agg(sum(col("nb")).as("cum_words"))
+    cum.crossJoin(broadcast(toks))
+      .withColumn("cum_tokens",
+        (1 to VocabPrefixes).map(k =>
+          when(col("prefix_q") === k, col(s"ct$k")).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select(col("prefix_q"), col("upto_id"), col("new_words"),
+        col("cum_words"), col("cum_tokens"),
+        when(col("cum_tokens") > 0,
+          expr("cum_words * 1000000 DIV cum_tokens")).otherwise(lit(0L))
+          .as("ttr_micros"))
+      .orderBy(col("prefix_q"))
+  }
+
+  private val q138Sql = {
+    val ctCols = (1 to VocabPrefixes).map { k =>
+      s"""CAST(sum(CASE WHEN doc_id < b.mn + b.span * $k // $VocabPrefixes
+             THEN n_tok ELSE 0 END) AS BIGINT) AS ct$k"""
+    }.mkString(",\n                ")
+    val ctPick = (1 to VocabPrefixes).map { k =>
+      s"CASE WHEN c.prefix_q = $k THEN t.ct$k ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (
+         SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+                CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+         FROM documents
+       ), words AS (
+         SELECT doc_id, lower(t) AS word
+         FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+               FROM documents)
+         WHERE regexp_matches(lower(t), '^[a-z]+$$')
+       ), fs AS (
+         SELECT word, min(doc_id) AS first_id FROM words GROUP BY word
+       ), fb AS (
+         SELECT CAST(least((first_id - b.mn) * $VocabPrefixes // b.span,
+                  $VocabPrefixes - 1) AS INT) + 1 AS prefix_q
+         FROM fs, b
+       ), nw AS (
+         SELECT prefix_q, count(*) AS new_words FROM fb GROUP BY prefix_q
+       ), dt AS (
+         SELECT doc_id, count(*) AS n_tok FROM words GROUP BY doc_id
+       ), t AS (
+         SELECT $ctCols
+         FROM dt, b
+       ), qs AS (
+         SELECT unnest(range(1, $VocabPrefixes + 1)) AS prefix_q
+       ), base AS (
+         SELECT CAST(qs.prefix_q AS INT) AS prefix_q,
+                b.mn + b.span * qs.prefix_q // $VocabPrefixes AS upto_id,
+                CAST(coalesce(nw.new_words, 0) AS BIGINT) AS new_words
+         FROM qs CROSS JOIN b LEFT JOIN nw ON nw.prefix_q = qs.prefix_q
+       ), c AS (
+         SELECT a.prefix_q, a.upto_id, a.new_words,
+                CAST(sum(x.new_words) AS BIGINT) AS cum_words
+         FROM base a JOIN base x ON x.prefix_q <= a.prefix_q
+         GROUP BY a.prefix_q, a.upto_id, a.new_words
+       )
+       SELECT c.prefix_q, c.upto_id, c.new_words, c.cum_words,
+              CAST($ctPick AS BIGINT) AS cum_tokens,
+              CASE WHEN ($ctPick) > 0
+                   THEN CAST(c.cum_words * 1000000 // ($ctPick) AS BIGINT)
+                   ELSE 0 END AS ttr_micros
+       FROM c CROSS JOIN t
+       ORDER BY c.prefix_q"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -7452,6 +7574,7 @@ object PipelineCatalog {
     "q135_decontam_overlap" -> q135DecontamOverlap,
     "q136_tokenizer_drift" -> q136TokenizerDrift,
     "q137_gate_funnel" -> q137GateFunnel,
+    "q138_vocab_growth" -> q138VocabGrowth,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -7572,6 +7695,7 @@ object PipelineCatalog {
     "q135_decontam_overlap" -> q135Sql,
     "q136_tokenizer_drift" -> q136Sql,
     "q137_gate_funnel" -> q137Sql,
+    "q138_vocab_growth" -> q138Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -1649,4 +1649,60 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(tokenWeighted = true),
       mutated = build(tokenWeighted = false))
   }
+
+  test("vocab-growth family (q138): last-seen attribution flips the gate") {
+    // 44th family: a word belongs to the prefix of its EARLIEST document
+    // (min id) — last-seen attribution (max id) silently re-labels every
+    // recurring word to the tail prefix, inflating late novelty, while
+    // all the conservation invariants still hold.
+    import graft.queries.PipelineCatalog
+    def build(firstSeen: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val docs = docsWide(Sf01)
+      val b = Tables(spark, Sf01, "documents")
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
+        .head()
+      val (mn, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+      val words = docs
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalytics.tokens(lower(col("text"))))
+            .as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val fs = words.groupBy(col("word"))
+        .agg(firstSeen(col("doc_id")).as("first_id"))
+        .withColumn("prefix_q",
+          least(expr(s"(first_id - $mn) * 4 DIV $span"), lit(3L)).cast("int") + 1)
+      val nw = fs.groupBy(col("prefix_q")).agg(count(lit(1)).as("new_words"))
+      val tokAggs = (1 to 4).map { k =>
+        val upto = mn + span * k / 4
+        sum(when(col("doc_id") < upto, col("n_tok")).otherwise(0L)).as(s"ct$k")
+      }
+      val toks = words.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+        .agg(tokAggs.head, tokAggs.tail: _*)
+      val qs = spark.createDataFrame((1 to 4).map(k =>
+          (k, mn + span * k.toLong / 4))).toDF("prefix_q", "upto_id")
+      val base = qs.join(broadcast(nw), Seq("prefix_q"), "left")
+        .select(col("prefix_q"), col("upto_id"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"))
+      val cum = base.as("a")
+        .join(base.select(col("prefix_q").as("qb"), col("new_words").as("nb")),
+          col("qb") <= col("prefix_q"))
+        .groupBy(col("prefix_q"), col("upto_id"), col("new_words"))
+        .agg(sum(col("nb")).as("cum_words"))
+      cum.crossJoin(broadcast(toks))
+        .withColumn("cum_tokens",
+          (1 to 4).map(k =>
+            when(col("prefix_q") === k, col(s"ct$k")).otherwise(lit(0L)))
+            .reduce(_ + _))
+        .select(col("prefix_q"), col("upto_id"), col("new_words"),
+          col("cum_words"), col("cum_tokens"),
+          when(col("cum_tokens") > 0,
+            expr("cum_words * 1000000 DIV cum_tokens")).otherwise(lit(0L))
+            .as("ttr_micros"))
+        .orderBy(col("prefix_q"))
+    }
+    audit("q138_vocab_growth", Sf01,
+      control = build(min),
+      mutated = build(max))
+  }
 }

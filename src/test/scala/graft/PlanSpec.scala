@@ -1032,6 +1032,16 @@ class PlanSpec extends AnyFunSuite {
     assertScansWithin(p, "q137", Set("doc_id", "source", "text"))
   }
 
+  test("q138: vocab growth — window-free, pruned scans, vocabulary-bounded shuffle") {
+    // first-seen attribution is a (word -> min id) partial aggregate; the
+    // cumulative is a 4-row triangle join — a window or an unpruned scan
+    // means the prefix machinery regressed to a corpus-order sort
+    val p = plan("q138_vocab_growth")
+    assert(!p.contains("windowspecdefinition"), s"q138 grew a window:\n$p")
+    assertScansWithin(p, "q138", Set("doc_id", "text"))
+    assert(!p.contains("SortMergeJoin"), "q138 degraded to sort-merge")
+  }
+
   test("q132: calibration is one serving pass — window-free, <=10-key aggregate") {
     // q67's single narrow serving scan regrouped by the fixed logit bin:
     // a window, a join, or an unpruned scan would mean the reliability
