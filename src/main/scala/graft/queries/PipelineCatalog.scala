@@ -6563,11 +6563,17 @@ object PipelineCatalog {
   val q130LshTuning: Q = (s, d) => {
     import graft.functions.BandMinhash
     val docs = docsWide(s, d)
+    // the pair list feeds THREE consumers (the id prune and both join
+    // sides) — checkpoint the tiny frame so the quadratic-within-block
+    // ground-truth pass runs ONCE (the q122 multi-consumer barrier;
+    // without it the shingle self-join re-runs under every consumer)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", LshStudyTau)
       .select(col("a_id"), col("b_id"), col("jaccard"))
+      .localCheckpoint()
     // signatures only for docs that appear in a true pair: the pair list
     // is tiny, so the id set broadcasts and the minhash pass never touches
-    // the rest of the corpus
+    // the rest of the corpus; checkpointed because BOTH join sides consume
+    // it (the minhash projection would otherwise run twice)
     val ids = pairs
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
@@ -6576,15 +6582,16 @@ object PipelineCatalog {
         BandMinhash.rawMinhashCol(
           graft.operators.WordShingles.wordShingles(col("text")),
           LshNumHashes).as("mins"))
-    // one row per true pair carrying both signatures; SIX config
-    // projections consume it — checkpoint so the pair pass runs once
-    // (the q122 multi-consumer barrier)
-    val base = pairs
-      .join(sigs.select(col("doc_id").as("a_id"), col("mins").as("mins_a")),
-        Seq("a_id"))
-      .join(sigs.select(col("doc_id").as("b_id"), col("mins").as("mins_b")),
-        Seq("b_id"))
       .localCheckpoint()
+    // one row per true pair carrying both signatures; the SIX config
+    // projections re-join the two materialized pair-bounded frames, which
+    // costs broadcast joins over dozens of rows — nothing corpus-shaped
+    // survives below this point
+    val base = pairs
+      .join(broadcast(sigs.select(col("doc_id").as("a_id"), col("mins").as("mins_a"))),
+        Seq("a_id"))
+      .join(broadcast(sigs.select(col("doc_id").as("b_id"), col("mins").as("mins_b"))),
+        Seq("b_id"))
     val perCfg = LshConfigs.map { case (b, r) =>
       val folded = base
         .withColumn("fa", BandMinhash.bandFoldCol(col("mins_a"), b))
@@ -7310,11 +7317,28 @@ object PipelineCatalog {
   private[graft] def q137FunnelBaseForAudit(s: SparkSession, d: String)
       : DataFrame = q137FunnelBase(s, d)
 
+  /** floor(kept * 10^6 / total) WITHOUT the kept*10^6 intermediate: the
+    * single multiply overflows signed 64-bit past ~9.2e12 kept tokens —
+    * inside the 100 TB regime this report targets (Spark would wrap
+    * silently, DuckDB would abort). Splitting 10^6 = 10^3 · 10^3 keeps
+    * every intermediate under totals of ~9.2e15 tokens (peta-scale per
+    * key): floor(a·10^3/t)·10^3 + floor((a·10^3 mod t)·10^3/t) with
+    * a·10^3 and (mod)·10^3 both < t·10^3.
+    */
+  private def microsDiv(kept: String, total: String): String =
+    s"(($kept * 1000 DIV $total) * 1000" +
+      s" + (($kept * 1000 % $total) * 1000 DIV $total))"
+
+  /** The DuckDB form of [[microsDiv]] — same split, `//` division. */
+  private def microsDivSql(kept: String, total: String): String =
+    s"(($kept * 1000 // $total) * 1000" +
+      s" + (($kept * 1000 % $total) * 1000 // $total))"
+
   val q137GateFunnel: Q = (s, d) =>
     q137FunnelBase(s, d)
       .withColumn("retention_micros",
         when(col("tok_total") > 0,
-          expr("tok_kept * 1000000 DIV tok_total")).otherwise(lit(0L)))
+          expr(microsDiv("tok_kept", "tok_total"))).otherwise(lit(0L)))
       .orderBy(col("source"))
 
   /** q98's proven per-doc flag replay, joined to the pruned meta
@@ -7343,8 +7367,9 @@ object PipelineCatalog {
               CAST(sum(CASE WHEN f.kept THEN m.n_tok ELSE 0 END) AS BIGINT)
                 AS tok_kept,
               CASE WHEN sum(m.n_tok) > 0
-                   THEN CAST(sum(CASE WHEN f.kept THEN m.n_tok ELSE 0 END)
-                             * 1000000 // sum(m.n_tok) AS BIGINT)
+                   THEN CAST(${microsDivSql(
+                     "sum(CASE WHEN f.kept THEN m.n_tok ELSE 0 END)",
+                     "sum(m.n_tok)")} AS BIGINT)
                    ELSE 0 END AS retention_micros
        FROM flags f JOIN meta m USING (doc_id)
        GROUP BY m.source ORDER BY m.source"""
@@ -7376,13 +7401,20 @@ object PipelineCatalog {
       .select(col("doc_id"), explode(TextAnalytics.tokens(lower(col("text"))))
         .as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
-    // first-seen attribution: the word belongs to the prefix quarter its
-    // EARLIEST document falls in (integer bucket over the id range)
+    // first-seen attribution: the word belongs to the FIRST quarter whose
+    // floor boundary upto_k = mn + span*k/4 exceeds its earliest doc id —
+    // the SAME boundaries the token denominators and upto_id use (a
+    // multiplicative bucket floor((id-mn)*4/span) disagrees with them
+    // whenever span % 4 != 0, mis-aligning new_words with cum_tokens)
+    val uptos = (1 to VocabPrefixes).map(k => mn + span * k / VocabPrefixes)
     val firstSeen = words.groupBy(col("word"))
       .agg(min(col("doc_id")).as("first_id"))
       .withColumn("prefix_q",
-        least(expr(s"(first_id - $mn) * $VocabPrefixes DIV $span"),
-          lit(VocabPrefixes - 1L)).cast("int") + 1)
+        (1 until VocabPrefixes).foldRight(
+          lit(VocabPrefixes): org.apache.spark.sql.Column) {
+          (k, rest) => when(col("first_id") < uptos(k - 1), lit(k))
+            .otherwise(rest)
+        })
     val newWords = firstSeen.groupBy(col("prefix_q"))
       .agg(count(lit(1)).as("new_words"))
     // cumulative tokens per prefix: ONE pass with conditional sums
@@ -7439,8 +7471,11 @@ object PipelineCatalog {
        ), fs AS (
          SELECT word, min(doc_id) AS first_id FROM words GROUP BY word
        ), fb AS (
-         SELECT CAST(least((first_id - b.mn) * $VocabPrefixes // b.span,
-                  $VocabPrefixes - 1) AS INT) + 1 AS prefix_q
+         SELECT CAST(CASE
+                  ${(1 until VocabPrefixes).map(k =>
+                    s"WHEN first_id < b.mn + b.span * $k // $VocabPrefixes THEN $k")
+                    .mkString("\n                  ")}
+                  ELSE $VocabPrefixes END AS INT) AS prefix_q
          FROM fs, b
        ), nw AS (
          SELECT prefix_q, count(*) AS new_words FROM fb GROUP BY prefix_q

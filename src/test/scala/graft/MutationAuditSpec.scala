@@ -1635,13 +1635,15 @@ class MutationAuditSpec extends AnyFunSuite {
     import graft.queries.PipelineCatalog
     def build(tokenWeighted: Boolean) = {
       val base = PipelineCatalog.q137FunnelBaseForAudit(spark, Sf01)
+      def split(k: String, t: String) =
+        s"(($k * 1000 DIV $t) * 1000 + (($k * 1000 % $t) * 1000 DIV $t))"
       val retention =
         if (tokenWeighted)
           when(col("tok_total") > 0,
-            expr("tok_kept * 1000000 DIV tok_total")).otherwise(lit(0L))
+            expr(split("tok_kept", "tok_total"))).otherwise(lit(0L))
         else
           when(col("n_docs") > 0,
-            expr("n_kept * 1000000 DIV n_docs")).otherwise(lit(0L))
+            expr(split("n_kept", "n_docs"))).otherwise(lit(0L))
       base.withColumn("retention_micros", retention)
         .orderBy(col("source"))
     }
@@ -1667,10 +1669,14 @@ class MutationAuditSpec extends AnyFunSuite {
           explode(graft.operators.TextAnalytics.tokens(lower(col("text"))))
             .as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
+      val uptos = (1 to 4).map(k => mn + span * k / 4)
       val fs = words.groupBy(col("word"))
         .agg(firstSeen(col("doc_id")).as("first_id"))
         .withColumn("prefix_q",
-          least(expr(s"(first_id - $mn) * 4 DIV $span"), lit(3L)).cast("int") + 1)
+          (1 until 4).foldRight(lit(4): org.apache.spark.sql.Column) {
+            (k, rest) => when(col("first_id") < uptos(k - 1), lit(k))
+              .otherwise(rest)
+          })
       val nw = fs.groupBy(col("prefix_q")).agg(count(lit(1)).as("new_words"))
       val tokAggs = (1 to 4).map { k =>
         val upto = mn + span * k / 4
