@@ -7507,6 +7507,129 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q139: human-review queue — the eyeball-the-data manifest every
+  // curation rollout starts with: the K most-confident KEEPs and the K
+  // most-confident DROPs by the q67 classifier, with the 600-char
+  // snippet truncation the reference's search path applies (search.py's
+  // P6 contract). Reviewing the extremes first is how annotation teams
+  // calibrate a new gate before trusting it corpus-wide. 100 TB shape:
+  // both ends compile to TakeOrderedAndProject (bounded heaps, no global
+  // sort materialization — the q71 top-k discipline); total order
+  // (logit, doc_id) makes both cuts deterministic.
+  // -------------------------------------------------------------------------
+
+  private val ReviewK = 10
+
+  val q139ReviewQueue: Q = (s, d) => {
+    val docs = docsWide(s, d)
+    val w = QualityModel.ensure(s, docs, d)
+    lastQcWeights = Some(w.clone())
+    // late materialization: rank on the NARROW (doc_id, logit) frame —
+    // both cuts are TakeOrderedAndProject heaps — and only then fetch
+    // text for the 2K winners via a broadcast join; the snippet column
+    // never rides a corpus-wide exchange
+    val scored = QualityModel.features(docs)
+      .select(col("doc_id"), rnd(QualityModel.zCol(w), 6).as("quality_logit"))
+    val keeps = scored
+      .orderBy(col("quality_logit").desc, col("doc_id")).limit(ReviewK)
+      .withColumn("queue", lit("keep"))
+    val drops = scored
+      .orderBy(col("quality_logit").asc, col("doc_id")).limit(ReviewK)
+      .withColumn("queue", lit("drop"))
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(keeps.unionAll(drops)), Seq("doc_id"))
+      .select(col("queue"), col("doc_id"), col("quality_logit"),
+        when(length(col("text")) > 600,
+          concat(substring(col("text"), 1, 600), lit("…")))
+          .otherwise(col("text")).as("snippet"))
+      .orderBy(col("queue"), col("doc_id"))
+  }
+
+  /** Both queue ends replayed from the exported coefficient literals
+    * (the q67/q132 dynamic-oracle contract) + the P6 snippet truncation.
+    */
+  private def q139Sql(w: Array[Double]): String = {
+    val wvals = w.zipWithIndex
+      .map { case (v, b) => s"($b, CAST($v AS DOUBLE))" }.mkString(", ")
+    s"""WITH d AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '') AS toks FROM documents
+       ), tb AS (
+         SELECT doc_id,
+                CAST(CAST('0x' || substr(sha256(tok), 1, 15) AS BIGINT) % $QcB AS INT) AS b
+         FROM d, unnest(d.toks) AS u(tok)
+       ), n AS (
+         SELECT doc_id, count(*) AS n FROM tb GROUP BY doc_id
+       ), xr AS (
+         SELECT tf.doc_id, tf.b, CAST(tf.c AS DOUBLE) / n.n AS x
+         FROM (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b) tf
+         JOIN n USING (doc_id)
+         UNION ALL
+         SELECT doc_id, $QcB AS b, least(CAST(n AS DOUBLE) / 100.0, 1.0) AS x FROM n
+         UNION ALL
+         SELECT doc_id, ${QcB + 1} AS b, 1.0 AS x FROM n
+       ), w(b, w) AS (
+         VALUES $wvals
+       ), z AS (
+         SELECT xr.doc_id,
+                floor(sum(w.w * xr.x ORDER BY xr.b) * 1000000 + 0.5)
+                  / 1000000.0 AS quality_logit
+         FROM xr JOIN w USING (b)
+         GROUP BY xr.doc_id
+       ), sc AS (
+         SELECT z.doc_id, z.quality_logit,
+                CASE WHEN length(d2.text) > 600
+                     THEN substr(d2.text, 1, 600) || '…'
+                     ELSE d2.text END AS snippet
+         FROM z JOIN documents d2 USING (doc_id)
+       ), keeps AS (
+         SELECT 'keep' AS queue, doc_id, quality_logit, snippet
+         FROM sc ORDER BY quality_logit DESC, doc_id LIMIT $ReviewK
+       ), drops AS (
+         SELECT 'drop' AS queue, doc_id, quality_logit, snippet
+         FROM sc ORDER BY quality_logit ASC, doc_id LIMIT $ReviewK
+       )
+       SELECT queue, doc_id, quality_logit, snippet
+       FROM (SELECT * FROM keeps UNION ALL SELECT * FROM drops)
+       ORDER BY queue, doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q140: syndication detection — exact-duplicate groups that span
+  // MULTIPLE sources (the news-wire/content-farm signature): unlike
+  // within-source redelivery, cross-source byte-identical text means the
+  // de-dup keeper policy is silently choosing between PUBLISHERS, which
+  // licensing and attribution care about. One sha256 groupBy (q17's
+  // basis) carrying a distinct-source count; only groups with copies
+  // survive; the multi_source flag marks the syndicated ones. 100 TB
+  // shape: one partial-aggregated groupBy(sig) over a pruned
+  // (doc_id, source, text) scan — q17's exact shuffle bound.
+  // -------------------------------------------------------------------------
+
+  val q140Syndication: Q = (s, d) =>
+    docsWide(s, d)
+      .groupBy(sha2(col("text"), 256).as("content_sig"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_copies") > 1)
+      .withColumn("multi_source", col("n_sources") > 1)
+      .select(col("content_sig"), col("n_copies"), col("n_sources"),
+        col("keeper_id"), col("multi_source"))
+      .orderBy(col("content_sig"))
+
+  private val q140Sql =
+    """SELECT sha256(text) AS content_sig,
+              count(*) AS n_copies,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              (count(DISTINCT source) > 1) AS multi_source
+       FROM documents
+       GROUP BY sha256(text)
+       HAVING count(*) > 1
+       ORDER BY content_sig"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -7610,6 +7733,8 @@ object PipelineCatalog {
     "q136_tokenizer_drift" -> q136TokenizerDrift,
     "q137_gate_funnel" -> q137GateFunnel,
     "q138_vocab_growth" -> q138VocabGrowth,
+    "q139_review_queue" -> q139ReviewQueue,
+    "q140_syndication" -> q140Syndication,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -7621,6 +7746,7 @@ object PipelineCatalog {
   def oracles: ListMap[String, String] = staticOracles ++
     lastQcWeights.map(w => "q67_quality_classifier" -> q67Sql(w)) ++
     lastQcWeights.map(w => "q132_quality_calibration" -> q132Sql(w)) ++
+    lastQcWeights.map(w => "q139_review_queue" -> q139Sql(w)) ++
     lastIvfCentroids.map(cs => "q27_ann_ivf" -> q27Sql(cs)) ++
     lastIvfCentroids.map(cs => "q62_batch_ann" -> q62Sql(cs)) ++
     lastIvfCentroids.map(cs => "q121_ann_recall" -> q121Sql(cs)) ++
@@ -7731,6 +7857,7 @@ object PipelineCatalog {
     "q136_tokenizer_drift" -> q136Sql,
     "q137_gate_funnel" -> q137Sql,
     "q138_vocab_growth" -> q138Sql,
+    "q140_syndication" -> q140Sql,
     "q103_video_search" -> q103Sql,
   )
 }

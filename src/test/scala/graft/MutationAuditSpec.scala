@@ -1711,4 +1711,71 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(min),
       mutated = build(max))
   }
+
+  test("review-queue family (q139): rule-score ranking flips the gate") {
+    // 45th family: the queue audits the LEARNED model, so it must rank by
+    // the classifier's logit — ranking by the q22 rule score (the
+    // training label's own arithmetic) still yields a plausible-looking
+    // extremes list but reviews the teacher instead of the student, and
+    // the two orders disagree inside the high/low mass.
+    import graft.operators.QualityModel
+    def build(useModel: Boolean) = {
+      val docs = docsWide(Sf01)
+      val w = QualityModel.ensure(spark, docs, Sf01)
+      val feats = docs
+        .withColumn("toks", graft.operators.TextAnalytics.tokens(col("text")))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      val rule =
+        lit(0.2) * least(col("n").cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * (graft.operators.TextAnalytics
+            .wordListHits(col("toks"), graft.operators.TextAnalytics.EnStopwords)
+            .cast("double") / col("n")) +
+          lit(0.3) * (lit(1.0) - least(
+            abs(graft.operators.TextAnalytics.totalTokenChars(col("toks"))
+              .cast("double") / col("n") - 5.0) / 10.0, lit(1.0)))
+      val scored =
+        if (useModel)
+          QualityModel.features(docs)
+            .select(col("doc_id"),
+              Catalog.rnd(QualityModel.zCol(w), 6).as("quality_logit"))
+        else feats.select(col("doc_id"),
+          Catalog.rnd(rule, 6).as("quality_logit"))
+      val keeps = scored
+        .orderBy(col("quality_logit").desc, col("doc_id")).limit(10)
+        .withColumn("queue", lit("keep"))
+      val drops = scored
+        .orderBy(col("quality_logit").asc, col("doc_id")).limit(10)
+        .withColumn("queue", lit("drop"))
+      docs.select(col("doc_id"), col("text"))
+        .join(broadcast(keeps.unionAll(drops)), Seq("doc_id"))
+        .select(col("queue"), col("doc_id"), col("quality_logit"),
+          when(length(col("text")) > 600,
+            concat(substring(col("text"), 1, 600), lit("…")))
+            .otherwise(col("text")).as("snippet"))
+        .orderBy(col("queue"), col("doc_id"))
+    }
+    audit("q139_review_queue", Sf01,
+      control = build(useModel = true),
+      mutated = build(useModel = false))
+  }
+
+  test("syndication family (q140): multi-source threshold flips the gate (needs sf0.1 dups)") {
+    // 46th family: two distinct publishers of byte-identical text IS
+    // syndication — a flag that waits for a third source silently
+    // empties on the common two-publisher case.
+    def build(minSources: Int) = docsWide(Sf1)
+      .groupBy(sha2(col("text"), 256).as("content_sig"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_copies") > 1)
+      .withColumn("multi_source", col("n_sources") > minSources)
+      .select(col("content_sig"), col("n_copies"), col("n_sources"),
+        col("keeper_id"), col("multi_source"))
+      .orderBy(col("content_sig"))
+    audit("q140_syndication", Sf1,
+      control = build(minSources = 1),
+      mutated = build(minSources = 2))
+  }
 }

@@ -1042,6 +1042,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "q138 degraded to sort-merge")
   }
 
+  test("q139: review queue — bounded heaps + broadcast late materialization") {
+    // both cuts must compile to TakeOrderedAndProject (no global sort
+    // materialization) and the text column must join via broadcast AFTER
+    // the cut — a corpus-wide exchange carrying snippets means the
+    // late-materialization shape regressed
+    val p = plan("q139_review_queue")
+    assert(p.contains("TakeOrderedAndProject"),
+      "q139's extremes are not bounded heaps")
+    assert(p.contains("BroadcastHashJoin"),
+      "q139's snippet fetch lost its broadcast")
+    assert(!p.contains("windowspecdefinition"), s"q139 grew a window:\n$p")
+  }
+
+  test("q140: syndication — one pruned scan, hash aggregate, window-free") {
+    val p = plan("q140_syndication")
+    assert(!p.contains("windowspecdefinition"), s"q140 grew a window:\n$p")
+    assertScansWithin(p, "q140", Set("doc_id", "source", "text"))
+    assert(p.contains("HashAggregate"), "q140 lost its hash aggregate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q140 grew a join")
+  }
+
   test("q132: calibration is one serving pass — window-free, <=10-key aggregate") {
     // q67's single narrow serving scan regrouped by the fixed logit bin:
     // a window, a join, or an unpruned scan would mean the reliability
