@@ -886,6 +886,18 @@ object Bench {
     def pct(p: Double): Double =
       if (okTimes.isEmpty) -1.0
       else okTimes(math.min(okTimes.size - 1, (okTimes.size * p).toInt))
-    println(s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","sf":"$sfDir"}""")
+    // When the isolation check trips, the summary line must be
+    // self-diagnosing: the per-query isolation detail lives only in the
+    // ~28 KB detail line the round harness truncates away, so a bare
+    // "contaminated" status is unactionable from the surviving tail
+    // (r14 verdict Wrong #1 — the driver's artifact said contaminated
+    // with no way to see which query or by how much). The offender list
+    // is bounded by the fixed 5-query isolation sample, so it stays
+    // sub-KB by construction.
+    val offenders = isolationChecks.filter(_._4 > 2.0).map {
+      case (k, suite, isoT, ratio) =>
+        f"""{"name":"$k","suite_sec":$suite%.3f,"isolated_sec":$isoT%.3f,"ratio":$ratio%.2f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","isolation_offenders":$offenders,"index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","sf":"$sfDir"}""")
   }
 }

@@ -7601,13 +7601,43 @@ object PipelineCatalog {
   // de-dup keeper policy is silently choosing between PUBLISHERS, which
   // licensing and attribution care about. One sha256 groupBy (q17's
   // basis) carrying a distinct-source count; only groups with copies
-  // survive; the multi_source flag marks the syndicated ones. 100 TB
-  // shape: one partial-aggregated groupBy(sig) over a pruned
-  // (doc_id, source, text) scan — q17's exact shuffle bound.
+  // survive; the multi_source flag marks the syndicated ones.
+  //
+  // The generated corpus has no ORGANIC cross-source duplicates below
+  // sf0.1, which made the driver's sf0.01 oracle row vacuous (both
+  // engines returned 0 rows — rows/schema/hash "matched" on nothing; r14
+  // verdict Wrong #2). Like q106's PII tails and q88's boilerplate,
+  // deterministic syndication fixtures are synthesized IN-QUERY from
+  // doc_id residues and the oracle replays the construction: every
+  // doc_id % 97 document is re-published byte-identically under two
+  // synthetic wire sources at id offsets past any real doc_id, so the
+  // detector has cross-source mass at every scale while organic classes
+  // (sf0.1's dup slots) keep flowing through the same groupBy untouched.
+  // 100 TB shape: the fixture fan-out is a single Generate over the one
+  // pruned (doc_id, source, text) scan (no self-union re-scan, no join);
+  // the aggregate stays q140's original partial-aggregated groupBy(sig)
+  // — q17's exact shuffle bound.
   // -------------------------------------------------------------------------
 
-  val q140Syndication: Q = (s, d) =>
-    docsWide(s, d)
+  private val SynFixtureMod = 97L
+  private val SynFixtureOff = 1000000000L
+  private val SynWireA = "wire_feed_a"
+  private val SynWireB = "wire_feed_b"
+
+  val q140Syndication: Q = (s, d) => {
+    val self = struct(col("doc_id"), col("source"))
+    val copies = docsWide(s, d)
+      .select(col("text"), explode(
+        when(col("doc_id") % SynFixtureMod === 0, array(
+          self,
+          struct((col("doc_id") + SynFixtureOff).as("doc_id"),
+            lit(SynWireA).as("source")),
+          struct((col("doc_id") + 2 * SynFixtureOff).as("doc_id"),
+            lit(SynWireB).as("source"))))
+          .otherwise(array(self))).as("c"))
+      .select(col("c.doc_id").as("doc_id"), col("c.source").as("source"),
+        col("text"))
+    copies
       .groupBy(sha2(col("text"), 256).as("content_sig"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("source")).as("n_sources"),
@@ -7617,14 +7647,24 @@ object PipelineCatalog {
       .select(col("content_sig"), col("n_copies"), col("n_sources"),
         col("keeper_id"), col("multi_source"))
       .orderBy(col("content_sig"))
+  }
 
   private val q140Sql =
-    """SELECT sha256(text) AS content_sig,
+    s"""WITH u AS (
+         SELECT doc_id, source, text FROM documents
+         UNION ALL
+         SELECT doc_id + $SynFixtureOff, '$SynWireA', text
+         FROM documents WHERE doc_id % $SynFixtureMod = 0
+         UNION ALL
+         SELECT doc_id + ${2 * SynFixtureOff}, '$SynWireB', text
+         FROM documents WHERE doc_id % $SynFixtureMod = 0
+       )
+       SELECT sha256(text) AS content_sig,
               count(*) AS n_copies,
               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
               CAST(min(doc_id) AS BIGINT) AS keeper_id,
               (count(DISTINCT source) > 1) AS multi_source
-       FROM documents
+       FROM u
        GROUP BY sha256(text)
        HAVING count(*) > 1
        ORDER BY content_sig"""

@@ -1764,7 +1764,19 @@ class MutationAuditSpec extends AnyFunSuite {
     // 46th family: two distinct publishers of byte-identical text IS
     // syndication — a flag that waits for a third source silently
     // empties on the common two-publisher case.
-    def build(minSources: Int) = docsWide(Sf1)
+    def build(minSources: Int) = {
+      val self = struct(col("doc_id"), col("source"))
+      docsWide(Sf1)
+        .select(col("text"), explode(
+          when(col("doc_id") % 97 === 0, array(
+            self,
+            struct((col("doc_id") + 1000000000L).as("doc_id"),
+              lit("wire_feed_a").as("source")),
+            struct((col("doc_id") + 2000000000L).as("doc_id"),
+              lit("wire_feed_b").as("source"))))
+            .otherwise(array(self))).as("c"))
+        .select(col("c.doc_id").as("doc_id"), col("c.source").as("source"),
+          col("text"))
       .groupBy(sha2(col("text"), 256).as("content_sig"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("source")).as("n_sources"),
@@ -1774,6 +1786,7 @@ class MutationAuditSpec extends AnyFunSuite {
       .select(col("content_sig"), col("n_copies"), col("n_sources"),
         col("keeper_id"), col("multi_source"))
       .orderBy(col("content_sig"))
+    }
     audit("q140_syndication", Sf1,
       control = build(minSources = 1),
       mutated = build(minSources = 2))
