@@ -5478,17 +5478,34 @@ object PipelineCatalog {
   // q120: BPE merge induction — the tokenizer-TRAINING step the corpus
   // profile (q56) and token counting (TextAnalytics.tokens) feed. Classic
   // byte-pair encoding: start from characters, repeatedly merge the
-  // globally most-frequent adjacent symbol pair. The distributed shape is
+  // globally most-frequent adjacent symbol pair. The split of labor is
   // the one production trainers use (HF tokenizers / SentencePiece train
   // on WORD COUNTS, not the raw stream): ONE corpus scan builds the
   // distinct-word frequency table (Heaps-law bounded, orders of magnitude
-  // smaller than a 100 TB corpus; localCheckpoint materializes it once,
-  // the same iterative-algorithm pattern as the CC label-propagation
-  // loops), then every merge round runs over that table only — a
-  // partial-aggregated pair count (shuffle ≤ distinct pairs), a 1-row
-  // deterministic argmax (count DESC, pair ASC), and a broadcast
-  // merge-application. No driver-side loop over data: each round's winner
-  // is a checkpointed 1-row frame crossJoined back in.
+  // smaller than a 100 TB corpus; localCheckpoint materializes it once),
+  // the merge LOOP then runs DRIVER-LOCAL over the collected table with
+  // incrementally-maintained pair counts (trainBpeLocal below), and merge
+  // APPLICATION stays distributed (broadcast 1-row merge frames folded
+  // over the word table — q124's depth curve, q129's per-source replay,
+  // q136's drift batch all consume the same frames as before).
+  //
+  // Why driver-local induction (r14 verdict Next #1): the pre-r15 shape
+  // ran one Spark job per merge round — a pair-count aggregate + 1-row
+  // argmax + checkpoint, ~0.3 s of scheduling floor per round — which is
+  // fine at K=6 but a 32k-merge production vocabulary would be 32k
+  // SEQUENTIAL jobs (~hours of pure scheduling, independent of data
+  // size). The word table is sample-scale BY CONSTRUCTION (Heaps' law:
+  // ~10⁶-10⁸ distinct words for a 100 TB corpus — exactly the table
+  // HF-tokenizers/SentencePiece train over single-node), so collecting it
+  // once and looping in memory with a priority structure is the
+  // architecture real trainers use; the per-round cost is then bounded by
+  // the words CONTAINING the winning pair, not by corpus size or round
+  // count. tools/BpeDepth measures the induction wall-time at
+  // K = 6 … 16384 (SCALING ledger row 28); KernelsSpec pins the local
+  // trainer's merges byte-equal to the retained distributed round
+  // (bpeRoundDistributed) at every depth of the shipped K=6 chain, and
+  // the DuckDB oracle's unrolled per-round replay (q120CteChain) stays
+  // the cross-engine proof of both the argmax and every application.
   //
   // Symbolizations are engine-portable strings — each symbol wrapped in
   // single spaces (" a  b  c "), so applying merge (A,B) is a plain
@@ -5509,7 +5526,7 @@ object PipelineCatalog {
     * ONE definition of merge application (bpeChain rounds, q129's
     * per-source replay).
     */
-  private def applyMerge(df: DataFrame, best: DataFrame): DataFrame =
+  private[graft] def applyMerge(df: DataFrame, best: DataFrame): DataFrame =
     df.crossJoin(broadcast(
         best.select(col("lhs").as("__l"), col("rhs").as("__r"))))
       .withColumn("r", replace(col("r"),
@@ -5552,35 +5569,155 @@ object PipelineCatalog {
       bpeTrain(s, d)
     })
 
-  private def bpeTrain(s: SparkSession, d: String)
-      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
-    val w0 = docsWide(s, d)
+  /** The Heaps-bounded training table: distinct lowercase [a-z]+ words
+    * with corpus frequencies, in the char-wrapped symbolization. ONE
+    * corpus scan, checkpointed once per (dir, fingerprint).
+    */
+  private[graft] def bpeWordTable(s: SparkSession, d: String): DataFrame =
+    docsWide(s, d)
       .select(explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("freq"), regexp_replace(col("word"), "(.)", " $1 ").as("r"))
       .localCheckpoint()
+
+  /** One distributed merge round — the pre-r15 shipped inducer, retained
+    * as the parity REFERENCE for the driver-local trainer (KernelsSpec
+    * pins byte-equality at every depth of the K=6 chain) and as the
+    * documentation of the semantics both implementations share: adjacent
+    * pairs counted with overlap (a k-run of one symbol contributes k−1
+    * pairs), freq-weighted, argmax on (pair_count DESC, lhs, rhs).
+    */
+  private[graft] def bpeRoundDistributed(w: DataFrame): DataFrame = {
     val noPairs = array().cast("array<struct<lhs:string,rhs:string>>")
-    val ws = scala.collection.mutable.ArrayBuffer(w0)
-    val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    (1 to BpeMerges).foreach { _ =>
-      val w = ws.last
-      val syms = split(trim(col("r")), "  ")
-      val pairs = w.select(col("freq"),
-          explode(when(size(syms) >= 2,
-            transform(sequence(lit(1), size(syms) - 1), j =>
-              struct(element_at(syms, j).as("lhs"),
-                element_at(syms, j + 1).as("rhs"))))
-            .otherwise(noPairs)).as("p"))
-        .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-      val best = pairs.groupBy(col("lhs"), col("rhs"))
-        .agg(sum(col("freq")).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
-        .limit(1)
-        .localCheckpoint() // 1 row; cuts the cross-round recompute chain
-      bests += best
-      ws += applyMerge(w, best)
+    val syms = split(trim(col("r")), "  ")
+    w.select(col("freq"),
+        explode(when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1), j =>
+            struct(element_at(syms, j).as("lhs"),
+              element_at(syms, j + 1).as("rhs"))))
+          .otherwise(noPairs)).as("p"))
+      .select(col("freq"), col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .groupBy(col("lhs"), col("rhs"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(1)
+  }
+
+  /** Driver-local BPE induction over the collected word table — the
+    * HF-tokenizers/SentencePiece architecture: pair counts are maintained
+    * INCREMENTALLY (each round touches only the words containing the
+    * winning pair, found through an inverted pair→words index) with a
+    * TreeSet priority structure for the deterministic argmax, so the
+    * per-round cost is independent of both corpus size and round count —
+    * the property that makes a 32k-merge vocabulary tractable where the
+    * one-Spark-job-per-round shape was 32k sequential scheduling floors
+    * (measured curve: tools/BpeDepth, SCALING ledger row 28).
+    *
+    * Semantics are EXACTLY the distributed round's: overlapping adjacent
+    * pair counts weighted by word freq; argmax (count DESC, lhs, rhs) —
+    * Java String ordering == Spark UTF8 binary ordering on the [a-z]+
+    * symbol alphabet; greedy leftmost non-overlapping application (the
+    * wrapped-string replace). Stops early if the corpus exhausts pairs.
+    */
+  private[graft] def trainBpeLocal(
+      words: Array[(Long, Array[String])], k: Int)
+      : IndexedSeq[(String, String, Long)] = {
+    import scala.collection.mutable
+    val symTab: Array[Array[String]] = words.map(_._2)
+    val freqs: Array[Long] = words.map(_._1)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
+        Ordering[String])
+    val heap = mutable.TreeSet.empty[(Long, String, String)]
+
+    def pairMultiset(a: Array[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i + 1 < a.length) {
+        val p = (a(i), a(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
     }
+    def bump(p: (String, String), delta: Long): Unit = if (delta != 0) {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0) heap.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw > 0) { counts(p) = nw; heap.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    def greedyMerge(a: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < a.length) {
+        if (i + 1 < a.length && a(i) == l && a(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += a(i); i += 1 }
+      }
+      out.result()
+    }
+
+    var w = 0
+    while (w < symTab.length) {
+      pairMultiset(symTab(w)).foreach { case (p, mult) =>
+        bump(p, freqs(w) * mult)
+        where.getOrElseUpdate(p, mutable.HashSet.empty) += w
+      }
+      w += 1
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var round = 0
+    while (round < k && heap.nonEmpty) {
+      val (c, lhs, rhs) = heap.head
+      merges += ((lhs, rhs, c))
+      val winner = (lhs, rhs)
+      val affected = where.getOrElse(winner, mutable.HashSet.empty).toArray
+      affected.foreach { wi =>
+        val oldPairs = pairMultiset(symTab(wi))
+        symTab(wi) = greedyMerge(symTab(wi), lhs, rhs)
+        val newPairs = pairMultiset(symTab(wi))
+        (oldPairs.keySet ++ newPairs.keySet).foreach { p =>
+          val d = newPairs.getOrElse(p, 0) - oldPairs.getOrElse(p, 0)
+          bump(p, freqs(wi) * d.toLong)
+          if (newPairs.contains(p))
+            where.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+          else if (oldPairs.contains(p)) {
+            where.get(p).foreach { set =>
+              set -= wi
+              if (set.isEmpty) where.remove(p)
+            }
+          }
+        }
+      }
+      round += 1
+    }
+    merges.toIndexedSeq
+  }
+
+  private def bpeTrain(s: SparkSession, d: String)
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
+    val w0 = bpeWordTable(s, d)
+    // collect the Heaps-bounded table ONCE and induce driver-local; the
+    // learned merges come back as 1-row LocalRelations so every consumer
+    // (q120's listing, q124's depth frames, q129's replay, q136's drift
+    // batch) sees exactly the frames the per-round-job shape produced
+    val table = w0.select(col("freq"), col("r")).collect().map { row =>
+      (row.getLong(0), row.getString(1).trim.split("  "))
+    }
+    val merges = trainBpeLocal(table, BpeMerges)
+    require(merges.size == BpeMerges,
+      s"corpus exhausted adjacent pairs after ${merges.size} merges")
+    import s.implicits._
+    val bests = merges.map { case (l, r, c) =>
+      Seq((l, r, c)).toDF("lhs", "rhs", "pair_count")
+    }.toIndexedSeq
+    val ws = scala.collection.mutable.ArrayBuffer(w0)
+    bests.foreach { best => ws += applyMerge(ws.last, best) }
     (ws.toIndexedSeq, bests.toIndexedSeq)
   }
 
