@@ -7807,6 +7807,176 @@ object PipelineCatalog {
        ORDER BY content_sig"""
 
   // -------------------------------------------------------------------------
+  // q141: training-mixture SCHEDULE — the curriculum/annealing composition
+  // over q113's static blend (r14 verdict Next #4): production
+  // pretraining runs are step-PHASED (the FineWeb-Edu/Llama-style recipe:
+  // a long warmup phase on the breadth blend, then a final anneal slice
+  // re-weighted toward the highest-quality data). Two phases over the
+  // same 2× token budget: phase 1 (warmup, 80%) uses q113's α-temperature
+  // weights on per-source TOTAL tokens; phase 2 (anneal, the final 20%)
+  // re-derives the same α-blend on per-source QUALITY-KEPT tokens only
+  // (q22's rule at the 4dp grid, score ≥ 0.5) — a source with no
+  // above-threshold mass gets weight 0 and drops out of the anneal
+  // entirely (src19 at the test corpora — load-bearing, not cosmetic).
+  //
+  // Accounting is exact BIGINT end-to-end and CONSERVES the budget by
+  // construction: per-source budgets are TOKENS (micro-token units would
+  // wrap int64 at ~9.2e12 corpus tokens — inside the 100 TB framing this
+  // schedule targets, the q137 lesson), allocated floor(phase_tok ·
+  // w_micros / 10⁶) through the overflow-safe split multiply-divide, with
+  // the rounding remainder assigned to the last source by name — so
+  // Σ budgets ≡ 2·total_tok exactly, phase by phase (spec-pinned; the
+  // remainder can be a few tokens negative if the rounded weights sum
+  // past 10⁶ — absorbed by the same deterministic source). Implied
+  // epochs ride the q137 microsDiv split (exact micros past peta-scale).
+  // 100 TB shape: ONE pruned (source, text) corpus scan builds the
+  // per-source stat table, localCheckpoint'ed at |sources| rows (the
+  // q130 lesson — tot + two phase projections would otherwise re-run the
+  // corpus agg 3×); everything downstream is arithmetic over ≤ 2·|S|
+  // rows with broadcast 1-row/2-row joins; window-free.
+  // -------------------------------------------------------------------------
+
+  private val SchedPhase1Pct = 80L    // warmup share of the token budget
+  private val SchedQualityMin = 0.5   // anneal basis: q22 score, 4dp grid
+
+  /** floor(a·w/10⁶) without the a·w intermediate (a up to ~4.6e18 with
+    * w ≤ ~10⁶ would wrap): split a = q·10⁶ + r, exact because q·w is an
+    * integer — the multiply-side companion of [[microsDiv]].
+    */
+  private def mulDivMega(a: String, w: String): String =
+    s"((($a DIV 1000000) * $w) + ((($a % 1000000) * $w) DIV 1000000))"
+
+  /** The DuckDB form of [[mulDivMega]] — same split, `//` division. */
+  private def mulDivMegaSql(a: String, w: String): String =
+    s"((($a // 1000000) * $w) + ((($a % 1000000) * $w) // 1000000))"
+
+  val q141MixtureSchedule: Q = (s, d) => {
+    val toks = TextAnalytics.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val avgLen =
+      TextAnalytics.totalTokenChars(toks).cast("double") / size(toks)
+    val stopRatio = TextAnalytics.wordListHits(toks,
+      TextAnalytics.EnStopwords).cast("double") / size(toks)
+    // q22's quality score on its shipped 4dp grid (grid-stable
+    // cross-engine; the threshold compares ROUNDED values, like q113's
+    // epochs flag)
+    val q4 = rnd(
+      lit(0.2) * least(size(toks).cast("double") / 100.0, lit(1.0)) +
+        lit(0.5) * stopRatio +
+        lit(0.3) * (lit(1.0) - least(abs(avgLen - 5.0) / 10.0, lit(1.0))), 4)
+    val st = docsWide(s, d)
+      .select(col("source"), nTok.as("n_tok"),
+        when(nTok > 0 && q4 >= SchedQualityMin, nTok).otherwise(lit(0L))
+          .as("kept_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_tok"), sum(col("kept_tok")).as("kept_tok"))
+      .filter(col("n_tok") > 0)
+      .localCheckpoint() // |sources| rows; 3 consumers, ONE corpus scan
+    val tot = st.agg(sum(col("n_tok")).as("total_tok"),
+      sum(pow(col("n_tok").cast("double"), MixAlpha)).as("z1"),
+      sum(pow(col("kept_tok").cast("double"), MixAlpha)).as("z2"),
+      max(col("source")).as("last_source"))
+    val base = st.crossJoin(broadcast(tot))
+      .withColumn("budget_tok", lit(2L) * col("total_tok")) // MixBudgetMult, exact
+      .withColumn("p1_tok", expr(s"budget_tok * $SchedPhase1Pct DIV 100"))
+    val ph1 = base.select(lit(1L).as("phase"), col("source"), col("n_tok"),
+      col("n_tok").as("basis_tok"), col("z1").as("z"),
+      col("p1_tok").as("phase_tok"), col("last_source"))
+    val ph2 = base.select(lit(2L).as("phase"), col("source"), col("n_tok"),
+      col("kept_tok").as("basis_tok"), col("z2").as("z"),
+      (col("budget_tok") - col("p1_tok")).as("phase_tok"), col("last_source"))
+    val wts = ph1.unionAll(ph2)
+      .withColumn("weight_micros",
+        when(col("z") > 0,
+          floor(pow(col("basis_tok").cast("double"), MixAlpha) / col("z")
+            * 1000000 + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("floor_alloc", expr(mulDivMega("phase_tok", "weight_micros")))
+    val sums = wts.groupBy(col("phase"))
+      .agg(sum(col("floor_alloc")).as("alloc_sum"))
+    wts.join(broadcast(sums), Seq("phase"))
+      .withColumn("token_budget", col("floor_alloc") +
+        when(col("source") === col("last_source"),
+          col("phase_tok") - col("alloc_sum")).otherwise(lit(0L)))
+      .withColumn("epochs_micros", expr(microsDiv("token_budget", "n_tok")))
+      .select(col("phase"), col("source"), col("n_tok"), col("basis_tok"),
+        col("weight_micros"), col("token_budget"), col("epochs_micros"),
+        (col("epochs_micros") > (MixEpochCap * 1000000).toLong).as("over_cap"))
+      .orderBy(col("phase"), col("source"))
+  }
+
+  private val q141Sql = {
+    val arr = TextAnalytics.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH w AS (
+         SELECT source, list_filter(regexp_split_to_array(text, '\\s+'),
+                                    t -> t <> '') AS toks
+         FROM documents
+       ), t AS (
+         SELECT source, CAST(len(toks) AS BIGINT) AS n_tok,
+                CASE WHEN len(toks) > 0 AND
+                  floor((0.2 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+                    + 0.5 * (CAST(len(list_filter(toks,
+                        x -> list_contains($arr, x))) AS DOUBLE) / len(toks))
+                    + 0.3 * (1.0 - least(abs(
+                        CAST(list_aggregate(list_transform(toks,
+                          x -> length(x)), 'sum') AS DOUBLE) / len(toks)
+                        - 5.0) / 10.0, 1.0))) * 10000 + 0.5) / 10000.0
+                    >= $SchedQualityMin
+                  THEN CAST(len(toks) AS BIGINT) ELSE 0 END AS kept_tok
+         FROM w
+       ), s AS (
+         SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok,
+                CAST(sum(kept_tok) AS BIGINT) AS kept_tok
+         FROM t GROUP BY source HAVING sum(n_tok) > 0
+       ), tot AS (
+         SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok,
+                sum(power(CAST(n_tok AS DOUBLE), $MixAlpha)) AS z1,
+                sum(power(CAST(kept_tok AS DOUBLE), $MixAlpha)) AS z2,
+                max(source) AS last_source
+         FROM s
+       ), ph AS (
+         SELECT 1 AS phase, source, n_tok, n_tok AS basis_tok, z1 AS z,
+                (2 * total_tok * $SchedPhase1Pct // 100) AS phase_tok,
+                last_source
+         FROM s CROSS JOIN tot
+         UNION ALL
+         SELECT 2, source, n_tok, kept_tok, z2,
+                2 * total_tok - (2 * total_tok * $SchedPhase1Pct // 100),
+                last_source
+         FROM s CROSS JOIN tot
+       ), wts AS (
+         SELECT phase, source, n_tok, basis_tok, phase_tok, last_source,
+                CASE WHEN z > 0 THEN CAST(floor(
+                    power(CAST(basis_tok AS DOUBLE), $MixAlpha) / z
+                    * 1000000 + 0.5) AS BIGINT)
+                  ELSE 0 END AS weight_micros
+         FROM ph
+       ), fl AS (
+         SELECT *, ${mulDivMegaSql("phase_tok", "weight_micros")}
+                  AS floor_alloc
+         FROM wts
+       ), sums AS (
+         SELECT phase, CAST(sum(floor_alloc) AS BIGINT) AS alloc_sum
+         FROM fl GROUP BY phase
+       ), fin AS (
+         SELECT fl.phase, fl.source, fl.n_tok, fl.basis_tok,
+                fl.weight_micros,
+                fl.floor_alloc + CASE WHEN fl.source = fl.last_source
+                  THEN fl.phase_tok - sums.alloc_sum ELSE 0 END
+                  AS token_budget
+         FROM fl JOIN sums USING (phase)
+       )
+       SELECT CAST(phase AS BIGINT) AS phase, source, n_tok, basis_tok,
+              weight_micros,
+              CAST(token_budget AS BIGINT) AS token_budget,
+              CAST(${microsDivSql("token_budget", "n_tok")} AS BIGINT)
+                AS epochs_micros,
+              (${microsDivSql("token_budget", "n_tok")}
+                 > ${(MixEpochCap * 1000000).toLong}) AS over_cap
+       FROM fin ORDER BY phase, source"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -7912,6 +8082,7 @@ object PipelineCatalog {
     "q138_vocab_growth" -> q138VocabGrowth,
     "q139_review_queue" -> q139ReviewQueue,
     "q140_syndication" -> q140Syndication,
+    "q141_mixture_schedule" -> q141MixtureSchedule,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8035,6 +8206,7 @@ object PipelineCatalog {
     "q137_gate_funnel" -> q137Sql,
     "q138_vocab_growth" -> q138Sql,
     "q140_syndication" -> q140Sql,
+    "q141_mixture_schedule" -> q141Sql,
     "q103_video_search" -> q103Sql,
   )
 }

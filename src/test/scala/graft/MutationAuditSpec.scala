@@ -1791,4 +1791,72 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(minSources = 1),
       mutated = build(minSources = 2))
   }
+
+  test("schedule family (q141): phase-blind anneal weights flip the gate") {
+    // 47th family: the anneal phase exists to RE-weight toward quality —
+    // a schedule that reuses the warmup basis for phase 2 (the natural
+    // copy-paste bug) silently degenerates to q113 run twice; the gate
+    // must see it.
+    import graft.operators.TextAnalytics
+    def build(qualityAware: Boolean) = {
+      val toks = TextAnalytics.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val avgLen =
+        TextAnalytics.totalTokenChars(toks).cast("double") / size(toks)
+      val stopRatio = TextAnalytics.wordListHits(toks,
+        TextAnalytics.EnStopwords).cast("double") / size(toks)
+      val q4 = Catalog.rnd(
+        lit(0.2) * least(size(toks).cast("double") / 100.0, lit(1.0)) +
+          lit(0.5) * stopRatio +
+          lit(0.3) * (lit(1.0) - least(abs(avgLen - 5.0) / 10.0, lit(1.0))), 4)
+      val st = docsWide(Sf01)
+        .select(col("source"), nTok.as("n_tok"),
+          when(nTok > 0 && q4 >= 0.5, nTok).otherwise(lit(0L)).as("kept_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("n_tok"), sum(col("kept_tok")).as("kept_tok"))
+        .filter(col("n_tok") > 0)
+        .localCheckpoint()
+      val alpha = 0.7
+      val tot = st.agg(sum(col("n_tok")).as("total_tok"),
+        sum(pow(col("n_tok").cast("double"), alpha)).as("z1"),
+        sum(pow(col("kept_tok").cast("double"), alpha)).as("z2"),
+        max(col("source")).as("last_source"))
+      val base = st.crossJoin(broadcast(tot))
+        .withColumn("budget_tok", lit(2L) * col("total_tok"))
+        .withColumn("p1_tok", expr("budget_tok * 80 DIV 100"))
+      val ph1 = base.select(lit(1L).as("phase"), col("source"), col("n_tok"),
+        col("n_tok").as("basis_tok"), col("z1").as("z"),
+        col("p1_tok").as("phase_tok"), col("last_source"))
+      val ph2Basis = if (qualityAware) col("kept_tok") else col("n_tok")
+      val ph2Z = if (qualityAware) col("z2") else col("z1")
+      val ph2 = base.select(lit(2L).as("phase"), col("source"), col("n_tok"),
+        ph2Basis.as("basis_tok"), ph2Z.as("z"),
+        (col("budget_tok") - col("p1_tok")).as("phase_tok"), col("last_source"))
+      val mulDiv = "(((phase_tok DIV 1000000) * weight_micros)" +
+        " + (((phase_tok % 1000000) * weight_micros) DIV 1000000))"
+      val wts = ph1.unionAll(ph2)
+        .withColumn("weight_micros",
+          when(col("z") > 0,
+            floor(pow(col("basis_tok").cast("double"), alpha) / col("z")
+              * 1000000 + 0.5).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn("floor_alloc", expr(mulDiv))
+      val sums = wts.groupBy(col("phase"))
+        .agg(sum(col("floor_alloc")).as("alloc_sum"))
+      wts.join(broadcast(sums), Seq("phase"))
+        .withColumn("token_budget", col("floor_alloc") +
+          when(col("source") === col("last_source"),
+            col("phase_tok") - col("alloc_sum")).otherwise(lit(0L)))
+        .withColumn("epochs_micros", expr(
+          "((token_budget * 1000 DIV n_tok) * 1000" +
+            " + ((token_budget * 1000 % n_tok) * 1000 DIV n_tok))"))
+        .select(col("phase"), col("source"), col("n_tok"), col("basis_tok"),
+          col("weight_micros"), col("token_budget"), col("epochs_micros"),
+          (col("epochs_micros") > 4000000L).as("over_cap"))
+        .orderBy(col("phase"), col("source"))
+    }
+    audit("q141_mixture_schedule", Sf01,
+      control = build(qualityAware = true),
+      mutated = build(qualityAware = false))
+  }
 }

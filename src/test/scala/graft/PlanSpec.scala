@@ -1075,4 +1075,26 @@ class PlanSpec extends AnyFunSuite {
     assertScansWithin(p, "q132", Set("doc_id", "lang", "text"))
     assert(p.contains("HashAggregate"), "q132 lost its hash aggregate")
   }
+
+  test("q141: schedule is arithmetic over checkpointed source stats — window-free, broadcasts only") {
+    // the served plan roots at the |sources|-row checkpoint (3 consumers,
+    // ONE corpus scan — the q130 discipline); the corpus scan itself is
+    // asserted on the pre-checkpoint stats lineage
+    import org.apache.spark.sql.functions._
+    val stats = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
+      .select(col("source"),
+        size(graft.operators.TextAnalytics.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_tok"))
+    assertScansWithin(stats.queryExecution.executedPlan.toString,
+      "q141-stats", Set("source", "text"))
+    val p = plan("q141_mixture_schedule")
+    assert(!p.contains("windowspecdefinition"), s"q141 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "q141's tiny normalizer/sums joins degraded to sort-merge")
+    assert(!p.contains("CartesianProduct"),
+      "q141's 1-row normalizer join degraded to a cartesian product")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "q141 lost its broadcast joins")
+  }
 }
