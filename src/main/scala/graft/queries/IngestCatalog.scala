@@ -646,6 +646,17 @@ object IngestCatalog {
   // q45: PII redaction — URLs/emails/IPv4s/phones to typed tokens + audit
   // counts (TextAnalytics.redact; RE2-safe patterns, so DuckDB replays the
   // exact same matches)
+  //
+  // Scope vs q106 (r14 verdict Next #6): TWO redaction surfaces ship on
+  // purpose. q106/Curation.redactPii is the PRODUCTION release stage —
+  // FineWeb §3.4 parity (emails + range-exact IPv4 only, replacement
+  // counts), the pass a corpus goes through before publication. q45/
+  // TextAnalytics.redact is the broader INGEST-time scrubber (also URLs
+  // and phone numbers — classes a release pass deliberately leaves to
+  // link/citation handling) and the standing regression anchor for the
+  // round-2 redact kernel. They share no regexes: q106's IPv4 is
+  // range-exact per octet where q45's is the looser ingest form — the
+  // 11th mutation family pins exactly that difference as load-bearing.
   // -------------------------------------------------------------------------
 
   val q45Redact: Q = (s, d) => {

@@ -7977,6 +7977,142 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q142: loader-handoff shard manifest — the artifact a training loader
+  // actually MOUNTS, composing three proven stages end-to-end (r14
+  // verdict Next #5): q119's deterministic per-epoch shuffle order ×
+  // q112's packed-sequence composition × q86's shard-manifest idea. Per
+  // epoch, documents are packed in SHUFFLED order (not doc_id order —
+  // each epoch visits the corpus differently, reproducibly, with no RNG
+  // state), the token stream is cut into PackSeqLen sequences, sequences
+  // are round-robin'd across ShardCount shards (exact balance: every
+  // shard holds ⌊S/N⌋ or ⌈S/N⌉ sequences), and each (epoch, shard)
+  // carries an order-sensitive content signature — bit_xor over
+  // hash60(seq_id:seq_tok_start:doc_id) terms, each term encoding its
+  // POSITION, so any reordering or substitution of a doc changes the
+  // signature while the fold itself stays commutative and
+  // partition-order-proof (q86's writer-check, upgraded from
+  // order-free to order-PINNING). This is the end-to-end proof of
+  // deterministic data order: any engine, any retry, any worker
+  // re-derives the same manifest byte-for-byte.
+  //
+  // 100 TB shape: ONE salted prefix sum over BOTH epochs — the epoch
+  // packs into the high bits of the order key (epoch·K + q119's
+  // bucket-packed shuffle key, K = the per-epoch key span, overflow
+  // require'd), so the within-epoch offset falls out as
+  // global_prefix − epoch·total_tok with total_tok a broadcast 1-row agg
+  // over the narrow (doc_id, n_tok) lineage; then q112's bounded
+  // sequence explode (Σ rows linear in input), codegen'd span
+  // arithmetic, and a ≤ epochs·shards-row signature agg broadcast back.
+  // The span frame is localCheckpoint'ed before its two consumers
+  // (signature agg + final join): it is RESULT-scale by construction —
+  // exactly the rows the query returns — and production writes this
+  // manifest once at shard-publish time anyway (the q130 discipline:
+  // never re-run the salted fold per consumer).
+  // -------------------------------------------------------------------------
+
+  val q142LoaderManifest: Q = (s, d) => {
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val (mn, span) = docIdBounds(s, d)
+    require(span <= Long.MaxValue / (ShuffleBuckets * ShuffleEpochs),
+      s"doc_id span $span overflows the epoch-packed shuffle key")
+    val perEpochKey = ShuffleBuckets * span
+    val epochs = s.range(ShuffleEpochs).select(col("id").as("epoch"))
+    val keyed = toks.crossJoin(broadcast(epochs))
+      .withColumn("__shuf",
+        pmod(TextAnalytics.hash60(
+          concat(col("epoch"), lit(":"), col("doc_id"))), lit(ShuffleBuckets))
+          * span + (col("doc_id") - mn))
+      .withColumn("__gk", col("epoch") * perEpochKey + col("__shuf"))
+    val gpre = graft.operators.Curation.saltedPrefixSum(keyed, "__gk",
+      "n_tok", outCol = "__gpre",
+      orderBounds = Some((0L, ShuffleEpochs * perEpochKey - 1)))
+    val total = toks.agg(sum(col("n_tok")).as("total_tok"))
+    val spans = gpre.crossJoin(broadcast(total))
+      .withColumn("off", col("__gpre") - col("epoch") * col("total_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("first_seq", expr(s"off div $PackSeqLen"))
+      .withColumn("last_seq", expr(s"(off + n_tok - 1) div $PackSeqLen"))
+      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+      .withColumn("gstart", greatest(col("off"), col("seq_id") * PackSeqLen))
+      .withColumn("gend",
+        least(col("off") + col("n_tok"), (col("seq_id") + 1) * PackSeqLen))
+      .select(col("epoch"),
+        pmod(col("seq_id"), lit(ShardCount.toLong)).as("shard"),
+        col("seq_id"), col("doc_id"),
+        (col("gstart") - col("off")).as("doc_tok_start"),
+        (col("gstart") - col("seq_id") * PackSeqLen).as("seq_tok_start"),
+        (col("gend") - col("gstart")).as("n_tok"))
+      .localCheckpoint() // result-scale; 2 consumers, ONE salted fold
+    val sigs = spans
+      .withColumn("term", TextAnalytics.hash60(concat(
+        col("seq_id"), lit(":"), col("seq_tok_start"), lit(":"),
+        col("doc_id"))))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(expr("bit_xor(term)").as("shard_sig"),
+        sum(col("n_tok")).as("shard_tok"))
+    spans.join(broadcast(sigs), Seq("epoch", "shard"))
+      .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
+        col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
+        col("shard_sig"), col("shard_tok"))
+      .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
+  }
+
+  private val q142Sql =
+    s"""WITH d AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), b AS (
+         SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+                CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+         FROM d
+       ), tot AS (
+         SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM d
+       ), e AS (
+         SELECT unnest(range(0, $ShuffleEpochs)) AS epoch
+       ), k AS (
+         SELECT e.epoch, d.doc_id, d.n_tok,
+                CAST(CAST('0x' || substr(sha256(e.epoch || ':' || d.doc_id),
+                  1, 15) AS BIGINT) % $ShuffleBuckets AS BIGINT)
+                  * b.span + (d.doc_id - b.mn) AS shuf
+         FROM d CROSS JOIN e CROSS JOIN b
+       ), o AS (
+         SELECT epoch, doc_id, n_tok,
+                CAST(COALESCE(sum(n_tok) OVER (PARTITION BY epoch
+                  ORDER BY shuf
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+         FROM k
+       ), sp AS (
+         SELECT epoch, doc_id, n_tok, off,
+                unnest(generate_series(off // $PackSeqLen,
+                  (off + n_tok - 1) // $PackSeqLen)) AS seq_id
+         FROM o WHERE n_tok > 0
+       ), spans AS (
+         SELECT epoch, seq_id % $ShardCount AS shard, seq_id, doc_id,
+                greatest(off, seq_id * $PackSeqLen) - off AS doc_tok_start,
+                greatest(off, seq_id * $PackSeqLen) - seq_id * $PackSeqLen
+                  AS seq_tok_start,
+                least(off + n_tok, (seq_id + 1) * $PackSeqLen)
+                  - greatest(off, seq_id * $PackSeqLen) AS n_tok
+         FROM sp
+       ), sigs AS (
+         SELECT epoch, shard,
+                bit_xor(CAST('0x' || substr(sha256(
+                  seq_id || ':' || seq_tok_start || ':' || doc_id),
+                  1, 15) AS BIGINT)) AS shard_sig,
+                CAST(sum(n_tok) AS BIGINT) AS shard_tok
+         FROM spans GROUP BY epoch, shard
+       )
+       SELECT s.epoch, CAST(s.shard AS BIGINT) AS shard, s.seq_id, s.doc_id,
+              s.doc_tok_start, s.seq_tok_start, s.n_tok,
+              g.shard_sig, g.shard_tok
+       FROM spans s JOIN sigs g USING (epoch, shard)
+       ORDER BY s.epoch, s.seq_id, s.seq_tok_start"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -8083,6 +8219,7 @@ object PipelineCatalog {
     "q139_review_queue" -> q139ReviewQueue,
     "q140_syndication" -> q140Syndication,
     "q141_mixture_schedule" -> q141MixtureSchedule,
+    "q142_loader_manifest" -> q142LoaderManifest,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8207,6 +8344,7 @@ object PipelineCatalog {
     "q138_vocab_growth" -> q138Sql,
     "q140_syndication" -> q140Sql,
     "q141_mixture_schedule" -> q141Sql,
+    "q142_loader_manifest" -> q142Sql,
     "q103_video_search" -> q103Sql,
   )
 }

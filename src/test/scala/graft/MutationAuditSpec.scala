@@ -1859,4 +1859,64 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(qualityAware = true),
       mutated = build(qualityAware = false))
   }
+
+  test("loader-manifest family (q142): epoch-blind shuffle key flips the gate") {
+    // 48th family: the manifest's contract is that every epoch visits
+    // the corpus in a DIFFERENT deterministic order — a shuffle key that
+    // forgets the epoch (hashing doc_id alone, the natural simplification)
+    // packs both epochs identically, which a loader cannot distinguish
+    // from a broken shuffle; the gate must see it.
+    import graft.operators.TextAnalytics
+    def build(epochAware: Boolean) = {
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val bounds = docsWide(Sf01)
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
+        .head()
+      val (mn, span) = (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0) + 1)
+      val perEpochKey = 1000000L * span
+      val epochs = spark.range(2).select(col("id").as("epoch"))
+      val hashInput = if (epochAware)
+        concat(col("epoch"), lit(":"), col("doc_id"))
+      else concat(col("doc_id"))
+      val keyed = toks.crossJoin(broadcast(epochs))
+        .withColumn("__shuf",
+          pmod(TextAnalytics.hash60(hashInput), lit(1000000L))
+            * span + (col("doc_id") - mn))
+        .withColumn("__gk", col("epoch") * perEpochKey + col("__shuf"))
+      val gpre = Curation.saltedPrefixSum(keyed, "__gk", "n_tok",
+        outCol = "__gpre", orderBounds = Some((0L, 2 * perEpochKey - 1)))
+      val total = toks.agg(sum(col("n_tok")).as("total_tok"))
+      val spans = gpre.crossJoin(broadcast(total))
+        .withColumn("off", col("__gpre") - col("epoch") * col("total_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("first_seq", expr("off div 512"))
+        .withColumn("last_seq", expr("(off + n_tok - 1) div 512"))
+        .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+        .withColumn("gstart", greatest(col("off"), col("seq_id") * 512L))
+        .withColumn("gend",
+          least(col("off") + col("n_tok"), (col("seq_id") + 1) * 512L))
+        .select(col("epoch"), pmod(col("seq_id"), lit(8L)).as("shard"),
+          col("seq_id"), col("doc_id"),
+          (col("gstart") - col("off")).as("doc_tok_start"),
+          (col("gstart") - col("seq_id") * 512L).as("seq_tok_start"),
+          (col("gend") - col("gstart")).as("n_tok"))
+        .localCheckpoint()
+      val sigs = spans
+        .withColumn("term", TextAnalytics.hash60(concat(
+          col("seq_id"), lit(":"), col("seq_tok_start"), lit(":"),
+          col("doc_id"))))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(expr("bit_xor(term)").as("shard_sig"),
+          sum(col("n_tok")).as("shard_tok"))
+      spans.join(broadcast(sigs), Seq("epoch", "shard"))
+        .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
+          col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
+          col("shard_sig"), col("shard_tok"))
+        .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
+    }
+    audit("q142_loader_manifest", Sf01,
+      control = build(epochAware = true),
+      mutated = build(epochAware = false))
+  }
 }

@@ -1076,6 +1076,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "q132 lost its hash aggregate")
   }
 
+  test("q142: manifest packing windows carry __rb; served joins broadcast") {
+    // the served plan roots at the result-scale span checkpoint (2
+    // consumers, ONE salted fold — the q130 discipline), so the
+    // no-global-order-window invariant is asserted on the pre-checkpoint
+    // packing lineage, q122-style
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalytics
+    val toks = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
+      .select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val epochs = spark.range(2).select(col("id").as("epoch"))
+    val keyed = toks.crossJoin(broadcast(epochs))
+      .withColumn("__gk", col("epoch") * 100000000L +
+        pmod(TextAnalytics.hash60(concat(col("epoch"), lit(":"),
+          col("doc_id"))), lit(1000000L)))
+    val packed = graft.operators.Curation.saltedPrefixSum(keyed, "__gk",
+      "n_tok", outCol = "__gpre", orderBounds = Some((0L, 200000000L)))
+    val pp = packed.queryExecution.executedPlan.toString
+    val wins = "windowspecdefinition\\([^)]*".r.findAllIn(pp).toList
+    assert(wins.nonEmpty, "q142's packing lost its prefix-sum windows")
+    assert(wins.forall(_.contains("__rb")),
+      s"a global-order window reappeared in q142's packing: $wins")
+    assertScansWithin(pp, "q142-packing", Set("doc_id", "text"))
+    val p = plan("q142_loader_manifest")
+    assert(!p.contains("windowspecdefinition"),
+      s"q142's served plan grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "q142's 16-row signature join degraded to sort-merge")
+    assert(p.contains("BroadcastHashJoin"),
+      "q142's signature join lost its broadcast")
+  }
+
   test("q141: schedule is arithmetic over checkpointed source stats — window-free, broadcasts only") {
     // the served plan roots at the |sources|-row checkpoint (3 consumers,
     // ONE corpus scan — the q130 discipline); the corpus scan itself is
