@@ -5710,12 +5710,19 @@ object PipelineCatalog {
       (row.getLong(0), row.getString(1).trim.split("  "))
     }
     val merges = trainBpeLocal(table, BpeMerges)
-    require(merges.size == BpeMerges,
-      s"corpus exhausted adjacent pairs after ${merges.size} merges")
     import s.implicits._
-    val bests = merges.map { case (l, r, c) =>
-      Seq((l, r, c)).toDF("lhs", "rhs", "pair_count")
-    }.toIndexedSeq
+    // pair exhaustion (an alphabet-free or pathologically tiny corpus)
+    // degrades EXACTLY like the distributed chain did: the exhausted
+    // round's best is an EMPTY frame, applyMerge's crossJoin empties the
+    // symbolization, and q120/q124/q129 report nothing/null — the
+    // degradation mode QueriesSpec pins (never a crash or a NaN)
+    val bests = (0 until BpeMerges).map { i =>
+      merges.lift(i) match {
+        case Some((l, r, c)) => Seq((l, r, c)).toDF("lhs", "rhs", "pair_count")
+        case None =>
+          Seq.empty[(String, String, Long)].toDF("lhs", "rhs", "pair_count")
+      }
+    }
     val ws = scala.collection.mutable.ArrayBuffer(w0)
     bests.foreach { best => ws += applyMerge(ws.last, best) }
     (ws.toIndexedSeq, bests.toIndexedSeq)
@@ -8113,6 +8120,145 @@ object PipelineCatalog {
        ORDER BY s.epoch, s.seq_id, s.seq_tok_start"""
 
   // -------------------------------------------------------------------------
+  // q143: NEAR-dup syndication — q140's cross-publisher detector extended
+  // to the near-duplicate axis: wire copy often arrives lightly edited
+  // (house style, added bylines), which the exact sha256 basis cannot
+  // see. Per q85 near-dup cluster (the proven MinHash→verify→CC lineage):
+  // member count, distinct-SOURCE spread, distinct exact-text count
+  // (n_texts > 1 separates genuinely-edited syndication from pure exact
+  // redelivery, which q140 already owns), and the multi_source flag.
+  // The organic sf0.01 dup classes are cross-source by construction of
+  // the corpus' doc_id % 20 source stripe (e.g. the (70, 447) pair
+  // spans src10/src7), so the driver row is non-vacuous at every scale.
+  // 100 TB shape: the banded-MinHash pair bound (never all-pairs), the
+  // pair-bounded cluster frame broadcasts into the one corpus-pruned
+  // (doc_id, source, text) pass, and the rollup groups on cluster_id —
+  // ≤ clustered-members rows into the shuffle.
+  // -------------------------------------------------------------------------
+
+  val q143NearSyndication: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    docsWide(s, d)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sig"))
+      .join(broadcast(clusters), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("sig")).as("n_texts"))
+      .select(col("cluster_id"), col("n_members"), col("n_sources"),
+        col("n_texts"), (col("n_sources") > 1).as("multi_source"),
+        (col("n_texts") > 1).as("near_only"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q143Sql =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) p
+       ), edges AS (
+         SELECT a_id AS x, b_id AS y FROM pairs
+         UNION
+         SELECT b_id, a_id FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT x FROM edges
+       ), reach(x, r) AS (
+         SELECT x, x FROM nodes
+         UNION
+         SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       ), cl AS (
+         SELECT x AS doc_id, min(r) AS cluster_id FROM reach GROUP BY x
+       )
+       SELECT cl.cluster_id, count(*) AS n_members,
+              CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+              CAST(count(DISTINCT sha256(d.text)) AS BIGINT) AS n_texts,
+              (count(DISTINCT d.source) > 1) AS multi_source,
+              (count(DISTINCT sha256(d.text)) > 1) AS near_only
+       FROM cl JOIN documents d USING (doc_id)
+       GROUP BY cl.cluster_id ORDER BY cl.cluster_id"""
+
+  // -------------------------------------------------------------------------
+  // q144: word-frequency spectrum — the Zipf-axis companion of q138's
+  // Heaps report (the OTHER diagnostic read before trusting a corpus'
+  // lexicon): per power-of-two frequency bucket (q134's bit-exact
+  // binary-digit-count device — floor(log2 f) with no libm boundary
+  // ulps), the number of distinct word TYPES in the bucket, their total
+  // token mass, and the exact micros share of the corpus' token mass
+  // (q137's microsDiv split). Natural language shows type counts rising
+  // steeply as frequency falls (Zipf: the spectrum's low buckets hold
+  // most of the vocabulary, the high buckets most of the mass); a flat
+  // or inverted spectrum is OCR noise or generated junk. Everything is
+  // INTEGER-exact — no float anywhere, the hash cannot drift.
+  //
+  // The generated corpus' lexicon is 31 words (all in 2 buckets), so —
+  // the q88/q106/q140 fixture precedent — a deterministic LONG TAIL is
+  // appended in-query and replayed by the oracle: per doc, one unique
+  // singleton word (digit→letter mapping of doc_id → the freq-1 bucket,
+  // ~n_docs types) and one of 16 mid-frequency words (doc_id % 16 → a
+  // middle bucket at ~n/16), giving the spectrum three measured decades
+  // while the organic words keep their own buckets untouched.
+  // 100 TB shape: one token-explode pass partial-aggregated to the
+  // Heaps-bounded word table (q56/q120's shuffle bound), a codegen'd
+  // digit-count bucket, and a ≤64-row aggregate; window-free, the
+  // presentation sort is the only order.
+  // -------------------------------------------------------------------------
+
+  val q144FreqSpectrum: Q = (s, d) => {
+    val tail = concat(col("text"),
+      lit(" zqu"), translate(col("doc_id").cast("string"),
+        "0123456789", "abcdefghij"),
+      lit(" zqm"), translate(pmod(col("doc_id"), lit(16)).cast("string"),
+        "0123456789", "abcdefghij"))
+    val words = docsWide(s, d)
+      .select(explode(TextAnalytics.tokens(lower(tail))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // floor(log2 f) == number of binary digits − 1, exact at every
+    // power-of-two boundary (q134's device)
+    val bucketed = words
+      .withColumn("log2_freq", (length(bin(col("freq"))) - 1).cast("long"))
+    val tot = words.agg(sum(col("freq")).as("total_mass"))
+    bucketed.groupBy(col("log2_freq"))
+      .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("log2_freq"), col("n_types"), col("mass"),
+        expr(microsDiv("mass", "total_mass")).as("mass_share_micros"))
+      .orderBy(col("log2_freq"))
+  }
+
+  private val q144Sql =
+    s"""WITH body AS (
+         SELECT text || ' zqu' ||
+                translate(CAST(doc_id AS VARCHAR),
+                          '0123456789', 'abcdefghij')
+                || ' zqm' ||
+                translate(CAST(doc_id % 16 AS VARCHAR),
+                          '0123456789', 'abcdefghij') AS text
+         FROM documents
+       ), toks AS (
+         SELECT lower(t) AS word
+         FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+               FROM body)
+         WHERE regexp_matches(lower(t), '^[a-z]+$$')
+       ), w AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS freq
+         FROM toks GROUP BY word
+       ), b AS (
+         SELECT CAST(length(printf('%b', freq)) - 1 AS BIGINT) AS log2_freq,
+                freq
+         FROM w
+       ), tot AS (
+         SELECT CAST(sum(freq) AS BIGINT) AS total_mass FROM w
+       )
+       SELECT log2_freq, count(*) AS n_types,
+              CAST(sum(freq) AS BIGINT) AS mass,
+              CAST(${microsDivSql("sum(freq)", "total_mass")} AS BIGINT)
+                AS mass_share_micros
+       FROM b CROSS JOIN tot
+       GROUP BY log2_freq, total_mass ORDER BY log2_freq"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -8220,6 +8366,8 @@ object PipelineCatalog {
     "q140_syndication" -> q140Syndication,
     "q141_mixture_schedule" -> q141MixtureSchedule,
     "q142_loader_manifest" -> q142LoaderManifest,
+    "q143_near_syndication" -> q143NearSyndication,
+    "q144_freq_spectrum" -> q144FreqSpectrum,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8345,6 +8493,8 @@ object PipelineCatalog {
     "q140_syndication" -> q140Sql,
     "q141_mixture_schedule" -> q141Sql,
     "q142_loader_manifest" -> q142Sql,
+    "q143_near_syndication" -> q143Sql,
+    "q144_freq_spectrum" -> q144Sql,
     "q103_video_search" -> q103Sql,
   )
 }

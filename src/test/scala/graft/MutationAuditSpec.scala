@@ -1919,4 +1919,71 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(epochAware = true),
       mutated = build(epochAware = false))
   }
+
+  test("near-syndication family (q143): keeper-excluded source count flips the gate") {
+    // 49th family: the source spread must count EVERY member's source —
+    // the off-by-one that counts only non-keeper members (attributing
+    // "spread" to the copies alone) undercounts the common 2-member
+    // cross-source cluster to n_sources = 1 and silently unflags it.
+    def build(allMembers: Boolean) = {
+      val pairs = Dedup.minhashNearDuplicates(docsWide(Sf01), "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val srcCol = if (allMembers) col("source")
+        else when(col("doc_id") =!= col("cluster_id"), col("source"))
+      docsWide(Sf01)
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sig"))
+        .join(broadcast(clusters), Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(srcCol).as("n_sources"),
+          countDistinct(col("sig")).as("n_texts"))
+        .select(col("cluster_id"), col("n_members"), col("n_sources"),
+          col("n_texts"), (col("n_sources") > 1).as("multi_source"),
+          (col("n_texts") > 1).as("near_only"))
+        .orderBy(col("cluster_id"))
+    }
+    audit("q143_near_syndication", Sf01,
+      control = build(allMembers = true),
+      mutated = build(allMembers = false))
+  }
+
+  test("spectrum family (q144): document-frequency basis flips the gate") {
+    // 50th family: the spectrum weighs word OCCURRENCES (collection
+    // frequency) — the classic IR slip of counting the DOCUMENTS that
+    // contain a word instead (document frequency, the df-for-cf
+    // confusion) caps every bucket at n_docs and collapses the high-mass
+    // end of the Zipf curve; the gate must see it.
+    import graft.operators.TextAnalytics
+    def build(collectionFreq: Boolean) = {
+      val tail = concat(col("text"),
+        lit(" zqu"), translate(col("doc_id").cast("string"),
+          "0123456789", "abcdefghij"),
+        lit(" zqm"), translate(pmod(col("doc_id"), lit(16)).cast("string"),
+          "0123456789", "abcdefghij"))
+      val raw = docsWide(Sf01)
+        .select(col("doc_id"),
+          explode(TextAnalytics.tokens(lower(tail))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val words = (if (collectionFreq) raw.groupBy(col("word"))
+          .agg(count(lit(1)).as("freq"))
+        else raw.groupBy(col("word"))
+          .agg(countDistinct(col("doc_id")).as("freq")))
+      val bucketed = words
+        .withColumn("log2_freq", (length(bin(col("freq"))) - 1).cast("long"))
+      val tot = words.agg(sum(col("freq")).as("total_mass"))
+      bucketed.groupBy(col("log2_freq"))
+        .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("mass"))
+        .crossJoin(broadcast(tot))
+        .select(col("log2_freq"), col("n_types"), col("mass"),
+          expr("((mass * 1000 DIV total_mass) * 1000" +
+            " + ((mass * 1000 % total_mass) * 1000 DIV total_mass))")
+            .as("mass_share_micros"))
+        .orderBy(col("log2_freq"))
+    }
+    audit("q144_freq_spectrum", Sf01,
+      control = build(collectionFreq = true),
+      mutated = build(collectionFreq = false))
+  }
 }

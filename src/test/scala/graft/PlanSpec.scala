@@ -1108,6 +1108,23 @@ class PlanSpec extends AnyFunSuite {
       "q142's signature join lost its broadcast")
   }
 
+  test("q143: cluster frame broadcasts into one pruned corpus pass; no cartesian") {
+    val p = plan("q143_near_syndication")
+    assert(p.contains("BroadcastHashJoin"),
+      "q143's pair-bounded cluster join lost its broadcast")
+    assert(!p.contains("CartesianProduct"), "q143 grew a cartesian product")
+    assert(p.contains("HashAggregate"), "q143 lost its hash aggregates")
+  }
+
+  test("q144: spectrum is two hash aggregates over one token explode — window-free") {
+    val p = plan("q144_freq_spectrum")
+    assert(!p.contains("windowspecdefinition"), s"q144 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q144's 1-row total join degraded")
+    assertScansWithin(p, "q144", Set("doc_id", "text"))
+    assert(p.contains("HashAggregate"), "q144 lost its hash aggregates")
+  }
+
   test("q141: schedule is arithmetic over checkpointed source stats — window-free, broadcasts only") {
     // the served plan roots at the |sources|-row checkpoint (3 consumers,
     // ONE corpus scan — the q130 discipline); the corpus scan itself is
