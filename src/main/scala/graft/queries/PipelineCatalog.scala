@@ -8259,6 +8259,108 @@ object PipelineCatalog {
        GROUP BY log2_freq, total_mass ORDER BY log2_freq"""
 
   // -------------------------------------------------------------------------
+  // q145: compute-budget feasibility — the Chinchilla-style planning
+  // report read BEFORE committing a training run to this corpus: per
+  // candidate model size, the compute-optimal token need (Hoffmann et
+  // al. 2022's ~20 tokens/parameter), the corpus' deduplicated unique
+  // supply (exact-dedup keeper basis — q17's sha256 signature, one
+  // n_tok per distinct text), the implied epochs if the need is met by
+  // repetition, the EFFECTIVE tokens those epochs are worth under
+  // Muennighoff's data-constrained decay (q131's E' = min(E,1) +
+  // R*·(1−exp(−R/R*))), and the utility ratio effective/needed with the
+  // 0.9-value flag — "data-constrained" made quantitative per model.
+  // Exactness: needs are exact BIGINT (20 · params · 10⁶); the decay is
+  // float but lands on the 6dp micros grid before any comparison
+  // (q113/q131's convention), and utility rides the microsDiv split.
+  // 100 TB shape: ONE pruned (text) corpus pass partial-aggregated to
+  // the distinct-text supply (q17's shuffle bound, 1-row result), a
+  // 9-row broadcast model ladder, per-row arithmetic; window-free.
+  // -------------------------------------------------------------------------
+
+  /** (model, raw parameter count) — research probes through the
+    * published decoder ladder, so the sufficiency flag carries both
+    * truth values at any corpus scale (a test-corpus supply that can
+    * train nothing would otherwise pin the flag false everywhere — the
+    * q140 vacuity lesson applied at design time).
+    */
+  private val ModelLadder = Seq(
+    ("probe-1k", 1000L), ("probe-100k", 100000L), ("tiny-1m", 1000000L),
+    ("125m", 125000000L), ("1b3", 1300000000L), ("6b7", 6700000000L),
+    ("13b", 13000000000L), ("30b", 30000000000L), ("70b", 70000000000L))
+  private val ChinchillaTokPerParam = 20L
+
+  val q145ComputeBudget: Q = (s, d) => {
+    import s.implicits._
+    // unique supply: one n_tok per DISTINCT text (the dedup keeper's
+    // tokens — all copies share the count, so min == the keeper's)
+    val supply = docsWide(s, d)
+      .select(sha2(col("text"), 256).as("sig"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("sig")).agg(min(col("n_tok")).as("n_tok"))
+      .agg(sum(col("n_tok")).as("unique_tok"))
+    val ladder = ModelLadder.toDF("model", "params")
+    ladder.crossJoin(broadcast(supply))
+      .withColumn("needed_tok", col("params") * ChinchillaTokPerParam)
+      .withColumn("epochs_raw",
+        col("needed_tok").cast("double") / col("unique_tok").cast("double"))
+      .withColumn("reps", greatest(col("epochs_raw") - 1.0, lit(0.0)))
+      .withColumn("eff_raw",
+        least(col("epochs_raw"), lit(1.0)) + lit(RepHalfLife)
+          * (lit(1.0) - exp(-col("reps") / lit(RepHalfLife))))
+      .withColumn("eff_tok",
+        floor(col("unique_tok") * col("eff_raw") + 0.5).cast("long"))
+      .withColumn("utility_micros", expr(microsDiv("eff_tok", "needed_tok")))
+      .select(col("model"), col("params"), col("needed_tok"),
+        col("unique_tok"),
+        floor(col("epochs_raw") * 1000000 + 0.5).cast("long")
+          .as("epochs_micros"),
+        col("eff_tok"), col("utility_micros"),
+        (col("utility_micros") >= RepValueFloorMicros).as("sufficient"))
+      .orderBy(col("params"))
+  }
+
+  private val q145Sql = {
+    val ladder = ModelLadder
+      .map { case (m, p) => s"('$m', CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH t AS (
+         SELECT sha256(text) AS sig,
+                CAST(min(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> ''))) AS BIGINT) AS n_tok
+         FROM documents GROUP BY sha256(text)
+       ), sup AS (
+         SELECT CAST(sum(n_tok) AS BIGINT) AS unique_tok FROM t
+       ), ladder(model, params) AS (
+         VALUES $ladder
+       ), e AS (
+         SELECT model, params,
+                params * $ChinchillaTokPerParam AS needed_tok,
+                unique_tok,
+                CAST(params * $ChinchillaTokPerParam AS DOUBLE)
+                  / unique_tok AS epochs_raw
+         FROM ladder CROSS JOIN sup
+       ), v AS (
+         SELECT model, params, needed_tok, unique_tok, epochs_raw,
+                least(epochs_raw, 1.0) + $RepHalfLife
+                  * (1.0 - exp(-greatest(epochs_raw - 1.0, 0.0)
+                               / $RepHalfLife)) AS eff_raw
+         FROM e
+       ), f AS (
+         SELECT model, params, needed_tok, unique_tok,
+                CAST(floor(epochs_raw * 1000000 + 0.5) AS BIGINT)
+                  AS epochs_micros,
+                CAST(floor(unique_tok * eff_raw + 0.5) AS BIGINT) AS eff_tok
+         FROM v
+       )
+       SELECT model, params, needed_tok, unique_tok, epochs_micros,
+              eff_tok,
+              CAST(${microsDivSql("eff_tok", "needed_tok")} AS BIGINT)
+                AS utility_micros,
+              (${microsDivSql("eff_tok", "needed_tok")}
+                 >= $RepValueFloorMicros) AS sufficient
+       FROM f ORDER BY params"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -8368,6 +8470,7 @@ object PipelineCatalog {
     "q142_loader_manifest" -> q142LoaderManifest,
     "q143_near_syndication" -> q143NearSyndication,
     "q144_freq_spectrum" -> q144FreqSpectrum,
+    "q145_compute_budget" -> q145ComputeBudget,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8495,6 +8598,7 @@ object PipelineCatalog {
     "q142_loader_manifest" -> q142Sql,
     "q143_near_syndication" -> q143Sql,
     "q144_freq_spectrum" -> q144Sql,
+    "q145_compute_budget" -> q145Sql,
     "q103_video_search" -> q103Sql,
   )
 }

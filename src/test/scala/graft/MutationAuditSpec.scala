@@ -1986,4 +1986,51 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(collectionFreq = true),
       mutated = build(collectionFreq = false))
   }
+
+  test("budget family (q145): raw-supply basis flips the gate (needs sf0.1 dups)") {
+    // 51st family: a compute-budget plan must count UNIQUE data — sizing
+    // a run against raw bytes (duplicates included, the natural
+    // `sum(n_tok)` slip) overstates the supply by exactly the mass dedup
+    // would remove and under-reports the implied epochs; the gate must
+    // see it. Runs at sf0.1, where exact-duplicate classes first exist.
+    import graft.operators.TextAnalytics
+    def build(dedupSupply: Boolean) = {
+      import spark.implicits._
+      val toks = docsWide(Sf1)
+        .select(sha2(col("text"), 256).as("sig"),
+          size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val supply = (if (dedupSupply)
+          toks.groupBy(col("sig")).agg(min(col("n_tok")).as("n_tok"))
+        else toks)
+        .agg(sum(col("n_tok")).as("unique_tok"))
+      val ladder = Seq(
+        ("probe-1k", 1000L), ("probe-100k", 100000L), ("tiny-1m", 1000000L),
+        ("125m", 125000000L), ("1b3", 1300000000L), ("6b7", 6700000000L),
+        ("13b", 13000000000L), ("30b", 30000000000L), ("70b", 70000000000L))
+        .toDF("model", "params")
+      ladder.crossJoin(broadcast(supply))
+        .withColumn("needed_tok", col("params") * 20L)
+        .withColumn("epochs_raw",
+          col("needed_tok").cast("double") / col("unique_tok").cast("double"))
+        .withColumn("reps", greatest(col("epochs_raw") - 1.0, lit(0.0)))
+        .withColumn("eff_raw",
+          least(col("epochs_raw"), lit(1.0)) + lit(15.4)
+            * (lit(1.0) - exp(-col("reps") / lit(15.4))))
+        .withColumn("eff_tok",
+          floor(col("unique_tok") * col("eff_raw") + 0.5).cast("long"))
+        .withColumn("utility_micros", expr(
+          "((eff_tok * 1000 DIV needed_tok) * 1000" +
+            " + ((eff_tok * 1000 % needed_tok) * 1000 DIV needed_tok))"))
+        .select(col("model"), col("params"), col("needed_tok"),
+          col("unique_tok"),
+          floor(col("epochs_raw") * 1000000 + 0.5).cast("long")
+            .as("epochs_micros"),
+          col("eff_tok"), col("utility_micros"),
+          (col("utility_micros") >= 900000L).as("sufficient"))
+        .orderBy(col("params"))
+    }
+    audit("q145_compute_budget", Sf1,
+      control = build(dedupSupply = true),
+      mutated = build(dedupSupply = false))
+  }
 }

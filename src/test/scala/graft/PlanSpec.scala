@@ -1125,6 +1125,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "q144 lost its hash aggregates")
   }
 
+  test("q145: budget report is one pruned supply agg + a broadcast ladder — window-free") {
+    val p = plan("q145_compute_budget")
+    assert(!p.contains("windowspecdefinition"), s"q145 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q145's 1-row supply join degraded")
+    assertScansWithin(p, "q145", Set("doc_id", "text"))
+    assert(p.contains("HashAggregate"), "q145 lost its supply aggregate")
+  }
+
   test("q141: schedule is arithmetic over checkpointed source stats — window-free, broadcasts only") {
     // the served plan roots at the |sources|-row checkpoint (3 consumers,
     // ONE corpus scan — the q130 discipline); the corpus scan itself is
