@@ -8017,40 +8017,59 @@ object PipelineCatalog {
   // never re-run the salted fold per consumer).
   // -------------------------------------------------------------------------
 
+  /** Memoized per (dir, fingerprint) like [[bpeCache]]: q142's manifest
+    * and q146's datasheet both read the SAME checkpointed span frame, so
+    * the salted fold runs once per JVM/corpus.
+    */
+  private val spansCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The loader span frame — per (epoch, shard, seq_id): one row per
+    * (document, sequence) intersection in the per-epoch shuffled packing
+    * order. ONE salted prefix sum over both epochs (epoch packed into
+    * the order key's high bits), q112's bounded sequence explode,
+    * checkpointed once (result-scale by construction).
+    */
+  private def loaderSpans(s: SparkSession, d: String): DataFrame =
+    spansCache.computeIfAbsent(d + " " + docsFingerprint(d), { _ =>
+      val toks = docsWide(s, d).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val (mn, span) = docIdBounds(s, d)
+      require(span <= Long.MaxValue / (ShuffleBuckets * ShuffleEpochs),
+        s"doc_id span $span overflows the epoch-packed shuffle key")
+      val perEpochKey = ShuffleBuckets * span
+      val epochs = s.range(ShuffleEpochs).select(col("id").as("epoch"))
+      val keyed = toks.crossJoin(broadcast(epochs))
+        .withColumn("__shuf",
+          pmod(TextAnalytics.hash60(
+            concat(col("epoch"), lit(":"), col("doc_id"))), lit(ShuffleBuckets))
+            * span + (col("doc_id") - mn))
+        .withColumn("__gk", col("epoch") * perEpochKey + col("__shuf"))
+      val gpre = graft.operators.Curation.saltedPrefixSum(keyed, "__gk",
+        "n_tok", outCol = "__gpre",
+        orderBounds = Some((0L, ShuffleEpochs * perEpochKey - 1)))
+      val total = toks.agg(sum(col("n_tok")).as("total_tok"))
+      gpre.crossJoin(broadcast(total))
+        .withColumn("off", col("__gpre") - col("epoch") * col("total_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("first_seq", expr(s"off div $PackSeqLen"))
+        .withColumn("last_seq", expr(s"(off + n_tok - 1) div $PackSeqLen"))
+        .withColumn("seq_id",
+          explode(sequence(col("first_seq"), col("last_seq"))))
+        .withColumn("gstart", greatest(col("off"), col("seq_id") * PackSeqLen))
+        .withColumn("gend",
+          least(col("off") + col("n_tok"), (col("seq_id") + 1) * PackSeqLen))
+        .select(col("epoch"),
+          pmod(col("seq_id"), lit(ShardCount.toLong)).as("shard"),
+          col("seq_id"), col("doc_id"),
+          (col("gstart") - col("off")).as("doc_tok_start"),
+          (col("gstart") - col("seq_id") * PackSeqLen).as("seq_tok_start"),
+          (col("gend") - col("gstart")).as("n_tok"))
+        .localCheckpoint() // result-scale; N consumers, ONE salted fold
+    })
+
   val q142LoaderManifest: Q = (s, d) => {
-    val toks = docsWide(s, d).select(col("doc_id"),
-      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
-    val (mn, span) = docIdBounds(s, d)
-    require(span <= Long.MaxValue / (ShuffleBuckets * ShuffleEpochs),
-      s"doc_id span $span overflows the epoch-packed shuffle key")
-    val perEpochKey = ShuffleBuckets * span
-    val epochs = s.range(ShuffleEpochs).select(col("id").as("epoch"))
-    val keyed = toks.crossJoin(broadcast(epochs))
-      .withColumn("__shuf",
-        pmod(TextAnalytics.hash60(
-          concat(col("epoch"), lit(":"), col("doc_id"))), lit(ShuffleBuckets))
-          * span + (col("doc_id") - mn))
-      .withColumn("__gk", col("epoch") * perEpochKey + col("__shuf"))
-    val gpre = graft.operators.Curation.saltedPrefixSum(keyed, "__gk",
-      "n_tok", outCol = "__gpre",
-      orderBounds = Some((0L, ShuffleEpochs * perEpochKey - 1)))
-    val total = toks.agg(sum(col("n_tok")).as("total_tok"))
-    val spans = gpre.crossJoin(broadcast(total))
-      .withColumn("off", col("__gpre") - col("epoch") * col("total_tok"))
-      .filter(col("n_tok") > 0)
-      .withColumn("first_seq", expr(s"off div $PackSeqLen"))
-      .withColumn("last_seq", expr(s"(off + n_tok - 1) div $PackSeqLen"))
-      .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
-      .withColumn("gstart", greatest(col("off"), col("seq_id") * PackSeqLen))
-      .withColumn("gend",
-        least(col("off") + col("n_tok"), (col("seq_id") + 1) * PackSeqLen))
-      .select(col("epoch"),
-        pmod(col("seq_id"), lit(ShardCount.toLong)).as("shard"),
-        col("seq_id"), col("doc_id"),
-        (col("gstart") - col("off")).as("doc_tok_start"),
-        (col("gstart") - col("seq_id") * PackSeqLen).as("seq_tok_start"),
-        (col("gend") - col("gstart")).as("n_tok"))
-      .localCheckpoint() // result-scale; 2 consumers, ONE salted fold
+    val spans = loaderSpans(s, d)
     val sigs = spans
       .withColumn("term", TextAnalytics.hash60(concat(
         col("seq_id"), lit(":"), col("seq_tok_start"), lit(":"),
@@ -8361,6 +8380,84 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q146: shard composition datasheet — the data-card a loader publishes
+  // NEXT TO q142's manifest: per (epoch, shard), the sequence/document/
+  // token counts, the distinct-source spread, and the dominant source's
+  // exact token share. Round-robin sharding over a hashed shuffle order
+  // SHOULD mix composition uniformly — this is the report that proves it
+  // (or localizes the shard where it broke): a shard dominated by one
+  // source trains a biased step every time the loader mounts it.
+  // 100 TB shape: the memoized span frame (ONE salted fold shared with
+  // q142, checkpointed) joins doc meta on a doc_id-keyed SHUFFLE join —
+  // both sides are corpus-scale at the design point, so neither
+  // broadcasts (the q127 lesson; AQE may still broadcast at bench bytes,
+  // which is runtime adaptivity, not plan shape); rollups land on
+  // ≤ epochs·shards·sources rows, and the dominant source is the exact
+  // (max tok, min source) fold over that tiny frame — window-free.
+  // -------------------------------------------------------------------------
+
+  val q146ShardDatasheet: Q = (s, d) => {
+    val m = loaderSpans(s, d)
+      .join(docsWide(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+    val g = m.groupBy(col("epoch"), col("shard"), col("source"))
+      .agg(sum(col("n_tok")).as("tok"))
+    val tops = g.groupBy(col("epoch"), col("shard"))
+      .agg(max(col("tok")).as("top_tok"))
+    val topSrc = g.join(broadcast(tops), Seq("epoch", "shard"))
+      .filter(col("tok") === col("top_tok"))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(min(col("source")).as("top_source"), max(col("top_tok")).as("top_tok"))
+    val base = m.groupBy(col("epoch"), col("shard"))
+      .agg(countDistinct(col("seq_id")).as("n_seqs"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).as("n_tok"),
+        countDistinct(col("source")).as("n_sources"))
+    base.join(broadcast(topSrc), Seq("epoch", "shard"))
+      .select(col("epoch"), col("shard"), col("n_seqs"), col("n_docs"),
+        col("n_tok"), col("n_sources"), col("top_source"), col("top_tok"),
+        expr(microsDiv("top_tok", "n_tok")).as("top_share_micros"))
+      .orderBy(col("epoch"), col("shard"))
+  }
+
+  /** q142's span replay joined to doc meta, rolled up per (epoch, shard)
+    * with the (max tok, min source) dominant-source fold.
+    */
+  private val q146Sql = {
+    val spansCte = q142Sql.substring(q142Sql.indexOf("WITH"),
+      q142Sql.indexOf("), sigs AS ("))
+    s"""$spansCte), m AS (
+         SELECT sp.epoch, sp.shard, sp.seq_id, sp.doc_id, sp.n_tok, d.source
+         FROM spans sp JOIN documents d USING (doc_id)
+       ), g AS (
+         SELECT epoch, shard, source, CAST(sum(n_tok) AS BIGINT) AS tok
+         FROM m GROUP BY epoch, shard, source
+       ), tops AS (
+         SELECT epoch, shard, CAST(max(tok) AS BIGINT) AS top_tok
+         FROM g GROUP BY epoch, shard
+       ), topsrc AS (
+         SELECT g.epoch, g.shard, min(g.source) AS top_source,
+                CAST(max(t.top_tok) AS BIGINT) AS top_tok
+         FROM g JOIN tops t
+           ON g.epoch = t.epoch AND g.shard = t.shard AND g.tok = t.top_tok
+         GROUP BY g.epoch, g.shard
+       ), base AS (
+         SELECT epoch, shard,
+                CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tok,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM m GROUP BY epoch, shard
+       )
+       SELECT b.epoch, CAST(b.shard AS BIGINT) AS shard, b.n_seqs, b.n_docs,
+              b.n_tok, b.n_sources, ts.top_source, ts.top_tok,
+              CAST(${microsDivSql("ts.top_tok", "b.n_tok")} AS BIGINT)
+                AS top_share_micros
+       FROM base b JOIN topsrc ts
+         ON b.epoch = ts.epoch AND b.shard = ts.shard
+       ORDER BY b.epoch, b.shard"""
+  }
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -8471,6 +8568,7 @@ object PipelineCatalog {
     "q143_near_syndication" -> q143NearSyndication,
     "q144_freq_spectrum" -> q144FreqSpectrum,
     "q145_compute_budget" -> q145ComputeBudget,
+    "q146_shard_datasheet" -> q146ShardDatasheet,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8599,6 +8697,7 @@ object PipelineCatalog {
     "q143_near_syndication" -> q143Sql,
     "q144_freq_spectrum" -> q144Sql,
     "q145_compute_budget" -> q145Sql,
+    "q146_shard_datasheet" -> q146Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -2033,4 +2033,75 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(dedupSupply = true),
       mutated = build(dedupSupply = false))
   }
+
+  test("datasheet family (q146): span-count-as-sequence-count flips the gate") {
+    // 52nd family: the datasheet's n_seqs must count DISTINCT sequences —
+    // counting span rows (the natural count(*)) multiplies every
+    // sequence by the documents composing it (~10x here), and a loader
+    // sizing its prefetch off the datasheet reads garbage; the gate must
+    // see it. (The doc-count analogue is insensitive WITHIN a shard at
+    // this scale: a straddling doc's spans land in consecutive
+    // sequences, which round-robin to DIFFERENT shards.)
+    import graft.operators.TextAnalytics
+    def build(distinctSeqs: Boolean) = {
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val bounds = docsWide(Sf01)
+        .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
+        .head()
+      val (mn, span) =
+        (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0) + 1)
+      val perEpochKey = 1000000L * span
+      val epochs = spark.range(2).select(col("id").as("epoch"))
+      val keyed = toks.crossJoin(broadcast(epochs))
+        .withColumn("__shuf",
+          pmod(TextAnalytics.hash60(
+            concat(col("epoch"), lit(":"), col("doc_id"))), lit(1000000L))
+            * span + (col("doc_id") - mn))
+        .withColumn("__gk", col("epoch") * perEpochKey + col("__shuf"))
+      val gpre = Curation.saltedPrefixSum(keyed, "__gk", "n_tok",
+        outCol = "__gpre", orderBounds = Some((0L, 2 * perEpochKey - 1)))
+      val total = toks.agg(sum(col("n_tok")).as("total_tok"))
+      val spans = gpre.crossJoin(broadcast(total))
+        .withColumn("off", col("__gpre") - col("epoch") * col("total_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("first_seq", expr("off div 512"))
+        .withColumn("last_seq", expr("(off + n_tok - 1) div 512"))
+        .withColumn("seq_id", explode(sequence(col("first_seq"), col("last_seq"))))
+        .withColumn("gstart", greatest(col("off"), col("seq_id") * 512L))
+        .withColumn("gend",
+          least(col("off") + col("n_tok"), (col("seq_id") + 1) * 512L))
+        .select(col("epoch"), pmod(col("seq_id"), lit(8L)).as("shard"),
+          col("seq_id"), col("doc_id"),
+          (col("gend") - col("gstart")).as("n_tok"))
+      val m = spans.join(docsWide(Sf01).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      val g = m.groupBy(col("epoch"), col("shard"), col("source"))
+        .agg(sum(col("n_tok")).as("tok"))
+      val tops = g.groupBy(col("epoch"), col("shard"))
+        .agg(max(col("tok")).as("top_tok"))
+      val topSrc = g.join(broadcast(tops), Seq("epoch", "shard"))
+        .filter(col("tok") === col("top_tok"))
+        .groupBy(col("epoch"), col("shard"))
+        .agg(min(col("source")).as("top_source"),
+          max(col("top_tok")).as("top_tok"))
+      val seqCount =
+        if (distinctSeqs) countDistinct(col("seq_id")) else count(col("seq_id"))
+      val base = m.groupBy(col("epoch"), col("shard"))
+        .agg(seqCount.as("n_seqs"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"),
+          countDistinct(col("source")).as("n_sources"))
+      base.join(broadcast(topSrc), Seq("epoch", "shard"))
+        .select(col("epoch"), col("shard"), col("n_seqs"), col("n_docs"),
+          col("n_tok"), col("n_sources"), col("top_source"), col("top_tok"),
+          expr("((top_tok * 1000 DIV n_tok) * 1000" +
+            " + ((top_tok * 1000 % n_tok) * 1000 DIV n_tok))")
+            .as("top_share_micros"))
+        .orderBy(col("epoch"), col("shard"))
+    }
+    audit("q146_shard_datasheet", Sf01,
+      control = build(distinctSeqs = true),
+      mutated = build(distinctSeqs = false))
+  }
 }

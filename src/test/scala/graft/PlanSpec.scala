@@ -1134,6 +1134,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), "q145 lost its supply aggregate")
   }
 
+  test("q146: datasheet rollups are window-free hash aggregates over the span checkpoint") {
+    val p = plan("q146_shard_datasheet")
+    assert(!p.contains("windowspecdefinition"), s"q146 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), "q146 grew a cartesian product")
+    assert(p.contains("HashAggregate"), "q146 lost its hash aggregates")
+  }
+
   test("q141: schedule is arithmetic over checkpointed source stats — window-free, broadcasts only") {
     // the served plan roots at the |sources|-row checkpoint (3 consumers,
     // ONE corpus scan — the q130 discipline); the corpus scan itself is
