@@ -5565,9 +5565,14 @@ object PipelineCatalog {
     */
   private def bpeChain(s: SparkSession, d: String)
       : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) =
-    bpeCache.computeIfAbsent(d + " " + docsFingerprint(d), { _ =>
-      bpeTrain(s, d)
-    })
+    // keyed on the applicationId too: cached CHECKPOINTED frames are
+    // bound to their SparkContext, and a fresh-context re-measure in the
+    // same JVM (Bench's isolation block) must re-train, not touch frames
+    // of a stopped context (idBoundsCache caches plain longs — exempt)
+    bpeCache.computeIfAbsent(
+      s.sparkContext.applicationId + " " + d + " " + docsFingerprint(d), { _ =>
+        bpeTrain(s, d)
+      })
 
   /** The Heaps-bounded training table: distinct lowercase [a-z]+ words
     * with corpus frequencies, in the char-wrapped symbolization. ONE
@@ -8031,7 +8036,9 @@ object PipelineCatalog {
     * checkpointed once (result-scale by construction).
     */
   private def loaderSpans(s: SparkSession, d: String): DataFrame =
-    spansCache.computeIfAbsent(d + " " + docsFingerprint(d), { _ =>
+    // applicationId in the key: same stopped-context hazard as bpeCache
+    spansCache.computeIfAbsent(
+      s.sparkContext.applicationId + " " + d + " " + docsFingerprint(d), { _ =>
       val toks = docsWide(s, d).select(col("doc_id"),
         size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
       val (mn, span) = docIdBounds(s, d)
