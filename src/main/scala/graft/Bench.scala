@@ -177,6 +177,11 @@ object Bench {
     build("bpe_merges") {
       graft.queries.PipelineCatalog.ensureBpe(spark, sfDir)
     }
+    // loader manifest (q142/q146 serve from the persisted store): the
+    // packing fold is shard-publish-time work, same hoist rationale
+    build("loader_manifest") {
+      graft.queries.PipelineCatalog.ensureManifest(spark, sfDir)
+    }
     val indexBuild =
       if (buildDetail.values.forall(_ < 0)) -1.0
       else buildDetail.values.filter(_ >= 0).sum
@@ -733,11 +738,17 @@ object Bench {
     // ambient contamination (one r12 run drew 3.8s in-suite vs 1.5s
     // isolated — a 25-row agg with a clean plan) is now measured every
     // round instead of only when it lands in the slowest-two set.
+    // q61 joined the fixed sample in r16 (r15 prescription #4): its cost
+    // is the SUM of its two retrieval arms by construction (indexed BM25
+    // + exact dense cosine + fusion), so a contaminated draw inflates it
+    // disproportionately — measure it fresh-context every round.
     val sampleNames = (Seq("q03_regional_revenue", "q28_embedding_near_dup",
-      "q31_asof_join", "q35_provenance_search") ++ slowestNames).distinct
+      "q31_asof_join", "q35_provenance_search", "q61_hybrid_rrf")
+      ++ slowestNames).distinct
       .filter(SparkEntry.queries.contains)
       .filterNot(failed.contains)
-    val (isolated: Seq[(String, Double)], scaleRecheck: String) = {
+    val (isolated: Seq[(String, Double)], scaleRecheck: String,
+        reDrawJson: String) = {
       val s2 = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -797,8 +808,35 @@ object Bench {
         f"""{"name":"$name","suite_sec":$suite,"scaled_sec":$scaled,""" +
           f""""isolated_scaled_sec":$iso,"agreement_ratio":$agree%.2f}"""
       }).getOrElse("null")
+      // r16 (r15 prescription #6): a contaminated draw self-adjudicates in
+      // the SAME run — each offender (suite > 2x its fresh-context number)
+      // is re-measured once more here, and the verdict says whether the
+      // suite draw was AMBIENT (the re-draw agrees with the isolated
+      // number: session-state inflation, not a plan cost) or REPRODUCIBLE
+      // (the re-draw agrees with the suite number: a real cost the suite
+      // also saw — investigate the plan, not the session). r15 proved the
+      // offenders field could NAME the queries; this closes the loop so a
+      // driver artifact never needs a judge re-run to adjudicate.
+      val reDraw = out.collect { case (name, isoT)
+          if isoT > 0 &&
+            suiteByName.getOrElse(name, -1.0) / math.max(isoT, 0.5) > 2.0 =>
+        val suite = suiteByName(name)
+        val t = try {
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            run2(SparkEntry.queries(name)(s2, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case _: Throwable => -1.0 }
+        val verdict =
+          if (t < 0) "unmeasured"
+          else if (t <= 2.0 * math.max(isoT, 0.5)) "ambient"
+          else "reproducible"
+        f"""{"name":"$name","suite_sec":$suite%.3f,"isolated_sec":$isoT%.3f,"re_draw_sec":$t%.3f,"verdict":"$verdict"}"""
+      }
       s2.stop()
-      (out, recheck)
+      (out, recheck,
+        if (reDraw.isEmpty) "[]" else reDraw.mkString("[", ",", "]"))
     }
     val isolationChecks = isolated.collect { case (name, iso) if iso > 0 =>
       val suite = suiteByName.getOrElse(name, -1.0)
@@ -874,7 +912,7 @@ object Bench {
       "1.3-1.6x on identical plans cover the r7-r8 deltas — ambient " +
       "variance + multi-job serve pipelines, not store fixed cost " +
       "(full numbers: docs/PROFILE_r9.md)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"index_build_detail":$buildDetailJson,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"index_build_detail":$buildDetailJson,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","re_draw":$reDrawJson,"skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
     // Compact summary LAST (r13 prescription #2): the round harness keeps
     // only a ~2 KB tail of stdout, so BENCH_r12/r13 carried just the last
     // fragment of the ~28 KB detail line and parsed:null. A sub-kilobyte
@@ -898,6 +936,6 @@ object Bench {
       case (k, suite, isoT, ratio) =>
         f"""{"name":"$k","suite_sec":$suite%.3f,"isolated_sec":$isoT%.3f,"ratio":$ratio%.2f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","isolation_offenders":$offenders,"index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","isolation_offenders":$offenders,"re_draw":$reDrawJson,"index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","sf":"$sfDir"}""")
   }
 }

@@ -1332,8 +1332,15 @@ object PipelineCatalog {
     val emb = tbl(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("qv"))
-    val bmTop = graft.operators.SearchOps.bm25Scores(
-        docs, "doc_id", "text", Bm25Terms, k1 = 1.5, b = 0.75)
+    // sparse arm serves from the persisted TextIndex (q68's store, r16):
+    // a serving query must not re-scan corpus text at 100 TB — values are
+    // identical to the inline pass (shared bm25Formula), so the oracle is
+    // untouched. The dense arm stays the EXACT brute cosine: RRF fuses
+    // ranks, and the oracle pins exact ranks (the IVF-served approximate
+    // hybrid is q27/q121's family, with measured recall, not this query).
+    val idx = graft.sources.TextIndex.ensure(s, docsWide(s, d), "doc_id", "text", d)
+    val bmTop = graft.operators.SearchOps.bm25ScoresIndexed(
+        idx, Bm25Terms, k1 = 1.5, b = 0.75)
       .orderBy(col("bm25").desc, col("doc")).limit(50)
     val bmRank = graft.operators.SearchOps
       .boundedRank(bmTop, "rank")(col("bm25").desc, col("doc"))
@@ -5557,6 +5564,17 @@ object PipelineCatalog {
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
     String, (IndexedSeq[DataFrame], IndexedSeq[DataFrame])]()
 
+  /** Evict entries keyed to a DIFFERENT applicationId than the live one:
+    * checkpointed frames of a stopped context are unusable AND pin big
+    * lineages for the JVM lifetime — a fresh-context re-measure (Bench's
+    * isolation block) would otherwise leak one full cache generation per
+    * restart. Keys are "appId dir fingerprint", so a prefix test suffices.
+    */
+  private def evictStaleContexts[V](
+      m: java.util.concurrent.ConcurrentHashMap[String, V],
+      appId: String): Unit =
+    m.keySet.removeIf(k => !k.startsWith(appId + " "))
+
   /** The shared BPE induction: the checkpointed word-count table in its
     * initial symbolization (ws(0)) plus, per round i, the 1-row winning
     * merge (bests(i-1)) and the post-merge symbolizations (ws(i)). q120
@@ -5569,10 +5587,13 @@ object PipelineCatalog {
     // bound to their SparkContext, and a fresh-context re-measure in the
     // same JVM (Bench's isolation block) must re-train, not touch frames
     // of a stopped context (idBoundsCache caches plain longs — exempt)
-    bpeCache.computeIfAbsent(
-      s.sparkContext.applicationId + " " + d + " " + docsFingerprint(d), { _ =>
-        bpeTrain(s, d)
-      })
+    {
+      evictStaleContexts(bpeCache, s.sparkContext.applicationId)
+      bpeCache.computeIfAbsent(
+        s.sparkContext.applicationId + " " + d + " " + docsFingerprint(d), { _ =>
+          bpeTrain(s, d)
+        })
+    }
 
   /** The Heaps-bounded training table: distinct lowercase [a-z]+ words
     * with corpus frequencies, in the char-wrapped symbolization. ONE
@@ -5731,6 +5752,32 @@ object PipelineCatalog {
     val ws = scala.collection.mutable.ArrayBuffer(w0)
     bests.foreach { best => ws += applyMerge(ws.last, best) }
     (ws.toIndexedSeq, bests.toIndexedSeq)
+  }
+
+  /** The learned merge list as driver-side pairs, stopping at the first
+    * exhausted round (an empty best frame — the degradation contract).
+    * The bests are LocalRelations built from the driver-local trainer, so
+    * collecting them is driver-only work, no Spark jobs.
+    */
+  private def collectMerges(bests: Seq[DataFrame]): IndexedSeq[(String, String)] =
+    bests.iterator
+      .map(_.select(col("lhs"), col("rhs")).collect())
+      .takeWhile(_.nonEmpty)
+      .map(a => (a(0).getString(0), a(0).getString(1)))
+      .toIndexedSeq
+
+  /** The whole learned vocabulary applied in ONE codegen'd expression
+    * (SCALING row 30) — replaces the K-stage `bests.foldLeft(applyMerge)`
+    * plan whose operator count grew with merge depth. Exhaustion keeps
+    * the chained form's degradation: any empty round empties the frame
+    * (the crossJoin-with-empty behavior q124/q129/q136 specs pin).
+    */
+  private def applyBpeFull(s: SparkSession, df: DataFrame,
+      bests: Seq[DataFrame]): DataFrame = {
+    val merges = collectMerges(bests)
+    if (merges.size < bests.size) df.filter(lit(false))
+    else df.withColumn("r",
+      graft.functions.ApplyBpe.applyBpe(col("r"), merges, s))
   }
 
   /** Test-only window into the induction so the mutation audit can apply
@@ -6126,9 +6173,21 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q124FertilityCurve: Q = (s, d) => {
-    val (ws, _) = bpeChain(s, d)
-    ws.zipWithIndex.map { case (w, r) =>
-      fertilityAgg(w, Seq.empty)
+    // each depth r is ONE apply_bpe expression over the checkpointed word
+    // table (the prefix merges[0..r) automaton), not the r-stage chained
+    // frame — SCALING row 30; depth r past exhaustion stays the empty
+    // frame (null totals), the chained degradation contract
+    val (ws, bests) = bpeChain(s, d)
+    val merges = collectMerges(bests)
+    val w0 = ws(0)
+    (0 to BpeMerges).map { r =>
+      val base =
+        if (r == 0) w0
+        else if (r <= merges.size)
+          w0.withColumn("r",
+            graft.functions.ApplyBpe.applyBpe(col("r"), merges.take(r), s))
+        else w0.filter(lit(false))
+      fertilityAgg(base, Seq.empty)
         .select(lit(r.toLong).as("merge_depth"),
           col("total_symbols"), col("total_chars"),
           rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
@@ -6245,10 +6304,14 @@ object PipelineCatalog {
   // members by quality before dropping). Per cluster: the first-seen
   // keeper (== cluster_id by construction), the quality keeper (argmax
   // q_score, doc_id tie-break), whether the upgrade CHANGES the keeper,
-  // and the quality gained. 100 TB shape: clusters are pair-bounded
-  // (<< corpus), so the member join broadcasts the cluster labels into
-  // the scored lineage and the keeper window ranks a pair-bounded table
-  // — the corpus-wide scan is the quality pass the recipe already pays
+  // and the quality gained. 100 TB shape: cluster labels scale with the
+  // corpus' DUPLICATED mass — at crawl scale a double-digit share of all
+  // documents (FineWeb-class near-dedup drops ~30%+), i.e. a
+  // corpus-fraction frame, NOT pair-bounded. So no broadcast() hint here:
+  // an explicit hint cannot be demoted by AQE and would OOM instead of
+  // shuffling; left unhinted, AQE still broadcasts at bench bytes
+  // (runtime adaptivity, the right default — SCALING row 29). The
+  // corpus-wide scan is the quality pass the recipe already pays
   // elsewhere (shared q22 kernel via scoredDocs).
   // -------------------------------------------------------------------------
 
@@ -6261,7 +6324,7 @@ object PipelineCatalog {
     // lookup, sizes) — checkpoint once so the corpus-wide quality pass is
     // paid once (q96's barrier pattern)
     val members = scoredDocs(s, d).select(col("doc_id"), col("q_score"))
-      .join(broadcast(clusters), Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
       .localCheckpoint()
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("q_score").desc, col("doc_id"))
@@ -6623,7 +6686,8 @@ object PipelineCatalog {
   // merges' output symbols — to a per-(source, word) count table, and
   // each source reports its own chars-per-symbol at full merge depth.
   // 100 TB: the source-keyed word table is |sources| x Heaps-bounded;
-  // the 6 merge applications are broadcast 1-row joins over it; one
+  // the whole vocabulary applies as ONE apply_bpe expression over it
+  // (broadcast automaton, SCALING row 30 — depth-independent plan); one
   // corpus scan (plus the induction's own — a production run trains
   // once and reuses the merge table).
   // -------------------------------------------------------------------------
@@ -6637,7 +6701,7 @@ object PipelineCatalog {
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
       .select(col("source"), col("freq"),
         regexp_replace(col("word"), "(.)", " $1 ").as("r"))
-    val applied = bests.foldLeft(sw0)(applyMerge)
+    val applied = applyBpeFull(s, sw0, bests)
     fertilityAgg(applied, Seq("source"))
       .select(col("source"), col("total_symbols"), col("total_chars"),
         rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
@@ -7354,7 +7418,8 @@ object PipelineCatalog {
   // tokenizer needs retraining before the new domain is ingested at
   // scale (the q127 crawl-yield discipline, applied to the tokenizer
   // axis). 100 TB: the batch word table is Heaps-bounded per slice; the
-  // six merge applications are broadcast 1-row joins (applyMerge); the
+  // merge applications are ONE apply_bpe expression (broadcast automaton,
+  // SCALING row 30 — depth-independent plan); the
   // induction itself is the memoized write-time artifact.
   // -------------------------------------------------------------------------
 
@@ -7376,7 +7441,7 @@ object PipelineCatalog {
       .groupBy(col("slice"), col("word")).agg(count(lit(1)).as("freq"))
       .select(col("slice"), col("freq"),
         regexp_replace(col("word"), "(.)", " $1 ").as("r"))
-    val applied = bests.foldLeft(sw0)(applyMerge)
+    val applied = applyBpeFull(s, sw0, bests)
     fertilityAgg(applied, Seq("slice"))
       .select(col("slice"), col("total_symbols"), col("total_chars"),
         rnd(col("total_chars").cast("double") / col("total_symbols"), 6)
@@ -7774,6 +7839,14 @@ object PipelineCatalog {
   private val SynWireB = "wire_feed_b"
 
   val q140Syndication: Q = (s, d) => {
+    // the synthetic wire ids live at SynFixtureOff and 2·SynFixtureOff
+    // past the real id space — enforce that, don't assume it (q142's
+    // overflow-require discipline): a corpus with doc_id ≥ 1e9 would
+    // silently collide fixture ids with real ones and corrupt keeper_id
+    val (mn0, span0) = docIdBounds(s, d)
+    require(mn0 + span0 - 1 < SynFixtureOff && mn0 >= 0,
+      s"doc_id range [$mn0, ${mn0 + span0 - 1}] collides with the " +
+        s"synthetic wire-id offset $SynFixtureOff — raise SynFixtureOff")
     val self = struct(col("doc_id"), col("source"))
     val copies = docsWide(s, d)
       .select(col("text"), explode(
@@ -7886,17 +7959,16 @@ object PipelineCatalog {
       .localCheckpoint() // |sources| rows; 3 consumers, ONE corpus scan
     val tot = st.agg(sum(col("n_tok")).as("total_tok"),
       sum(pow(col("n_tok").cast("double"), MixAlpha)).as("z1"),
-      sum(pow(col("kept_tok").cast("double"), MixAlpha)).as("z2"),
-      max(col("source")).as("last_source"))
+      sum(pow(col("kept_tok").cast("double"), MixAlpha)).as("z2"))
     val base = st.crossJoin(broadcast(tot))
       .withColumn("budget_tok", lit(2L) * col("total_tok")) // MixBudgetMult, exact
       .withColumn("p1_tok", expr(s"budget_tok * $SchedPhase1Pct DIV 100"))
     val ph1 = base.select(lit(1L).as("phase"), col("source"), col("n_tok"),
       col("n_tok").as("basis_tok"), col("z1").as("z"),
-      col("p1_tok").as("phase_tok"), col("last_source"))
+      col("p1_tok").as("phase_tok"))
     val ph2 = base.select(lit(2L).as("phase"), col("source"), col("n_tok"),
       col("kept_tok").as("basis_tok"), col("z2").as("z"),
-      (col("budget_tok") - col("p1_tok")).as("phase_tok"), col("last_source"))
+      (col("budget_tok") - col("p1_tok")).as("phase_tok"))
     val wts = ph1.unionAll(ph2)
       .withColumn("weight_micros",
         when(col("z") > 0,
@@ -7904,11 +7976,19 @@ object PipelineCatalog {
             * 1000000 + 0.5).cast("long"))
           .otherwise(lit(0L)))
       .withColumn("floor_alloc", expr(mulDivMega("phase_tok", "weight_micros")))
+    // The rounding remainder goes to the max source AMONG THOSE WITH
+    // POSITIVE WEIGHT in that phase — a source that dropped out of the
+    // anneal (weight_micros = 0, zero quality-kept mass) must stay at 0
+    // tokens. Fallback to max(source) only when a phase has no positive
+    // weight at all (then phase_tok itself is the remainder and every
+    // floor_alloc is 0).
     val sums = wts.groupBy(col("phase"))
-      .agg(sum(col("floor_alloc")).as("alloc_sum"))
+      .agg(sum(col("floor_alloc")).as("alloc_sum"),
+        coalesce(max(when(col("weight_micros") > 0, col("source"))),
+          max(col("source"))).as("rem_source"))
     wts.join(broadcast(sums), Seq("phase"))
       .withColumn("token_budget", col("floor_alloc") +
-        when(col("source") === col("last_source"),
+        when(col("source") === col("rem_source"),
           col("phase_tok") - col("alloc_sum")).otherwise(lit(0L)))
       .withColumn("epochs_micros", expr(microsDiv("token_budget", "n_tok")))
       .select(col("phase"), col("source"), col("n_tok"), col("basis_tok"),
@@ -7943,21 +8023,18 @@ object PipelineCatalog {
        ), tot AS (
          SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok,
                 sum(power(CAST(n_tok AS DOUBLE), $MixAlpha)) AS z1,
-                sum(power(CAST(kept_tok AS DOUBLE), $MixAlpha)) AS z2,
-                max(source) AS last_source
+                sum(power(CAST(kept_tok AS DOUBLE), $MixAlpha)) AS z2
          FROM s
        ), ph AS (
          SELECT 1 AS phase, source, n_tok, n_tok AS basis_tok, z1 AS z,
-                (2 * total_tok * $SchedPhase1Pct // 100) AS phase_tok,
-                last_source
+                (2 * total_tok * $SchedPhase1Pct // 100) AS phase_tok
          FROM s CROSS JOIN tot
          UNION ALL
          SELECT 2, source, n_tok, kept_tok, z2,
-                2 * total_tok - (2 * total_tok * $SchedPhase1Pct // 100),
-                last_source
+                2 * total_tok - (2 * total_tok * $SchedPhase1Pct // 100)
          FROM s CROSS JOIN tot
        ), wts AS (
-         SELECT phase, source, n_tok, basis_tok, phase_tok, last_source,
+         SELECT phase, source, n_tok, basis_tok, phase_tok,
                 CASE WHEN z > 0 THEN CAST(floor(
                     power(CAST(basis_tok AS DOUBLE), $MixAlpha) / z
                     * 1000000 + 0.5) AS BIGINT)
@@ -7968,12 +8045,14 @@ object PipelineCatalog {
                   AS floor_alloc
          FROM wts
        ), sums AS (
-         SELECT phase, CAST(sum(floor_alloc) AS BIGINT) AS alloc_sum
+         SELECT phase, CAST(sum(floor_alloc) AS BIGINT) AS alloc_sum,
+                coalesce(max(CASE WHEN weight_micros > 0 THEN source END),
+                  max(source)) AS rem_source
          FROM fl GROUP BY phase
        ), fin AS (
          SELECT fl.phase, fl.source, fl.n_tok, fl.basis_tok,
                 fl.weight_micros,
-                fl.floor_alloc + CASE WHEN fl.source = fl.last_source
+                fl.floor_alloc + CASE WHEN fl.source = sums.rem_source
                   THEN fl.phase_tok - sums.alloc_sum ELSE 0 END
                   AS token_budget
          FROM fl JOIN sums USING (phase)
@@ -8015,83 +8094,68 @@ object PipelineCatalog {
   // over the narrow (doc_id, n_tok) lineage; then q112's bounded
   // sequence explode (Σ rows linear in input), codegen'd span
   // arithmetic, and a ≤ epochs·shards-row signature agg broadcast back.
-  // The span frame is localCheckpoint'ed before its two consumers
-  // (signature agg + final join): it is RESULT-scale by construction —
-  // exactly the rows the query returns — and production writes this
-  // manifest once at shard-publish time anyway (the q130 discipline:
-  // never re-run the salted fold per consumer).
+  // The span frame is PERSISTED (ManifestStore, r16): written once at
+  // shard-publish time, incrementally appendable, served as a store read
+  // by both consumers — the q130 discipline (never re-run the salted
+  // fold per consumer) promoted from a JVM-lifetime checkpoint memo to
+  // the BandStore/GenStore artifact it was always documented to be.
   // -------------------------------------------------------------------------
 
   /** Memoized per (dir, fingerprint) like [[bpeCache]]: q142's manifest
-    * and q146's datasheet both read the SAME checkpointed span frame, so
-    * the salted fold runs once per JVM/corpus.
+    * and q146's datasheet both read the SAME persisted store.
     */
-  private val spansCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val spansCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.sources.ManifestStore.Store]()
 
-  /** The loader span frame — per (epoch, shard, seq_id): one row per
-    * (document, sequence) intersection in the per-epoch shuffled packing
-    * order. ONE salted prefix sum over both epochs (epoch packed into
-    * the order key's high bits), q112's bounded sequence explode,
-    * checkpointed once (result-scale by construction).
+  private[graft] def manifestParams = graft.sources.ManifestStore.Params(
+    ShuffleEpochs, ShuffleBuckets, PackSeqLen, ShardCount.toLong)
+
+  /** The persisted loader manifest ([[graft.sources.ManifestStore]], r16):
+    * per (epoch, shard, seq_id) document spans in the per-epoch shuffled
+    * packing order plus per-(epoch, shard) signature partials — written
+    * ONCE at shard-publish time (the BandStore/GenStore discipline; the
+    * pre-r16 shape recomputed the salted fold per JVM), incrementally
+    * appendable at each epoch's tail, and served here as a pure store
+    * read. The packing kernel itself (ONE salted prefix sum over both
+    * epochs, q112's bounded explode) lives in ManifestStore.spanRows.
     */
-  private def loaderSpans(s: SparkSession, d: String): DataFrame =
+  private def loaderManifest(s: SparkSession, d: String)
+      : graft.sources.ManifestStore.Store = {
     // applicationId in the key: same stopped-context hazard as bpeCache
+    evictStaleContexts(spansCache, s.sparkContext.applicationId)
     spansCache.computeIfAbsent(
       s.sparkContext.applicationId + " " + d + " " + docsFingerprint(d), { _ =>
-      val toks = docsWide(s, d).select(col("doc_id"),
-        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
-      val (mn, span) = docIdBounds(s, d)
-      require(span <= Long.MaxValue / (ShuffleBuckets * ShuffleEpochs),
-        s"doc_id span $span overflows the epoch-packed shuffle key")
-      val perEpochKey = ShuffleBuckets * span
-      val epochs = s.range(ShuffleEpochs).select(col("id").as("epoch"))
-      val keyed = toks.crossJoin(broadcast(epochs))
-        .withColumn("__shuf",
-          pmod(TextAnalytics.hash60(
-            concat(col("epoch"), lit(":"), col("doc_id"))), lit(ShuffleBuckets))
-            * span + (col("doc_id") - mn))
-        .withColumn("__gk", col("epoch") * perEpochKey + col("__shuf"))
-      val gpre = graft.operators.Curation.saltedPrefixSum(keyed, "__gk",
-        "n_tok", outCol = "__gpre",
-        orderBounds = Some((0L, ShuffleEpochs * perEpochKey - 1)))
-      val total = toks.agg(sum(col("n_tok")).as("total_tok"))
-      gpre.crossJoin(broadcast(total))
-        .withColumn("off", col("__gpre") - col("epoch") * col("total_tok"))
-        .filter(col("n_tok") > 0)
-        .withColumn("first_seq", expr(s"off div $PackSeqLen"))
-        .withColumn("last_seq", expr(s"(off + n_tok - 1) div $PackSeqLen"))
-        .withColumn("seq_id",
-          explode(sequence(col("first_seq"), col("last_seq"))))
-        .withColumn("gstart", greatest(col("off"), col("seq_id") * PackSeqLen))
-        .withColumn("gend",
-          least(col("off") + col("n_tok"), (col("seq_id") + 1) * PackSeqLen))
-        .select(col("epoch"),
-          pmod(col("seq_id"), lit(ShardCount.toLong)).as("shard"),
-          col("seq_id"), col("doc_id"),
-          (col("gstart") - col("off")).as("doc_tok_start"),
-          (col("gstart") - col("seq_id") * PackSeqLen).as("seq_tok_start"),
-          (col("gend") - col("gstart")).as("n_tok"))
-        .localCheckpoint() // result-scale; N consumers, ONE salted fold
-    })
+        graft.sources.ManifestStore.ensure(
+          s, docsWide(s, d), "doc_id", "text", d, manifestParams)
+      })
+  }
+
+  /** Bench hook: hydrate the manifest store so suite timings measure
+    * SERVE (the build is write-time work, itemized in index_build_sec).
+    */
+  private[graft] def ensureManifest(s: SparkSession, d: String): Unit =
+    loaderManifest(s, d)
 
   val q142LoaderManifest: Q = (s, d) => {
-    val spans = loaderSpans(s, d)
-    val sigs = spans
-      .withColumn("term", TextAnalytics.hash60(concat(
-        col("seq_id"), lit(":"), col("seq_tok_start"), lit(":"),
-        col("doc_id"))))
-      .groupBy(col("epoch"), col("shard"))
-      .agg(expr("bit_xor(term)").as("shard_sig"),
-        sum(col("n_tok")).as("shard_tok"))
-    spans.join(broadcast(sigs), Seq("epoch", "shard"))
+    val st = loaderManifest(s, d)
+    val spans = st.spans
+    // sigs: ≤ epochs x shards rows by construction — a bounded frame,
+    // so the broadcast hint is legitimate (contrast SCALING row 29)
+    spans.join(broadcast(st.sigs), Seq("epoch", "shard"))
       .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
         col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
         col("shard_sig"), col("shard_tok"))
       .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
   }
 
-  private val q142Sql =
+  /** The shared loader-span CTE chain (d → b → tot → e → k → o → sp →
+    * spans), interpolated by BOTH q142Sql and q146Sql — factored into its
+    * own val (not substring-extracted from q142Sql) so a reformat of one
+    * query can't mis-slice the other at object-initialization time (r15
+    * advice). Ends with the CLOSED `spans` CTE; interpolators append
+    * `, <next> AS (...)`.
+    */
+  private val loaderSpansCte =
     s"""WITH d AS (
          SELECT doc_id,
                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -8131,7 +8195,10 @@ object PipelineCatalog {
                 least(off + n_tok, (seq_id + 1) * $PackSeqLen)
                   - greatest(off, seq_id * $PackSeqLen) AS n_tok
          FROM sp
-       ), sigs AS (
+       )"""
+
+  private val q142Sql =
+    s"""$loaderSpansCte, sigs AS (
          SELECT epoch, shard,
                 bit_xor(CAST('0x' || substr(sha256(
                   seq_id || ':' || seq_tok_start || ':' || doc_id),
@@ -8156,10 +8223,14 @@ object PipelineCatalog {
   // The organic sf0.01 dup classes are cross-source by construction of
   // the corpus' doc_id % 20 source stripe (e.g. the (70, 447) pair
   // spans src10/src7), so the driver row is non-vacuous at every scale.
-  // 100 TB shape: the banded-MinHash pair bound (never all-pairs), the
-  // pair-bounded cluster frame broadcasts into the one corpus-pruned
-  // (doc_id, source, text) pass, and the rollup groups on cluster_id —
-  // ≤ clustered-members rows into the shuffle.
+  // 100 TB shape: the banded-MinHash pair bound (never all-pairs), then
+  // ONE corpus-pruned (doc_id, source, text) pass joined with the
+  // cluster-label frame, and the rollup groups on cluster_id —
+  // ≤ clustered-members rows into the shuffle. The cluster frame is NOT
+  // broadcast-hinted: labels scale with duplicated mass (corpus-fraction
+  // at crawl-scale dup rates), and a hint can't be demoted by AQE — left
+  // unhinted, AQE broadcasts at bench bytes and shuffles at crawl bytes
+  // (SCALING row 29).
   // -------------------------------------------------------------------------
 
   val q143NearSyndication: Q = (s, d) => {
@@ -8169,7 +8240,7 @@ object PipelineCatalog {
       .select(col("node").as("doc_id"), col("cluster_id"))
     docsWide(s, d)
       .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sig"))
-      .join(broadcast(clusters), Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_members"),
         countDistinct(col("source")).as("n_sources"),
@@ -8404,7 +8475,7 @@ object PipelineCatalog {
   // -------------------------------------------------------------------------
 
   val q146ShardDatasheet: Q = (s, d) => {
-    val m = loaderSpans(s, d)
+    val m = loaderManifest(s, d).spans
       .join(docsWide(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
     val g = m.groupBy(col("epoch"), col("shard"), col("source"))
       .agg(sum(col("n_tok")).as("tok"))
@@ -8430,9 +8501,7 @@ object PipelineCatalog {
     * with the (max tok, min source) dominant-source fold.
     */
   private val q146Sql = {
-    val spansCte = q142Sql.substring(q142Sql.indexOf("WITH"),
-      q142Sql.indexOf("), sigs AS ("))
-    s"""$spansCte), m AS (
+    s"""$loaderSpansCte, m AS (
          SELECT sp.epoch, sp.shard, sp.seq_id, sp.doc_id, sp.n_tok, d.source
          FROM spans sp JOIN documents d USING (doc_id)
        ), g AS (

@@ -33,7 +33,7 @@ object BpeDepth {
     x ^ (x >>> 31)
   }
 
-  private def synthTable(n: Int): Array[(Long, Array[String])] = {
+  private[graft] def synthTable(n: Int): Array[(Long, Array[String])] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
     val out = Array.newBuilder[(Long, Array[String])]
     var i = 0L
@@ -74,7 +74,24 @@ object BpeDepth {
         val merges = graft.queries.PipelineCatalog.trainBpeLocal(table, k)
         val ms = (System.nanoTime() - s0) / 1e6
         val perRound = if (merges.nonEmpty) ms / merges.size else 0.0
-        f"""{"k":$k,"merges":${merges.size},"train_ms":$ms%.1f,"ms_per_round":$perRound%.3f,"last_count":${if (merges.nonEmpty) merges.last._3 else 0L}}"""
+        // APPLY depth curve (SCALING row 30): the single-pass automaton
+        // over every synth word, per-word cost vs vocabulary size — the
+        // axis the chained K-operator plan could never be measured on
+        // (Catalyst analysis dies at ~hundreds of stages)
+        val auto = new graft.functions.BpeAutomaton(
+          merges.map(_._1).toArray, merges.map(_._2).toArray)
+        val a0 = System.nanoTime()
+        var checksum = 0L
+        var w = 0
+        while (w < table.length) {
+          val r = graft.functions.ApplyBpe.compute(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              table(w)._2.mkString(" ", "  ", " ")), auto)
+          checksum += r.numChars()
+          w += 1
+        }
+        val applyMs = (System.nanoTime() - a0) / 1e6
+        f"""{"k":$k,"merges":${merges.size},"train_ms":$ms%.1f,"ms_per_round":$perRound%.3f,"apply_ms":$applyMs%.1f,"apply_us_per_word":${applyMs * 1000.0 / table.length}%.2f,"apply_checksum":$checksum,"last_count":${if (merges.nonEmpty) merges.last._3 else 0L}}"""
       }
       println(s"""{"metric":"bpe_depth","sf":"synth:$n","n_words":${table.length},"n_init_symbols":$nSyms,"table_build_collect_ms":${f"$genMs%.1f"},"depths":[${rows.mkString(",")}]}""")
       return

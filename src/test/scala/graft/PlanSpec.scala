@@ -811,7 +811,7 @@ class PlanSpec extends AnyFunSuite {
       .groupBy("word").count()
     assertScansWithin(words.queryExecution.executedPlan.toString,
       "q120-training", Set("text"))
-    // and the served plans must never degrade the 1-row merge joins
+    // and the served plans must never degrade the merge application
     for (q <- Seq("q120_bpe_merges", "q124_fertility_curve")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
@@ -819,6 +819,14 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("SortMergeJoin"),
         s"$q grew a sort-merge join on 1-row merge frames")
     }
+    // application is the single-pass expression (SCALING row 30): one
+    // apply_bpe per depth, NEVER a per-merge operator chain — the plan
+    // must not regrow a stage per merge round
+    val p124 = plan("q124_fertility_curve")
+    assert(p124.contains("apply_bpe"),
+      "q124 lost the single-pass apply_bpe expression")
+    assert(!p124.contains("BroadcastNestedLoopJoin"),
+      "q124 regrew the chained per-merge crossJoin plan")
   }
 
   test("q121: recall harness broadcasts probe sets and prunes the store") {
@@ -883,10 +891,12 @@ class PlanSpec extends AnyFunSuite {
       "top-source window no longer rides the hit-bounded aggregate")
   }
 
-  test("q126: cluster labels broadcast into the scored lineage") {
-    // the member frame is checkpointed (multi-consumer barrier): the
-    // broadcast shape — pair-bounded cluster labels into the corpus-wide
-    // quality pass — is asserted on the pre-checkpoint lineage
+  test("q126: no broadcast HINT on the cluster frame; keeper window survives") {
+    // cluster labels scale with duplicated mass (corpus-fraction at crawl
+    // dup rates), so the join strategy is left to AQE — an explicit hint
+    // can't be demoted and OOMs at scale (SCALING row 29). The guard pins
+    // the SEMANTIC shape (no cartesian, the keeper window, hash aggs) and
+    // checks the pre-checkpoint lineage carries no join-strategy hint.
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.fanOut(graft.core.Tables(spark, Sf, "documents"))
     val clusters = graft.operators.Dedup.duplicateClusters(
@@ -894,12 +904,14 @@ class PlanSpec extends AnyFunSuite {
           numHashes = 32, bands = 8, threshold = 0.5), "a_id", "b_id")
       .select(col("node").as("doc_id"), col("cluster_id"))
     val pre = docs.select(col("doc_id"), length(col("text")).as("q_score"))
-      .join(broadcast(clusters), Seq("doc_id"))
-      .queryExecution.executedPlan.toString
-    assert(pre.contains("BroadcastHashJoin"), "cluster labels not broadcast")
+      .join(clusters, Seq("doc_id"))
+      .queryExecution.optimizedPlan.toString
+    assert(!pre.toLowerCase.contains("broadcast"),
+      "q126's cluster join carries a join-strategy hint — AQE must choose")
     val p = plan("q126_quality_keeper")
     assert(!p.contains("CartesianProduct"), "q126 grew a cartesian product")
     assert(p.contains("windowspecdefinition"), "q126 lost its keeper window")
+    assert(p.contains("HashAggregate"), "q126 lost its hash aggregates")
   }
 
   test("q127: near path never re-fingerprints; flags stay dump-keyed") {
@@ -1013,16 +1025,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "q135 degraded to sort-merge")
   }
 
-  test("q136: drift batch — merges broadcast, pruned scan, window-free") {
-    // the six frozen-merge applications are 1-row broadcast joins over
-    // the slice-keyed word table (applyMerge); the only corpus touch is
-    // the pruned (doc_id, text) word scan
+  test("q136: drift batch — single-pass apply_bpe, pruned scan, window-free") {
+    // the frozen merges apply as ONE apply_bpe expression (broadcast
+    // automaton, SCALING row 30) over the slice-keyed word table; the
+    // only corpus touch is the pruned (doc_id, text) word scan
     val p = plan("q136_tokenizer_drift")
     assert(!p.contains("windowspecdefinition"), s"q136 grew a window:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      "q136's merge applications lost their broadcasts")
+    // apply_bpe may be collapsed into an aggregate's result projection,
+    // which executedPlan.toString elides — assert on the optimized
+    // logical plan, where every projection is printed
+    val lp = SparkEntry.queries("q136_tokenizer_drift")(spark, Sf)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("apply_bpe"),
+      "q136 lost the single-pass apply_bpe expression")
     assertScansWithin(p, "q136", Set("doc_id", "text"))
     assert(!p.contains("SortMergeJoin"), "q136 degraded to sort-merge")
+    assert(!p.contains("CartesianProduct"),
+      "q136 regrew the chained per-merge crossJoin plan")
   }
 
   test("q137: funnel adds one id-keyed join over q98's gates, window-free") {
@@ -1108,12 +1127,14 @@ class PlanSpec extends AnyFunSuite {
       "q142's signature join lost its broadcast")
   }
 
-  test("q143: cluster frame broadcasts into one pruned corpus pass; no cartesian") {
+  test("q143: one pruned corpus pass, no cartesian, no join-strategy hint") {
+    // the cluster-label frame is corpus-fraction at crawl dup rates
+    // (SCALING row 29): the join strategy stays AQE's call — broadcast at
+    // bench bytes, shuffle at crawl bytes. Pin semantics, not strategy.
     val p = plan("q143_near_syndication")
-    assert(p.contains("BroadcastHashJoin"),
-      "q143's pair-bounded cluster join lost its broadcast")
     assert(!p.contains("CartesianProduct"), "q143 grew a cartesian product")
     assert(p.contains("HashAggregate"), "q143 lost its hash aggregates")
+    assertScansWithin(p, "q143", Set("doc_id", "text", "source"))
   }
 
   test("q144: spectrum is two hash aggregates over one token explode — window-free") {
