@@ -8534,6 +8534,95 @@ object PipelineCatalog {
   }
 
   // -------------------------------------------------------------------------
+  // q147: cluster-shape audit for the dedup family — the empirical basis
+  // for every "pair-bounded" / "corpus-fraction" claim this engine makes
+  // about duplication (SCALING row 29's measured companion). Per near-dup
+  // cluster-size DECADE (q144's bit-exact binary-digit-count device:
+  // floor(log2 n_members), no libm boundary ulps): how many clusters,
+  // how many member documents they hold, their token mass, and the EXACT
+  // micros share of corpus documents and corpus tokens (q137's microsDiv
+  // split — overflow-safe to peta-scale). Read before trusting a
+  // broadcast: a spectrum whose member/token shares are double-digit
+  // percent says cluster-label frames are corpus-fraction on THIS dump
+  // (FineWeb-class crawl), not pair-bounded. Lineage is q85's proven
+  // MinHash→verify→CC clusters; the doc join carries NO broadcast hint
+  // (row 29 — this very report is what decides whether one would be
+  // safe); the rollup lands on ≤ log2(max cluster) rows.
+  // -------------------------------------------------------------------------
+
+  val q147ClusterShape: Q = (s, d) => {
+    val pairs = Dedup.minhashNearDuplicates(docsWide(s, d), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val toks = docsWide(s, d).select(col("doc_id"),
+      size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+    val tot = toks.agg(count(lit(1)).as("total_docs"),
+      sum(col("n_tok")).as("total_tok"))
+    val perCluster = toks.join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("ctok"))
+    perCluster
+      .withColumn("size_bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_members"),
+        sum(col("ctok")).as("n_tokens"))
+      .crossJoin(broadcast(tot)) // 1-row corpus totals: a bounded frame
+      .select(col("size_bucket"), col("n_clusters"), col("n_members"),
+        col("n_tokens"),
+        expr(microsDiv("n_members", "total_docs")).as("member_share_micros"),
+        expr(microsDiv("n_tokens", "total_tok")).as("token_share_micros"))
+      .orderBy(col("size_bucket"))
+  }
+
+  /** q85's recursive CC replay + per-cluster member/token rollup,
+    * regrouped by the power-of-two size bucket with exact micros shares.
+    */
+  private val q147Sql =
+    s"""WITH RECURSIVE pairs AS (
+         SELECT a_id, b_id FROM (${q19Sql.replace("\n", "\n  ")}) p
+       ), edges AS (
+         SELECT a_id AS x, b_id AS y FROM pairs
+         UNION
+         SELECT b_id, a_id FROM pairs
+       ), nodes AS (
+         SELECT DISTINCT x FROM edges
+       ), reach(x, r) AS (
+         SELECT x, x FROM nodes
+         UNION
+         SELECT e.x, reach.r FROM edges e JOIN reach ON e.y = reach.x
+       ), cl AS (
+         SELECT x AS doc_id, min(r) AS cluster_id FROM reach GROUP BY x
+       ), tok AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents
+       ), tot AS (
+         SELECT CAST(count(*) AS BIGINT) AS total_docs,
+                CAST(sum(n_tok) AS BIGINT) AS total_tok
+         FROM tok
+       ), pc AS (
+         SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(t.n_tok) AS BIGINT) AS ctok
+         FROM cl JOIN tok t USING (doc_id)
+         GROUP BY cl.cluster_id
+       ), agg AS (
+         SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS size_bucket,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(n) AS BIGINT) AS n_members,
+                CAST(sum(ctok) AS BIGINT) AS n_tokens
+         FROM pc GROUP BY 1
+       )
+       SELECT size_bucket, n_clusters, n_members, n_tokens,
+              CAST(${microsDivSql("n_members", "total_docs")} AS BIGINT)
+                AS member_share_micros,
+              CAST(${microsDivSql("n_tokens", "total_tok")} AS BIGINT)
+                AS token_share_micros
+       FROM agg CROSS JOIN tot
+       ORDER BY size_bucket"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -8645,6 +8734,7 @@ object PipelineCatalog {
     "q144_freq_spectrum" -> q144FreqSpectrum,
     "q145_compute_budget" -> q145ComputeBudget,
     "q146_shard_datasheet" -> q146ShardDatasheet,
+    "q147_cluster_shape" -> q147ClusterShape,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8774,6 +8864,7 @@ object PipelineCatalog {
     "q144_freq_spectrum" -> q144Sql,
     "q145_compute_budget" -> q145Sql,
     "q146_shard_datasheet" -> q146Sql,
+    "q147_cluster_shape" -> q147Sql,
     "q103_video_search" -> q103Sql,
   )
 }

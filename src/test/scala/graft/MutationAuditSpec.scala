@@ -2104,4 +2104,54 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(distinctSeqs = true),
       mutated = build(distinctSeqs = false))
   }
+
+  test("cluster-shape family (q147): component-vs-member count confusion flips the gate") {
+    // 53rd family: the spectrum's n_clusters counts COMPONENTS per size
+    // bucket; the natural slip aggregates the member-grain frame and
+    // counts rows (members) where components were meant — the report then
+    // claims N× more clusters exactly in the buckets that matter for the
+    // "is dup mass corpus-fraction?" decision. The gate must see it.
+    import graft.operators.TextAnalytics
+    def build(componentCount: Boolean) = {
+      val pairs = Dedup.minhashNearDuplicates(docsWide(Sf01), "doc_id",
+        "text", numHashes = 32, bands = 8, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs, "a_id", "b_id")
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      val toks = docsWide(Sf01).select(col("doc_id"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      val tot = toks.agg(count(lit(1)).as("total_docs"),
+        sum(col("n_tok")).as("total_tok"))
+      val perCluster = toks.join(clusters, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("ctok"))
+      val bucketed = perCluster
+        .withColumn("size_bucket", (length(bin(col("n"))) - 1).cast("long"))
+      val grouped =
+        if (componentCount)
+          bucketed.groupBy(col("size_bucket"))
+            .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_members"),
+              sum(col("ctok")).as("n_tokens"))
+        else
+          // the confusion: re-grain to members, count ROWS as "clusters"
+          bucketed.select(col("size_bucket"), col("n"), col("ctok"),
+              explode(sequence(lit(1L), col("n"))).as("__m"))
+            .groupBy(col("size_bucket"))
+            .agg(count(lit(1)).as("n_clusters"),
+              sum(when(col("__m") === 1, col("n")).otherwise(0L)).as("n_members"),
+              sum(when(col("__m") === 1, col("ctok")).otherwise(0L)).as("n_tokens"))
+      grouped.crossJoin(broadcast(tot))
+        .select(col("size_bucket"), col("n_clusters"), col("n_members"),
+          col("n_tokens"),
+          expr("((n_members * 1000 DIV total_docs) * 1000" +
+            " + ((n_members * 1000 % total_docs) * 1000 DIV total_docs))")
+            .as("member_share_micros"),
+          expr("((n_tokens * 1000 DIV total_tok) * 1000" +
+            " + ((n_tokens * 1000 % total_tok) * 1000 DIV total_tok))")
+            .as("token_share_micros"))
+        .orderBy(col("size_bucket"))
+    }
+    audit("q147_cluster_shape", Sf01,
+      control = build(componentCount = true),
+      mutated = build(componentCount = false))
+  }
 }

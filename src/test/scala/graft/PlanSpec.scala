@@ -1137,6 +1137,15 @@ class PlanSpec extends AnyFunSuite {
     assertScansWithin(p, "q143", Set("doc_id", "text", "source"))
   }
 
+  test("q147: cluster spectrum — one pruned corpus pass, hash aggs, no join-strategy hint") {
+    // same join discipline as q143 (SCALING row 29): the cluster-label
+    // frame's strategy stays AQE's call; only the 1-row totals broadcast
+    val p = plan("q147_cluster_shape")
+    assert(!p.contains("CartesianProduct"), "q147 grew a cartesian product")
+    assert(p.contains("HashAggregate"), "q147 lost its hash aggregates")
+    assertScansWithin(p, "q147", Set("doc_id", "text"))
+  }
+
   test("q144: spectrum is two hash aggregates over one token explode — window-free") {
     val p = plan("q144_freq_spectrum")
     assert(!p.contains("windowspecdefinition"), s"q144 grew a window:\n$p")
