@@ -219,13 +219,19 @@ object ManifestStore {
 
   /** Serve frames: `spans` in canonical column order and types; `sigs`
     * aggregated across generations (the commutative fold of partials).
+    * Both gated on the COMMITTED generation (the stats sidecar commits
+    * last — the sibling stores' maxGen discipline): a crashed append's
+    * partial gen directory is invisible to readers until the redo.
     */
   def read(spark: SparkSession, path: String): Store = {
+    val maxGen = GenStore.committedGen(statsPath(path))
     val spans = GenStore.seg(spark, spansDir(path).toString)
+      .filter(col("gen") <= maxGen)
       .select(col("epoch").cast("long").as("epoch"), col("shard"),
         col("seq_id"), col("doc_id"), col("doc_tok_start"),
         col("seq_tok_start"), col("n_tok"))
     val sigs = GenStore.seg(spark, GenStore.tableDir(path, "sigs"))
+      .filter(col("gen") <= maxGen)
       .groupBy(col("epoch"), col("shard"))
       .agg(expr("bit_xor(shard_sig)").as("shard_sig"),
         sum(col("shard_tok")).as("shard_tok"))

@@ -36,6 +36,12 @@ object HighDupDraw {
     }
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val off = 10000000L
+    // q140's assume-don't-enforce lesson: synthetic ids must not collide
+    // with (or be overlapped by) the real id space, or the spectrum this
+    // tool exists to measure is silently corrupted
+    val mx = docs.agg(max(col("doc_id")).cast("long")).head().getLong(0)
+    require(mx >= 0 && mx < off,
+      s"max doc_id $mx reaches the synthetic-dup offset $off — raise off")
     val dups = docs.filter(col("doc_id") % mod === 0)
       .withColumn("doc_id", col("doc_id") + off)
     docs.unionByName(dups).write.parquet(s"$out/documents.parquet")

@@ -26,7 +26,8 @@ object RunQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.toJSON.collect().take(maxRows).foreach(println)
+    // take, not collect().take: the cap must bound DRIVER memory too
+    df.toJSON.take(maxRows).foreach(println)
     spark.stop()
   }
 }

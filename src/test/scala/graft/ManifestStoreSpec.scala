@@ -155,6 +155,43 @@ class ManifestStoreSpec extends AnyFunSuite {
       "replayed append moved the stats sidecar")
   }
 
+  test("a torn append is invisible to readers until its redo (committed-gen gate)") {
+    import org.apache.spark.sql.functions._
+    val base = mkDocs(0L until 20L)
+    val delta = mkDocs(300L until 305L)
+    val path = tmpDir()
+    ManifestStore.write(docsDF(base), "doc_id", "text", path, P)
+    val before = spanSet(ManifestStore.read(spark, path).spans)
+    val sigsBefore = ManifestStore.read(spark, path).sigs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // simulate the crash window: spans of gen 1 land on disk, but the
+    // sigs write and the stats commit never happen
+    val toks = ManifestStore.tokCounts(docsDF(delta), "doc_id", "text")
+      .localCheckpoint()
+    ManifestStore.spanRows(toks, baseTok = 9999L, P)
+      .withColumn("gen", lit(1L))
+      .write.mode("append").partitionBy("gen", "epoch")
+      .parquet(graft.sources.GenStore.tableDir(path, "spans"))
+    val st = ManifestStore.read(spark, path)
+    assert(spanSet(st.spans) == before,
+      "a torn (uncommitted) append's spans leaked into the serve frame")
+    val sigsAfter = st.sigs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sigsAfter == sigsBefore,
+      "a torn append moved the served signatures")
+    // the redo path heals it: a real append drops the partial gen first
+    ManifestStore.append(spark, docsDF(delta), "doc_id", "text", path, P)
+    val healed = ManifestStore.read(spark, path)
+    assert(spanSet(healed.spans).size > before.size,
+      "the redo append did not land the delta")
+    val recomputed = ManifestStore.sigRows(healed.spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val folded = healed.sigs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(folded == recomputed,
+      "post-redo signatures drifted from recompute — torn partials leaked")
+  }
+
   test("ensure builds once and is a pure read afterwards; stamp change rebuilds") {
     val dir = tmpDir()
     val docs = docsDF(mkDocs(0L until 10L))
