@@ -182,6 +182,9 @@ object Bench {
     build("loader_manifest") {
       graft.queries.PipelineCatalog.ensureManifest(spark, sfDir)
     }
+    build("inc_manifest") {
+      graft.queries.PipelineCatalog.q149EnsureIncremental(spark, sfDir)
+    }
     val indexBuild =
       if (buildDetail.values.forall(_ < 0)) -1.0
       else buildDetail.values.filter(_ >= 0).sum

@@ -8623,6 +8623,203 @@ object PipelineCatalog {
        ORDER BY size_bucket"""
 
   // -------------------------------------------------------------------------
+  // q148: corpus tokenization with the LEARNED vocabulary — the
+  // tokenizer's SERVING path, end to end: what q107/q142's n_tok would
+  // be in a production run (BPE tokens, not whitespace words). Per
+  // document: [a-z]+ word count, their character mass, the BPE token
+  // count at full merge depth, and the exact chars-per-token micros
+  // (q137's split division). 100 TB shape: ONE narrow map over the
+  // pruned (doc_id, text) scan — apply_bpe runs per word OCCURRENCE
+  // inside whole-stage codegen (SCALING row 30's broadcast automaton,
+  // µs/word and flat in K), then a partial-aggregated groupBy(doc_id);
+  // no join, no corpus-scale shuffle beyond the doc-keyed agg. (The
+  // word-table-JOIN alternative dedups apply work per distinct word —
+  // the right trade only under extreme duplication, at the price of a
+  // corpus-token shuffle; the map form is the streaming-tokenizer
+  // shape.) Exhausted induction degrades to the empty frame, the
+  // q124/q129/q136 contract.
+  // -------------------------------------------------------------------------
+
+  val q148BpeTokenize: Q = (s, d) => {
+    val (_, bests) = bpeChain(s, d)
+    val merges = collectMerges(bests)
+    val words = docsWide(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+    val applied = graft.functions.ApplyBpe.applyBpe(
+      regexp_replace(col("word"), "(.)", " $1 "), merges, s)
+    val base = words
+      .select(col("doc_id"), length(col("word")).cast("long").as("n_ch"),
+        size(split(trim(applied), "  ")).cast("long").as("n_sym"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_ch")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr(microsDiv("n_chars", "n_bpe_tokens"))
+          .as("chars_per_token_micros"))
+      .orderBy(col("doc_id"))
+    if (merges.size < BpeMerges) base.filter(lit(false)) else base
+  }
+
+  /** The q120 replay (which proves the merges) + a DISTINCT-word replay
+    * chain joined back to per-doc word occurrences — value-identical to
+    * the engine's per-occurrence apply because the kernel is pure.
+    */
+  private val q148Sql = {
+    val applies = (1 to BpeMerges).map { i =>
+      s"""u$i AS (
+         SELECT u.word,
+                replace(u.r, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS r
+         FROM u${i - 1} u, b$i b
+       )"""
+    }.mkString(", ")
+    s"""$q120CteChain, dw AS (
+         SELECT doc_id, lower(t) AS word
+         FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+               FROM documents)
+         WHERE regexp_matches(lower(t), '^[a-z]+$$')
+       ), u0 AS (
+         SELECT DISTINCT word,
+                regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
+         FROM dw
+       ), $applies, sym AS (
+         SELECT word, CAST(len(string_split(trim(r), '  ')) AS BIGINT) AS n_sym
+         FROM u$BpeMerges
+       ), agg AS (
+         SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(dw.word)) AS BIGINT) AS n_chars,
+                CAST(sum(sym.n_sym) AS BIGINT) AS n_bpe_tokens
+         FROM dw JOIN sym USING (word)
+         GROUP BY dw.doc_id
+       )
+       SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+              CAST(${microsDivSql("n_chars", "n_bpe_tokens")} AS BIGINT)
+                AS chars_per_token_micros
+       FROM agg ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q149: INCREMENTALLY maintained loader manifest — the q77/q78/q79
+  // contract applied to ManifestStore, with the append path ORACLE-
+  // checked (ManifestStoreSpec proves the lifecycle; this proves the
+  // VALUES against an independent engine). Scenario: the base build
+  // packs the EVEN documents; one append delivers the odds, which pack
+  // into fresh sequences at each epoch's tail (published base spans
+  // immutable, signature partials only for touched shards). Serving the
+  // q142 manifest shape from the incremental store must equal DuckDB's
+  // two-phase replay: evens packed at offset 0, odds at the evens' token
+  // total, signatures over the union. 100 TB: this is the nightly-dump
+  // path — the append's cost is O(delta + straddle), never a repack.
+  // -------------------------------------------------------------------------
+
+  private def q149Path(d: String): String =
+    graft.sources.GenStore.artifactPath(d, "documents.parquet",
+      "_graft_manifest_inc", "graft-manifestinc")
+
+  private[graft] def q149EnsureIncremental(s: SparkSession, d: String): String = {
+    val path = q149Path(d)
+    val mfPath = java.nio.file.Paths.get(path, "_graft_scenario.json")
+    val expected = {
+      val stamp = graft.sources.GenStore.sourceStamp(
+        new java.io.File(s"$d/documents.parquet"))
+      s"""{"source_stamp":"$stamp","scenario":"manifest-base+append-v1","epochs":$ShuffleEpochs,"seq_len":$PackSeqLen,"shards":$ShardCount}"""
+    }
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      val dir = new java.io.File(path)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      val docs = docsWide(s, d).select(col("doc_id"), col("text"))
+      graft.sources.ManifestStore.write(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+        manifestParams)
+      graft.sources.ManifestStore.append(s,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path,
+        manifestParams)
+      java.nio.file.Files.writeString(mfPath, expected)
+    }
+    path
+  }
+
+  val q149IncManifest: Q = (s, d) => {
+    val st = graft.sources.ManifestStore.read(s, q149EnsureIncremental(s, d))
+    st.spans.join(broadcast(st.sigs), Seq("epoch", "shard"))
+      .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
+        col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
+        col("shard_sig"), col("shard_tok"))
+      .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
+  }
+
+  /** One batch's packing CTE chain at a given tail offset — the q142
+    * kernel parameterized by (tag, predicate, base offset) so the oracle
+    * can replay the base build AND the append independently.
+    */
+  private def q149PackCtes(tag: String, pred: String, baseExpr: String): String =
+    s"""d$tag AS (
+         SELECT doc_id,
+                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tok
+         FROM documents WHERE $pred
+       ), b$tag AS (
+         SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+                CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
+         FROM d$tag
+       ), k$tag AS (
+         SELECT e.epoch, d.doc_id, d.n_tok,
+                CAST(CAST('0x' || substr(sha256(e.epoch || ':' || d.doc_id),
+                  1, 15) AS BIGINT) % $ShuffleBuckets AS BIGINT)
+                  * b.span + (d.doc_id - b.mn) AS shuf
+         FROM d$tag d CROSS JOIN e CROSS JOIN b$tag b
+       ), o$tag AS (
+         SELECT epoch, doc_id, n_tok,
+                $baseExpr + CAST(COALESCE(sum(n_tok) OVER (
+                  PARTITION BY epoch ORDER BY shuf
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+         FROM k$tag
+       ), sp$tag AS (
+         SELECT epoch, doc_id, n_tok, off,
+                unnest(generate_series(off // $PackSeqLen,
+                  (off + n_tok - 1) // $PackSeqLen)) AS seq_id
+         FROM o$tag WHERE n_tok > 0
+       ), spans$tag AS (
+         SELECT epoch, seq_id % $ShardCount AS shard, seq_id, doc_id,
+                greatest(off, seq_id * $PackSeqLen) - off AS doc_tok_start,
+                greatest(off, seq_id * $PackSeqLen) - seq_id * $PackSeqLen
+                  AS seq_tok_start,
+                least(off + n_tok, (seq_id + 1) * $PackSeqLen)
+                  - greatest(off, seq_id * $PackSeqLen) AS n_tok
+         FROM sp$tag
+       )"""
+
+  private val q149Sql =
+    s"""WITH e AS (
+         SELECT unnest(range(0, $ShuffleEpochs)) AS epoch
+       ), ${q149PackCtes("ev", "doc_id % 2 = 0", "0")},
+       basetok AS (
+         SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS base_tok FROM dev
+       ), ${q149PackCtes("od", "doc_id % 2 = 1",
+        "(SELECT base_tok FROM basetok)")},
+       spans AS (
+         SELECT * FROM spansev UNION ALL SELECT * FROM spansod
+       ), sigs AS (
+         SELECT epoch, shard,
+                bit_xor(CAST('0x' || substr(sha256(
+                  seq_id || ':' || seq_tok_start || ':' || doc_id),
+                  1, 15) AS BIGINT)) AS shard_sig,
+                CAST(sum(n_tok) AS BIGINT) AS shard_tok
+         FROM spans GROUP BY epoch, shard
+       )
+       SELECT s.epoch, CAST(s.shard AS BIGINT) AS shard, s.seq_id, s.doc_id,
+              s.doc_tok_start, s.seq_tok_start, s.n_tok,
+              g.shard_sig, g.shard_tok
+       FROM spans s JOIN sigs g USING (epoch, shard)
+       ORDER BY s.epoch, s.seq_id, s.seq_tok_start"""
+
+  // -------------------------------------------------------------------------
 
   val queries: ListMap[String, Q] = ListMap(
     "q13_chunks" -> q13Chunks,
@@ -8735,6 +8932,8 @@ object PipelineCatalog {
     "q145_compute_budget" -> q145ComputeBudget,
     "q146_shard_datasheet" -> q146ShardDatasheet,
     "q147_cluster_shape" -> q147ClusterShape,
+    "q148_bpe_tokenize" -> q148BpeTokenize,
+    "q149_inc_manifest" -> q149IncManifest,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -8865,6 +9064,8 @@ object PipelineCatalog {
     "q145_compute_budget" -> q145Sql,
     "q146_shard_datasheet" -> q146Sql,
     "q147_cluster_shape" -> q147Sql,
+    "q148_bpe_tokenize" -> q148Sql,
+    "q149_inc_manifest" -> q149Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -2154,4 +2154,74 @@ class MutationAuditSpec extends AnyFunSuite {
       control = build(componentCount = true),
       mutated = build(componentCount = false))
   }
+
+  test("tokenize family (q148): type-basis counting flips the gate") {
+    // 54th family: the serving tokenizer counts every word OCCURRENCE;
+    // the natural slip dedups words per document first (the TYPE basis —
+    // family 26's axis, re-emerging on the apply side), undercounting
+    // exactly the repetitive documents a packing pipeline over-packs.
+    import graft.operators.TextAnalytics
+    import graft.queries.PipelineCatalog
+    def build(occurrenceBasis: Boolean) = {
+      val w0 = PipelineCatalog.bpeWordTable(spark, Sf01)
+      val table = w0.select(col("freq"), col("r")).collect()
+        .map(r => (r.getLong(0), r.getString(1).trim.split("  ")))
+      val merges = PipelineCatalog.trainBpeLocal(table, 6).map(m => (m._1, m._2))
+      val words0 = docsWide(Sf01)
+        .select(col("doc_id"),
+          explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val words = if (occurrenceBasis) words0 else words0.distinct()
+      val applied = graft.functions.ApplyBpe.applyBpe(
+        regexp_replace(col("word"), "(.)", " $1 "), merges, spark)
+      words
+        .select(col("doc_id"), length(col("word")).cast("long").as("n_ch"),
+          size(split(trim(applied), "  ")).cast("long").as("n_sym"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_ch")).as("n_chars"),
+          sum(col("n_sym")).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_bpe_tokens"),
+          expr("((n_chars * 1000 DIV n_bpe_tokens) * 1000" +
+            " + ((n_chars * 1000 % n_bpe_tokens) * 1000 DIV n_bpe_tokens))")
+            .as("chars_per_token_micros"))
+        .orderBy(col("doc_id"))
+    }
+    audit("q148_bpe_tokenize", Sf01,
+      control = build(occurrenceBasis = true),
+      mutated = build(occurrenceBasis = false))
+  }
+
+  test("incremental-manifest family (q149): append-as-repack flips the gate") {
+    // 55th family: the append contract packs the delta at the TAIL of the
+    // published order; the natural-but-wrong implementation repacks the
+    // whole corpus in one batch (the full-build shape), renumbering every
+    // published sequence — exactly what a training run must never
+    // observe. The gate must distinguish the two orders.
+    import graft.sources.ManifestStore
+    val P = graft.queries.PipelineCatalog.manifestParams
+    def serve(spans: org.apache.spark.sql.DataFrame) = {
+      val sigs = ManifestStore.sigRows(spans)
+      spans.join(broadcast(sigs), Seq("epoch", "shard"))
+        .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
+          col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
+          col("shard_sig"), col("shard_tok"))
+        .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
+    }
+    val docs = docsWide(Sf01).select(col("doc_id"), col("text"))
+    val evToks = ManifestStore.tokCounts(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").localCheckpoint()
+    val odToks = ManifestStore.tokCounts(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").localCheckpoint()
+    val evenTok = evToks.agg(sum(col("n_tok"))).head().getLong(0)
+    val twoPhase = ManifestStore.spanRows(evToks, 0L, P)
+      .unionByName(ManifestStore.spanRows(odToks, evenTok, P))
+      .localCheckpoint()
+    val repacked = ManifestStore.spanRows(
+      ManifestStore.tokCounts(docs, "doc_id", "text").localCheckpoint(),
+      0L, P).localCheckpoint()
+    audit("q149_inc_manifest", Sf01,
+      control = serve(twoPhase),
+      mutated = serve(repacked))
+  }
 }

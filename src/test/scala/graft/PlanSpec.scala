@@ -1146,6 +1146,31 @@ class PlanSpec extends AnyFunSuite {
     assertScansWithin(p, "q147", Set("doc_id", "text"))
   }
 
+  test("q148: tokenization is one narrow apply_bpe map + doc-keyed agg — no join, no window") {
+    val q = SparkEntry.queries("q148_bpe_tokenize")(spark, Sf)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"), s"q148 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "q148's per-occurrence map grew a join — the word-table-join rewrite " +
+        "belongs to a different (documented) trade, not this query")
+    assert(p.contains("HashAggregate"), "q148 lost its doc-keyed aggregate")
+    assertScansWithin(p, "q148", Set("doc_id", "text"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("apply_bpe"),
+      "q148 lost the single-pass apply_bpe expression")
+  }
+
+  test("q149: incremental manifest serves as a pure store read — no packing fold, no corpus scan") {
+    val p = plan("q149_inc_manifest")
+    assert(!p.contains("windowspecdefinition"),
+      s"q149's serve re-ran a packing window:\n$p")
+    assert(!p.contains("text"), "q149's serve scans corpus text")
+    assert(p.contains("BroadcastHashJoin"),
+      "q149's bounded signature join lost its broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "q149's serve degraded")
+  }
+
   test("q144: spectrum is two hash aggregates over one token explode — window-free") {
     val p = plan("q144_freq_spectrum")
     assert(!p.contains("windowspecdefinition"), s"q144 grew a window:\n$p")
