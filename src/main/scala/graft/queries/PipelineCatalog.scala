@@ -8136,66 +8136,32 @@ object PipelineCatalog {
   private[graft] def ensureManifest(s: SparkSession, d: String): Unit =
     loaderManifest(s, d)
 
-  val q142LoaderManifest: Q = (s, d) => {
-    val st = loaderManifest(s, d)
-    val spans = st.spans
-    // sigs: ≤ epochs x shards rows by construction — a bounded frame,
-    // so the broadcast hint is legitimate (contrast SCALING row 29)
-    spans.join(broadcast(st.sigs), Seq("epoch", "shard"))
+  /** The manifest serve shape shared by q142 and q149: spans joined to
+    * the folded signatures. sigs is ≤ epochs×shards rows by construction
+    * — a bounded frame, so the broadcast hint is legitimate (contrast
+    * SCALING row 29).
+    */
+  private def serveManifest(st: graft.sources.ManifestStore.Store): DataFrame =
+    st.spans.join(broadcast(st.sigs), Seq("epoch", "shard"))
       .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
         col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
         col("shard_sig"), col("shard_tok"))
       .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
-  }
 
-  /** The shared loader-span CTE chain (d → b → tot → e → k → o → sp →
-    * spans), interpolated by BOTH q142Sql and q146Sql — factored into its
-    * own val (not substring-extracted from q142Sql) so a reformat of one
-    * query can't mis-slice the other at object-initialization time (r15
-    * advice). Ends with the CLOSED `spans` CTE; interpolators append
-    * `, <next> AS (...)`.
+  val q142LoaderManifest: Q = (s, d) => serveManifest(loaderManifest(s, d))
+
+  /** The shared loader-span CTE chain (e → d → b → k → o → sp → spans),
+    * interpolated by BOTH q142Sql and q146Sql — the ONE SQL copy of the
+    * packing kernel (r15 advice: never substring-extract; r16 review:
+    * never duplicate either): the full-build chain is the
+    * pred=TRUE / base=0 instance of [[packSpansCtes]], the same
+    * generator q149's two-phase replay parameterizes per batch. Ends
+    * with the CLOSED `spans` CTE; interpolators append `, <next> AS (…)`.
     */
   private val loaderSpansCte =
-    s"""WITH d AS (
-         SELECT doc_id,
-                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-                  x -> x <> '')) AS BIGINT) AS n_tok
-         FROM documents
-       ), b AS (
-         SELECT CAST(min(doc_id) AS BIGINT) AS mn,
-                CAST(max(doc_id) - min(doc_id) + 1 AS BIGINT) AS span
-         FROM d
-       ), tot AS (
-         SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM d
-       ), e AS (
+    s"""WITH e AS (
          SELECT unnest(range(0, $ShuffleEpochs)) AS epoch
-       ), k AS (
-         SELECT e.epoch, d.doc_id, d.n_tok,
-                CAST(CAST('0x' || substr(sha256(e.epoch || ':' || d.doc_id),
-                  1, 15) AS BIGINT) % $ShuffleBuckets AS BIGINT)
-                  * b.span + (d.doc_id - b.mn) AS shuf
-         FROM d CROSS JOIN e CROSS JOIN b
-       ), o AS (
-         SELECT epoch, doc_id, n_tok,
-                CAST(COALESCE(sum(n_tok) OVER (PARTITION BY epoch
-                  ORDER BY shuf
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS off
-         FROM k
-       ), sp AS (
-         SELECT epoch, doc_id, n_tok, off,
-                unnest(generate_series(off // $PackSeqLen,
-                  (off + n_tok - 1) // $PackSeqLen)) AS seq_id
-         FROM o WHERE n_tok > 0
-       ), spans AS (
-         SELECT epoch, seq_id % $ShardCount AS shard, seq_id, doc_id,
-                greatest(off, seq_id * $PackSeqLen) - off AS doc_tok_start,
-                greatest(off, seq_id * $PackSeqLen) - seq_id * $PackSeqLen
-                  AS seq_tok_start,
-                least(off + n_tok, (seq_id + 1) * $PackSeqLen)
-                  - greatest(off, seq_id * $PackSeqLen) AS n_tok
-         FROM sp
-       )"""
+       ), ${packSpansCtes("", "TRUE", "0")}"""
 
   private val q142Sql =
     s"""$loaderSpansCte, sigs AS (
@@ -8725,7 +8691,7 @@ object PipelineCatalog {
     val expected = {
       val stamp = graft.sources.GenStore.sourceStamp(
         new java.io.File(s"$d/documents.parquet"))
-      s"""{"source_stamp":"$stamp","scenario":"manifest-base+append-v1","epochs":$ShuffleEpochs,"seq_len":$PackSeqLen,"shards":$ShardCount}"""
+      s"""{"source_stamp":"$stamp","scenario":"manifest-base+append-v1","epochs":$ShuffleEpochs,"buckets":$ShuffleBuckets,"seq_len":$PackSeqLen,"shards":$ShardCount}"""
     }
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
@@ -8744,20 +8710,16 @@ object PipelineCatalog {
     path
   }
 
-  val q149IncManifest: Q = (s, d) => {
-    val st = graft.sources.ManifestStore.read(s, q149EnsureIncremental(s, d))
-    st.spans.join(broadcast(st.sigs), Seq("epoch", "shard"))
-      .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
-        col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
-        col("shard_sig"), col("shard_tok"))
-      .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
-  }
+  val q149IncManifest: Q = (s, d) => serveManifest(
+    graft.sources.ManifestStore.read(s, q149EnsureIncremental(s, d)))
 
-  /** One batch's packing CTE chain at a given tail offset — the q142
-    * kernel parameterized by (tag, predicate, base offset) so the oracle
-    * can replay the base build AND the append independently.
+  /** One batch's packing CTE chain at a given tail offset — THE packing
+    * kernel in SQL, parameterized by (tag, predicate, base offset):
+    * [[loaderSpansCte]] is its pred=TRUE / base=0 instance (q142/q146),
+    * and q149's oracle replays the base build and the append as two
+    * instances. Requires an `e` epochs CTE in scope.
     */
-  private def q149PackCtes(tag: String, pred: String, baseExpr: String): String =
+  private def packSpansCtes(tag: String, pred: String, baseExpr: String): String =
     s"""d$tag AS (
          SELECT doc_id,
                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
@@ -8798,10 +8760,10 @@ object PipelineCatalog {
   private val q149Sql =
     s"""WITH e AS (
          SELECT unnest(range(0, $ShuffleEpochs)) AS epoch
-       ), ${q149PackCtes("ev", "doc_id % 2 = 0", "0")},
+       ), ${packSpansCtes("ev", "doc_id % 2 = 0", "0")},
        basetok AS (
          SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS base_tok FROM dev
-       ), ${q149PackCtes("od", "doc_id % 2 = 1",
+       ), ${packSpansCtes("od", "doc_id % 2 = 1",
         "(SELECT base_tok FROM basetok)")},
        spans AS (
          SELECT * FROM spansev UNION ALL SELECT * FROM spansod
