@@ -1464,7 +1464,7 @@ object PipelineCatalog {
       val delta = docs.filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
       val deleted = extras.select(col("doc_id"))
       graft.sources.TextIndex.upsert(s, delta, "doc_id", "text", deleted, path)
-      java.nio.file.Files.writeString(mfPath, expected)
+      graft.sources.GenStore.atomicWrite(mfPath, expected)
     }
     path
   }
@@ -1533,7 +1533,7 @@ object PipelineCatalog {
       val dir = new java.io.File(path)
       if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
       dir.mkdirs()
-      java.nio.file.Files.writeString(mfPath, expected)
+      graft.sources.GenStore.atomicWrite(mfPath, expected)
       false
     } else true
   }
@@ -3165,7 +3165,7 @@ object PipelineCatalog {
       run(batch0, 0L) // adds: evens, with stale tens + the padded shrink doc
       run(batch0, 0L) // restart re-delivery of the SAME batch id: no-op
       run(batch1, 1L) // odds + corrected tens + corrected (shrunk) doc
-      java.nio.file.Files.writeString(mfPath, expected)
+      graft.sources.GenStore.atomicWrite(mfPath, expected)
     }
     root
   }
@@ -4393,7 +4393,7 @@ object PipelineCatalog {
     * int64 id column, paid once per (dir, fingerprint).
     */
   private def docIdBounds(s: SparkSession, d: String): (Long, Long) =
-    idBoundsCache.computeIfAbsent(d + " " + docsFingerprint(d), { _ =>
+    idBoundsCache.computeIfAbsent(d + "\u0000" + docsFingerprint(d), { _ =>
       val b = Tables(s, d, "documents")
         .agg(min(col("doc_id")).cast("long"), max(col("doc_id")).cast("long"))
         .head()
@@ -8691,7 +8691,7 @@ object PipelineCatalog {
     val expected = {
       val stamp = graft.sources.GenStore.sourceStamp(
         new java.io.File(s"$d/documents.parquet"))
-      s"""{"source_stamp":"$stamp","scenario":"manifest-base+append-v1","epochs":$ShuffleEpochs,"buckets":$ShuffleBuckets,"seq_len":$PackSeqLen,"shards":$ShardCount}"""
+      s"""{"source_stamp":"$stamp","scenario":"manifest-base+append-v1.1","epochs":$ShuffleEpochs,"buckets":$ShuffleBuckets,"seq_len":$PackSeqLen,"shards":$ShardCount}"""
     }
     val fresh = java.nio.file.Files.exists(mfPath) &&
       java.nio.file.Files.readString(mfPath) == expected
@@ -8705,7 +8705,7 @@ object PipelineCatalog {
       graft.sources.ManifestStore.append(s,
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path,
         manifestParams)
-      java.nio.file.Files.writeString(mfPath, expected)
+      graft.sources.GenStore.atomicWrite(mfPath, expected)
     }
     path
   }

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * so a shrunk corpus rebuilds via the manifest stamp mismatch.
   *
   * Reference: jsonify2ai ships chunk manifests per export
-  * (worker/app/services/export_jsonl.py) but recomputes them per run;
+  * (worker/app/routers/export.py) but recomputes them per run;
   * the persisted+incremental form is this engine's scale path.
   */
 object ManifestStore {
@@ -54,17 +54,29 @@ object ManifestStore {
 
   private def manifest(sfDir: String, p: Params): String = {
     val stamp = GenStore.sourceStamp(new java.io.File(s"$sfDir/documents.parquet"))
-    s"""{"layout":"manifest-v1-gen","src":"$stamp","epochs":${p.epochs},"buckets":${p.buckets},"seq_len":${p.seqLen},"shards":${p.shards},"hash_family":"sha256-affine-2^60","tokenizer":"v1-frozen"}"""
+    s"""{"layout":"manifest-v1.1-gen","src":"$stamp","epochs":${p.epochs},"buckets":${p.buckets},"seq_len":${p.seqLen},"shards":${p.shards},"hash_family":"sha256-affine-2^60","tokenizer":"v1-frozen"}"""
   }
 
-  // --- stats sidecar: gen + replay watermark + the per-epoch tail offset
+  // --- stats sidecar: gen + replay watermark + the per-epoch tail offset.
+  //     The file is EPOCH-SUFFIXED (one per store epoch, like the span/sig
+  //     segment trees) so a full rebuild commits its stats BEFORE the
+  //     pointer flip: a crash between the two leaves the old epoch live
+  //     with the old epoch's stats — readers and a direct append() always
+  //     see a (spans, total_tok) pair from the same packing, whereas the
+  //     v1 root-level file flipped the epoch first and a crash stranded
+  //     the new packing with the previous store's tail offset (r16 ADVICE).
+  //     Within an epoch, append() still commits stats LAST (the
+  //     committed-gen read gate).
 
-  private def statsPath(path: String) =
-    java.nio.file.Paths.get(path, "_graft_stats.json")
+  private def statsPath(path: String): java.nio.file.Path =
+    statsPath(path, GenStore.epochOf(path))
 
-  private def writeStats(path: String, gen: Long, lastBatch: Long,
+  private def statsPath(path: String, epoch: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(path, s"_graft_stats_e$epoch.json")
+
+  private def writeStats(path: String, epoch: Long, gen: Long, lastBatch: Long,
       totalTok: Long): Unit =
-    GenStore.atomicWrite(statsPath(path),
+    GenStore.atomicWrite(statsPath(path, epoch),
       s"""{"gen":$gen,"last_batch":$lastBatch,"total_tok":$totalTok}""")
 
   /** (current max generation, replay watermark, per-epoch tail offset). */
@@ -167,7 +179,9 @@ object ManifestStore {
   // ---------------------------------------------------------------------
 
   /** Full (re)build at gen 0 in the next epoch directory, committed by
-    * the atomic pointer flip.
+    * the atomic pointer flip. Stats land in the NEW epoch's sidecar
+    * BEFORE the flip, so the flip atomically publishes spans, sigs, and
+    * the tail offset together (see the stats-sidecar note above).
     */
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
       p: Params, batchId: Long = -1L): Unit = {
@@ -181,11 +195,16 @@ object ManifestStore {
     GenStore.writeTable(sigRows(spans).withColumn("gen", lit(0L)),
       "shard", Seq("gen"), Nil, s"$path/sigs/e$next")
     val total = toks.agg(sum(col("n_tok"))).head()
-    GenStore.setEpoch(path, next)
-    writeStats(path, gen = 0L,
+    writeStats(path, epoch = next, gen = 0L,
       lastBatch = if (batchId >= 0) batchId else prevLast,
       totalTok = if (total.isNullAt(0)) 0L else total.getLong(0))
+    GenStore.setEpoch(path, next)
     GenStore.gcEpochs(path, Seq("spans", "sigs"), next)
+    // retire superseded epochs' stats sidecars (best-effort, like gcEpochs)
+    (0L until next).foreach { e =>
+      try java.nio.file.Files.deleteIfExists(statsPath(path, e))
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Incremental append: the delta packs into fresh sequences at the
@@ -213,7 +232,7 @@ object ManifestStore {
       .parquet(GenStore.tableDir(path, "sigs"))
     val total = toks.agg(sum(col("n_tok"))).head()
     val deltaTok = if (total.isNullAt(0)) 0L else total.getLong(0)
-    writeStats(path, nextGen,
+    writeStats(path, GenStore.epochOf(path), nextGen,
       if (batchId >= 0) batchId else lastBatch, baseTok + deltaTok)
   }
 
