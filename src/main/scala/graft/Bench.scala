@@ -142,6 +142,16 @@ object Bench {
         graft.core.Tables(spark, sfDir, "documents"))
       graft.sources.BandStore.ensure(spark, docsW, "doc_id", "text", sfDir)
     }
+    // near-dup cluster-label table (q85/q99/q108/q117/q118/q126/q143/q147
+    // serve the persisted labels): the MinHash→verify→CC pass is
+    // publish-time work — the r16 top cost tier moved here
+    build("cluster_store") {
+      val docsW = graft.core.Tables.fanOut(
+        graft.core.Tables(spark, sfDir, "documents"))
+      graft.sources.ClusterStore.ensure(spark, docsW, "doc_id", "text",
+        sfDir, graft.sources.BandStore.ensure(spark, docsW, "doc_id",
+          "text", sfDir))
+    }
     // frame vector store (q104): same write-time class
     build("frame_store") {
       graft.queries.PipelineCatalog.ensureFrameStore(spark, sfDir)
@@ -184,6 +194,9 @@ object Bench {
     }
     build("inc_manifest") {
       graft.queries.PipelineCatalog.q149EnsureIncremental(spark, sfDir)
+    }
+    build("stream_manifest") {
+      graft.queries.PipelineCatalog.q150EnsureStreaming(spark, sfDir)
     }
     val indexBuild =
       if (buildDetail.values.forall(_ < 0)) -1.0
@@ -941,7 +954,8 @@ object Bench {
       "blow-up was partly a fixed-partition spill); " +
       "r8 serving-regression audit: GenStore.Probe counts <=8 metadata " +
       "reads + <=4 segment opens per serve (us-ms scale, not the delta), " +
-      "q88/q85 touch no store at all, and 5-run in-session spreads of " +
+      "q88 touches no store at all (q85 serves the r17 ClusterStore), " +
+      "and 5-run in-session spreads of " +
       "1.3-1.6x on identical plans cover the r7-r8 deltas — ambient " +
       "variance + multi-job serve pipelines, not store fixed cost " +
       "(full numbers: docs/PROFILE_r9.md)"

@@ -80,7 +80,9 @@ object Dropzone {
       pqM: Int = 4,
       pqKsub: Int = 16,
       bandStorePath: Option[String] = None,
-      skipLedgerPath: Option[String] = None): Unit = {
+      skipLedgerPath: Option[String] = None,
+      manifestStore: Option[(String, graft.sources.ManifestStore.Params,
+        org.apache.spark.sql.Column)] = None): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
     // Per-micro-batch skip ledger (r11, the q101 batch ledger promoted to
     // the stream — the reference records a skip ledger per ingest run,
@@ -182,6 +184,39 @@ object Dropzone {
       else if (!docDelta.isEmpty)
         graft.sources.BandStore.write(docDelta, "path", "text", bsp,
           numHashes = 32, bands = 8, batchId = batchId)
+    }
+    // the loader manifest is maintained per micro-batch like the stores
+    // above, but under ManifestStore's APPEND-ONLY contract: each dump
+    // packs into fresh sequences at the epochs' tails. `docIdExpr` maps
+    // the delivered file to its numeric packing id (the manifest's order
+    // key). A RE-delivered doc cannot be absorbed — its spans are already
+    // published, and repacking renumbers later sequences (exactly what a
+    // training run must never observe) — so a non-append delta fails
+    // FAST here rather than silently corrupting the manifest; replays of
+    // an already-committed batch id are no-ops via the watermark, checked
+    // BEFORE the overlap guard (a replayed batch's docs are of course
+    // already spanned).
+    manifestStore.foreach { case (msp, params, docIdExpr) =>
+      val docDelta = delta
+        .select(docIdExpr.cast("long").as("doc_id"), col("text"))
+      if (graft.sources.ManifestStore.exists(msp)) {
+        val committed =
+          batchId >= 0 && batchId <= graft.sources.ManifestStore.readStats(msp)._2
+        if (!committed) {
+          val overlap = graft.sources.ManifestStore.read(spark, msp).spans
+            .select(col("doc_id")).distinct()
+            .join(docDelta.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .count()
+          if (overlap > 0) throw new IllegalStateException(
+            s"manifest stream maintenance is append-only: $overlap delta " +
+              "doc(s) already have published spans — rebuild the manifest " +
+              "(ManifestStore.write) for replacement/deletion workloads")
+          graft.sources.ManifestStore.append(spark, docDelta, "doc_id",
+            "text", msp, params, batchId)
+        }
+      } else if (!docDelta.isEmpty)
+        graft.sources.ManifestStore.write(docDelta, "doc_id", "text", msp,
+          params, batchId)
     }
     // the ANN store is maintained the same way: the first non-empty batch
     // trains the cells, every later batch is assigned with the STORED

@@ -2224,4 +2224,40 @@ class MutationAuditSpec extends AnyFunSuite {
       control = serve(twoPhase),
       mutated = serve(repacked))
   }
+
+  test("stream-manifest family (q150): a broken replay watermark flips the gate") {
+    // 56th family: q150's scenario RE-delivers its second micro-batch
+    // under the same batch id — the restart replay the watermark must
+    // swallow. The natural-but-wrong implementation (no watermark, or a
+    // watermark keyed after the append) applies the replay as a fresh
+    // dump: the odd docs pack AGAIN at the new tail, doubling their spans
+    // behind unchanged base rows. The gate must distinguish served-once
+    // from served-twice.
+    import graft.sources.ManifestStore
+    val P = graft.queries.PipelineCatalog.manifestParams
+    def serve(spans: org.apache.spark.sql.DataFrame) = {
+      val sigs = ManifestStore.sigRows(spans)
+      spans.join(broadcast(sigs), Seq("epoch", "shard"))
+        .select(col("epoch"), col("shard"), col("seq_id"), col("doc_id"),
+          col("doc_tok_start"), col("seq_tok_start"), col("n_tok"),
+          col("shard_sig"), col("shard_tok"))
+        .orderBy(col("epoch"), col("seq_id"), col("seq_tok_start"))
+    }
+    val docs = docsWide(Sf01).select(col("doc_id"), col("text"))
+    val evToks = ManifestStore.tokCounts(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text").localCheckpoint()
+    val odToks = ManifestStore.tokCounts(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text").localCheckpoint()
+    val evenTok = evToks.agg(sum(col("n_tok"))).head().getLong(0)
+    val oddTok = odToks.agg(sum(col("n_tok"))).head().getLong(0)
+    val once = ManifestStore.spanRows(evToks, 0L, P)
+      .unionByName(ManifestStore.spanRows(odToks, evenTok, P))
+      .localCheckpoint()
+    val replayApplied = once
+      .unionByName(ManifestStore.spanRows(odToks, evenTok + oddTok, P))
+      .localCheckpoint()
+    audit("q150_stream_manifest", Sf01,
+      control = serve(once),
+      mutated = serve(replayApplied))
+  }
 }

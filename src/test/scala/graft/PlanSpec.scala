@@ -596,6 +596,19 @@ class PlanSpec extends AnyFunSuite {
         "must not introduce plan work")
   }
 
+  test("q85: dedup apply serves the persisted ClusterStore — no fingerprint, no window, pruned scans") {
+    // r17: the MinHash→verify→CC pass runs ONCE at publish time
+    // (ClusterStore.write); the serve is a corpus-id left-join against
+    // the stored (doc_id, cluster_id) rows. Any band_minhash or window
+    // in this plan means the top-tier recomputation came back.
+    val p = plan("q85_dedup_apply")
+    assert(!p.contains("band_minhash"),
+      "q85's serve re-fingerprints the corpus instead of reading the ClusterStore")
+    assert(!p.contains("windowspecdefinition"), "q85's serve grew a window")
+    assert(!p.contains("CartesianProduct"), "q85 grew a cartesian product")
+    assertScansWithin(p, "q85", Set("doc_id", "cluster_id"))
+  }
+
   test("q109: every budget-selection window carries the __rb bucket (no global-order window)") {
     // same invariant as q107, on the quality-packed order key: the global
     // prefix sum must stay in its salted two-phase form — a keyless
@@ -1127,23 +1140,30 @@ class PlanSpec extends AnyFunSuite {
       "q142's signature join lost its broadcast")
   }
 
-  test("q143: one pruned corpus pass, no cartesian, no join-strategy hint") {
+  test("q143: store-served labels, one pruned corpus pass, no cartesian, no join-strategy hint") {
     // the cluster-label frame is corpus-fraction at crawl dup rates
     // (SCALING row 29): the join strategy stays AQE's call — broadcast at
     // bench bytes, shuffle at crawl bytes. Pin semantics, not strategy.
+    // r17: labels come from the persisted ClusterStore — the serve must
+    // never re-fingerprint (no band_minhash) and the extra scan is the
+    // store's own (doc_id, cluster_id) parquet.
     val p = plan("q143_near_syndication")
     assert(!p.contains("CartesianProduct"), "q143 grew a cartesian product")
     assert(p.contains("HashAggregate"), "q143 lost its hash aggregates")
-    assertScansWithin(p, "q143", Set("doc_id", "text", "source"))
+    assert(!p.contains("band_minhash"),
+      "q143's serve re-fingerprints the corpus instead of reading the ClusterStore")
+    assertScansWithin(p, "q143", Set("doc_id", "text", "source", "cluster_id"))
   }
 
-  test("q147: cluster spectrum — one pruned corpus pass, hash aggs, no join-strategy hint") {
+  test("q147: cluster spectrum — store-served labels, one pruned corpus pass, hash aggs, no join-strategy hint") {
     // same join discipline as q143 (SCALING row 29): the cluster-label
     // frame's strategy stays AQE's call; only the 1-row totals broadcast
     val p = plan("q147_cluster_shape")
     assert(!p.contains("CartesianProduct"), "q147 grew a cartesian product")
     assert(p.contains("HashAggregate"), "q147 lost its hash aggregates")
-    assertScansWithin(p, "q147", Set("doc_id", "text"))
+    assert(!p.contains("band_minhash"),
+      "q147's serve re-fingerprints the corpus instead of reading the ClusterStore")
+    assertScansWithin(p, "q147", Set("doc_id", "text", "cluster_id"))
   }
 
   test("q148: tokenization is one narrow apply_bpe map + doc-keyed agg — no join, no window") {

@@ -346,6 +346,77 @@ class StreamingSpec extends AnyFunSuite {
       "real change after a short-circuited batch must still replace the doc")
   }
 
+  test("stream-maintained loader manifest: base write + tail append + replay no-op + append-only guard") {
+    // q150's wiring (r16 Next #2): the manifest rides processBatch beside
+    // the other stores, but under ManifestStore's append-only contract —
+    // each dump packs at the epochs' tails, a replayed batch id is a
+    // watermark no-op, and a RE-delivered doc fails fast instead of
+    // silently renumbering published sequences.
+    import org.apache.spark.sql.DataFrame
+    import graft.sources.ManifestStore
+    val root = Files.createTempDirectory("graft-stream-manifest")
+    val store = root.resolve("chunks").toString
+    val mstore = root.resolve("manifest").toString
+    val P = ManifestStore.Params(epochs = 2, buckets = 4, seqLen = 16, shards = 2)
+    def files(docs: Seq[(Long, String)]): DataFrame = {
+      import spark.implicits._
+      docs.map { case (id, t) => (s"dzm/$id.txt", t.getBytes("UTF-8")) }
+        .toDF("path", "content")
+        .withColumn("length", octet_length(col("content")).cast("long"))
+    }
+    def run(docs: Seq[(Long, String)], id: Long,
+        skip: Boolean = true): Unit = Dropzone.processBatch(
+      spark, files(docs), "dzm", store, 400, 0, 8, skipUnchangedFiles = skip,
+      batchId = id, manifestStore = Some((mstore, P,
+        regexp_extract(col("path"), "(\\d+)", 1))))
+    def text(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val base = (0L until 6L).map(i => i -> text(s"base$i-", 10 + i.toInt))
+    val delta = (6L until 9L).map(i => i -> text(s"tail$i-", 7 + i.toInt))
+
+    run(base, 0L)  // first batch: full build
+    run(delta, 1L) // second dump: tail append
+    def serve = ManifestStore.read(spark, mstore).spans.collect()
+      .map(_.toString).sorted.toSeq
+    val after = serve
+    val statsAfter = ManifestStore.readStats(mstore)
+
+    // restart replay of batch 1: the empty-delta short-circuit swallows
+    // an unchanged redelivery...
+    run(delta, 1L)
+    assert(serve == after, "replayed batch mutated the manifest")
+    assert(ManifestStore.readStats(mstore) == statsAfter)
+    // ...and the ManifestStore WATERMARK swallows it even when the delta
+    // survives skip-unchanged (skip disabled) — the layer a restart
+    // without chunk-store state depends on, checked BEFORE the overlap
+    // guard (a replayed batch's docs are of course already spanned)
+    run(delta, 1L, skip = false)
+    assert(serve == after, "watermark failed: replayed batch re-appended")
+    assert(ManifestStore.readStats(mstore) == statsAfter)
+
+    // stream path ≡ direct-call path (the q149 two-phase discipline)
+    val ref = Files.createTempDirectory("graft-stream-manifest-ref").toString
+    ManifestStore.write(files(base).select(
+        regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text")),
+      "doc_id", "text", ref, P)
+    ManifestStore.append(spark, files(delta).select(
+        regexp_extract(col("path"), "(\\d+)", 1).cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text")),
+      "doc_id", "text", ref, P)
+    val refRows = ManifestStore.read(spark, ref).spans.collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == refRows,
+      "stream-maintained manifest drifted from the direct write+append")
+
+    // append-only guard: a NEW batch re-delivering a published doc must
+    // fail fast, and must not have touched the store
+    val ex = intercept[IllegalStateException] {
+      run(Seq(3L -> text("edited-", 9)), 2L)
+    }
+    assert(ex.getMessage.contains("append-only"))
+    assert(serve == after, "failed guard batch must leave the manifest untouched")
+  }
+
   test("re-dropped file that chunks SHORTER deletes its tail vectors from the ANN store") {
     // chunk ids are uuid5(document_id, "chunk:{idx}"): a shorter re-drop
     // produces a PREFIX of the old id set, so the removed tail ids appear
