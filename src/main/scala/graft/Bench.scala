@@ -187,6 +187,9 @@ object Bench {
     build("bpe_merges") {
       graft.queries.PipelineCatalog.ensureBpe(spark, sfDir)
     }
+    build("bpe_merges_v2") {
+      graft.queries.PipelineCatalog.ensureBpeV2(spark, sfDir)
+    }
     // loader manifest (q142/q146 serve from the persisted store): the
     // packing fold is shard-publish-time work, same hoist rationale
     build("loader_manifest") {

@@ -189,3 +189,50 @@ object ApplyBpe {
     GraftSql.column(ApplyBpe(GraftSql.expression(c), bc))
   }
 }
+
+/** `char_interleave(word)` — the space-wrapped character symbolization
+  * (`"ab"` → `" a  b "`) as one codegen'd CODE-POINT walk, replacing the
+  * per-occurrence `regexp_replace(word, "(.)", " $1 ")` on the BPE apply
+  * path (r16 Next #4's cleanup: a regex engine invocation per word
+  * occurrence, for what is a linear scan). Code-point-wise — a
+  * supplementary character is ONE symbol, exactly what Java regex `(.)`
+  * matched and what DuckDB's RE2 `'(.)'` replay matches, so the v1 oracle
+  * text is unchanged and the v2 (full-UTF-8) alphabet symbolizes
+  * identically across engines.
+  */
+case class CharInterleave(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "char_interleave"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharInterleave.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CharInterleave$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharInterleave {
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (s.isEmpty) return UTF8String.EMPTY_UTF8
+    val sb = new java.lang.StringBuilder(s.length * 3 + 2)
+    var i = 0
+    var first = true
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sb.append(if (first) " " else "  ")
+      sb.appendCodePoint(cp)
+      first = false
+      i += Character.charCount(cp)
+    }
+    sb.append(' ')
+    UTF8String.fromString(sb.toString)
+  }
+
+  def charInterleave(c: Column): Column =
+    GraftSql.column(CharInterleave(GraftSql.expression(c)))
+}

@@ -5629,7 +5629,7 @@ object PipelineCatalog {
       .select(explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"), regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+      .select(col("freq"), graft.functions.CharInterleave.charInterleave(col("word")).as("r"))
       .localCheckpoint()
 
   /** One distributed merge round — the pre-r15 shipped inducer, retained
@@ -5679,9 +5679,23 @@ object PipelineCatalog {
     val freqs: Array[Long] = words.map(_._1)
     val counts = mutable.HashMap.empty[(String, String), Long]
     val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // CODE-POINT string order, not Java's UTF-16 unit order: identical on
+    // the v1 [a-z]+ alphabet, and on the v2 full-UTF-8 alphabet it is the
+    // order BOTH engine replays use (Spark UTF8String = binary UTF-8 =
+    // code points; DuckDB default collation likewise) — Java's unit order
+    // would sort a supplementary symbol below U+E000 and flip a tie-break
+    val cpOrd: Ordering[String] = (a: String, b: String) => {
+      var i = 0; var j = 0
+      var r = 0
+      while (r == 0 && i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        r = Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+    }
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering[Long].reverse, Ordering[String],
-        Ordering[String])
+      Ordering.Tuple3(Ordering[Long].reverse, cpOrd, cpOrd)
     val heap = mutable.TreeSet.empty[(Long, String, String)]
 
     def pairMultiset(a: Array[String]): mutable.HashMap[(String, String), Int] = {
@@ -5751,8 +5765,11 @@ object PipelineCatalog {
   }
 
   private def bpeTrain(s: SparkSession, d: String)
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) =
+    bpeTrainFrom(s, bpeWordTable(s, d))
+
+  private def bpeTrainFrom(s: SparkSession, w0: DataFrame)
       : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
-    val w0 = bpeWordTable(s, d)
     // collect the Heaps-bounded table ONCE and induce driver-local; the
     // learned merges come back as 1-row LocalRelations so every consumer
     // (q120's listing, q124's depth frames, q129's replay, q136's drift
@@ -5836,8 +5853,12 @@ object PipelineCatalog {
     * post-merge w_i. Shared by q120's merge listing and q124's fertility
     * curve.
     */
-  private val q120CteChain = {
-    val rounds = (1 to BpeMerges).map { i =>
+  /** Per-round replay CTEs (pairs p_i, argmax b_i, post-merge w_i) — the
+    * word-basis-independent half of the chain, shared by the v1 chain and
+    * q152/q153's v2 (full-alphabet) chain. Expects a `w0` CTE in scope.
+    */
+  private def bpeRoundsCtes: String =
+    (1 to BpeMerges).map { i =>
       s"""p$i AS (
          SELECT w.freq, w.syms[j] AS lhs, w.syms[j + 1] AS rhs
          FROM (SELECT freq, string_split(trim(r), '  ') AS syms FROM w${i - 1}) w,
@@ -5853,6 +5874,8 @@ object PipelineCatalog {
          FROM w${i - 1} w, b$i b
        )"""
     }.mkString(", ")
+
+  private val q120CteChain =
     s"""WITH toks AS (
          SELECT lower(t) AS word
          FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
@@ -5862,8 +5885,7 @@ object PipelineCatalog {
          SELECT CAST(count(*) AS BIGINT) AS freq,
                 regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
          FROM toks GROUP BY word
-       ), $rounds"""
-  }
+       ), $bpeRoundsCtes"""
 
   private val q120Sql = {
     val out = (1 to BpeMerges).map { i =>
@@ -6723,7 +6745,7 @@ object PipelineCatalog {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("source"), col("word")).agg(count(lit(1)).as("freq"))
       .select(col("source"), col("freq"),
-        regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+        graft.functions.CharInterleave.charInterleave(col("word")).as("r"))
     val applied = applyBpeFull(s, sw0, bests)
     fertilityAgg(applied, Seq("source"))
       .select(col("source"), col("total_symbols"), col("total_chars"),
@@ -7463,7 +7485,7 @@ object PipelineCatalog {
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("slice"), col("word")).agg(count(lit(1)).as("freq"))
       .select(col("slice"), col("freq"),
-        regexp_replace(col("word"), "(.)", " $1 ").as("r"))
+        graft.functions.CharInterleave.charInterleave(col("word")).as("r"))
     val applied = applyBpeFull(s, sw0, bests)
     fertilityAgg(applied, Seq("slice"))
       .select(col("slice"), col("total_symbols"), col("total_chars"),
@@ -8539,14 +8561,56 @@ object PipelineCatalog {
   // safe); the rollup lands on ≤ log2(max cluster) rows.
   // -------------------------------------------------------------------------
 
+  // Multi-decade fixture (r16 Next #5, q140's in-query convention): the
+  // organic corpus gives the spectrum ONE decade at sf0.01, so two
+  // residue classes are re-delivered byte-identically at wire-id offsets
+  // — 5 copies per doc_id % 211 doc (decade 4–7), 11 copies per
+  // doc_id % 223 doc (decade 8–15). Byte-identical copies have Jaccard 1
+  // with their source (every band collides — deterministic), never
+  // bridge clusters, and their ids exceed every real id, so the
+  // augmented labels are EXACTLY the pipeline's: each copy inherits
+  // coalesce(label(source), source), sources keep their canonical mins.
+  // Both engines CONSTRUCT the augmentation (no re-mining), so the
+  // oracle replays it bit-for-bit; organic classes flow through the same
+  // rollup untouched.
+  private val Q147FixModA = 211L
+  private val Q147FixCopiesA = 5L
+  private val Q147FixModB = 223L
+  private val Q147FixCopiesB = 11L
+
   val q147ClusterShape: Q = (s, d) => {
+    val (mn0, span0) = docIdBounds(s, d)
+    require(mn0 + span0 - 1 < SynFixtureOff && mn0 >= 0,
+      s"doc_id range [$mn0, ${mn0 + span0 - 1}] collides with the " +
+        s"redelivery-fixture id offset $SynFixtureOff — raise SynFixtureOff")
     val clusters = storedClusterLabels(s, d)
       .select(col("doc_id"), col("cluster_id"))
     val toks = docsWide(s, d).select(col("doc_id"),
       size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
-    val tot = toks.agg(count(lit(1)).as("total_docs"),
-      sum(col("n_tok")).as("total_tok"))
-    val perCluster = toks.join(clusters, Seq("doc_id"))
+    // fixture sources (label inherited; unclustered sources anchor their
+    // own copy-cluster) and their byte-identical wire copies
+    val fix = toks
+      .filter(col("doc_id") % Q147FixModA === 0 ||
+        col("doc_id") % Q147FixModB === 0)
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_tok"))
+    val copies = fix
+      .withColumn("i", explode(sequence(lit(1L),
+        when(col("doc_id") % Q147FixModA === 0, lit(Q147FixCopiesA))
+          .otherwise(lit(Q147FixCopiesB)))))
+      .select((col("doc_id") + col("i") * SynFixtureOff).as("doc_id"),
+        col("cluster_id"), col("n_tok"))
+    val members = toks.join(clusters, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_tok"))
+      .unionByName(fix.join(clusters, Seq("doc_id"), "left_anti"))
+      .unionByName(copies)
+    // corpus totals over the AUGMENTED corpus (real docs + wire copies)
+    val tot = toks.select(col("n_tok"))
+      .unionByName(copies.select(col("n_tok")))
+      .agg(count(lit(1)).as("total_docs"), sum(col("n_tok")).as("total_tok"))
+    val perCluster = members
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("ctok"))
     perCluster
@@ -8562,7 +8626,8 @@ object PipelineCatalog {
       .orderBy(col("size_bucket"))
   }
 
-  /** q85's recursive CC replay + per-cluster member/token rollup,
+  /** q85's recursive CC replay + the constructed redelivery fixture
+    * (label-inherited wire copies) + per-cluster member/token rollup,
     * regrouped by the power-of-two size bucket with exact micros shares.
     */
   private val q147Sql =
@@ -8585,15 +8650,34 @@ object PipelineCatalog {
                 CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
                   x -> x <> '')) AS BIGINT) AS n_tok
          FROM documents
+       ), fix AS (
+         SELECT t.doc_id, COALESCE(cl.cluster_id, t.doc_id) AS cluster_id,
+                t.n_tok
+         FROM tok t LEFT JOIN cl USING (doc_id)
+         WHERE t.doc_id % $Q147FixModA = 0 OR t.doc_id % $Q147FixModB = 0
+       ), copies AS (
+         SELECT f.doc_id + i * $SynFixtureOff AS doc_id, f.cluster_id, f.n_tok
+         FROM fix f, unnest(range(1,
+           CASE WHEN f.doc_id % $Q147FixModA = 0
+                THEN ${Q147FixCopiesA + 1} ELSE ${Q147FixCopiesB + 1} END))
+           AS u(i)
+       ), members AS (
+         SELECT t.doc_id, cl.cluster_id, t.n_tok
+         FROM tok t JOIN cl USING (doc_id)
+         UNION ALL
+         SELECT f.doc_id, f.cluster_id, f.n_tok FROM fix f
+         WHERE f.doc_id NOT IN (SELECT doc_id FROM cl)
+         UNION ALL
+         SELECT doc_id, cluster_id, n_tok FROM copies
        ), tot AS (
          SELECT CAST(count(*) AS BIGINT) AS total_docs,
                 CAST(sum(n_tok) AS BIGINT) AS total_tok
-         FROM tok
+         FROM (SELECT n_tok FROM tok UNION ALL SELECT n_tok FROM copies)
        ), pc AS (
-         SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(t.n_tok) AS BIGINT) AS ctok
-         FROM cl JOIN tok t USING (doc_id)
-         GROUP BY cl.cluster_id
+         SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_tok) AS BIGINT) AS ctok
+         FROM members
+         GROUP BY cluster_id
        ), agg AS (
          SELECT CAST(length(printf('%b', n)) - 1 AS BIGINT) AS size_bucket,
                 CAST(count(*) AS BIGINT) AS n_clusters,
@@ -8635,7 +8719,7 @@ object PipelineCatalog {
         explode(TextAnalytics.tokens(lower(col("text")))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
     val applied = graft.functions.ApplyBpe.applyBpe(
-      regexp_replace(col("word"), "(.)", " $1 "), merges, s)
+      graft.functions.CharInterleave.charInterleave(col("word")), merges, s)
     val base = words
       .select(col("doc_id"), length(col("word")).cast("long").as("n_ch"),
         size(split(trim(applied), "  ")).cast("long").as("n_sym"))
@@ -8681,6 +8765,169 @@ object PipelineCatalog {
                 CAST(sum(sym.n_sym) AS BIGINT) AS n_bpe_tokens
          FROM dw JOIN sym USING (word)
          GROUP BY dw.doc_id
+       )
+       SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+              CAST(${microsDivSql("n_chars", "n_bpe_tokens")} AS BIGINT)
+                AS chars_per_token_micros
+       FROM agg ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------------------
+  // q152/q153: the v2 (FULL-alphabet) tokenizer family — r16 Next #4's
+  // migration off the v1 `^[a-z]+$` contract. Production tokenizes full
+  // UTF-8 input; v2 trains and applies over EVERY whitespace token, case
+  // and punctuation preserved, symbols = Unicode code points (the
+  // char_interleave expression — one symbol per code point in Spark,
+  // Java regex and DuckDB RE2 alike). The induction/application kernels
+  // are the SAME machinery as v1 behind the word-table parameter —
+  // trainBpeLocal's argmax tie-break is code-point order, which equals
+  // the old order on [a-z] and equals both engines' binary collation on
+  // the wider alphabet — so v1 rows (q120/q124/q129/q136/q148) are
+  // byte-unchanged and their parity specs stand. Versioning rides the
+  // same `tokenizer` field the store manifests carry ("v1-frozen"
+  // today): an artifact rebuilt under v2 token accounting would stamp
+  // "v2-full" and rebuild via the manifest mismatch, exactly like a
+  // packing-parameter change.
+  //
+  // The corpus is deliberately lowercase-ASCII, so v2's wider-alphabet
+  // mass is an IN-QUERY fixture (q140's convention, FIXTURES.md): docs
+  // with ≥3 tokens append a deterministic suffix — upper(first word)
+  // (case class), "Id<doc_id%100>!" (digits+punct), "<w2>-<w3>"
+  // (compound), " café 🚀" (accented Latin + a supplementary-plane
+  // emoji) — constructed identically by both engines, so induction sees
+  // genuine uppercase/digit/punctuation/UTF-8 pair mass at every scale.
+  // -------------------------------------------------------------------------
+
+  private val V2Extra = " café 🚀"
+
+  /** The augmented v2 text: base text + the deterministic wider-alphabet
+    * suffix for docs with ≥3 tokens (short docs pass through unchanged —
+    * the guard both engines replay).
+    */
+  private def v2TextCol: org.apache.spark.sql.Column = {
+    val toks = TextAnalytics.tokens(col("text"))
+    when(size(toks) >= 3,
+      concat(col("text"), lit(" "), upper(element_at(toks, 1)),
+        lit(" Id"), pmod(col("doc_id"), lit(100L)).cast("string"), lit("! "),
+        element_at(toks, 2), lit("-"), element_at(toks, 3), lit(V2Extra)))
+      .otherwise(col("text"))
+  }
+
+  /** Per-doc v2 token occurrences — ALL whitespace tokens of the
+    * augmented text, case preserved, no alphabet filter.
+    */
+  private def v2DocTokens(s: SparkSession, d: String): DataFrame =
+    docsWide(s, d).select(col("doc_id"),
+      explode(TextAnalytics.tokens(v2TextCol)).as("word"))
+
+  /** The v2 Heaps-bounded training table: distinct full-alphabet words
+    * with corpus frequencies, code-point-interleaved symbolizations.
+    */
+  private[graft] def bpeWordTableV2(s: SparkSession, d: String): DataFrame =
+    v2DocTokens(s, d)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        graft.functions.CharInterleave.charInterleave(col("word")).as("r"))
+      .localCheckpoint()
+
+  private def bpeChainV2(s: SparkSession, d: String)
+      : (IndexedSeq[DataFrame], IndexedSeq[DataFrame]) = {
+    evictStaleContexts(bpeCache, s.sparkContext.applicationId)
+    bpeCache.computeIfAbsent(
+      s.sparkContext.applicationId + " " + d + " " + docsFingerprint(d) + "#v2",
+      { _ => bpeTrainFrom(s, bpeWordTableV2(s, d)) })
+  }
+
+  /** Bench hook — v2 training is write-time work like v1's. */
+  private[graft] def ensureBpeV2(s: SparkSession, d: String): Unit =
+    bpeChainV2(s, d)
+
+  val q152BpeMergesV2: Q = (s, d) => {
+    val (_, bests) = bpeChainV2(s, d)
+    bests.zipWithIndex.map { case (best, i0) =>
+      best.select(lit((i0 + 1).toLong).as("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_count"))
+    }.reduce(_ union _).orderBy(col("merge_rank"))
+  }
+
+  val q153BpeTokenizeV2: Q = (s, d) => {
+    val (_, bests) = bpeChainV2(s, d)
+    val merges = collectMerges(bests)
+    val words = v2DocTokens(s, d)
+    val applied = graft.functions.ApplyBpe.applyBpe(
+      graft.functions.CharInterleave.charInterleave(col("word")), merges, s)
+    val base = words
+      .select(col("doc_id"), length(col("word")).cast("long").as("n_ch"),
+        size(split(trim(applied), "  ")).cast("long").as("n_sym"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_ch")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        expr(microsDiv("n_chars", "n_bpe_tokens"))
+          .as("chars_per_token_micros"))
+      .orderBy(col("doc_id"))
+    if (merges.size < BpeMerges) base.filter(lit(false)) else base
+  }
+
+  /** The v2 WITH-chain: augmented-text token basis (the fixture suffix
+    * constructed in SQL), then the SAME per-round replay CTEs as v1.
+    */
+  private val v2CteChain =
+    s"""WITH dv2 AS (
+         SELECT doc_id,
+                CASE WHEN len(w) >= 3
+                     THEN text || ' ' || upper(w[1]) || ' Id' ||
+                          CAST(doc_id % 100 AS VARCHAR) || '! ' ||
+                          w[2] || '-' || w[3] || '$V2Extra'
+                     ELSE text END AS text2
+         FROM (SELECT doc_id, text,
+                      list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> '') AS w
+               FROM documents)
+       ), toks AS (
+         SELECT doc_id, t AS word
+         FROM (SELECT doc_id, unnest(regexp_split_to_array(text2, '\\s+')) AS t
+               FROM dv2)
+         WHERE t <> ''
+       ), w0 AS (
+         SELECT CAST(count(*) AS BIGINT) AS freq,
+                regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
+         FROM toks GROUP BY word
+       ), $bpeRoundsCtes"""
+
+  private val q152Sql = {
+    val rows = (1 to BpeMerges).map { i =>
+      s"""SELECT $i AS merge_rank, lhs, rhs, lhs || rhs AS merged,
+                CAST(pair_count AS BIGINT) AS pair_count FROM b$i"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""$v2CteChain
+       $rows
+       ORDER BY merge_rank"""
+  }
+
+  private val q153Sql = {
+    val applies = (1 to BpeMerges).map { i =>
+      s"""u$i AS (
+         SELECT u.word,
+                replace(u.r, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                        ' ' || b.lhs || b.rhs || ' ') AS r
+         FROM u${i - 1} u, b$i b
+       )"""
+    }.mkString(", ")
+    s"""$v2CteChain, u0 AS (
+         SELECT DISTINCT word,
+                regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
+         FROM toks
+       ), $applies, sym AS (
+         SELECT word, CAST(len(string_split(trim(r), '  ')) AS BIGINT) AS n_sym
+         FROM u$BpeMerges
+       ), agg AS (
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(length(t.word)) AS BIGINT) AS n_chars,
+                CAST(sum(sym.n_sym) AS BIGINT) AS n_bpe_tokens
+         FROM toks t JOIN sym USING (word)
+         GROUP BY t.doc_id
        )
        SELECT doc_id, n_words, n_chars, n_bpe_tokens,
               CAST(${microsDivSql("n_chars", "n_bpe_tokens")} AS BIGINT)
@@ -8892,7 +9139,12 @@ object PipelineCatalog {
 
   private val HybridNProbe = 8
 
-  val q151HybridServed: Q = (s, d) => {
+  /** The store-served fused ranking, parameterized by the dense arm's
+    * probe budget — q151 is the `HybridNProbe` instance; tools/HybridAgree
+    * sweeps the budget to measure rank agreement vs exact q61.
+    */
+  private[graft] def hybridServed(s: SparkSession, d: String,
+      nProbe: Int): DataFrame = {
     val docs = docsWide(s, d)
     val emb = tbl(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
@@ -8906,7 +9158,7 @@ object PipelineCatalog {
     val denseTop = Similarity.ivfTopK(
         store.vectors.join(docs.select(col("doc_id")),
           col("vec_id") === col("doc_id")),
-        "embedding", store.centroids, qv, 50, nProbe = HybridNProbe)
+        "embedding", store.centroids, qv, 50, nProbe = nProbe)
       .select(col("vec_id").as("doc"), col("score"))
     val denseRank = graft.operators.SearchOps
       .boundedRank(denseTop, "rank")(col("score").desc, col("doc"))
@@ -8925,6 +9177,8 @@ object PipelineCatalog {
       .select(col("doc").as("doc_id"), rnd(col("rrf"), 9).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
   }
+
+  val q151HybridServed: Q = (s, d) => hybridServed(s, d, HybridNProbe)
 
   /** The fused replay: q27's centroid-literal IVF chain restricted to
     * document vectors → in-probe cosine rank top-50, q60's BM25 CTE
@@ -9095,6 +9349,8 @@ object PipelineCatalog {
     "q149_inc_manifest" -> q149IncManifest,
     "q150_stream_manifest" -> q150StreamManifest,
     "q151_hybrid_served" -> q151HybridServed,
+    "q152_bpe_merges_v2" -> q152BpeMergesV2,
+    "q153_bpe_tokenize_v2" -> q153BpeTokenizeV2,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
   )
@@ -9229,6 +9485,8 @@ object PipelineCatalog {
     "q148_bpe_tokenize" -> q148Sql,
     "q149_inc_manifest" -> q149Sql,
     "q150_stream_manifest" -> q149Sql,
+    "q152_bpe_merges_v2" -> q152Sql,
+    "q153_bpe_tokenize_v2" -> q153Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -2119,9 +2119,26 @@ class MutationAuditSpec extends AnyFunSuite {
         .select(col("node").as("doc_id"), col("cluster_id"))
       val toks = docsWide(Sf01).select(col("doc_id"),
         size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
-      val tot = toks.agg(count(lit(1)).as("total_docs"),
-        sum(col("n_tok")).as("total_tok"))
-      val perCluster = toks.join(clusters, Seq("doc_id"))
+      // r17 multi-decade redelivery fixture — the shipped construction
+      val fix = toks
+        .filter(col("doc_id") % 211 === 0 || col("doc_id") % 223 === 0)
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          col("n_tok"))
+      val copies = fix
+        .withColumn("i", explode(sequence(lit(1L),
+          when(col("doc_id") % 211 === 0, lit(5L)).otherwise(lit(11L)))))
+        .select((col("doc_id") + col("i") * 1000000000L).as("doc_id"),
+          col("cluster_id"), col("n_tok"))
+      val members = toks.join(clusters, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("n_tok"))
+        .unionByName(fix.join(clusters, Seq("doc_id"), "left_anti"))
+        .unionByName(copies)
+      val tot = toks.select(col("n_tok"))
+        .unionByName(copies.select(col("n_tok")))
+        .agg(count(lit(1)).as("total_docs"), sum(col("n_tok")).as("total_tok"))
+      val perCluster = members
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("ctok"))
       val bucketed = perCluster
@@ -2259,5 +2276,36 @@ class MutationAuditSpec extends AnyFunSuite {
     audit("q150_stream_manifest", Sf01,
       control = serve(once),
       mutated = serve(replayApplied))
+  }
+
+  test("v2-tokenizer family (q152): a lowercase slip flips the gate") {
+    // 57th family: v2's contract is CASE-PRESERVING full-alphabet
+    // induction (production byte-level tokenizers never casefold); the
+    // natural migration slip keeps v1's lower() in the new word basis,
+    // which folds the fixture's uppercase mass back into the lowercase
+    // pairs and moves merge winners. The gate must see it.
+    import graft.queries.PipelineCatalog
+    import spark.implicits._
+    def build(lowercased: Boolean) = {
+      val w0raw = PipelineCatalog.bpeWordTableV2(spark, Sf01)
+      val w0 =
+        if (lowercased)
+          // the slip applied at the symbolization grain: casefold the
+          // symbolized words and re-aggregate the freqs
+          w0raw.select(col("freq"), lower(col("r")).as("r"))
+            .groupBy(col("r")).agg(sum(col("freq")).as("freq"))
+            .select(col("freq"), col("r"))
+        else w0raw
+      val table = w0.select(col("freq"), col("r")).collect()
+        .map(r => (r.getLong(0), r.getString(1).trim.split("  ")))
+      val merges = PipelineCatalog.trainBpeLocal(table, 6)
+      merges.zipWithIndex.map { case ((l, r, c), i0) =>
+        ((i0 + 1).toLong, l, r, l + r, c)
+      }.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("merge_rank"))
+    }
+    audit("q152_bpe_merges_v2", Sf01,
+      control = build(lowercased = false),
+      mutated = build(lowercased = true))
   }
 }
