@@ -201,6 +201,12 @@ object Bench {
     build("stream_manifest") {
       graft.queries.PipelineCatalog.q150EnsureStreaming(spark, sfDir)
     }
+    build("inc_clusters") {
+      graft.queries.PipelineCatalog.q154EnsureIncremental(spark, sfDir)
+    }
+    build("stream_clusters") {
+      graft.queries.PipelineCatalog.q155EnsureStreaming(spark, sfDir)
+    }
     val indexBuild =
       if (buildDetail.values.forall(_ < 0)) -1.0
       else buildDetail.values.filter(_ >= 0).sum

@@ -1337,7 +1337,8 @@ object PipelineCatalog {
     // identical to the inline pass (shared bm25Formula), so the oracle is
     // untouched. The dense arm stays the EXACT brute cosine: RRF fuses
     // ranks, and the oracle pins exact ranks (the IVF-served approximate
-    // hybrid is q27/q121's family, with measured recall, not this query).
+    // hybrid is q151, with its rank-agreement curve measured per probe
+    // budget in tools/HybridAgree / PROFILE_r18 §2).
     val idx = graft.sources.TextIndex.ensure(s, docsWide(s, d), "doc_id", "text", d)
     val bmTop = graft.operators.SearchOps.bm25ScoresIndexed(
         idx, Bm25Terms, k1 = 1.5, b = 0.75)
@@ -9119,6 +9120,165 @@ object PipelineCatalog {
     graft.sources.ManifestStore.read(s, q150EnsureStreaming(s, d)))
 
   // -------------------------------------------------------------------------
+  // q154: INCREMENTALLY maintained cluster store — the q77/q78/q79/q149
+  // contract applied to ClusterStore, with the append path ORACLE-checked
+  // (ClusterStoreSpec proves the lifecycle on an engineered corpus; this
+  // proves the VALUES against an independent engine on the real one).
+  // Scenario: the base build clusters the corpus MINUS docs {8, 245, 45};
+  // append 1 delivers {8, 245} — a delta-internal pair that forms a NEW
+  // cluster; append 2 delivers {45} — which bridges INTO the published
+  // {267, 413} cluster as its new minimum, so both members RELABEL
+  // (tombstone + re-append, the union-find merge's interesting arm —
+  // doc 45's organic cluster {45, 267, 413} at sf0.01 guarantees the
+  // case). Serving the q75 label shape from the incremental store must
+  // equal DuckDB's recursive CC replay over the FULL corpus — incremental
+  // maintenance is indistinguishable from a from-scratch clustering, or
+  // the store is wrong.
+  // -------------------------------------------------------------------------
+
+  private val Q154NewPair = Seq(8L, 245L)
+  private val Q154Bridge = 45L
+
+  private[graft] def q154Path(d: String): String =
+    graft.sources.GenStore.artifactPath(d, "documents.parquet",
+      "_graft_clusters_inc", "graft-clusterinc")
+
+  private[graft] def q154EnsureIncremental(s: SparkSession, d: String): String = {
+    val path = q154Path(d)
+    val bandPath = graft.sources.GenStore.artifactPath(d, "documents.parquet",
+      "_graft_bands_inc", "graft-bandinc")
+    val mfPath = java.nio.file.Paths.get(path, "_graft_scenario.json")
+    val expected = {
+      val stamp = graft.sources.GenStore.sourceStamp(
+        new java.io.File(s"$d/documents.parquet"))
+      s"""{"source_stamp":"$stamp","scenario":"clusters-base+append-v1","new_pair":[${Q154NewPair.mkString(",")}],"bridge":$Q154Bridge}"""
+    }
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      for (p <- Seq(path, bandPath)) {
+        val dir = new java.io.File(p)
+        if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      }
+      import s.implicits._
+      val docs = docsWide(s, d).select(col("doc_id"), col("text"))
+      val held = Q154NewPair :+ Q154Bridge
+      val base = docs.filter(!col("doc_id").isin(held: _*))
+      graft.sources.BandStore.write(base, "doc_id", "text", bandPath, 32, 8)
+      graft.sources.ClusterStore.write(base,
+        graft.sources.BandStore.read(s, bandPath, 32, 8),
+        "doc_id", "text", path)
+      var corpus = base
+      def deliver(delta: DataFrame, batchId: Long): Unit = {
+        corpus = corpus.unionByName(delta)
+        graft.sources.BandStore.upsert(s, delta, "doc_id", "text",
+          Seq.empty[Long].toDF("doc_id"), bandPath, 32, 8, batchId = batchId)
+        graft.sources.ClusterStore.append(s, delta, corpus,
+          graft.sources.BandStore.read(s, bandPath, 32, 8),
+          "doc_id", "text", path, batchId = batchId)
+      }
+      deliver(docs.filter(col("doc_id").isin(Q154NewPair: _*)), 1L)
+      deliver(docs.filter(col("doc_id") === Q154Bridge), 2L)
+      graft.sources.GenStore.atomicWrite(mfPath, expected)
+    }
+    path
+  }
+
+  val q154IncClusters: Q = (s, d) =>
+    graft.sources.ClusterStore.read(s, q154EnsureIncremental(s, d))
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+
+  // -------------------------------------------------------------------------
+  // q155: STREAM-maintained cluster store — the q87/q97/q150 micro-batch
+  // discipline applied to the newest store family, in the SAME dropzone
+  // delivery as q154's direct-call scenario: base batch (corpus minus
+  // {8, 245, 45}), the {8, 245} delta-internal pair, then the doc-45
+  // bridge that relabels the published {267, 413} cluster — each batch
+  // flowing through Dropzone.processBatch beside the band store it
+  // probes (band upsert FIRST; the ordering family 59 pins), plus a
+  // same-batch-id replay that must be a watermark no-op. The dropzone's
+  // stores are PATH-keyed, so labels come back keyed by file path with
+  // lexicographic canonical mins; the serve remaps members to their
+  // numeric ids and re-derives cluster_id = min(doc_id) per component —
+  // membership is id-scheme-independent, so the result must equal
+  // DuckDB's recursive-CC replay over the FULL corpus (q75's oracle
+  // verbatim), exactly like q154.
+  // -------------------------------------------------------------------------
+
+  private val Q155Dropzone = "dzc"
+
+  private def q155Root(d: String): String = {
+    val root = sys.env.get("GRAFT_INDEX_DIR")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(s"$d/documents.parquet").getAbsolutePath
+        .concat("#cluster-stream").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    new java.io.File(root, s"graft-cluster-stream-$sig").toString
+  }
+
+  private[graft] def q155EnsureStreaming(s: SparkSession, d: String): String = {
+    val root = q155Root(d)
+    val mfPath = java.nio.file.Paths.get(root, "_graft_scenario.json")
+    val expected = {
+      val stamp = graft.sources.GenStore.sourceStamp(
+        new java.io.File(s"$d/documents.parquet"))
+      s"""{"source_stamp":"$stamp","scenario":"cluster-stream-v1","new_pair":[${Q154NewPair.mkString(",")}],"bridge":$Q154Bridge}"""
+    }
+    val fresh = java.nio.file.Files.exists(mfPath) &&
+      java.nio.file.Files.readString(mfPath) == expected
+    if (!fresh) {
+      val dir = new java.io.File(root)
+      if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      dir.mkdirs()
+      val docs = docsWide(s, d).select(col("doc_id"), col("text"))
+      def files(ds: DataFrame): DataFrame =
+        ds.select(
+            concat(lit(s"$Q155Dropzone/"), col("doc_id"), lit(".txt")).as("path"),
+            encode(col("text"), "UTF-8").as("content"))
+          .withColumn("length", octet_length(col("content")).cast("long"))
+      var delivered = docs.filter(lit(false))
+      def run(b: DataFrame, id: Long): Unit = {
+        delivered = delivered.unionByName(b).localCheckpoint()
+        val corpusNow = delivered
+        graft.streaming.Dropzone.processBatch(
+          s, files(b), Q155Dropzone, s"$root/chunks",
+          chunkSize = 4000, chunkOverlap = 0, embedDim = 8,
+          skipUnchangedFiles = true, batchId = id,
+          bandStorePath = Some(s"$root/bands"),
+          clusterStore = Some((s"$root/clusters",
+            // dropzone paths are RELATIVIZED by the scan ("45.txt") —
+            // the corpus thunk must speak the store's keys
+            () => corpusNow.select(
+              concat(col("doc_id"), lit(".txt")).as("path"),
+              col("text")))))
+      }
+      val held = Q154NewPair :+ Q154Bridge
+      run(docs.filter(!col("doc_id").isin(held: _*)), 0L)
+      run(docs.filter(col("doc_id").isin(Q154NewPair: _*)), 1L)
+      run(docs.filter(col("doc_id") === Q154Bridge), 2L)
+      // restart replay of the bridge batch: watermark + skip-unchanged
+      run(docs.filter(col("doc_id") === Q154Bridge), 2L)
+      graft.sources.GenStore.atomicWrite(mfPath, expected)
+    }
+    s"$root/clusters"
+  }
+
+  val q155StreamClusters: Q = (s, d) => {
+    val lab = graft.sources.ClusterStore.read(s, q155EnsureStreaming(s, d))
+      .select(regexp_extract(col("doc_id"), "(\\d+)", 1).cast("long")
+          .as("doc_id"),
+        col("cluster_id").as("__cl"))
+    val remap = lab.groupBy(col("__cl"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    lab.join(remap, Seq("__cl"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------------
   // q151: the PRODUCTION hybrid serving shape (r16 Next #3) — q61's
   // dense+sparse RRF fusion with the dense arm served APPROXIMATELY from
   // the persisted IVF store (nProbe=8 cell pruning, the q27 serving
@@ -9350,6 +9510,8 @@ object PipelineCatalog {
     "q150_stream_manifest" -> q150StreamManifest,
     "q151_hybrid_served" -> q151HybridServed,
     "q152_bpe_merges_v2" -> q152BpeMergesV2,
+    "q154_inc_clusters" -> q154IncClusters,
+    "q155_stream_clusters" -> q155StreamClusters,
     "q153_bpe_tokenize_v2" -> q153BpeTokenizeV2,
     "q103_video_search" -> q103VideoSearch,
     "q104_frame_ann" -> q104FrameAnn,
@@ -9487,6 +9649,8 @@ object PipelineCatalog {
     "q150_stream_manifest" -> q149Sql,
     "q152_bpe_merges_v2" -> q152Sql,
     "q153_bpe_tokenize_v2" -> q153Sql,
+    "q154_inc_clusters" -> q75Sql,
+    "q155_stream_clusters" -> q75Sql,
     "q103_video_search" -> q103Sql,
   )
 }

@@ -82,7 +82,8 @@ object Dropzone {
       bandStorePath: Option[String] = None,
       skipLedgerPath: Option[String] = None,
       manifestStore: Option[(String, graft.sources.ManifestStore.Params,
-        org.apache.spark.sql.Column)] = None): Unit = {
+        org.apache.spark.sql.Column)] = None,
+      clusterStore: Option[(String, () => DataFrame)] = None): Unit = {
     val scanned = FileIngest.scanFilesFrame(files, dropzone)
     // Per-micro-batch skip ledger (r11, the q101 batch ledger promoted to
     // the stream — the reference records a skip ledger per ingest run,
@@ -185,6 +186,29 @@ object Dropzone {
         graft.sources.BandStore.write(docDelta, "path", "text", bsp,
           numHashes = 32, bands = 8, batchId = batchId)
     }
+    // the cluster-label table is maintained per micro-batch BESIDE the
+    // band store it probes (band upsert FIRST — the delta's fingerprints
+    // must be in the store for delta-internal pairs to surface; the
+    // ordering ClusterStoreSpec/the q155 family pin). The corpus thunk
+    // supplies every LIVE document's text (the lake the dropzone feeds):
+    // the append re-shingles only colliding candidates from it, so the
+    // per-batch cost is O(delta + collisions). Replaced/deleted docs are
+    // not incremental for labels (a removed edge can SPLIT a component)
+    // — this wiring is for append-only dumps, like the manifest's.
+    clusterStore.foreach { case (csp, corpus) =>
+      val bsp = bandStorePath.getOrElse(throw new IllegalArgumentException(
+        "clusterStore maintenance requires bandStorePath (labels are " +
+          "derived from the band store's delta probe)"))
+      val docDelta = delta.select(col("path"), col("text"))
+      val bs = graft.sources.BandStore.read(spark, bsp, 32, 8)
+      if (graft.sources.ClusterStore.exists(csp))
+        graft.sources.ClusterStore.append(spark, docDelta,
+          corpus().select(col("path"), col("text")), bs,
+          "path", "text", csp, batchId = batchId)
+      else if (!docDelta.isEmpty)
+        graft.sources.ClusterStore.write(corpus().select(col("path"),
+          col("text")), bs, "path", "text", csp, batchId = batchId)
+    }
     // the loader manifest is maintained per micro-batch like the stores
     // above, but under ManifestStore's APPEND-ONLY contract: each dump
     // packs into fresh sequences at the epochs' tails. `docIdExpr` maps
@@ -199,6 +223,13 @@ object Dropzone {
     manifestStore.foreach { case (msp, params, docIdExpr) =>
       val docDelta = delta
         .select(docIdExpr.cast("long").as("doc_id"), col("text"))
+      // a docIdExpr that fails to parse a delivered path would pack NULL
+      // ids silently (the packing's min/max probe treats the batch as
+      // empty) — misconfiguration fails fast instead
+      val nNull = docDelta.filter(col("doc_id").isNull).count()
+      if (nNull > 0) throw new IllegalStateException(
+        s"manifest docIdExpr produced $nNull null id(s) for this batch — " +
+          "every delivered file must map to a numeric packing id")
       if (graft.sources.ManifestStore.exists(msp)) {
         val committed =
           batchId >= 0 && batchId <= graft.sources.ManifestStore.readStats(msp)._2

@@ -2278,6 +2278,78 @@ class MutationAuditSpec extends AnyFunSuite {
       mutated = serve(replayApplied))
   }
 
+  test("inc-cluster family (q154): a tombstone-blind store read flips the gate") {
+    // 58th family: the incremental cluster store RELABELS a published
+    // cluster's members when a delta doc becomes its new minimum (the
+    // scenario's doc-45 bridge into {267, 413}) — losers tombstone at
+    // gen N and re-append at gen N. The natural serving slip reads raw
+    // segment rows without the tombstone/committed-gen discipline, so a
+    // relabeled member serves BOTH its stale and its new label. The gate
+    // must see the stale rows.
+    import graft.queries.PipelineCatalog
+    import graft.sources.{ClusterStore, GenStore}
+    val path = PipelineCatalog.q154EnsureIncremental(spark, Sf01)
+    val control = ClusterStore.read(spark, path)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+    val mutated = GenStore.seg(spark, GenStore.tableDir(path, "clusters"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+      .distinct()
+      .orderBy(col("doc_id"))
+    // non-vacuity: the scenario must actually have tombstoned something
+    assert(mutated.count() > control.count(),
+      "q154 scenario produced no relabel — the mutation would be vacuous")
+    audit("q154_inc_clusters", Sf01, control = control, mutated = mutated)
+  }
+
+  test("stream-cluster family (q155): probing before the band upsert flips the gate") {
+    // 59th family: the dropzone wiring probes the band store for the
+    // delta's pairs AFTER upserting the delta's fingerprints — the
+    // ordering that makes delta-INTERNAL pairs visible. The natural slip
+    // probes first (or against a stale read), so a dump whose duplicates
+    // arrive together never clusters them: the {8, 245} pair lands in
+    // the band store but its labels never materialize. Control is q154's
+    // direct-call store (same labels as the stream path by the oracle's
+    // own equivalence); mutated replays the scenario with the batch-1
+    // probe against the PRE-upsert bands.
+    import graft.queries.PipelineCatalog
+    import graft.sources.{BandStore, ClusterStore}
+    import spark.implicits._
+    val control = SparkEntry.queries("q154_inc_clusters")(spark, Sf01)
+    val docs = docsWide(Sf01).select(col("doc_id"), col("text"))
+    val held = Seq(8L, 245L, 45L)
+    val base = docs.filter(!col("doc_id").isin(held: _*))
+    val bandTmp = java.nio.file.Files.createTempDirectory("f59-bands").toString
+    val clTmp = java.nio.file.Files.createTempDirectory("f59-clusters").toString
+    BandStore.write(base, "doc_id", "text", bandTmp, 32, 8)
+    ClusterStore.write(base, BandStore.read(spark, bandTmp, 32, 8),
+      "doc_id", "text", clTmp)
+    val d1 = docs.filter(col("doc_id").isin(8L, 245L))
+    val d2 = docs.filter(col("doc_id") === 45L)
+    // THE SLIP: batch 1's probe runs against the store WITHOUT the
+    // delta's fingerprints (upsert happens after, too late)
+    val corpus1 = base.unionByName(d1)
+    ClusterStore.append(spark, d1, corpus1,
+      BandStore.read(spark, bandTmp, 32, 8), "doc_id", "text", clTmp,
+      batchId = 1L)
+    BandStore.upsert(spark, d1, "doc_id", "text",
+      Seq.empty[Long].toDF("doc_id"), bandTmp, 32, 8, batchId = 1L)
+    // batch 2 in the correct order — the slip's damage must persist
+    BandStore.upsert(spark, d2, "doc_id", "text",
+      Seq.empty[Long].toDF("doc_id"), bandTmp, 32, 8, batchId = 2L)
+    ClusterStore.append(spark, d2, corpus1.unionByName(d2),
+      BandStore.read(spark, bandTmp, 32, 8), "doc_id", "text", clTmp,
+      batchId = 2L)
+    val mutated = ClusterStore.read(spark, clTmp)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+      .orderBy(col("doc_id"))
+    // non-vacuity: the slip must actually have lost the {8, 245} pair
+    assert(!mutated.collect().exists(_.getLong(0) == 8L),
+      "slip replica still clustered the delta-internal pair — vacuous")
+    audit("q155_stream_clusters", Sf01, control = control, mutated = mutated)
+  }
+
   test("v2-tokenizer family (q152): a lowercase slip flips the gate") {
     // 57th family: v2's contract is CASE-PRESERVING full-alphabet
     // induction (production byte-level tokenizers never casefold); the

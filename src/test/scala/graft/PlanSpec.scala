@@ -255,6 +255,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Generate"), "serving path re-tokenizes (explode) at query time")
   }
 
+  test("q151: hybrid serving — both arms store-served, cell-pruned dense arm, no corpus text") {
+    // the production fused ranking must be two INDEX lookups + a fuse:
+    // sparse arm = term_bucket-pruned postings (q68's contract), dense
+    // arm = cell-partition-pruned vectors (q27's contract) restricted to
+    // document ids (a doc_id-only corpus projection — never text), and
+    // no query-time tokenization or full-vector scan anywhere.
+    val p = plan("q151_hybrid_served")
+    assert(p.contains("postings"), "sparse arm lost the postings scan")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      "postings scan not pruned by term_bucket partitions")
+    assert(p.contains("cell"),
+      "dense arm lost its cell pruning")
+    assert(!p.contains("Generate"), "hybrid serve re-tokenizes at query time")
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+      .map(_.group(1)).toList
+    assert(schemas.nonEmpty)
+    assert(!schemas.exists(_.contains("text")),
+      s"hybrid serve reads corpus text: $schemas")
+  }
+
   test("q77: incremental index — serving scans the index, update reads only the delta") {
     // Serving side: same contract as q68, over the base+delta artifact —
     // term_bucket-pruned postings (+ small broadcast tombstones), never
@@ -607,6 +627,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), "q85's serve grew a window")
     assert(!p.contains("CartesianProduct"), "q85 grew a cartesian product")
     assertScansWithin(p, "q85", Set("doc_id", "cluster_id"))
+  }
+
+  test("q154: incremental cluster serve is a pure store read — no fingerprint, no window") {
+    // the append path's cost lives at maintenance time; the SERVE must be
+    // the q85 store-read contract over the scenario store
+    val p = plan("q154_inc_clusters")
+    assert(!p.contains("band_minhash"),
+      "q154's serve re-fingerprints instead of reading the store")
+    assert(!p.contains("windowspecdefinition"), "q154's serve grew a window")
+    // the scenario store HAS tombstones (the doc-45 relabel), so the
+    // serve legitimately scans the (doc)-keyed tombstone segments too
+    assertScansWithin(p, "q154", Set("doc_id", "cluster_id", "doc"))
   }
 
   test("q109: every budget-selection window carries the __rb bucket (no global-order window)") {

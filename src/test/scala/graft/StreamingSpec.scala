@@ -417,6 +417,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(serve == after, "failed guard batch must leave the manifest untouched")
   }
 
+  test("stream-maintained cluster store: band-first ordering, delta-internal pairs, replay no-op") {
+    // q155's wiring: labels ride processBatch beside the band store they
+    // probe; the band upsert runs FIRST (delta-internal pairs must see
+    // their own fingerprints), the corpus thunk supplies live text for
+    // candidate re-shingling, replays are watermark no-ops.
+    import org.apache.spark.sql.DataFrame
+    import graft.sources.ClusterStore
+    val root = Files.createTempDirectory("graft-stream-clusters")
+    val store = root.resolve("chunks").toString
+    val bands = root.resolve("bands").toString
+    val clusters = root.resolve("clusters").toString
+    val U = (0 until 40).map(i => s"u$i")
+    def xt(tail: String) = (U.take(36) :+ tail).mkString(" ")
+    val base = Seq("a" -> xt("xa xb"), "b" -> xt("xc xd"),
+      "s" -> (0 until 30).map(i => s"s$i").mkString(" "))
+    val delta = Seq("c" -> xt("xe xf"), // joins the {a, b} cluster
+      "p" -> ((0 until 30).map(i => s"v$i").mkString(" ") + " w1 w2"),
+      "q" -> ((0 until 30).map(i => s"v$i").mkString(" ") + " w3 w4")) // delta-internal pair
+    def files(docs: Seq[(String, String)]): DataFrame = {
+      import spark.implicits._
+      docs.map { case (n, t) => (s"dzc/$n.txt", t.getBytes("UTF-8")) }
+        .toDF("path", "content")
+        .withColumn("length", octet_length(col("content")).cast("long"))
+    }
+    var live: Seq[(String, String)] = Seq.empty
+    def run(docs: Seq[(String, String)], id: Long): Unit = {
+      live = (live ++ docs).distinct
+      val corpusNow = live
+      Dropzone.processBatch(spark, files(docs), "dzc", store, 400, 0, 8,
+        skipUnchangedFiles = true, batchId = id,
+        bandStorePath = Some(bands),
+        clusterStore = Some((clusters, () => {
+          import spark.implicits._
+          // dropzone paths are RELATIVIZED by the scan ("a.txt", not
+          // "dzc/a.txt") — the corpus thunk must speak the store's keys
+          corpusNow.map { case (n, t) => (s"$n.txt", t) }
+            .toDF("path", "text")
+        })))
+    }
+    run(base, 0L)
+    def serve = ClusterStore.read(spark, clusters).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(serve == Map("a.txt" -> "a.txt", "b.txt" -> "a.txt"),
+      s"base clustering wrong: $serve")
+    run(delta, 1L)
+    val after = serve
+    assert(after("c.txt") == "a.txt", "joiner must inherit the base label")
+    assert(after("p.txt") == "p.txt" && after("q.txt") == "p.txt",
+      s"delta-internal pair must cluster (band upsert runs before the probe): $after")
+    assert(!after.contains("s.txt"), "singleton grew a label")
+    // replay of batch 1: both layers (skip-unchanged short-circuit and
+    // the ClusterStore watermark) must leave the labels untouched
+    run(delta, 1L)
+    assert(serve == after, "replayed batch mutated the cluster store")
+  }
+
   test("re-dropped file that chunks SHORTER deletes its tail vectors from the ANN store") {
     // chunk ids are uuid5(document_id, "chunk:{idx}"): a shorter re-drop
     // produces a PREFIX of the old id set, so the removed tail ids appear
