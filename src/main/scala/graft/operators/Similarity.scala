@@ -180,6 +180,70 @@ object Similarity {
     graft.operators.SearchOps.reduceTopKPerQuery(scored, k, idCol = "vec_id")
   }
 
+  /** [[ivfBatchTopK]] at EVERY probe budget in `probes`, from ONE scored
+    * pass — the recall-curve form (q121's sweep). The store is scanned and
+    * cosine-scored once at the LARGEST budget with each row carrying its
+    * cell's probe rank; every smaller budget is a rank filter over that
+    * snapshot, so the per-tier (query, vec) sets — and therefore the
+    * per-tier top-k under the shared (score DESC, vec_id ASC) tie-break —
+    * are row-identical to running [[ivfBatchTopK]] per tier (which is
+    * exactly how the DuckDB oracle replays the curve: rank once, filter
+    * per tier). r17 OPT: the per-tier form scanned + re-scored the store
+    * once per budget (§1.2: don't run N passes where one suffices).
+    * Returns (nprobe, query_id, vec_id, score, ...).
+    */
+  def ivfBatchTopKCurve(
+      indexed: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]],
+      queries: DataFrame, k: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val cn2 = VectorFunctions.centroidNorm2(centroids)
+    val distsOverNv = array(centroids.indices.map { i =>
+      lit(1.0) + lit(cn2(i)) - lit(2.0) * VectorFunctions.dot(
+        col("nv"), array(centroids(i).map(lit).toIndexedSeq: _*))
+    }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probeF = queries
+      .withColumn("nv", VectorFunctions.l2Normalize(col("qv")))
+      .select(col("query_id"), col("qv"),
+        posexplode(distsOverNv).as(Seq("cell", "dist")))
+      .withColumn("__cell_rank", row_number().over(w))
+      .filter(col("__cell_rank") <= probes.max)
+      .select(col("query_id"), col("qv"), col("cell"), col("__cell_rank"))
+    val scored = indexed
+      .join(broadcast(probeF), Seq("cell"))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"), col("qv")))
+      .drop(vecCol, "qv")
+    // a row in a cell of rank r serves every tier p >= r: explode each
+    // scored row to its applicable tiers and run ONE bounded-heap top-k
+    // reduction keyed by (tier, query) — no per-tier subtree, no barrier,
+    // and the shuffle stays k·|queries|·|tiers|·partitions-bounded
+    curveReduce(scored, "__cell_rank", probes, k, "nprobe")
+  }
+
+  /** Shared tail of the curve forms: explode each scored row (carrying
+    * its rank under `rankCol`) to every tier in `tiers` at or above that
+    * rank, then one [[SearchOps.reduceTopKPerQuery]] keyed by the
+    * composite (tier, query) — the per-tier result is row-identical to
+    * reducing each tier's filtered subset separately (same candidate
+    * sets, same (score DESC, id ASC) tie-break).
+    */
+  private def curveReduce(scored: DataFrame, rankCol: String,
+      tiers: Seq[Int], k: Int, tierCol: String): DataFrame = {
+    val tierArr = array(tiers.sorted.map(lit): _*)
+    val exploded = scored
+      .withColumn(tierCol,
+        explode(filter(tierArr, p => p >= col(rankCol))))
+      .drop(rankCol)
+      .withColumn("__qid", col("query_id"))
+      .withColumn("query_id",
+        concat_ws("#", col(tierCol), col("query_id")))
+    graft.operators.SearchOps.reduceTopKPerQuery(exploded, k, idCol = "vec_id")
+      .withColumn("query_id", col("__qid")).drop("__qid")
+  }
+
   /** PQ search: ADC candidate generation over the CODES table (m bytes per
     * vector — the scan that stays cheap at 100 TB), then exact-cosine
     * rerank of the `rerank` survivors against the full vectors. The query
@@ -264,6 +328,68 @@ object Similarity {
     * survivors shuffle), then broadcast back into an exact-cosine rerank
     * of the full vectors.
     */
+  /** [[pqBatchTopK]] at EVERY rerank budget in `reranks`, from ONE ADC
+    * pass and ONE exact-cosine rerank — the recall-curve form (q128's
+    * sweep). The codes table is ADC-scored once; each (query, vec) carries
+    * its ADC rank under the shared (score DESC, vec_id ASC) tie-break, so
+    * tier r's candidate set — the ADC top-r — is a rank filter, and the
+    * exact-cosine rerank over the LARGEST tier's candidates covers every
+    * smaller tier (a subset). Row-identical per tier to [[pqBatchTopK]]
+    * (the DuckDB oracle replays the curve the same way: rank once, filter
+    * per tier). r17 OPT: the per-tier form re-scanned the codes and
+    * re-probed the full vectors once per budget.
+    * Returns (rerank, query_id, vec_id, label, score).
+    */
+  def pqBatchTopKCurve(
+      codes: DataFrame, codebooks: Array[Array[Array[Double]]],
+      corpus: DataFrame, vecCol: String,
+      queries: DataFrame, k: Int, reranks: Seq[Int]): DataFrame = {
+    require(reranks.nonEmpty, "reranks must be non-empty")
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    val lutCol = array((0 until m).map { mi =>
+      array((0 until ksub).map { c =>
+        VectorFunctions.dot(
+          slice(col("nv"), mi * dsub + 1, dsub),
+          array(codebooks(mi)(c).map(lit).toIndexedSeq: _*))
+      }: _*)
+    }: _*)
+    val qlut = queries
+      .withColumn("nv", VectorFunctions.l2Normalize(col("qv")))
+      .select(col("query_id"), lutCol.as("lut"))
+    val adcScored = codes
+      .crossJoin(broadcast(qlut))
+      .withColumn("score", aggregate(
+        sequence(lit(0), lit(m - 1)),
+        lit(0.0),
+        (acc, mi) => acc + element_at(
+          element_at(col("lut"), mi + 1),
+          element_at(col("codes"), mi + 1).cast("int") + 1)))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    // ADC rank once — the same (score DESC, vec_id ASC) order every
+    // per-tier reduceTopKPerQuery cut used, so filter(rank <= r) IS the
+    // ADC top-r candidate set of tier r
+    val adcW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    val cand = adcScored
+      .withColumn("__adc_rank", row_number().over(adcW))
+      .filter(col("__adc_rank") <= reranks.max)
+      .select(col("query_id"), col("vec_id"), col("__adc_rank"))
+    // exact-cosine rerank ONCE over the max tier's candidates (smaller
+    // tiers are rank-filtered subsets), then the shared exploded-tier
+    // reduction — one job, no per-tier subtree
+    val rr = corpus
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("score", VectorFunctions.cosine(
+        col(vecCol).cast("array<double>"), col("qv")))
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"),
+        col("__adc_rank"))
+    curveReduce(rr, "__adc_rank", reranks, k, "rerank")
+  }
+
   def pqBatchTopK(
       codes: DataFrame, codebooks: Array[Array[Array[Double]]],
       corpus: DataFrame, vecCol: String,

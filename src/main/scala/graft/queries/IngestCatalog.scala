@@ -1098,8 +1098,14 @@ object IngestCatalog {
     val root = GenStore.artifactPath(d, "documents.parquet", "_graft_dzledger",
       "graft-dzledger")
     val stamp = GenStore.sourceStamp(new java.io.File(s"$d/documents.parquet"))
+    // r17 OPT: chunk at the production 800/100 instead of 100/20 — the
+    // ledger rows q101/q105 serve are recorded BEFORE chunking (scan-level
+    // drops), so the chunk grain is scenario-incidental; 100/20 made the
+    // build chunk+embed the whole kept corpus at ~8× the chunk count for
+    // an artifact no declared query reads. Scenario bumped to v2 so stale
+    // v1 artifacts rebuild.
     val expected =
-      s"""{"source_stamp":"$stamp","batches":2,"scenario":"dzledger-v1"}"""
+      s"""{"source_stamp":"$stamp","batches":2,"chunk":[800,100],"scenario":"dzledger-v2"}"""
     GenStore.ensureFresh(root, expected) {
       // a stale corpus leaves old chunks + ledger rows behind — clear the
       // subtrees so the rebuild starts from the stream's t0 (the manifest
@@ -1112,7 +1118,7 @@ object IngestCatalog {
       Seq(0, 1).foreach { p =>
         graft.streaming.Dropzone.processBatch(
           s, ledgerFiles(s, d, Some(p)), "dz", s"$root/chunks",
-          100, 20, 8, skipUnchangedFiles = true,
+          800, 100, 8, skipUnchangedFiles = true,
           batchId = p.toLong, skipLedgerPath = Some(s"$root/ledger"))
       }
     }

@@ -97,7 +97,12 @@ object ChunkStore {
     // compaction rewrite under leaked dynamic mode silently KEEPS the
     // partitions it meant to drop)
     if (!exists) {
-      incoming.write.partitionBy("doc_bucket").mode("overwrite")
+      // r17 OPT (§6 small files): cluster by the partition column so each
+      // bucket gets one file per write, not one per write task — the
+      // sf0.1 streaming chunk store had accumulated 3,025 files and every
+      // read (skipUnchanged, q87ChunkMeta, survivors scans) paid for it
+      incoming.repartition(col("doc_bucket"))
+        .write.partitionBy("doc_bucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(path)
       writeTableBuckets(spark, path, buckets0)
     } else {
@@ -116,6 +121,7 @@ object ChunkStore {
         .join(docs, Seq("document_id"), "left_anti")
         .localCheckpoint()
       survivors.unionByName(incoming)
+        .repartition(col("doc_bucket")) // r17 OPT (§6): see the write branch
         .write.partitionBy("doc_bucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(path)
       writeTableBuckets(spark, path, buckets0) // re-assert, cheap
@@ -153,6 +159,7 @@ object ChunkStore {
       .distinct().collect().map(_.getLong(0)).toSet
     if (survivorBuckets.nonEmpty)
       survivors
+        .repartition(col("doc_bucket")) // r17 OPT (§6): see upsert
         .write.partitionBy("doc_bucket").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(path)
     // a dynamic overwrite only rewrites partitions PRESENT in the written

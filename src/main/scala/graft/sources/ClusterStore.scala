@@ -186,6 +186,9 @@ object ClusterStore {
     GenStore.appendTombstones(path, upserts.select(col("doc_id")),
       tombCol = "doc", gen = nextGen)
     upserts.withColumn("gen", lit(nextGen))
+      // r17 OPT (§6): one file per touched bucket per gen, not one per
+      // write task per bucket — same fix as BandStore.upsert
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("gen", "bucket")
       .parquet(GenStore.tableDir(path, "clusters"))
     writeStats(path, nextGen, if (batchId >= 0) batchId else lastBatch)

@@ -225,9 +225,14 @@ object ManifestStore {
     val toks = tokCounts(delta, idCol, textCol).localCheckpoint()
     val spans = spanRows(toks, baseTok, p).localCheckpoint()
     spans.withColumn("gen", lit(nextGen))
+      // r17 OPT (§6): one file per epoch per gen, not one per write task
+      // per epoch — same fix as BandStore.upsert (the sf0.1 manifest
+      // stores had accumulated 2,600+ tiny span/sig files)
+      .repartition(col("epoch"))
       .write.mode("append").partitionBy("gen", "epoch")
       .parquet(GenStore.tableDir(path, "spans"))
     sigRows(spans).withColumn("gen", lit(nextGen))
+      .repartition(1) // shard-count-bounded partials: one file per gen
       .write.mode("append").partitionBy("gen")
       .parquet(GenStore.tableDir(path, "sigs"))
     val total = toks.agg(sum(col("n_tok"))).head()

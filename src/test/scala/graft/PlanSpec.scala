@@ -1093,7 +1093,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q137_gate_funnel")
     assert(!p.contains("windowspecdefinition"), s"q137 grew a window:\n$p")
     assert(!p.contains("CartesianProduct"), "q137 grew a cartesian product")
-    assertScansWithin(p, "q137", Set("doc_id", "source", "text"))
+    // r17: canonicalization labels come from the persisted ClusterStore
+    // (q143/q147's store-served convention) — the extra allowed column is
+    // the store's own (doc_id, cluster_id) parquet; the labels must NOT
+    // be re-derived per serve
+    assert(!p.contains("band_minhash"),
+      "q137 re-fingerprints the corpus instead of serving stored labels")
+    assertScansWithin(p, "q137", Set("doc_id", "source", "text", "cluster_id"))
   }
 
   test("q138: vocab growth — window-free, pruned scans, vocabulary-bounded shuffle") {

@@ -524,10 +524,18 @@ class StreamingSpec extends AnyFunSuite {
     }
     val before = ChunkStore.read(spark, store).select("id").collect().map(_.getString(0)).sorted.toSeq
     val filesBefore = parquetFiles
+    // r17: upsert clusters by doc_bucket before the partitioned write, so
+    // the store stays at one file per touched bucket AS IT GROWS (the old
+    // write fanned every task into every bucket — 4 upserts left multiple
+    // file sets per bucket and this test relied on compact() to shrink
+    // them). Assert the write-path property directly, then that compact()
+    // stays content-preserving and never fragments.
+    assert(filesBefore <= 4,
+      s"upserts should leave at most one file per touched bucket, got $filesBefore")
     graft.sources.ChunkStore.compact(spark, store)
     val after = ChunkStore.read(spark, store).select("id").collect().map(_.getString(0)).sorted.toSeq
     assert(after == before)
-    assert(parquetFiles < filesBefore, s"expected fewer files than $filesBefore")
+    assert(parquetFiles <= filesBefore, s"expected at most $filesBefore files")
   }
 
   test("streaming media ingest: micro-batches route STT/caption in dev mode + skip unchanged") {
