@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r18: pass the forked JVM's stdout/stderr through RAW instead of sbt's
+// default LoggedOutput, which prefixes every line with "[info] " — that
+// prefix is why the driver's JSON parse of the bench output returned
+// parsed:null in all seventeen BENCH_r* files. Bench's final summary line
+// must reach stdout bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

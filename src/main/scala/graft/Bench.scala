@@ -968,7 +968,23 @@ object Bench {
       "1.3-1.6x on identical plans cover the r7-r8 deltas — ambient " +
       "variance + multi-job serve pipelines, not store fixed cost " +
       "(full numbers: docs/PROFILE_r9.md)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"index_build_detail":$buildDetailJson,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","re_draw":$reDrawJson,"skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    // r18 (verdict #2): the bench→driver JSON contract has returned
+    // parsed:null in ALL seventeen BENCH files because (a) sbt's default
+    // LoggedOutput prefixed every line with "[info] " and (b) the driver
+    // keeps only a 2,000-char stdout tail, which the old ~28 KB
+    // total+detail line overran head-first. Restructured output, content
+    // unchanged: the giant diagnostics payload moves to an EARLY
+    // "diagnostics" line; the contract line {"metric":"total",...,
+    // "queries":{...}} stays but is now compact (~5 KB); the sub-KB
+    // "summary" line stays LAST so it survives the tail whole; and the
+    // full record (total ∪ summary ∪ diagnostics) is additionally written
+    // to the fixed sidecar ./bench_summary.json (plus a per-core-count
+    // copy so the driver's low-core scaling draw doesn't clobber the main
+    // run's file). build.sbt sets run/outputStrategy := StdoutOutput so
+    // the forked JVM's lines reach stdout bare.
+    println(s"""{"metric":"diagnostics","runs_per_query":"2+1@2.5s","query_detail":$detail,"isolation_check":$iso,"isolation_ok":$isolationOk,"isolation_status":"$isolationStatus","re_draw":$reDrawJson,"skew_stress":$skewStress,"span_skew":$spanSkew,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"notes":"$notes","sf":"$sfDir"}""")
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"correctness_only":$co,"index_build_sec":$indexBuild,"index_build_detail":$buildDetailJson,"ingest_chars_per_sec":$ingestTp,"runs_per_query":"2+1@2.5s","cpus":$cpus,"sf":"$sfDir"}"""
+    println(totalLine)
     // Compact summary LAST (r13 prescription #2): the round harness keeps
     // only a ~2 KB tail of stdout, so BENCH_r12/r13 carried just the last
     // fragment of the ~28 KB detail line and parsed:null. A sub-kilobyte
@@ -992,6 +1008,17 @@ object Bench {
       case (k, suite, isoT, ratio) =>
         f"""{"name":"$k","suite_sec":$suite%.3f,"isolated_sec":$isoT%.3f,"ratio":$ratio%.2f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","isolation_offenders":$offenders,"re_draw":$reDrawJson,"index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","sf":"$sfDir"}""")
+    val summaryLine = s"""{"metric":"summary","n_queries":${results.size},"suite_sec":${f"$total%.2f"},"errors":$errs,"isolation_status":"$isolationStatus","isolation_offenders":$offenders,"re_draw":$reDrawJson,"index_build_sec":${f"$indexBuild%.2f"},"index_build_detail":$buildDetailJson,"median_sec":${f"${pct(0.5)}%.3f"},"p90_sec":${f"${pct(0.9)}%.3f"},"max_sec":${f"${pct(1.0)}%.3f"},"ingest_chars_per_sec":${ingestTp.toLong},"runs_per_query":"2+1@2.5s","cpus":$cpus,"sidecar":"bench_summary.json","sf":"$sfDir"}"""
+    // Sidecar: the 2,000-char tail can never carry a 155-entry per-query
+    // map, so the machine-readable record of this run — contract total
+    // line, summary, and full per-query detail — lands at a fixed path in
+    // the working directory (repo root under `sbt "runMain graft.Bench"`).
+    val sidecar = s"""{"total":$totalLine,"summary":$summaryLine,"query_detail":$detail,"isolation_check":$iso,"scale_check":$scaleCheck,"scale_recheck":$scaleRecheck,"skew_stress":$skewStress,"span_skew":$spanSkew}"""
+    for (p <- Seq("bench_summary.json", s"bench_summary_c$cpus.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Path.of(p), sidecar + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write $p failed: ${e.getMessage}") }
+    }
+    println(summaryLine)
   }
 }

@@ -232,6 +232,14 @@ object Similarity {
     */
   private def curveReduce(scored: DataFrame, rankCol: String,
       tiers: Seq[Int], k: Int, tierCol: String): DataFrame = {
+    // the composite heap key is concat_ws("#", tier, query_id): a STRING
+    // query id containing '#' could collide across tiers ("1#2#x" is tier 1
+    // of "2#x" and tier 12 of "x" read greedily) — guard the latent case
+    // instead of leaving it to silent wrong answers (r17 advice)
+    require(!scored.schema("query_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.StringType],
+      "curveReduce: string query_id could collide with the '#' tier " +
+        "separator; use a numeric query id")
     val tierArr = array(tiers.sorted.map(lit): _*)
     val exploded = scored
       .withColumn(tierCol,
@@ -369,14 +377,15 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), col("score"))
     // ADC rank once — the same (score DESC, vec_id ASC) order every
     // per-tier reduceTopKPerQuery cut used, so filter(rank <= r) IS the
-    // ADC top-r candidate set of tier r
-    val adcW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    val cand = adcScored
-      .withColumn("__adc_rank", row_number().over(adcW))
-      .filter(col("__adc_rank") <= reranks.max)
-      .select(col("query_id"), col("vec_id"), col("__adc_rank"))
+    // ADC top-r candidate set of tier r. r18 (verdict #3): the cut runs
+    // through the bounded-heap reduceTopKPerQuery, whose `rank` is the
+    // identical row_number over the identical ordering — the r17 form
+    // ranked the CORPUS-sized codes×queries frame with a bare window,
+    // i.e. one single-task sort per query at scale (§2/§5); now only
+    // reranks.max·|queries|·|partitions| survivor rows ever shuffle.
+    val cand = graft.operators.SearchOps
+      .reduceTopKPerQuery(adcScored, reranks.max, idCol = "vec_id")
+      .select(col("query_id"), col("vec_id"), col("rank").as("__adc_rank"))
     // exact-cosine rerank ONCE over the max tier's candidates (smaller
     // tiers are rank-filtered subsets), then the shared exploded-tier
     // reduction — one job, no per-tier subtree

@@ -1094,6 +1094,13 @@ object IngestCatalog {
     * at 10.3 s because both `Dropzone.processBatch` builds ran inside the
     * timed path). Returns the ledger directory.
     */
+  /** Scenario tag stamped into the dz-ledger manifest; bump to invalidate
+    * stale artifacts. Shared with StreamingSpec so the rebuild test asserts
+    * against the real constant instead of a copy that can drift (r17's
+    * driver-red test was exactly that drift: v1 asserted, v2 written).
+    */
+  private[graft] val DzLedgerScenario = "dzledger-v2"
+
   private[graft] def ensureDzLedger(s: SparkSession, d: String): String = {
     val root = GenStore.artifactPath(d, "documents.parquet", "_graft_dzledger",
       "graft-dzledger")
@@ -1105,7 +1112,7 @@ object IngestCatalog {
     // an artifact no declared query reads. Scenario bumped to v2 so stale
     // v1 artifacts rebuild.
     val expected =
-      s"""{"source_stamp":"$stamp","batches":2,"chunk":[800,100],"scenario":"dzledger-v2"}"""
+      s"""{"source_stamp":"$stamp","batches":2,"chunk":[800,100],"scenario":"$DzLedgerScenario"}"""
     GenStore.ensureFresh(root, expected) {
       // a stale corpus leaves old chunks + ledger rows behind — clear the
       // subtrees so the rebuild starts from the stream's t0 (the manifest

@@ -163,7 +163,8 @@ class StreamingSpec extends AnyFunSuite {
       root.resolve("_graft_manifest.json"), """{"source_stamp":"bogus"}""")
     assert(rows() == baseline)
     val mf = java.nio.file.Files.readString(root.resolve("_graft_manifest.json"))
-    assert(mf.contains("dzledger-v1") && !mf.contains("bogus"))
+    assert(mf.contains(graft.queries.IngestCatalog.DzLedgerScenario) &&
+      !mf.contains("bogus"))
   }
 
   test("streaming ingest maintains the BM25 serving index per micro-batch") {
@@ -535,7 +536,17 @@ class StreamingSpec extends AnyFunSuite {
     graft.sources.ChunkStore.compact(spark, store)
     val after = ChunkStore.read(spark, store).select("id").collect().map(_.getString(0)).sorted.toSeq
     assert(after == before)
-    assert(parquetFiles <= filesBefore, s"expected at most $filesBefore files")
+    // compact()'s own contract: exactly filesPerBucket (default 1) data
+    // files inside every doc_bucket directory — not merely "no worse than
+    // before" (r17's <= let a no-op compact pass silently).
+    val perBucket = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Path.of(store)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent).view.mapValues(_.size).toMap
+    }
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 1),
+      s"compact(filesPerBucket=1) must leave one file per bucket, got $perBucket")
   }
 
   test("streaming media ingest: micro-batches route STT/caption in dev mode + skip unchanged") {
