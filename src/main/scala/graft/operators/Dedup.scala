@@ -352,9 +352,22 @@ object Dedup {
       selfPairs: Boolean = false,
       persistBands: Boolean = true): (DataFrame, DataFrame) = {
     val bands = store.nBands
+    // r18 measured and REJECTED: replacing the array-based emit-once
+    // filter with a bhs-free join + distinct-over-matches (pair-identical:
+    // "bands agree at i" ⟺ "a (band=i, bh) join match exists", and an
+    // agreeing band's store row always survives the bucket pruning because
+    // its bh equals the batch's). The narrower join sides (§2.3) lost to
+    // the distinct's added exchange + stage barrier at bench scale on
+    // every consumer: q97 2.01→2.31, q96 1.78→2.07, q122 1.38→1.69,
+    // q111 1.11→1.23 (QueryTime min-of-5/7). The array filter dedups
+    // inline with ZERO extra shuffle; at a true delta-probe scale the
+    // arrays ride only the (small) batch side and the bucket-pruned store
+    // columns, so the at-scale case for the distinct form is weak too.
+    // Kept: n_sh projected out of the persisted band frame (dead weight).
     val bb0 = graft.sources.BandStore
       .bandRows(batch, idCol, textCol, store.numHashes, bands)
       .withColumnRenamed("c_id", "b_id")
+      .select(col("b_id"), col("bhs"), col("band"), col("bh"), col("bh_bucket"))
     val bb =
       if (persistBands)
         bb0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -463,7 +476,11 @@ object Dedup {
       .foldLeft(when(bandEqual(0), lit(0)))((acc, i) => acc.when(bandEqual(i), lit(i)))
     val rows = store.rows
     // snapshot: candidates feed the semi-join AND both sides of the
-    // verify join — duplicate-rate-bounded, so the checkpoint is tiny
+    // verify join — duplicate-rate-bounded, so the checkpoint is tiny.
+    // (r18 measured and REJECTED a bhs-free join + distinct-over-matches
+    // here too — see the note in [[nearDupCandidatesWithBands]]: q111
+    // 1.11→1.23, q122 1.38→1.69; the inline array filter dedups with no
+    // extra exchange.)
     val candidates = rows
       .select(col("c_id").as("a_id"), col("bhs").as("bhs_a"), col("band"), col("bh"))
       .join(rows.select(col("c_id").as("b_id"), col("bhs").as("bhs_b"),

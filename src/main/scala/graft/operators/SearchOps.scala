@@ -247,10 +247,20 @@ object SearchOps {
       queryIds: DataFrame,
       minScore: Double = 0.2,
       minSynthScore: Double = 0.55): DataFrame =
+    // Conditional aggregation instead of filter + aggregation (r18, §4.4
+    // class): Catalyst pushes a filter on a computed score column INTO the
+    // join condition below it and then re-evaluates the score expression
+    // in the projection — q48's cosine ran twice per surviving pair (the
+    // r17-documented double-eval). A `when` inside the agg leaves nothing
+    // to push, so the score is computed exactly once per pair. Value-
+    // identical: a group with zero qualifying rows now surfaces with
+    // n_sources=0 / top_raw null instead of being absent, and the output
+    // select already coalesces exactly that to `no_sources` / 0.0 (null
+    // scores: the old filter dropped them, count/max skip `when`'s null).
     scored
-      .filter(col("score") >= minScore)
       .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_sources"), max(col("score")).as("top_raw"))
+      .agg(count(when(col("score") >= minScore, 1)).as("n_sources"),
+        max(when(col("score") >= minScore, col("score"))).as("top_raw"))
       .join(queryIds.select(col("query_id")), Seq("query_id"), "right")
       .select(col("query_id"),
         coalesce(col("n_sources"), lit(0L)).as("n_sources"),

@@ -122,15 +122,27 @@ object Catalog {
     val customer = tbl(s, d, "customer")
     val orders = tbl(s, d, "orders")
     val lineitem = tbl(s, d, "lineitem")
+    // r18 (verdict #9): pre-aggregate lineitem revenue PER ORDER before
+    // any join — the exchange lands on l_orderkey, the key the first join
+    // needs anyway, and everything downstream flows at order grain
+    // (~4× fewer rows through the custkey exchange). countDistinct
+    // (which planned as an extra corpus-grain exchange on
+    // (r_name, n_name, o_orderkey)) becomes a plain count: after the
+    // pre-agg each surviving order is exactly one row. Value-identical:
+    // sum of per-order sums = the total sum (double rounding to 2dp is
+    // robust to the re-association — oracle hash-checked at both SFs),
+    // and inner-joining orders keeps exactly the orders with lineitems.
     lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("o_rev"))
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        rnd(sum(col("o_rev")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"), col("n_name"))
   }
 

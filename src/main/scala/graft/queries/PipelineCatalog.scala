@@ -3923,6 +3923,11 @@ object PipelineCatalog {
     val store = graft.sources.BandStore.ensure(s, docs, "doc_id", "text", d)
     val docsW = docs.select(col("doc_id"), trim(col("text")).as("body"))
       .withColumn("w", split(col("body"), " "))
+    // r18 re-measured (r17 verdict #5, "the trade may have flipped now
+    // that cluster labels are store-served"): localCheckpoint(spH) is a
+    // WASH at bench scale — 1.92 s → 1.90 s QueryTime min-of-6 — and the
+    // basis is corpus×words-sized, so materializing it is exactly the §5
+    // full-corpus executor spill q127 got flagged for. Keep the recompute.
     val spH = positionalShingleHashes(docsW)
     // canonicalization labels from the persisted ClusterStore (built from
     // this same band store at publish time) — the recipe no longer
@@ -5264,12 +5269,25 @@ object PipelineCatalog {
   private val ChatTurnRe = "^\\[[^\\]]+\\] (user|assistant): "
 
   val q114SftMask: Q = (s, d) => {
+    // ONE regex execution per line instead of two (r17 verdict #6): the
+    // old form ran the same anchored pattern through regexp_extract (role)
+    // AND regexp_replace (strip) — Catalyst does not share matches across
+    // distinct regex expressions. Extract the WHOLE match once; the role
+    // is pinned by the match's tail ("[ts] user: " vs "[ts] assistant: " —
+    // only the former ends in "user: "), and stripping an ^-anchored
+    // single-occurrence match is substring past its length (empty match ⇒
+    // role "", content = line, exactly regexp_extract/replace's no-match
+    // behavior).
     val turns = IngestCatalog.q40ChatExport(s, d)
       .select(col("document_id").as("conv_id"),
         posexplode(split(col("text"), "\n\n")).as(Seq("turn_idx", "line")))
+      .withColumn("__m", regexp_extract(col("line"), ChatTurnRe, 0))
       .select(col("conv_id"), col("turn_idx"),
-        regexp_extract(col("line"), ChatTurnRe, 1).as("role"),
-        regexp_replace(col("line"), ChatTurnRe, "").as("content"))
+        when(col("__m") === "", lit(""))
+          .when(col("__m").endsWith("user: "), lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("line").substr(length(col("__m")) + 1, length(col("line")))
+          .as("content"))
       .withColumn("n_tok",
         size(TextAnalytics.tokens(col("content"))).cast("long"))
     val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
@@ -6493,11 +6511,21 @@ object PipelineCatalog {
         .as("text"))
       .localCheckpoint()
     val corpusSigs = docs.select(sha2(col("text"), 256).as("sig")).distinct()
+    // exact ids are checkpointed because they now feed TWO consumers: the
+    // final flag join AND an anti-join that shrinks the near probe's batch
     val exactIds = dump.select(col("doc_id"), sha2(col("text"), 256).as("sig"))
       .join(corpusSigs, Seq("sig"), "left_semi")
       .select(col("doc_id")).withColumn("__ex", lit(true))
-    val nearIds = Dedup.incrementalNearDuplicates(dump, docs, store,
-        "doc_id", "text", threshold = 0.5)
+      .localCheckpoint()
+    // r18: don't MinHash-probe docs the exact pass already matched — the
+    // output's precedence masks their near flag (`when(__ex).when(__nr)`),
+    // so fingerprint + candidate join + Jaccard verify on them is thrown
+    // away. At bench the dump is 20% exact; on a production recrawl dump
+    // (mostly unchanged pages) the skip is most of the probe (§1.2: don't
+    // compute things you discard). Pair-identical for every surviving id.
+    val nearIds = Dedup.incrementalNearDuplicates(
+        dump.join(exactIds.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        docs, store, "doc_id", "text", threshold = 0.5)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("__nr", lit(true))
     dump
